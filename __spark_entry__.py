@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The catalog itself lives in ``indicators_spark.queries`` (one entry per
+implemented operator from SURVEY.md §2, each with its ANSI-SQL oracle);
+this module is a thin adapter.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: OHLCV bars derived from
+    ``events``, then a chained indicator pipeline (sma + bollinger + rsi +
+    macd over per-symbol windows) — one exchange for all window ops."""
+    from indicators_spark import Indicators
+    from indicators_spark.sources import prices_from_events
+
+    prices = prices_from_events(spark, "/root/testdata/sf0.001")
+    ind = (
+        Indicators(prices, order_by=("timestamp", "seq"))
+        .sma(["close"], 20)
+        .bollinger_bands(["close"], 20, 2)
+        .rsi(["close"], 14)
+        .daily_return(["close"])
+    )
+    return ind.collect()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from indicators_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.spark for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Equivalent DuckDB SQL per query (omitted → rows-only check)."""
+    from indicators_spark.queries import QUERIES
+
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}

@@ -1,0 +1,95 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect overhead).  Timings include plan + execution, not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    from indicators_spark import Indicators, get_spark
+    from indicators_spark.queries import QUERIES
+    from indicators_spark.sources import prices_from_events
+
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    # Warm the JVM + parquet footer cache once (not timed).
+    _force(prices_from_events(spark, sf_dir))
+
+    def flagship(s, d):
+        ind = (
+            Indicators(prices_from_events(s, d), order_by=("timestamp", "seq"))
+            .sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+            .daily_return(["close"])
+        )
+        return ind.collect()
+
+    headline: dict[str, object] = {"pipeline": flagship}
+    for name in (
+        "sma",
+        "rsi",
+        "bollinger_bands",
+        "atr",
+        "adx",
+        "vwap",
+        "ichimoku",
+        "aroon",
+        "ultimate_oscillator",
+    ):
+        if name in QUERIES:
+            headline[name] = QUERIES[name].spark
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in headline.items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Canonical OHLCV ``prices`` derivation (FIXTURES.md F1/F2).
+
+The indicator operators consume the reference's implicit OHLCV schema
+(symbol, timestamp, open, high, low, close, volume).  For oracle-checked
+queries this table is derived *deterministically* from the driver parquet
+tables so the DuckDB side can rebuild the identical input with plain SQL.
+
+The Spark builders here and the SQL snippets below encode the SAME
+float64 expression graph in the same order, so both engines produce
+bit-identical doubles (lag → greatest/least → multiply are all exact IEEE
+ops given identical inputs).
+
+Scale note: the derivation is one window pass partitioned by symbol — at
+100 TB it parallelizes across symbols and pushes the column prune into the
+parquet scan (only 5-6 of the source columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read the raw int64 nanos and convert to a µs timestamp.
+        # Ordering stays exact via the event_id tie-breaker; oracle queries
+        # key rows on integer ids, never on cross-engine timestamp repr.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def prices_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bars from ``events``: symbol=event_type, close=value,
+    open=lag(value) (coalesced), high/low = ±1% of open/close envelope,
+    volume=user_id.  Ties in ts broken by event_id (FIXTURES.md F1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p0 = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").alias("seq"),
+        F.coalesce(F.lag("value").over(w), F.col("value")).alias("open"),
+        F.col("value").alias("close"),
+        F.col("user_id").cast("double").alias("volume"),
+    )
+    return p0.select(
+        "symbol",
+        "timestamp",
+        "seq",
+        "open",
+        (F.greatest("open", "close") * 1.01).alias("high"),
+        (F.least("open", "close") * 0.99).alias("low"),
+        "close",
+        "volume",
+    )
+
+
+#: DuckDB CTE body producing the identical table (views pre-registered by
+#: the driver; ``events`` is one of them).  Keep in lockstep with
+#: :func:`prices_from_events`.
+PRICES_SQL_EVENTS = """
+p0 AS (
+  SELECT
+    event_type AS symbol,
+    ts AS "timestamp",
+    event_id AS seq,
+    COALESCE(lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), value) AS open,
+    value AS close,
+    CAST(user_id AS DOUBLE) AS volume
+  FROM events
+),
+prices AS (
+  SELECT
+    symbol, "timestamp", seq, open,
+    greatest(open, close) * 1.01 AS high,
+    least(open, close) * 0.99 AS low,
+    close, volume
+  FROM p0
+)
+"""
+
+
+def prices_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Larger multi-symbol series from ``lineitem`` (FIXTURES.md F2):
+    symbol=l_returnflag, timestamp=l_shipdate, close=l_extendedprice,
+    volume=l_quantity; ties broken by (l_orderkey, l_linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    p0 = li.select(
+        F.col("l_returnflag").alias("symbol"),
+        F.col("l_shipdate").alias("timestamp"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.coalesce(F.lag("l_extendedprice").over(w), F.col("l_extendedprice")).alias(
+            "open"
+        ),
+        F.col("l_extendedprice").alias("close"),
+        F.col("l_quantity").cast("double").alias("volume"),
+    )
+    return p0.select(
+        "symbol",
+        "timestamp",
+        "seq",
+        "open",
+        (F.greatest("open", "close") * 1.01).alias("high"),
+        (F.least("open", "close") * 0.99).alias("low"),
+        "close",
+        "volume",
+    )
+
+
+PRICES_SQL_LINEITEM = """
+p0 AS (
+  SELECT
+    l_returnflag AS symbol,
+    l_shipdate AS "timestamp",
+    l_orderkey * 10 + l_linenumber AS seq,
+    COALESCE(lag(l_extendedprice) OVER (
+        PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ), l_extendedprice) AS open,
+    l_extendedprice AS close,
+    CAST(l_quantity AS DOUBLE) AS volume
+  FROM lineitem
+),
+prices AS (
+  SELECT
+    symbol, "timestamp", seq, open,
+    greatest(open, close) * 1.01 AS high,
+    least(open, close) * 0.99 AS low,
+    close, volume
+  FROM p0
+)
+"""

@@ -1,0 +1,25 @@
+"""The main correctness gate: every catalog query must hash-match its
+DuckDB oracle at sf0.01 (replicates the driver's t2 check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from indicators_spark.queries import QUERIES
+from indicators_spark.testing import check_query, duck_connect
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connect(SF_ORACLE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, name):
+    res = check_query(spark, con, name, SF_ORACLE)
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
