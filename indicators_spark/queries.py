@@ -50,15 +50,18 @@ def _ind_query(
     op: Callable[[Indicators], object],
     outs: list[str],
     log_outs: tuple[str, ...] = (),
+    pre: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Build a (spark, sf_dir) → DataFrame callable: prices → op → select
     (symbol, seq, rounded outputs).  Columns in ``log_outs`` are compared in
-    the signed-log domain (see :func:`slog`)."""
+    the signed-log domain (see :func:`slog`); ``pre`` filters/transforms the
+    prices input (mirrored in the oracle's prices CTE)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ind = Indicators(
-            prices_from_events(spark, sf_dir), order_by=("timestamp", "seq")
-        )
+        p = prices_from_events(spark, sf_dir)
+        if pre is not None:
+            p = pre(p)
+        ind = Indicators(p, order_by=("timestamp", "seq"))
         op(ind)
         df = ind.collect()
         sel = [df["symbol"], df["seq"]] + [
@@ -918,3 +921,7 @@ FROM g"""
         ),
     ),
 )
+
+
+# EWM-family queries (recursive-CTE oracles) register themselves on import.
+from . import queries_ewm  # noqa: E402,F401  (registration side-effect)
