@@ -1,0 +1,182 @@
+"""Deduplication operators over a document table — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — plus embedding-cosine near-dup in
+``similarity.py``.
+
+Scale design (the whole point of these at 100 TB):
+
+* **exact**: one hash-groupBy on a fingerprint — single shuffle, map-side
+  partial aggregation; the fingerprint (md5) is computed scan-side so the
+  shuffle carries 16 bytes + id per row, not the document text.
+* **n-gram Jaccard**: explode distinct tokens → self-join on token →
+  pair-count groupBy.  A ``max_df`` prune drops ubiquitous tokens before
+  the join (posting-list blowup is THE failure mode; at scale you'd also
+  length-bucket).  Shuffles: explode-groupBy + one join.
+* **MinHash LSH**: k portable hash permutations → min-agg per doc (one
+  groupBy), band the signature, self-join per band bucket → candidates.
+  Join keys are (band, h₁, h₂) ints — tiny rows.  This is the textbook
+  shingle→minhash→band→bucket-join pipeline, all JVM-side.
+* **SimHash**: per-token hash bits weighted ±1, summed per doc (one
+  groupBy with 32 conditional sums), sign-assembled into a 32-bit value.
+  Hamming-close pairs via band join on byte quarters.
+
+All hashes are md5-derived (portable to the DuckDB oracle) — see
+``text.portable_word_hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import H31, word_hash31, words
+
+#: Deterministic MinHash permutation constants (a*h + b mod 2^31-1).
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1103515245, 12345),
+    (69069, 362437),
+    (1013904223, 1664525),
+    (22695477, 77557187),
+    (134775813, 1),
+    (214013, 2531011),
+    (16807, 0),
+    (48271, 11),
+)
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group exact duplicates by md5 fingerprint: returns one row per
+    distinct text with the kept (min) id and the group size."""
+    fp = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    keep = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, distinct tokens per doc."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("tok"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard similarity of distinct-token sets.
+
+    ``max_df`` prunes tokens appearing in more than that many documents
+    before the self-join (at 100 TB the ubiquitous-token posting lists are
+    quadratic; pruning them first is mandatory, and they carry almost no
+    Jaccard signal)."""
+    toks = _doc_tokens(df, id_col, text_col)
+    if max_df is not None:
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(
+            F.broadcast(dfreq.filter(F.col("df") <= max_df).select("tok")),
+            "tok",
+            "inner",
+        )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("ia"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("_id").alias("ib"), F.col("sz").alias("szb"))
+    out = (
+        shared.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("ia", "ib", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k=8 MinHash values per document (columns h1..h8), one groupBy."""
+    toks = _doc_tokens(df, id_col, text_col).withColumn(
+        "wh", word_hash31(F.col("tok"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("wh") + F.lit(b)) % F.lit(H31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS, start=1)
+    ]
+    return toks.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: band the k=8 signature into ``bands``
+    bands of 2 rows, bucket-join per band, union, distinct.
+
+    Returns (ia, ib, n_bands) — how many bands collided (monotone in
+    estimated Jaccard).  At scale each band join shuffles only
+    (band_id, h, h, id) int rows."""
+    sig = minhash_signatures(df, id_col, text_col)
+    rows_per_band = len(MINHASH_COEFFS) // bands
+    parts = []
+    for bi in range(bands):
+        cols = [f"h{bi * rows_per_band + j + 1}" for j in range(rows_per_band)]
+        left = sig.select(F.col(id_col).alias("ia"), *cols)
+        right = sig.select(F.col(id_col).alias("ib"), *cols)
+        pair = left.join(right, cols).filter(F.col("ia") < F.col("ib"))
+        parts.append(pair.select("ia", "ib"))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    return allp.groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document from token hashes (with multiplicity):
+    bit j of the result is 1 iff Σ_tokens (2·bit_j(h) − 1) > 0."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    ).withColumn("wh", word_hash31(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    val = F.lit(0).cast("long")
+    for j in range(32):
+        val = val + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col(id_col), val.alias("simhash"))

@@ -1,0 +1,659 @@
+"""Extension queries: text analysis, dedup, similarity search, event-time
+windows, sessionization, multimodal plumbing, and relational (TPC-H-ish)
+coverage — each with a DuckDB oracle where SQL can express it.
+
+These are the LLM-data-pipeline operators (BASELINE.json north star); the
+implementations live in ``functions/`` and are registered here against the
+driver's ``documents`` / ``embeddings`` / ``events`` / ``lineitem`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup, multimodal, similarity, text
+from .queries import Query, _r, _register, round4, slog
+from .sources.prices import load_table
+
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------- #
+# Text analysis
+# --------------------------------------------------------------------- #
+
+_register(
+    "text_token_stats",
+    Query(
+        spark=lambda s, d: text.with_token_stats(_docs(s, d)).select(
+            "doc_id",
+            "token_count",
+            "distinct_tokens",
+            round4(F.col("avg_token_len")).alias("avg_token_len"),
+            "punct_count",
+        ),
+        sql="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+  len(ws) AS token_count,
+  len(list_distinct(ws)) AS distinct_tokens,
+  {r_avg},
+  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+    AS punct_count
+FROM t""".format(
+            r_avg=_r(
+                "(length(text) - (len(ws) - 1)) / len(ws)", "avg_token_len"
+            )
+        ),
+    ),
+)
+
+_register(
+    "text_quality_score",
+    Query(
+        spark=lambda s, d: text.with_quality_score(_docs(s, d)).select(
+            "doc_id", round4(F.col("quality_score")).alias("quality_score")
+        ),
+        sql="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, text, ws,
+    CAST(len(ws) AS DOUBLE) AS n,
+    len(list_distinct(ws)) AS dt,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+  FROM t
+)
+SELECT doc_id,
+  {r}
+FROM m""".format(
+            r=_r(
+                "least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
+                " + (1 - punct / length(text)) * 0.2"
+                " + least(stop / n * 4, 1.0) * 0.2",
+                "quality_score",
+            )
+        ),
+    ),
+)
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(ws, x -> x IN ({', '.join(repr(w) for w in vocab)})))"
+        for lang, vocab in text.LANG_MARKERS.items()
+    }
+    langs = list(text.LANG_MARKERS)  # tie-break: earlier wins
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        conds.append(f"h_{lang} > 0")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id, {hit_cols} FROM t
+)
+SELECT doc_id, {case} AS lang_id FROM h"""
+
+
+_register(
+    "text_lang_id",
+    Query(
+        spark=lambda s, d: text.with_lang_id(_docs(s, d)).select("doc_id", "lang_id"),
+        sql=_lang_sql(),
+    ),
+)
+
+_register(
+    "text_fingerprint",
+    Query(
+        spark=lambda s, d: text.with_fingerprint(_docs(s, d)).select(
+            "doc_id", "fp_md5", "fp_roll"
+        ),
+        sql="""
+WITH RECURSIVE powers AS (
+  SELECT 0 AS k, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT k + 1, (v * 31) % 1000000007 FROM powers WHERE k < 400
+),
+t AS (
+  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS ws
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lt, len(ws) AS n,
+    unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS i
+  FROM t
+),
+h AS (
+  SELECT doc_id, lt, n, i,
+    CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 2147483647 AS wh
+  FROM w
+),
+r AS (
+  SELECT h.doc_id, any_value(h.lt) AS lt,
+    sum((h.wh * p.v) % 1000000007) % 1000000007 AS fp_roll
+  FROM h JOIN powers p ON p.k = h.n - h.i
+  GROUP BY h.doc_id
+)
+SELECT doc_id, md5(lt) AS fp_md5, fp_roll FROM r""",
+    ),
+)
+
+# --------------------------------------------------------------------- #
+# Deduplication
+# --------------------------------------------------------------------- #
+
+_register(
+    "dedup_exact",
+    Query(
+        spark=lambda s, d: dedup.exact_duplicate_groups(_docs(s, d)).select(
+            "fp", "keep_id", "group_size"
+        ),
+        sql="""
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+FROM documents GROUP BY md5(text)""",
+    ),
+)
+
+_register(
+    "dedup_ngram_jaccard",
+    Query(
+        spark=lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), threshold=0.8
+        ).select("ia", "ib", round4(F.col("jaccard")).alias("jaccard")),
+        sql="""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+),
+shared AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT ia, ib,
+    CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.id = ia
+  JOIN sizes sb ON sb.id = ib
+)
+SELECT ia, ib, {r} FROM j WHERE jaccard >= 0.8""".format(r=_r("jaccard", "jaccard")),
+    ),
+)
+
+
+def _minhash_sql() -> str:
+    aggs = ", ".join(
+        f"min(({a} * wh + {b}) % {text.H31}) AS h{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS, start=1)
+    )
+    bands = []
+    for bi in range(4):
+        c1, c2 = f"h{bi * 2 + 1}", f"h{bi * 2 + 2}"
+        bands.append(
+            f"SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b"
+            f" ON a.{c1} = b.{c1} AND a.{c2} = b.{c2} AND a.doc_id < b.doc_id"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {text.H31} AS wh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, {aggs} FROM h GROUP BY doc_id
+),
+cand AS (
+  {' UNION ALL '.join(bands)}
+)
+SELECT ia, ib, count(*) AS n_bands FROM cand GROUP BY ia, ib"""
+
+
+_register(
+    "dedup_minhash_lsh",
+    Query(
+        spark=lambda s, d: dedup.minhash_lsh_candidates(_docs(s, d)).select(
+            "ia", "ib", "n_bands"
+        ),
+        sql=_minhash_sql(),
+    ),
+)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(((wh >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
+    )
+    val = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {text.H31} AS wh
+  FROM toks
+),
+s AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {val} AS simhash FROM s"""
+
+
+_register(
+    "dedup_simhash",
+    Query(
+        spark=lambda s, d: dedup.simhash(_docs(s, d)),
+        sql=_simhash_sql(),
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Similarity search
+# --------------------------------------------------------------------- #
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(1, EMB_DIM + 1)
+        )
+        + ")"
+    )
+
+
+_register(
+    "similarity_knn",
+    Query(
+        spark=lambda s, d: similarity.knn_bruteforce(
+            _emb(s, d), _emb(s, d).filter(F.col("vec_id") < 10), k=5
+        ).select("qid", "nid", "rank", round4(F.col("cos")).alias("cos")),
+        sql=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, nn AS qn FROM n WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid,
+    ({_dot_sql('q.qv', 'n.embedding')}) / (q.qn * n.nn) AS cos
+  FROM n CROSS JOIN q
+  WHERE n.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, {_r('cos', 'cos')} FROM ranked WHERE rank <= 5""",
+    ),
+)
+
+_register(
+    "similarity_cosine_pairs",
+    Query(
+        spark=lambda s, d: similarity.cosine_pairs(_emb(s, d), 0.4).select(
+            "ia", "ib", round4(F.col("cos")).alias("cos")
+        ),
+        sql=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    ({_dot_sql('a.embedding', 'b.embedding')}) / (a.nn * b.nn) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= 0.4""",
+    ),
+)
+
+# LSH ANN: approximate by construction → rows-only check (no oracle).
+_register(
+    "similarity_knn_lsh",
+    Query(
+        spark=lambda s, d: similarity.knn_lsh(
+            _emb(s, d), _emb(s, d).filter(F.col("vec_id") < 10), k=5
+        ).select("qid", "nid", "rank", round4(F.col("cos")).alias("cos")),
+        sql=None,
+    ),
+)
+
+# --------------------------------------------------------------------- #
+# Event-time windows / sessionization
+# --------------------------------------------------------------------- #
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            round4(F.col("sum_value")).alias("sum_value"),
+        )
+    )
+
+
+_register(
+    "events_tumbling_1h",
+    Query(
+        spark=_events_tumbling,
+        sql=f"""
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+  event_type, count(*) AS n, {_r('sum(value)', 'sum_value')}
+FROM events GROUP BY 1, 2""",
+    ),
+)
+
+
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            round4(F.col("sum_value")).alias("sum_value"),
+        )
+    )
+
+
+_register(
+    "events_sliding_1h_30m",
+    Query(
+        spark=_events_sliding,
+        sql=f"""
+WITH x AS (
+  SELECT event_type, value,
+    unnest([time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+      AS wstart
+  FROM events
+)
+SELECT CAST(epoch(wstart) AS BIGINT) AS window_start, event_type,
+  count(*) AS n, {_r('sum(value)', 'sum_value')}
+FROM x GROUP BY 1, 2""",
+    ),
+)
+
+
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        "n_events",
+    )
+
+
+_register(
+    "events_sessionize_30m",
+    Query(
+        spark=_events_sessions,
+        sql="""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL '30 minutes'
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+  count(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+    ),
+)
+
+# --------------------------------------------------------------------- #
+# Relational coverage (joins / aggregates / top-k / rollup)
+# --------------------------------------------------------------------- #
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        round4(F.col("sum_qty")).alias("sum_qty"),
+        round4(slog(F.col("sum_base_price"))).alias("sum_base_price"),
+        round4(slog(F.col("sum_disc_price"))).alias("sum_disc_price"),
+        round4(F.col("avg_qty")).alias("avg_qty"),
+        round4(F.col("avg_price")).alias("avg_price"),
+        round4(F.col("avg_disc")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+_register(
+    "tpch_q1",
+    Query(
+        spark=_tpch_q1,
+        sql=f"""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+    sum(l_quantity) AS sum_qty,
+    sum(l_extendedprice) AS sbp,
+    sum(l_extendedprice * (1 - l_discount)) AS sdp,
+    avg(l_quantity) AS avg_qty,
+    avg(l_extendedprice) AS avg_price,
+    avg(l_discount) AS avg_disc,
+    count(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+  {_r('sum_qty', 'sum_qty')},
+  {_r('sign(sbp) * ln(1 + abs(sbp))', 'sum_base_price')},
+  {_r('sign(sdp) * ln(1 + abs(sdp))', 'sum_disc_price')},
+  {_r('avg_qty', 'avg_qty')},
+  {_r('avg_price', 'avg_price')},
+  {_r('avg_disc', 'avg_disc')},
+  count_order
+FROM a""",
+    ),
+)
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    j = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = (
+        j.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .select("l_orderkey", round4(F.col("rev")).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue", "rank")
+    )
+
+
+_register(
+    "tpch_q3_topk",
+    Query(
+        spark=_tpch_q3,
+        sql=f"""
+WITH rev AS (
+  SELECT l_orderkey,
+    {_r("sum(l_extendedprice * (1 - l_discount))", 'revenue')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY 1
+),
+ranked AS (
+  SELECT l_orderkey, revenue,
+    row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+  FROM rev
+)
+SELECT l_orderkey, revenue, rank FROM ranked WHERE rank <= 10""",
+    ),
+)
+
+
+def _tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            round4(F.col("sum_qty")).alias("sum_qty"),
+        )
+    )
+
+
+_register(
+    "rollup_lineitem",
+    Query(
+        spark=_tpch_rollup,
+        sql=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  {_r('sum(l_quantity)', 'sum_qty')}
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    ),
+)
+
+
+def _topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", round4(F.col("value")).alias("value"), "rank")
+    )
+
+
+_register(
+    "topk_per_group",
+    Query(
+        spark=_topk_events,
+        sql=f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT event_type, event_id, {_r('value', 'value')}, rank
+FROM ranked WHERE rank <= 3""",
+    ),
+)
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing (stubbed decode, real Arrow pipeline)
+# --------------------------------------------------------------------- #
+
+
+def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(_docs(spark, sf_dir))
+    meta = multimodal.decode_image_meta(docs)
+    return meta.select("doc_id", "width", "height", "n_bytes", "format")
+
+
+_register(
+    "multimodal_image_meta",
+    Query(
+        spark=_multimodal,
+        sql="""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  'FAKE' AS format
+FROM documents""",
+    ),
+)
