@@ -1,0 +1,163 @@
+"""Scale-out paths for the two operations that would otherwise serialize.
+
+The reference computes many indicators over the WHOLE frame (no partition
+key — SURVEY.md §2c.3), and Spark's window operator puts an un-partitioned
+window in a single task.  Fine at sf0.1; a bottleneck at 100 TB.  Two
+distributed-equivalent forms fix that:
+
+1. **Halo rolling windows** (`halo_rolling`): bounded trailing-window aggs
+   need only the previous ``n-1`` rows.  Range-bucket the series by its
+   order key, ship each bucket's last ``n-1`` rows to the next bucket as a
+   halo, compute the windowed agg inside each bucket independently, drop
+   halo rows.  One range shuffle + one per-bucket window; no single-task
+   stage.  Exact for any rows-frame agg (incl. the min-samples gate), as
+   long as each bucket holds ≥ n-1 rows (pick buckets ≤ rows/(n-1)).
+
+2. **Chunk-scan EWM** (`ewm_chunked`): the adjust=False recurrence
+   ``y = (1-a)·y₁ + a·x`` composes across chunks:
+   ``y_end(chunk) = (1-a)^m · y_in + L_end`` where ``L`` is the chunk-local
+   zero-seeded recurrence and the global seed contributes ``(1-a)^m · x₀``.
+   Pass 1 computes each chunk's ``(decay, L_end)`` in parallel; the carries
+   fold on the driver (one tiny row per chunk); pass 2 finishes each chunk
+   in parallel with its incoming carry.  Parallelism = chunk count, two
+   shuffles total; exact up to ulp-level reassociation (verified ≤1e-12
+   relative in tests).
+
+Both are verified equivalent to the single-window forms in
+tests/test_scale.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _with_bucket(df: DataFrame, order_cols: Sequence[str], buckets: int) -> DataFrame:
+    """Deterministic range bucketing by global rank (ntile over the order).
+
+    At true scale you'd repartitionByRange on the order key (sampled
+    bounds) instead; ntile keeps the test form exact and deterministic."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("_bucket", F.ntile(buckets).over(w))
+
+
+def halo_rolling(
+    df: DataFrame,
+    agg: str,
+    col: str,
+    n: int,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 8,
+    out: str = "_rolled",
+) -> DataFrame:
+    """Exact global trailing-window aggregate without a single-task window.
+
+    ``agg`` ∈ {mean, sum, min, max, std}.  ``out`` carries the min-samples
+    gate (NULL until the frame holds n non-null rows)."""
+    bucketed = _with_bucket(df, order_cols, buckets)
+    # halo: last n-1 rows of each bucket duplicated into the next bucket
+    wb = Window.partitionBy("_bucket").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    tail = (
+        bucketed.withColumn("_rev", F.row_number().over(wb))
+        .filter((F.col("_rev") <= n - 1) & (F.col("_bucket") < buckets))
+        .withColumn("_bucket", F.col("_bucket") + 1)
+        .withColumn("_halo", F.lit(True))
+        .drop("_rev")
+    )
+    full = bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
+
+    agg_fn = {
+        "mean": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "std": F.stddev_samp,
+    }[agg]
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    # Bucket 1 has no halo, so its warm-up gate is globally exact; buckets
+    # ≥2 see their true n-1 preceding rows via the halo.
+    gate = F.count(F.col(col)).over(w)
+    rolled = full.withColumn(out, F.when(gate >= n, agg_fn(F.col(col)).over(w)))
+    return rolled.filter(~F.col("_halo")).drop("_bucket", "_halo")
+
+
+_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("_bucket", T.IntegerType()),
+        T.StructField("decay", T.DoubleType()),
+        T.StructField("l_end", T.DoubleType()),
+    ]
+)
+
+
+def ewm_chunked(
+    df: DataFrame,
+    col: str,
+    alpha: float,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 8,
+    out: str = "_ewm",
+) -> DataFrame:
+    """Exact distributed EWM (adjust=False, y₀ = x₀) over one global series
+    — two parallel passes + a driver fold of ``buckets`` carry pairs."""
+    bucketed = _with_bucket(df, order_cols, buckets)
+    bucketed.cache()
+    order = list(order_cols)
+
+    def pass1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        l = 0.0
+        for x in pdf[col]:
+            l = (1 - alpha) * l + alpha * x
+        return pd.DataFrame(
+            {
+                "_bucket": [int(pdf["_bucket"].iloc[0])],
+                "decay": [float((1 - alpha) ** len(pdf))],
+                "l_end": [l],
+            }
+        )
+
+    carries = bucketed.groupBy("_bucket").applyInPandas(pass1, _CARRY_SCHEMA).collect()
+    carries.sort(key=lambda r: r["_bucket"])
+    x0 = (
+        bucketed.filter(F.col("_bucket") == 1).orderBy(*order).select(col).first()[0]
+    )
+
+    # Driver fold: y_end(b) = decay_b · y_in(b) + L_end(b); the true seed
+    # y₀ = x₀ adds decay_1 · x₀ to bucket 1's zero-seeded L_end
+    # (difference (y−L) decays geometrically: y_j − L_j = (1-a)^j · x₀).
+    carry_map: dict[int, float | None] = {}
+    prev: float | None = None
+    for r in carries:
+        b, decay, l_end = r["_bucket"], r["decay"], r["l_end"]
+        carry_map[b] = prev
+        prev = l_end + decay * x0 if b == 1 else decay * prev + l_end
+
+    out_fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+
+    def pass2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        b = int(pdf["_bucket"].iloc[0])
+        y = carry_map.get(b)
+        ys = []
+        for x in pdf[col]:
+            y = x if y is None else (1 - alpha) * y + alpha * x
+            ys.append(y)
+        pdf[out] = ys
+        return pdf[out_fields + [out]]
+
+    return bucketed.groupBy("_bucket").applyInPandas(pass2, out_schema)

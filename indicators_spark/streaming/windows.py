@@ -1,0 +1,114 @@
+"""Structured Streaming operators over the ``events`` schema.
+
+The batch query catalog (queries_ext.py) proves the window semantics
+against the DuckDB oracle; these functions run the SAME logical operators
+as streams — ``readStream`` → watermark → windowed agg / stateful map —
+so a user can lift a batch pipeline to a continuous one unchanged.  Tests
+drive them with the file source + memory sink (processAllAvailable), the
+standard local smoke harness.
+
+Scale notes: watermark + append mode bounds state; tumbling/session state
+is per (window, key) and evicted past the watermark.  The stateful
+indicator keeps O(1) state per symbol (the EWM recurrence carry), which is
+exactly the streaming form of the engine's batch EWM — the linear
+recurrence composes across micro-batches by carrying (ema, last_ts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Schema of the driver's events table, for schema-required streaming reads
+#: (ts arrives as µs timestamp when pre-converted; see tests).
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming tumbling-window counts/sums per event_type with a
+    watermark for late data (append-mode compatible)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows per user (merging-window state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "ema double, n long"
+_OUT_SCHEMA = "event_type string, ts timestamp, value double, ema double"
+
+
+def _ema_state_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-symbol running EMA across micro-batches: the O(1) recurrence
+    carry (ema, count) lives in GroupState — the streaming twin of the
+    batch applyInPandas EWM (ewm.py)."""
+    alpha = 0.1
+    if state.exists:
+        ema, n = state.get
+    else:
+        ema, n = 0.0, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        emas = []
+        for x in pdf["value"]:
+            ema = x if n == 0 else (1 - alpha) * ema + alpha * x
+            n += 1
+            emas.append(ema)
+        out.append(
+            pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "ema": emas,
+                }
+            )
+        )
+    state.update((ema, n))
+    yield from out
+
+
+def stateful_running_indicators(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-symbol running EMA via
+    ``applyInPandasWithState`` (update mode)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _ema_state_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,60 @@
+"""Scale-path equivalence: the distributed forms (halo rolling windows,
+chunk-scan EWM) must match the single-window/sequential forms."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from indicators_spark import kernels as K
+from indicators_spark.scale import ewm_chunked, halo_rolling
+from indicators_spark.sources.prices import prices_from_events
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    return prices_from_events(spark, SF_SMOKE).cache()
+
+
+@pytest.mark.parametrize("agg", ["mean", "sum", "min", "max", "std"])
+def test_halo_rolling_matches_global_window(spark, prices, agg):
+    n = 14
+    scaled = halo_rolling(
+        prices, agg, "close", n, ("timestamp", "seq"), buckets=7, out="v"
+    )
+    w = K.w_rows(n, (), ("timestamp", "seq"))
+    agg_fn = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+              "std": F.stddev_samp}[agg]
+    ref = prices.withColumn("v", K.gated(agg_fn(F.col("close")), "close", n, w))
+    a = scaled.select("seq", "v").orderBy("seq").toPandas()
+    b = ref.select("seq", "v").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_ewm_chunked_matches_sequential(spark, prices):
+    alpha = 2 / 21
+    scaled = ewm_chunked(
+        prices, "close", alpha, ("timestamp", "seq"), buckets=6, out="e"
+    )
+    a = scaled.select("seq", "e").orderBy("seq").toPandas()
+    ref = (
+        prices.orderBy("timestamp", "seq")
+        .select("seq", "close")
+        .toPandas()
+    )
+    ref["e"] = ref["close"].ewm(alpha=alpha, adjust=False).mean()
+    pd.testing.assert_series_equal(
+        a["e"], ref["e"], rtol=1e-10, atol=1e-12, check_names=False
+    )
+
+
+def test_halo_rolling_gate_warmup(spark, prices):
+    out = halo_rolling(
+        prices, "mean", "close", 20, ("timestamp", "seq"), buckets=5, out="v"
+    )
+    head = out.orderBy("timestamp", "seq").select("v").limit(19).collect()
+    assert all(r["v"] is None for r in head)

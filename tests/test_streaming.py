@@ -1,0 +1,101 @@
+"""Structured Streaming smoke tests: file source → windowed agg / stateful
+EMA → memory sink, driven synchronously with processAllAvailable().
+
+Also checks stream/batch parity: the streaming tumbling aggregation must
+produce the same rows as the batch query the oracle validates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from indicators_spark.sources.prices import load_table
+from indicators_spark.streaming import (
+    stateful_running_indicators,
+    tumbling_counts_stream,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """Events re-written as µs-timestamp parquet, streamable by schema."""
+    out = str(tmp_path / "events_us")
+    load_table(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    agg = tumbling_counts_stream(stream, "1 hour", "2 hours")
+    _run_stream(agg, "tumbling_out")
+    got = spark.sql(
+        "SELECT window_start, event_type, n, sum_value FROM tumbling_out"
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        # append mode only emits windows closed by the final watermark
+        # (max event time - 2h); the trailing open windows are withheld.
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 3 HOURS")
+            <= F.lit(max_ts)
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert b <= g
+    assert len(b) > 0
+    # nothing extra beyond the full batch set
+    full = {
+        tuple(r)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .collect()
+    }
+    assert g <= full
+
+
+def test_stateful_running_ema_stream(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = stateful_running_indicators(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ema_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM ema_out")
+    n = got.count()
+    assert n == spark.read.parquet(events_stream_dir).count()
+    # EMA of first row per symbol equals its value (recurrence seed)
+    first = (
+        got.orderBy("ts")
+        .filter(F.col("event_type") == "error")
+        .select("value", "ema")
+        .first()
+    )
+    assert first["ema"] == pytest.approx(first["value"])
