@@ -38,14 +38,25 @@ def prices_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     open=lag(value) (coalesced), high/low = ±1% of open/close envelope,
     volume=user_id.  Ties in ts broken by event_id (FIXTURES.md F1)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    p0 = ev.select(
+    # Rename BEFORE the derivation window so the exchange is already
+    # hashpartitioning(symbol) — every downstream per-symbol indicator
+    # window then reuses this one exchange (alias-aware partitioning does
+    # not see through a post-window rename; tests/test_plans.py pins this).
+    base = ev.select(
         F.col("event_type").alias("symbol"),
         F.col("ts").alias("timestamp"),
         F.col("event_id").alias("seq"),
-        F.coalesce(F.lag("value").over(w), F.col("value")).alias("open"),
         F.col("value").alias("close"),
         F.col("user_id").cast("double").alias("volume"),
+    )
+    w = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    p0 = base.select(
+        "symbol",
+        "timestamp",
+        "seq",
+        F.coalesce(F.lag("close").over(w), F.col("close")).alias("open"),
+        "close",
+        "volume",
     )
     return p0.select(
         "symbol",
@@ -89,18 +100,21 @@ def prices_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol=l_returnflag, timestamp=l_shipdate, close=l_extendedprice,
     volume=l_quantity; ties broken by (l_orderkey, l_linenumber)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
-    )
-    p0 = li.select(
+    base = li.select(
         F.col("l_returnflag").alias("symbol"),
         F.col("l_shipdate").alias("timestamp"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
-        F.coalesce(F.lag("l_extendedprice").over(w), F.col("l_extendedprice")).alias(
-            "open"
-        ),
         F.col("l_extendedprice").alias("close"),
         F.col("l_quantity").cast("double").alias("volume"),
+    )
+    w = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    p0 = base.select(
+        "symbol",
+        "timestamp",
+        "seq",
+        F.coalesce(F.lag("close").over(w), F.col("close")).alias("open"),
+        "close",
+        "volume",
     )
     return p0.select(
         "symbol",

@@ -1,0 +1,71 @@
+"""Plan-quality gates: shuffle counts, column pruning, broadcast joins.
+
+These encode the 100 TB design contract — if a refactor silently adds an
+exchange per indicator or drags unused columns through the scan, these
+fail before a benchmark ever notices."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from indicators_spark import Indicators
+from indicators_spark.plans import exchange_count, plan_string, scan_columns
+from indicators_spark.plans.inspect import broadcast_join_count
+from indicators_spark.queries import QUERIES
+from indicators_spark.sources.prices import prices_from_events
+
+from conftest import SF_SMOKE
+
+
+def test_flagship_pipeline_two_exchanges(spark):
+    """sma + bollinger + rsi + daily_return: ONE hash exchange on symbol
+    (shared by the prices derivation and every per-symbol window) plus ONE
+    single-partition exchange forced by the faithful global rsi delta."""
+    p = prices_from_events(spark, SF_SMOKE)
+    df = (
+        Indicators(p, order_by=("timestamp", "seq"))
+        .sma(["close"], 20)
+        .bollinger_bands(["close"], 20, 2)
+        .rsi(["close"], 14)
+        .daily_return(["close"])
+        .collect()
+    )
+    plan = plan_string(df)
+    assert exchange_count(plan) <= 2, plan
+
+
+def test_per_symbol_mode_single_exchange(spark):
+    """In per_symbol mode even 'global' ops partition by symbol — the whole
+    indicator chain runs off one exchange."""
+    p = prices_from_events(spark, SF_SMOKE)
+    df = (
+        Indicators(p, order_by=("timestamp", "seq"), partition_mode="per_symbol")
+        .sma(["close"], 20)
+        .atr(14)
+        .rsi(["close"], 14)
+        .donchian_channel(20)
+        .collect()
+    )
+    plan = plan_string(df)
+    assert exchange_count(plan) <= 1, plan
+
+
+def test_scan_prunes_unused_columns(spark):
+    """The prices derivation must not drag `props` (unused) through the
+    events scan."""
+    p = prices_from_events(spark, SF_SMOKE)
+    df = Indicators(p, order_by=("timestamp", "seq")).sma(["close"], 5).collect()
+    cols = scan_columns(plan_string(df.select("symbol", "seq", "close_sma_5")))
+    assert "props" not in cols, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = prices_from_events(spark, SF_SMOKE).filter(F.col("seq") < 100)
+    plan = plan_string(p)
+    assert "PushedFilters" in plan or "LessThan(event_id" in plan or "seq" in plan
+
+
+def test_q3_uses_broadcast_join(spark):
+    df = QUERIES["tpch_q3_topk"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert broadcast_join_count(plan) >= 1, plan
