@@ -53,7 +53,27 @@ def main() -> None:
         )
         return ind.collect()
 
-    headline: dict[str, object] = {"pipeline": flagship}
+    def flagship_per_symbol(s, d):
+        # the scalable mode: every op partitioned, one exchange total
+        ind = (
+            Indicators(
+                prices_from_events(s, d),
+                order_by=("timestamp", "seq"),
+                partition_mode="per_symbol",
+            )
+            .sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+            .atr(14)
+            .donchian_channel(20)
+            .daily_return(["close"])
+        )
+        return ind.collect()
+
+    headline: dict[str, object] = {
+        "pipeline": flagship,
+        "pipeline_per_symbol": flagship_per_symbol,
+    }
     for name in (
         "sma",
         "rsi",
@@ -64,6 +84,17 @@ def main() -> None:
         "ichimoku",
         "aroon",
         "ultimate_oscillator",
+        "ema",
+        "macd",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_knn",
+        "text_quality_score",
+        "events_tumbling_1h",
+        "events_sessionize_30m",
+        "tpch_q1",
+        "tpch_q3_topk",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

@@ -75,6 +75,22 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) pairs — distinct word *bigrams* per doc.  Shingles,
+    not unigrams: on small vocabularies unigram sets are near-identical
+    across documents and LSH degenerates to all-pairs; bigrams restore
+    selectivity (vocab² space)."""
+    ws = words(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles)).alias("tok"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -122,8 +138,10 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """k=8 MinHash values per document (columns h1..h8), one groupBy."""
-    toks = _doc_tokens(df, id_col, text_col).withColumn(
+    """k=8 MinHash values per document (columns h1..h8) over word-bigram
+    shingles, one groupBy.  Docs with <2 words have no shingles and drop
+    out (mirrored by the oracle)."""
+    toks = _doc_shingles(df, id_col, text_col).withColumn(
         "wh", word_hash31(F.col("tok"))
     )
     aggs = [

@@ -219,7 +219,12 @@ def _minhash_sql() -> str:
         )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  SELECT doc_id,
+    unnest(list_distinct(
+      list_transform(range(1, len(string_split(text, ' '))),
+                     i -> string_split(text, ' ')[i] || ' '
+                          || string_split(text, ' ')[i + 1])
+    )) AS tok
   FROM documents
 ),
 h AS (

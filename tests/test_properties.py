@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis): rolling kernels vs brute-force
+Python on random series with nulls, plus indicator invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from indicators_spark import Indicators
+from indicators_spark import kernels as K
+
+SERIES = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+WINDOW = st.integers(min_value=1, max_value=8)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, values):
+    rows = [
+        (
+            "A",
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+            i,
+            v,
+        )
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, timestamp timestamp, seq long, close double"
+    )
+
+
+def _brute_rolling_mean(values, n):
+    out = []
+    for i in range(len(values)):
+        window = values[max(0, i - n + 1) : i + 1]
+        valid = [v for v in window if v is not None]
+        out.append(sum(valid) / len(valid) if len(valid) >= n else None)
+    return out
+
+
+@given(values=SERIES, n=WINDOW)
+@_settings
+def test_rolling_mean_matches_bruteforce(spark, values, n):
+    df = _frame(spark, values)
+    w = K.w_rows(n, ("symbol",), ("timestamp", "seq"))
+    got = [
+        r["m"]
+        for r in df.withColumn("m", K.rolling_mean("close", n, w))
+        .orderBy("seq")
+        .select("m")
+        .collect()
+    ]
+    want = _brute_rolling_mean(values, n)
+    for g, e in zip(got, want):
+        if e is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(e, rel=1e-9, abs=1e-9)
+
+
+@given(values=SERIES, n=WINDOW)
+@_settings
+def test_warmup_null_count(spark, values, n):
+    """With no interior nulls, exactly min(n-1, len) leading outputs null."""
+    clean = [v if v is not None else 1.0 for v in values]
+    df = _frame(spark, clean)
+    w = K.w_rows(n, ("symbol",), ("timestamp", "seq"))
+    got = [
+        r["m"]
+        for r in df.withColumn("m", K.rolling_mean("close", n, w))
+        .orderBy("seq")
+        .select("m")
+        .collect()
+    ]
+    nulls = [g is None for g in got]
+    expected_nulls = min(n - 1, len(clean))
+    assert sum(nulls) == expected_nulls
+    assert all(nulls[:expected_nulls])
+
+
+@given(values=st.lists(st.floats(min_value=0.1, max_value=1e5, allow_nan=False),
+                       min_size=5, max_size=40))
+@_settings
+def test_invariants_donchian_williams(spark, values):
+    rows = [
+        (
+            "A",
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+            i,
+            v * 1.02,
+            v * 0.98,
+            v,
+        )
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, seq long, high double, "
+        "low double, close double",
+    )
+    ind = Indicators(df, order_by=("timestamp", "seq"))
+    out = ind.donchian_channel(4).williams_ri(4).collect().orderBy("seq").collect()
+    for r in out:
+        up, lo, mid = r["donchian_upper_4"], r["donchian_lower_4"], r["donchian_mid_4"]
+        if up is not None:
+            assert up >= mid >= lo
+        wr = r["williams_%r_4"]
+        if wr is not None:
+            assert -100.0 - 1e-9 <= wr <= 0.0 + 1e-9
+
+
+@given(values=st.lists(st.floats(min_value=0.1, max_value=1e4, allow_nan=False),
+                       min_size=3, max_size=30),
+       span=st.integers(min_value=2, max_value=10))
+@_settings
+def test_ema_matches_pandas(spark, values, span):
+    import pandas as pd
+
+    df = _frame(spark, values)
+    got = [
+        r[f"close_ema_{span}"]
+        for r in Indicators(df, order_by=("timestamp", "seq"))
+        .ema(["close"], span)
+        .collect()
+        .orderBy("seq")
+        .collect()
+    ]
+    want = pd.Series(values).ewm(alpha=2 / (span + 1), adjust=False).mean().tolist()
+    for g, e in zip(got, want):
+        assert g == pytest.approx(e, rel=1e-12)
