@@ -95,6 +95,8 @@ def main() -> None:
         "events_sessionize_30m",
         "tpch_q1",
         "tpch_q3_topk",
+        "lineitem_sma",
+        "lineitem_rsi",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

@@ -101,20 +101,26 @@ def slog(c):
 # --------------------------------------------------------------------- #
 
 
-def _ws(n: int, part: bool = True) -> str:
+def _ws(n: int, part: bool = True, order: str | None = None) -> str:
     """Rolling window frame text (trailing n rows)."""
     p = "PARTITION BY symbol " if part else ""
-    return f"({p}ORDER BY {ORDER} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    return (
+        f"({p}ORDER BY {order or ORDER} "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    )
 
 
-def _word(part: bool = True) -> str:
+def _word(part: bool = True, order: str | None = None) -> str:
     p = "PARTITION BY symbol " if part else ""
-    return f"({p}ORDER BY {ORDER})"
+    return f"({p}ORDER BY {order or ORDER})"
 
 
-def _wcum(part: bool = True) -> str:
+def _wcum(part: bool = True, order: str | None = None) -> str:
     p = "PARTITION BY symbol " if part else ""
-    return f"({p}ORDER BY {ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return (
+        f"({p}ORDER BY {order or ORDER} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
 
 
 def _gated(agg: str, gate_col: str, n: int, w: str) -> str:

@@ -662,3 +662,102 @@ SELECT doc_id,
 FROM documents""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Lineitem-derived prices (FIXTURES.md F2): the larger multi-symbol series
+# (~60k rows at sf0.01, ~600k at sf0.1; 3 symbols) — same operators on a
+# date-granular, heavily-tied order key (seq breaks ties on both sides).
+# --------------------------------------------------------------------- #
+
+from .queries import _gated, _sql, _wcum, _word, _ws  # noqa: E402
+from .sources.prices import (  # noqa: E402
+    LINEITEM_ORDER,
+    PRICES_SQL_LINEITEM,
+    prices_from_lineitem,
+)
+
+
+def _li_sql(body: str) -> str:
+    return f"WITH {PRICES_SQL_LINEITEM.strip()}, {body}"
+
+
+def _li_query(op, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .core import Indicators
+
+        # order key extended with (close, volume): seq can tie (see
+        # prices_from_lineitem)
+        ind = Indicators(
+            prices_from_lineitem(spark, sf_dir),
+            order_by=("timestamp", "seq", "close", "volume"),
+        )
+        op(ind)
+        df = ind.collect()
+        sel = [df["symbol"], df["seq"]] + [round4(df[c]).alias(c) for c in outs]
+        return df.select(*sel)
+
+    return fn
+
+
+_register(
+    "lineitem_sma",
+    Query(
+        spark=_li_query(lambda i: i.sma(["close"], 30), ["close_sma_30"]),
+        sql=_li_sql(
+            f"""out AS (
+  SELECT symbol, seq, {_gated('avg(close)', 'close', 30, _ws(30, order=LINEITEM_ORDER))} AS v
+  FROM prices
+)
+SELECT symbol, seq, {_r('v', 'close_sma_30')} FROM out"""
+        ),
+    ),
+)
+
+_register(
+    "lineitem_rsi",
+    Query(
+        spark=_li_query(lambda i: i.rsi(["close"], 14), ["close_rsi_14"]),
+        sql=_li_sql(
+            f"""d AS (
+  SELECT *, close, volume, close - lag(close) OVER {_word(False, order=LINEITEM_ORDER)} AS delta FROM prices
+),
+g AS (
+  SELECT symbol, seq, "timestamp", close, volume,
+    CASE WHEN delta IS NULL THEN NULL WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+    CASE WHEN delta IS NULL THEN NULL WHEN delta < 0 THEN abs(delta) ELSE 0 END AS loss
+  FROM d
+),
+a AS (
+  SELECT symbol, seq,
+    {_gated('avg(gain)', 'gain', 14, _ws(14, order=LINEITEM_ORDER))} AS ag,
+    {_gated('avg(loss)', 'loss', 14, _ws(14, order=LINEITEM_ORDER))} AS al
+  FROM g
+)
+SELECT symbol, seq, {_r('100 - 100/(1 + ag/NULLIF(al, 0))', 'close_rsi_14')} FROM a"""
+        ),
+    ),
+)
+
+_register(
+    "lineitem_donchian",
+    Query(
+        spark=_li_query(
+            lambda i: i.donchian_channel(50),
+            ["donchian_upper_50", "donchian_lower_50", "donchian_mid_50"],
+        ),
+        sql=_li_sql(
+            f"""t AS (
+  SELECT symbol, seq,
+    {_gated('max(high)', 'high', 50, _ws(50, False, order=LINEITEM_ORDER))} AS up,
+    {_gated('min(low)', 'low', 50, _ws(50, False, order=LINEITEM_ORDER))} AS lo
+  FROM prices
+)
+SELECT symbol, seq,
+  {_r('up', 'donchian_upper_50')},
+  {_r('lo', 'donchian_lower_50')},
+  {_r('(up + lo)/2', 'donchian_mid_50')}
+FROM t"""
+        ),
+    ),
+)

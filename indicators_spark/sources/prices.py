@@ -107,7 +107,12 @@ def prices_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("close"),
         F.col("l_quantity").cast("double").alias("volume"),
     )
-    w = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # seq alone can tie: extend the order key with (close, volume).  Rows
+    # still tied after that are bit-identical and interchangeable for every
+    # derived series.  Consumers must order windows the same way
+    # (LINEITEM_ORDER below / prices_from_lineitem callers).
+    w = Window.partitionBy("symbol").orderBy("timestamp", "seq", "close", "volume")
     p0 = base.select(
         "symbol",
         "timestamp",
@@ -128,6 +133,10 @@ def prices_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Window order for lineitem-derived series, on BOTH engines (see the
+#: tie-breaking note in prices_from_lineitem).
+LINEITEM_ORDER = '"timestamp", seq, close, volume'
+
 PRICES_SQL_LINEITEM = """
 p0 AS (
   SELECT
@@ -135,7 +144,9 @@ p0 AS (
     l_shipdate AS "timestamp",
     l_orderkey * 10 + l_linenumber AS seq,
     COALESCE(lag(l_extendedprice) OVER (
-        PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber
+        PARTITION BY l_returnflag
+        ORDER BY l_shipdate, l_orderkey * 10 + l_linenumber,
+                 l_extendedprice, l_quantity
     ), l_extendedprice) AS open,
     l_extendedprice AS close,
     CAST(l_quantity AS DOUBLE) AS volume
