@@ -761,3 +761,66 @@ FROM t"""
         ),
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# fill_null strategy coverage (backward + mean; forward is in queries.py)
+# --------------------------------------------------------------------- #
+
+
+def _fill_null_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import Indicators
+    from .queries import _ind_query  # noqa: F401  (same prices input)
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir).withColumns(
+        {
+            "bwd": F.when(F.col("seq") % 5 != 0, F.col("close")),
+            "mean_filled": F.when(F.col("seq") % 5 != 0, F.col("close")),
+            "zero_filled": F.when(F.col("seq") % 5 != 0, F.col("close")),
+        }
+    )
+    ind = Indicators(p, order_by=("timestamp", "seq"))
+    ind.fill_null(["bwd"], method="backward")
+    ind.fill_null(["mean_filled"], method="mean")
+    ind.fill_null(["zero_filled"], method="zero")
+    df = ind.collect()
+    return df.select(
+        "symbol",
+        "seq",
+        round4(df["bwd"]).alias("bwd"),
+        round4(df["mean_filled"]).alias("mean_filled"),
+        round4(df["zero_filled"]).alias("zero_filled"),
+    )
+
+
+from .queries import _sql as _sql_ev  # noqa: E402
+from .queries import _wcum as _wcum_ev  # noqa: E402
+
+_register(
+    "fill_null_strategies",
+    Query(
+        spark=_fill_null_multi,
+        sql=_sql_ev(
+            f"""g AS (
+  SELECT symbol, seq, "timestamp",
+    CASE WHEN seq % 5 != 0 THEN close END AS gappy
+  FROM prices
+),
+f AS (
+  SELECT symbol, seq,
+    first_value(gappy IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY "timestamp", seq
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bwd,
+    COALESCE(gappy, avg(gappy) OVER (PARTITION BY symbol)) AS mean_filled,
+    COALESCE(gappy, 0) AS zero_filled
+  FROM g
+)
+SELECT symbol, seq,
+  {_r('bwd', 'bwd')},
+  {_r('mean_filled', 'mean_filled')},
+  {_r('zero_filled', 'zero_filled')}
+FROM f"""
+        ),
+    ),
+)
