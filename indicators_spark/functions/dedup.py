@@ -198,3 +198,43 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             F.lit(0).cast("long")
         )
     return sums.select(F.col(id_col), val.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale shape: band the 32-bit signature into 4 bytes; by pigeonhole any
+    pair within Hamming distance 3 agrees on ≥1 byte, so the join runs per
+    byte bucket (small int keys), then exact popcount(xor) verifies.  No
+    all-pairs comparison ever materializes."""
+    sig = simhash(df, id_col, text_col)
+    parts = []
+    for b in range(4):
+        band = (F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))).alias(
+            "band_val"
+        )
+        s = sig.select(F.col(id_col), F.col("simhash"), band, F.lit(b).alias("band"))
+        left = s.select(
+            F.col(id_col).alias("ia"), F.col("simhash").alias("sa"), "band_val", "band"
+        )
+        right = s.select(
+            F.col(id_col).alias("ib"), F.col("simhash").alias("sb"), "band_val", "band"
+        )
+        parts.append(
+            left.join(right, ["band", "band_val"]).filter(F.col("ia") < F.col("ib"))
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.select("ia", "ib", "sa", "sb").distinct()
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ia", "ib", "hamming")
+    )

@@ -824,3 +824,85 @@ FROM f"""
         ),
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# SimHash Hamming pairs + 5-table join coverage
+# --------------------------------------------------------------------- #
+
+
+def _simhash_pairs_sql() -> str:
+    base = _simhash_sql()
+    bands = " UNION ALL ".join(
+        f"SELECT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS sa, b.simhash AS sb "
+        f"FROM sh a JOIN sh b ON ((a.simhash >> {b * 8}) & 255) = ((b.simhash >> {b * 8}) & 255) "
+        f"AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS ({base})
+, cand AS (
+  SELECT DISTINCT ia, ib, sa, sb FROM ({bands})
+)
+SELECT ia, ib, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+
+
+_register(
+    "dedup_simhash_pairs",
+    Query(
+        spark=lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3),
+        sql=_simhash_pairs_sql(),
+    ),
+)
+
+
+def _tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join over region→nation→customer→orders→lineitem with
+    broadcast dimensions and a grouped revenue rollup (signed-log
+    compared)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    out = j.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out.select(
+        "r_name",
+        "n_name",
+        round4(slog(F.col("rev"))).alias("revenue"),
+        "n_items",
+    )
+
+
+_register(
+    "tpch_q5_join5",
+    Query(
+        spark=_tpch_q5ish,
+        sql=f"""
+WITH a AS (
+  SELECT r_name, n_name,
+    sum(l_extendedprice * (1 - l_discount)) AS rev,
+    count(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+  {_r('sign(rev) * ln(1 + abs(rev))', 'revenue')},
+  n_items
+FROM a""",
+    ),
+)
