@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The test parquet stores NAIVE timestamps (isAdjustedToUTC=false),
+    # which Spark interprets in the *session* timezone; the DuckDB oracle
+    # treats them as naive-UTC.  Pin UTC so every epoch-valued output is
+    # identical regardless of the calling session's default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
         # natively; read the raw int64 nanos and convert to a µs timestamp.
