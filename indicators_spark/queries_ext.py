@@ -474,17 +474,18 @@ FROM s GROUP BY user_id, sid""",
 # --------------------------------------------------------------------- #
 
 
-#: TZ-independent cutoffs: a string→timestamp cast parses in the SESSION
-#: timezone (the driver's session may not be UTC), shifting the instant vs
-#: DuckDB's naive timestamps.  timestamp_seconds(epoch) is absolute.
-_CUT_19980902 = F.timestamp_seconds(F.lit(904694400))
-_CUT_19950315 = F.timestamp_seconds(F.lit(795225600))
+def _utc_cutoff(epoch_s: int):
+    """TZ-independent cutoff: a string→timestamp cast parses in the SESSION
+    timezone (the driver's session may not be UTC), shifting the instant vs
+    DuckDB's naive timestamps.  timestamp_seconds(epoch) is absolute.
+    Built lazily — column construction needs an active SparkContext."""
+    return F.timestamp_seconds(F.lit(epoch_s))
 
 
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = (
-        li.filter(F.col("l_shipdate") <= _CUT_19980902)
+        li.filter(F.col("l_shipdate") <= _utc_cutoff(904694400))  # 1998-09-02
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
@@ -547,7 +548,7 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cutoff = _CUT_19950315
+    cutoff = _utc_cutoff(795225600)  # 1995-03-15
     j = (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
