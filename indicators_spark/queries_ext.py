@@ -914,3 +914,70 @@ SELECT r_name, n_name,
 FROM a""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# per_symbol partition mode (the scalable extension): same operators, every
+# window partitioned by symbol — oracle uses per-symbol SQL windows.
+# --------------------------------------------------------------------- #
+
+
+def _per_symbol_query(op, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .core import Indicators
+        from .sources.prices import prices_from_events
+
+        ind = Indicators(
+            prices_from_events(spark, sf_dir),
+            order_by=("timestamp", "seq"),
+            partition_mode="per_symbol",
+        )
+        op(ind)
+        df = ind.collect()
+        sel = [df["symbol"], df["seq"]] + [round4(df[c]).alias(c) for c in outs]
+        return df.select(*sel)
+
+    return fn
+
+
+from .queries import _gated as _g  # noqa: E402
+from .queries import _sql as _s  # noqa: E402
+from .queries import _word as _wo  # noqa: E402
+from .queries import _ws as _w  # noqa: E402
+
+_register(
+    "atr_per_symbol",
+    Query(
+        spark=_per_symbol_query(lambda i: i.atr(14), ["atr"]),
+        sql=_s(
+            f"""t AS (
+  SELECT symbol, seq, "timestamp",
+    greatest(high - low,
+             abs(high - lag(close) OVER {_wo(True)}),
+             abs(low  - lag(close) OVER {_wo(True)})) AS tr
+  FROM prices
+)
+SELECT symbol, seq, {_r(_g('avg(tr)', 'tr', 14, _w(14, True)), 'atr')} FROM t"""
+        ),
+    ),
+)
+
+_register(
+    "vwap_per_symbol",
+    Query(
+        spark=_per_symbol_query(lambda i: i.vwap(), ["vwap"]),
+        sql=_s(
+            f"""t AS (
+  SELECT symbol, seq,
+    sum((high + low + close)/3 * volume)
+      OVER (PARTITION BY symbol ORDER BY "timestamp", seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+    sum(volume)
+      OVER (PARTITION BY symbol ORDER BY "timestamp", seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+  FROM prices
+)
+SELECT symbol, seq, {_r('num / NULLIF(den, 0)', 'vwap')} FROM t"""
+        ),
+    ),
+)
