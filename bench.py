@@ -70,9 +70,30 @@ def main() -> None:
         )
         return ind.collect()
 
+    def flagship_many_symbols(s, d):
+        # parallelism demo: re-key to ~80 synthetic symbols so every stage
+        # of the per_symbol chain spreads across cores (the shape a real
+        # many-instrument corpus has at scale)
+        from pyspark.sql import functions as F
+
+        p = prices_from_events(s, d).withColumn(
+            "symbol",
+            F.concat_ws("_", "symbol", (F.col("seq") % 16).cast("string")),
+        )
+        ind = (
+            Indicators(p, order_by=("timestamp", "seq"), partition_mode="per_symbol")
+            .sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+            .atr(14)
+            .daily_return(["close"])
+        )
+        return ind.collect()
+
     headline: dict[str, object] = {
         "pipeline": flagship,
         "pipeline_per_symbol": flagship_per_symbol,
+        "pipeline_many_symbols": flagship_many_symbols,
     }
     for name in (
         "sma",

@@ -37,13 +37,22 @@ from .ewm import Step, apply_ewm_program
 from .operators.momentum import MomentumOps
 from .operators.nulls import NullOps
 from .operators.returns import ReturnsOps
-from .operators.trend import TrendOps
-from .operators.volatility import VolatilityOps
+from .operators.trend import TrendExtOps, TrendOps
+from .operators.volatility import VolatilityExtOps, VolatilityOps
 from .operators.volume import VolumeOps
 from .utils import validate_columns
 
 
-class Indicators(TrendOps, MomentumOps, VolatilityOps, VolumeOps, ReturnsOps, NullOps):
+class Indicators(
+    TrendOps,
+    TrendExtOps,
+    MomentumOps,
+    VolatilityOps,
+    VolatilityExtOps,
+    VolumeOps,
+    ReturnsOps,
+    NullOps,
+):
     """Fluent indicator engine over a Spark DataFrame.
 
     >>> ind = Indicators(df).sma(["close"], 20).rsi(["close"], 14)

@@ -134,3 +134,64 @@ class TrendOps:
     def kama(self):
         """Parity stub — reference raises (indicators.py:1382-1414)."""
         raise NotImplementedError
+
+
+class TrendExtOps:
+    """Extension variants of reference stubs whose dead code is too
+    incomplete to count as a spec (kama, indicators.py:1382-1414)."""
+
+    def kama_ext(
+        self,
+        columns,
+        er_period: int = 10,
+        fast: int = 2,
+        slow: int = 30,
+    ):
+        """Kaufman adaptive moving average (textbook), per symbol.
+
+        ER and the squared smoothing constant are pure window expressions
+        (JVM); only the final variable-alpha scan runs in the per-symbol
+        EWM program.  Output ``{col}_kama_{n}`` is NULL for the first
+        ``er_period`` rows and seeds with the price at row ``er_period+1``.
+        """
+        import pandas as pd
+
+        from ..ewm import ExprStep
+
+        cols = self._resolve_and_validate(columns)
+        word = self._word(global_op=False)
+        w = self._w(er_period, global_op=False)
+        fast_sc = 2.0 / (fast + 1)
+        slow_sc = 2.0 / (slow + 1)
+        steps = []
+        keep = []
+        for c in cols:
+            change = F.abs(F.col(c) - F.lag(F.col(c), er_period).over(word))
+            vol = K.rolling_sum(
+                f"_kama_ad_{c}", er_period, w
+            )  # Σ|diff| over n rows
+            self._with({f"_kama_ad_{c}": F.abs(K.diff(c, word))})
+            er = K.safe_div(change, vol)
+            # explicit square (pow() is not guaranteed bit-equal to x*x
+            # across engines; the oracle squares the same way)
+            base = er * (fast_sc - slow_sc) + slow_sc
+            self._with({f"_kama_sc_{c}": base * base})
+            out = f"{c}_kama_{er_period}"
+
+            def scan(pdf: pd.DataFrame, c=c, out=out) -> pd.Series:
+                y = None
+                ys = []
+                for x, s in zip(pdf[c], pdf[f"_kama_sc_{c}"]):
+                    if s != s or s is None:  # SC null/NaN → warm-up
+                        y = None
+                        ys.append(float("nan"))
+                        continue
+                    y = x if y is None else y + s * (x - y)
+                    ys.append(y)
+                return pd.Series(ys, index=pdf.index)
+
+            steps.append(ExprStep(out, scan))
+            keep.append(out)
+        self._ewm(steps, global_op=False, keep=keep)
+        self._drop(*[f"_kama_{s}_{c}" for c in cols for s in ("ad", "sc")])
+        return self

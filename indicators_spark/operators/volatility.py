@@ -192,3 +192,57 @@ class VolatilityOps:
     ):
         """Parity stub — reference raises (indicators.py:900-907)."""
         raise NotImplementedError
+
+
+class VolatilityExtOps:
+    """Extension variants of reference stubs (psar, indicators.py:900-907)."""
+
+    def psar_ext(
+        self,
+        af_start: float = 0.02,
+        af_increment: float = 0.02,
+        af_max: float = 0.2,
+    ):
+        """Parabolic SAR (textbook state machine), per symbol.
+
+        Inherently sequential (trend flips depend on the running extreme
+        point), so it runs as one Arrow-batched scan per symbol — the same
+        physical shape as the EWM programs.  Output column ``psar``.
+        Genuinely non-SQL-expressible → rows-only oracle check.
+        """
+        import pandas as pd
+
+        from ..ewm import ExprStep
+
+        self._validate(["high", "low"])
+
+        def scan(pdf: pd.DataFrame) -> pd.Series:
+            highs = pdf["high"].to_numpy()
+            lows = pdf["low"].to_numpy()
+            n = len(highs)
+            out = [float("nan")] * n
+            if n < 2:
+                return pd.Series(out, index=pdf.index)
+            rising = highs[1] + lows[1] >= highs[0] + lows[0]
+            sar = lows[0] if rising else highs[0]
+            ep = highs[0] if rising else lows[0]
+            af = af_start
+            for i in range(1, n):
+                sar = sar + af * (ep - sar)
+                if rising:
+                    sar = min(sar, lows[i - 1])
+                    if lows[i] < sar:  # flip to falling
+                        rising, sar, ep, af = False, ep, lows[i], af_start
+                    elif highs[i] > ep:
+                        ep, af = highs[i], min(af + af_increment, af_max)
+                else:
+                    sar = max(sar, highs[i - 1])
+                    if highs[i] > sar:  # flip to rising
+                        rising, sar, ep, af = True, ep, highs[i], af_start
+                    elif lows[i] < ep:
+                        ep, af = lows[i], min(af + af_increment, af_max)
+                out[i] = sar
+            return pd.Series(out, index=pdf.index)
+
+        self._ewm([ExprStep("psar", scan)], global_op=False)
+        return self

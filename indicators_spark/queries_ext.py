@@ -981,3 +981,68 @@ SELECT symbol, seq, {_r('num / NULLIF(den, 0)', 'vwap')} FROM t"""
         ),
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# kama_ext / psar_ext — working extensions of the reference's stubs
+# --------------------------------------------------------------------- #
+
+_register(
+    "kama_ext",
+    Query(
+        spark=_per_symbol_query(
+            lambda i: i.kama_ext(["close"], er_period=10, fast=2, slow=30),
+            ["close_kama_10"],
+        ),
+        # exact recursive replay: sc is pure window SQL, the variable-alpha
+        # recurrence y' = y + sc*(x - y) anchors at rn = er_period + 1
+        sql=_s(
+            f"""{{base}},
+d AS (
+  SELECT symbol, seq, "timestamp", close, rn,
+    abs(close - lag(close) OVER (PARTITION BY symbol ORDER BY rn)) AS ad
+  FROM base
+),
+s1 AS (
+  SELECT symbol, seq, rn, close,
+    abs(close - lag(close, 10) OVER (PARTITION BY symbol ORDER BY rn))
+      / NULLIF({_g('sum(ad)', 'ad', 10, '(PARTITION BY symbol ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)')}, 0)
+      AS er
+  FROM d
+),
+s2 AS (
+  SELECT symbol, seq, rn, close,
+    (er * (2.0/3 - 2.0/31) + 2.0/31) * (er * (2.0/3 - 2.0/31) + 2.0/31) AS sc
+  FROM s1
+),
+rec AS (
+  SELECT symbol, seq, rn, close, sc, close AS y FROM s2 WHERE rn = 11
+  UNION ALL
+  SELECT b.symbol, b.seq, b.rn, b.close, b.sc,
+         r.y + b.sc * (b.close - r.y)
+  FROM s2 b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+),
+out AS (
+  SELECT symbol, seq, y FROM rec
+  UNION ALL
+  SELECT symbol, seq, CAST(NULL AS DOUBLE) FROM s2 WHERE rn <= 10
+)
+SELECT symbol, seq, {_r('y', 'close_kama_10')} FROM out""".format(
+                base=f"""base AS (
+  SELECT symbol, seq, "timestamp", close,
+         row_number() OVER (PARTITION BY symbol ORDER BY "timestamp", seq) AS rn
+  FROM prices
+)"""
+            ),
+            recursive=True,
+        ),
+    ),
+)
+
+_register(
+    "psar_ext",
+    Query(
+        spark=_per_symbol_query(lambda i: i.psar_ext(), ["psar"]),
+        sql=None,  # stateful trend-flip machine: genuinely non-SQL-expressible
+    ),
+)
