@@ -1,0 +1,104 @@
+"""Scale probe (not part of the driver's bench contract): synthesizes a
+10M-row multi-symbol series in-engine and measures end-to-end throughput of
+the per_symbol indicator pipeline, the halo global rolling window, and the
+chunk-scan EWM — the three shapes that matter at 100 TB.
+
+Run: python bench_scale.py [rows] [symbols]
+Prints one JSON line with rows/sec per shape.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    symbols = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    from pyspark.sql import functions as F
+
+    from indicators_spark import Indicators, get_spark
+    from indicators_spark.scale import ewm_chunked, halo_rolling
+
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # synthetic series: deterministic, generated distributed (no driver data)
+    df = (
+        spark.range(rows)
+        .select(
+            F.concat(F.lit("s"), (F.col("id") % symbols).cast("string")).alias(
+                "symbol"
+            ),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("timestamp"),
+            F.col("id").alias("seq"),
+            (F.sin(F.col("id") / 100.0) * 50 + 100).alias("close"),
+            (F.abs(F.sin(F.col("id") / 7.0)) * 1000 + 1).alias("volume"),
+        )
+        .withColumn("high", F.col("close") * 1.01)
+        .withColumn("low", F.col("close") * 0.99)
+        .repartition(64, "symbol")
+    )
+    df.cache()
+    n = df.count()  # materialize
+
+    def timed(label, fn):
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        return label, round(dt, 2), int(n / dt)
+
+    results = {}
+    for label, fn in (
+        (
+            "per_symbol_pipeline",
+            lambda: Indicators(
+                df, order_by=("timestamp", "seq"), partition_mode="per_symbol"
+            )
+            .sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+            .atr(14)
+            .collect(),
+        ),
+        (
+            "halo_global_rolling_mean",
+            lambda: halo_rolling(
+                df, "mean", "close", 20, ("timestamp", "seq"), buckets=64, out="m", bucket_by="seq"
+            ),
+        ),
+        (
+            "chunked_global_ewm",
+            lambda: ewm_chunked(
+                df, "close", 2 / 21, ("timestamp", "seq"), buckets=64, out="e", bucket_by="seq"
+            ),
+        ),
+        (
+            "single_task_global_window_baseline",
+            lambda: df.withColumn(
+                "m",
+                F.avg("close").over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.orderBy("timestamp", "seq")
+                    .rowsBetween(-19, 0)
+                ),
+            ),
+        ),
+    ):
+        label, dt, rps = timed(label, fn)
+        results[label] = {"sec": dt, "rows_per_sec": rps}
+
+    print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

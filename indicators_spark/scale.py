@@ -37,11 +37,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _with_bucket(df: DataFrame, order_cols: Sequence[str], buckets: int) -> DataFrame:
-    """Deterministic range bucketing by global rank (ntile over the order).
+def _with_bucket(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    buckets: int,
+    bucket_by: str | None = None,
+) -> DataFrame:
+    """Deterministic contiguous range bucketing.
 
-    At true scale you'd repartitionByRange on the order key (sampled
-    bounds) instead; ntile keeps the test form exact and deterministic."""
+    ``bucket_by``: a numeric column MONOTONE in the total order (e.g. a
+    dense sequence id).  Buckets come from arithmetic ranges of its min/max
+    — one cheap aggregate, NO global sort, fully parallel.  This is the
+    scale path; it requires roughly uniform keys (no empty buckets, each
+    bucket ≥ n-1 rows for halo use).
+
+    Without ``bucket_by``, fall back to ``ntile`` over the total order —
+    exact for any key distribution but serialized by the global sort
+    (test/small-data path)."""
+    if bucket_by is not None:
+        lo, hi = df.agg(
+            F.min(bucket_by).cast("double"), F.max(bucket_by).cast("double")
+        ).first()
+        span = (hi - lo) + 1.0
+        b = (
+            F.floor((F.col(bucket_by).cast("double") - F.lit(lo)) / F.lit(span) * buckets)
+            + 1
+        )
+        return df.withColumn("_bucket", F.least(b, F.lit(buckets)).cast("int"))
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("_bucket", F.ntile(buckets).over(w))
 
@@ -54,12 +76,14 @@ def halo_rolling(
     order_cols: Sequence[str] = ("timestamp", "seq"),
     buckets: int = 8,
     out: str = "_rolled",
+    bucket_by: str | None = None,
 ) -> DataFrame:
     """Exact global trailing-window aggregate without a single-task window.
 
     ``agg`` ∈ {mean, sum, min, max, std}.  ``out`` carries the min-samples
-    gate (NULL until the frame holds n non-null rows)."""
-    bucketed = _with_bucket(df, order_cols, buckets)
+    gate (NULL until the frame holds n non-null rows).  Pass ``bucket_by``
+    (a monotone numeric key) to bucket arithmetically with no global sort."""
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by)
     # halo: last n-1 rows of each bucket duplicated into the next bucket
     wb = Window.partitionBy("_bucket").orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -108,23 +132,33 @@ def ewm_chunked(
     order_cols: Sequence[str] = ("timestamp", "seq"),
     buckets: int = 8,
     out: str = "_ewm",
+    bucket_by: str | None = None,
 ) -> DataFrame:
     """Exact distributed EWM (adjust=False, y₀ = x₀) over one global series
-    — two parallel passes + a driver fold of ``buckets`` carry pairs."""
-    bucketed = _with_bucket(df, order_cols, buckets)
+    — two parallel passes + a driver fold of ``buckets`` carry pairs.
+
+    Pass ``bucket_by`` (monotone numeric key) for sort-free bucketing.
+    Both passes use pandas' C EWM kernel via a seed-prepend: the recurrence
+    seeded with carry ``s`` equals ``ewm([s, x₁..xₘ])`` with the first
+    output dropped (and zero-seed for pass 1)."""
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by)
     bucketed.cache()
     order = list(order_cols)
 
+    def _seeded_ewm(xs: pd.Series, seed: float | None) -> pd.Series:
+        if seed is None:
+            return xs.ewm(alpha=alpha, adjust=False).mean()
+        s = pd.concat([pd.Series([seed], dtype="float64"), xs], ignore_index=True)
+        return s.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
+
     def pass1(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
-        l = 0.0
-        for x in pdf[col]:
-            l = (1 - alpha) * l + alpha * x
+        l_end = float(_seeded_ewm(pdf[col].reset_index(drop=True), 0.0).iloc[-1])
         return pd.DataFrame(
             {
                 "_bucket": [int(pdf["_bucket"].iloc[0])],
                 "decay": [float((1 - alpha) ** len(pdf))],
-                "l_end": [l],
+                "l_end": [l_end],
             }
         )
 
@@ -152,12 +186,8 @@ def ewm_chunked(
     def pass2(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
         b = int(pdf["_bucket"].iloc[0])
-        y = carry_map.get(b)
-        ys = []
-        for x in pdf[col]:
-            y = x if y is None else (1 - alpha) * y + alpha * x
-            ys.append(y)
-        pdf[out] = ys
+        ys = _seeded_ewm(pdf[col].reset_index(drop=True), carry_map.get(b))
+        pdf[out] = ys.to_numpy()
         return pdf[out_fields + [out]]
 
     return bucketed.groupBy("_bucket").applyInPandas(pass2, out_schema)

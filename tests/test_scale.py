@@ -58,3 +58,30 @@ def test_halo_rolling_gate_warmup(spark, prices):
     )
     head = out.orderBy("timestamp", "seq").select("v").limit(19).collect()
     assert all(r["v"] is None for r in head)
+
+
+def test_halo_rolling_bucket_by_matches(spark, prices):
+    """Arithmetic (sort-free) bucketing must equal the ntile path."""
+    n = 14
+    a = (
+        halo_rolling(prices, "mean", "close", n, ("timestamp", "seq"),
+                     buckets=7, out="v", bucket_by="seq")
+        .select("seq", "v").orderBy("seq").toPandas()
+    )
+    b = (
+        halo_rolling(prices, "mean", "close", n, ("timestamp", "seq"),
+                     buckets=7, out="v")
+        .select("seq", "v").orderBy("seq").toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_ewm_chunked_bucket_by_matches_sequential(spark, prices):
+    alpha = 2 / 21
+    scaled = ewm_chunked(prices, "close", alpha, ("timestamp", "seq"),
+                         buckets=6, out="e", bucket_by="seq")
+    a = scaled.select("seq", "e").orderBy("seq").toPandas()
+    ref = prices.orderBy("timestamp", "seq").select("seq", "close").toPandas()
+    ref["e"] = ref["close"].ewm(alpha=alpha, adjust=False).mean()
+    pd.testing.assert_series_equal(a["e"], ref["e"], rtol=1e-10, atol=1e-12,
+                                   check_names=False)
