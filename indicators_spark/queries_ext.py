@@ -1046,3 +1046,109 @@ _register(
         sql=None,  # stateful trend-flip machine: genuinely non-SQL-expressible
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# as-of join (custom operator Spark lacks; DuckDB has native ASOF JOIN)
+# --------------------------------------------------------------------- #
+
+
+def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.joins import asof_join
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    left = p.select("symbol", "timestamp", "seq", "close")
+    # snapshots: every 10th event — unique (symbol, timestamp) by data
+    right = p.filter(F.col("seq") % 10 == 0).select(
+        "symbol", "timestamp", F.col("close").alias("snap")
+    )
+    out = asof_join(left, right, on="timestamp", by=["symbol"], value_cols=["snap"])
+    return out.select(
+        "symbol", "seq", round4(F.col("snap_right")).alias("snap_right")
+    )
+
+
+_register(
+    "asof_join",
+    Query(
+        spark=_asof_query,
+        sql=_s(
+            f"""l AS (
+  SELECT symbol, "timestamp" AS ts, seq, close FROM prices
+),
+r AS (
+  SELECT symbol, "timestamp" AS ts, close AS snap FROM prices WHERE seq % 10 = 0
+),
+j AS (
+  SELECT l.symbol, l.seq, r.snap
+  FROM l ASOF LEFT JOIN r ON l.symbol = r.symbol AND l.ts >= r.ts
+)
+SELECT symbol, seq, {_r('snap', 'snap_right')} FROM j"""
+        ),
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# pivot + exact distributed statistics
+# --------------------------------------------------------------------- #
+
+
+def _pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        round4(F.col("O")).alias("qty_O"),
+        round4(F.col("F")).alias("qty_F"),
+    )
+
+
+_register(
+    "pivot_lineitem",
+    Query(
+        spark=_pivot_query,
+        sql=f"""
+SELECT l_returnflag,
+  {_r("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)", 'qty_O')},
+  {_r("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)", 'qty_F')}
+FROM lineitem GROUP BY l_returnflag""",
+    ),
+)
+
+
+def _stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return out.select(
+        "l_returnflag",
+        "distinct_parts",
+        round4(F.col("median_price")).alias("median_price"),
+        round4(F.col("min_price")).alias("min_price"),
+        round4(F.col("max_price")).alias("max_price"),
+    )
+
+
+_register(
+    "stats_exact",
+    Query(
+        spark=_stats_query,
+        sql=f"""
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS distinct_parts,
+  {_r('quantile_cont(l_extendedprice, 0.5)', 'median_price')},
+  {_r('min(l_extendedprice)', 'min_price')},
+  {_r('max(l_extendedprice)', 'max_price')}
+FROM lineitem GROUP BY l_returnflag""",
+    ),
+)
