@@ -1152,3 +1152,114 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# resampling (tick -> OHLCV bars), rolling correlation, z-score
+# --------------------------------------------------------------------- #
+
+
+def _resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    w = F.window(F.col("timestamp"), "1 hour").alias("w")
+    out = p.groupBy(w, "symbol").agg(
+        F.min_by("open", F.struct("timestamp", "seq")).alias("o"),
+        F.max("high").alias("h"),
+        F.min("low").alias("l"),
+        F.max_by("close", F.struct("timestamp", "seq")).alias("c"),
+        F.sum("volume").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("bar_start"),
+        "symbol",
+        round4(F.col("o")).alias("open"),
+        round4(F.col("h")).alias("high"),
+        round4(F.col("l")).alias("low"),
+        round4(F.col("c")).alias("close"),
+        round4(F.col("v")).alias("volume"),
+        "n",
+    )
+
+
+_register(
+    "resample_ohlcv_1h",
+    Query(
+        spark=_resample_query,
+        sql=_s(
+            f"""b AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', "timestamp")) AS BIGINT) AS bar_start,
+    symbol,
+    (min({{'t': "timestamp", 's': seq, 'v': open}})).v AS o,
+    max(high) AS h,
+    min(low) AS l,
+    (max({{'t': "timestamp", 's': seq, 'v': close}})).v AS c,
+    sum(volume) AS v,
+    count(*) AS n
+  FROM prices GROUP BY 1, 2
+)
+SELECT bar_start, symbol,
+  {_r('o', 'open')}, {_r('h', 'high')}, {_r('l', 'low')}, {_r('c', 'close')},
+  {_r('v', 'volume')}, n
+FROM b"""
+        ),
+    ),
+)
+
+
+def _rolling_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import kernels as K
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    w = K.w_rows(20, ("symbol",), ("timestamp", "seq"))
+    corr = K.gated(F.corr(F.col("close"), F.col("volume")), "close", 20, w)
+    return p.select("symbol", "seq", round4(corr).alias("corr_close_vol_20"))
+
+
+_register(
+    "rolling_corr",
+    Query(
+        spark=_rolling_corr_query,
+        sql=_s(
+            f"""c AS (
+  SELECT symbol, seq,
+    {_g('corr(close, volume)', 'close', 20, _w(20, True))} AS v
+  FROM prices
+)
+SELECT symbol, seq, {_r('v', 'corr_close_vol_20')} FROM c"""
+        ),
+    ),
+)
+
+
+def _zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import kernels as K
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    w = K.w_rows(20, ("symbol",), ("timestamp", "seq"))
+    z = K.safe_div(
+        F.col("close") - K.rolling_mean("close", 20, w),
+        K.rolling_std("close", 20, w),
+    )
+    return p.select("symbol", "seq", round4(z).alias("zscore_20"))
+
+
+_register(
+    "zscore",
+    Query(
+        spark=_zscore_query,
+        sql=_s(
+            f"""c AS (
+  SELECT symbol, seq,
+    (close - {_g('avg(close)', 'close', 20, _w(20, True))})
+      / NULLIF({_g('stddev_samp(close)', 'close', 20, _w(20, True))}, 0) AS v
+  FROM prices
+)
+SELECT symbol, seq, {_r('v', 'zscore_20')} FROM c"""
+        ),
+    ),
+)
