@@ -118,6 +118,8 @@ def main() -> None:
         "tpch_q3_topk",
         "lineitem_sma",
         "lineitem_rsi",
+        "asof_join",
+        "resample_ohlcv_1h",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark
