@@ -1,0 +1,110 @@
+"""Hand-built-fixture tests for the pipeline operators (dedup, text,
+similarity, as-of join) — known answers, independent of the oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from indicators_spark.functions import dedup, text
+from indicators_spark.functions.joins import asof_join
+from indicators_spark.functions.similarity import cosine_pairs, knn_bruteforce
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),          # exact dup of 1
+        (3, "the cat sat on the red mat"),      # near dup of 1
+        (4, "completely different words here"),
+        (5, "the dog sat on the mat"),          # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    sizes = {r["keep_id"]: r["group_size"] for r in groups}
+    assert sizes[1] == 2           # 1 and 2 collapse, min id kept
+    assert len(groups) == 4
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_jaccard_pairs_values(spark, docs):
+    pairs = {
+        (r["ia"], r["ib"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0                      # identical sets
+    # {the,cat,sat,on,mat} vs {the,cat,sat,on,red,mat}: 5/6
+    assert pairs[(1, 3)] == pytest.approx(5 / 6)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs).collect()
+    pairs = {(r["ia"], r["ib"]): r["n_bands"] for r in cand}
+    assert pairs.get((1, 2)) == 4  # identical docs collide in all 4 bands
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**32
+    pairs = dedup.simhash_pairs(docs, max_hamming=0).collect()
+    assert any(r["ia"] == 1 and r["ib"] == 2 for r in pairs)
+
+
+def test_text_stats_and_fingerprint(spark, docs):
+    out = text.with_token_stats(docs).filter(F.col("doc_id") == 1).first()
+    assert out["token_count"] == 6
+    assert out["distinct_tokens"] == 5
+    fp = text.with_fingerprint(docs).select("doc_id", "fp_md5", "fp_roll").collect()
+    by_id = {r["doc_id"]: (r["fp_md5"], r["fp_roll"]) for r in fp}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    # rolling hash is order-sensitive
+    rev = spark.createDataFrame([(9, "mat the on sat cat the")], "doc_id long, text string")
+    fp9 = text.with_fingerprint(rev).first()
+    assert fp9["fp_roll"] != by_id[1][1]
+
+
+def test_knn_and_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    knn = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["nid"], r["rank"]) for r in knn.orderBy("rank").collect()]
+    assert got[0] == (1, 1)        # exact copy first (cos=1)
+    assert got[1] == (2, 2)
+    pairs = cosine_pairs(df, 0.99).collect()
+    assert {(r["ia"], r["ib"]) for r in pairs} >= {(0, 1)}
+
+
+def test_asof_join_semantics(spark):
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [("A", ts(1), 1), ("A", ts(5), 2), ("A", ts(10), 3), ("B", ts(5), 4)],
+        "symbol string, timestamp timestamp, seq long",
+    )
+    right = spark.createDataFrame(
+        [("A", ts(0), 100.0), ("A", ts(5), 200.0), ("B", ts(6), 300.0)],
+        "symbol string, timestamp timestamp, px double",
+    )
+    out = asof_join(left, right, on="timestamp", by=["symbol"], value_cols=["px"])
+    got = {r["seq"]: r["px_right"] for r in out.collect()}
+    assert got[1] == 100.0     # latest right <= 00:01 is 00:00
+    assert got[2] == 200.0     # equal timestamps match (<=)
+    assert got[3] == 200.0     # carried forward
+    assert got[4] is None      # B has no right row <= 00:05
