@@ -33,7 +33,6 @@ from .queries import (
     _wcum,
     _word,
     _ws,
-    slog,
 )
 
 _BASE_SYM = f"""base AS (

@@ -778,7 +778,6 @@ FROM t"""
 
 def _fill_null_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .core import Indicators
-    from .queries import _ind_query  # noqa: F401  (same prices input)
     from .sources.prices import prices_from_events
 
     p = prices_from_events(spark, sf_dir).withColumns(
@@ -803,7 +802,6 @@ def _fill_null_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .queries import _sql as _sql_ev  # noqa: E402
-from .queries import _wcum as _wcum_ev  # noqa: E402
 
 _register(
     "fill_null_strategies",
