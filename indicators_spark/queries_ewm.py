@@ -376,7 +376,7 @@ FROM t""",
 
 # ---- cumulative_returns (per symbol, first 40 rows; log-domain compare) ---------- #
 # The as-written percent-units quirk (∏(1+100·r), SURVEY §2c) overflows a
-# double beyond ~150 factors on this data, so the check runs on the first 40
+# double beyond ~150 factors on this data, so the check runs on the first 100
 # rows per symbol; DuckDB emulates cum_prod via exp/ln + sign/zero handling.
 
 
@@ -386,7 +386,7 @@ def _cumret_pre(df):
     w = Window.partitionBy("symbol").orderBy("timestamp", "seq")
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 40)
+        .filter(F.col("_rn") <= 100)
         .drop("_rn")
     )
 
@@ -405,7 +405,7 @@ _register(
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY {ORDER}) AS _rn
     FROM prices
-  ) WHERE _rn <= 40
+  ) WHERE _rn <= 100
 ),
 f AS (
   SELECT symbol, seq, "timestamp",
