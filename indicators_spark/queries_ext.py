@@ -1261,3 +1261,92 @@ SELECT symbol, seq, {_r('v', 'zscore_20')} FROM c"""
         ),
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# MERGE / SCD2 emulation (no table-format jars: anti-join+union+window)
+# --------------------------------------------------------------------- #
+
+
+def _merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "updated_at", F.lit(0)
+    )
+    # synthetic update batch: every 10th customer gets +100 balance
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("updated_at", F.lit(1))
+    )
+    merged = merge_upsert(cust, updates, key="c_custkey", order_col="updated_at")
+    return merged.select(
+        "c_custkey",
+        round4(F.col("c_acctbal")).alias("c_acctbal"),
+        "updated_at",
+    )
+
+
+_register(
+    "merge_upsert",
+    Query(
+        spark=_merge_query,
+        sql=f"""
+WITH u AS (
+  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, 1 AS updated_at
+  FROM customer WHERE c_custkey % 10 = 0
+),
+merged AS (
+  SELECT c_custkey, c_acctbal, 0 AS updated_at FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM u)
+  UNION ALL
+  SELECT * FROM u
+)
+SELECT c_custkey, {_r('c_acctbal', 'c_acctbal')}, updated_at FROM merged""",
+    ),
+)
+
+
+def _scd2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.merge import scd2
+
+    # change log: each customer's orders as balance-history events
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_totalprice").alias("balance"),
+    )
+    out = scd2(hist, key="custkey", order_col="change_id", tracked=["balance"])
+    return out.select(
+        "custkey",
+        "change_id",
+        round4(F.col("balance")).alias("balance"),
+        "version",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_register(
+    "scd2_versions",
+    Query(
+        spark=_scd2_query,
+        sql=f"""
+WITH h AS (
+  SELECT o_custkey AS custkey, o_orderkey AS change_id, o_totalprice AS balance
+  FROM orders
+),
+v AS (
+  SELECT custkey, change_id, balance,
+    row_number() OVER (PARTITION BY custkey ORDER BY change_id) AS version,
+    lead(change_id) OVER (PARTITION BY custkey ORDER BY change_id) AS valid_to
+  FROM h
+)
+SELECT custkey, change_id, {_r('balance', 'balance')}, version, valid_to,
+  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM v""",
+    ),
+)
