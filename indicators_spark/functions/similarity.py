@@ -9,15 +9,24 @@
   codegen compilation; the HOF form is ~8× faster end-to-end at this scale.
 * ``cosine_pairs`` — all pairs above a cosine threshold (embedding-based
   near-dup dedup).
-* ``knn_lsh`` — the scale path: random-hyperplane LSH bucketing with
-  deterministic ±1 hyperplanes (md5-derived, reproducible anywhere),
-  candidate join inside buckets only, exact re-rank.
+* ``knn_lsh`` — random-hyperplane LSH bucketing with deterministic ±1
+  hyperplanes (md5-derived, reproducible anywhere), candidate join inside
+  buckets only, exact re-rank.
+* ``knn_ivf`` — the IVF scale path: coarse centroids (deterministic
+  stand-in for k-means: the ``n_centroids`` lowest-id vectors), every
+  corpus vector assigned to its nearest centroid by a **zero-shuffle**
+  broadcast-literal argmax fold (``array_max`` over per-centroid cosine
+  structs — pure JVM, no Python, no exchange on the corpus side), queries
+  probe their ``nprobe`` nearest centroids, exact re-rank inside probed
+  cells.  Fully deterministic, so unlike LSH it carries an exact DuckDB
+  value-hash oracle.
 
 Scale notes: the brute-force form broadcasts the (small) query side, so
 the corpus streams through one scan with no shuffle; top-k is a per-query
-window over candidates.  For billion-row corpora use the LSH variant or an
-IVF layout (bucket by coarse centroid, prune buckets by query-centroid
-distance).
+window over candidates.  For billion-row corpora use the LSH or IVF
+variant: both prune candidates before scoring, and IVF's corpus-side
+assignment is map-side only (centroids are driver-side index state, as in
+any IVF build), so the only shuffle is the final tiny per-query top-k.
 """
 
 from __future__ import annotations
@@ -109,6 +118,87 @@ def _plane_signs(n_planes: int, dim: int) -> list[list[float]]:
             row.append(1.0 if h % 2 else -1.0)
         planes.append(row)
     return planes
+
+
+def knn_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) layout.
+
+    Index build: centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for k-means whose partition/probe plumbing is
+    identical (swap in MLlib KMeans centers for real data).  Centroids are
+    collected to the driver (tiny, like any IVF index's coarse quantizer)
+    and baked into a literal array of (cos, -cid) structs; each corpus
+    vector's cell is then ``array_max`` of that fold — whole-stage-codegen
+    JVM work with NO shuffle of the corpus.  Queries probe their
+    ``nprobe`` nearest cells via the same fold (sorted, sliced, exploded),
+    candidates join on cell id, and the exact cosine re-rank runs only
+    inside probed cells.  Ties break toward the smaller centroid id and
+    smaller neighbor id, so results are bit-stable across engines.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col("_norm").alias("nn"),
+    )
+    cents = [
+        (r["nid"], [float(x) for x in r["nvec"]])
+        for r in base.filter(F.col("nid") < n_centroids).collect()
+    ]
+
+    def cell_scores(vec: Column, vnorm: Column) -> Column:
+        """array<struct<cos,ncid>> — one entry per centroid; max = nearest
+        (ncid = -cid so struct ordering breaks cosine ties to smaller cid)."""
+        return F.array(
+            *[
+                F.struct(
+                    (dot(vec, F.lit(cv)) / (vnorm * norm(F.lit(cv)))).alias("cos"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    assigned = base.withColumn(
+        "cid", -F.array_max(cell_scores(F.col("nvec"), F.col("nn"))).getField("ncid")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("_norm").alias("qn"),
+    )
+    probes = q.select(
+        "qid",
+        "qvec",
+        "qn",
+        F.explode(
+            F.slice(
+                F.sort_array(
+                    cell_scores(F.col("qvec"), F.col("qn")), asc=False
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("probe"),
+    ).select("qid", "qvec", "qn", (-F.col("probe.ncid")).alias("cid"))
+    joined = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("nid") != F.col("qid")
+    )
+    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
 
 
 def knn_lsh(

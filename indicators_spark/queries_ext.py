@@ -365,6 +365,59 @@ _register(
     ),
 )
 
+# IVF ANN: deterministic coarse centroids → the approximation itself is
+# reproducible, so this scale path gets a FULL value-hash oracle.
+_register(
+    "similarity_knn_ivf",
+    Query(
+        spark=lambda s, d: similarity.knn_ivf(
+            _emb(s, d),
+            _emb(s, d).filter(F.col("vec_id") < 10),
+            k=5,
+            n_centroids=16,
+            nprobe=4,
+        ).select("qid", "nid", "rank", round4(F.col("cos")).alias("cos")),
+        sql=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS cv, nn AS cn FROM n WHERE vec_id < 16
+),
+assign AS (
+  SELECT n.vec_id AS nid, n.embedding AS nv, n.nn, c.cid,
+    row_number() OVER (
+      PARTITION BY n.vec_id
+      ORDER BY ({_dot_sql('n.embedding', 'c.cv')}) / (n.nn * c.cn) DESC, c.cid
+    ) AS rk
+  FROM n CROSS JOIN c
+),
+a AS (SELECT nid, nv, nn, cid FROM assign WHERE rk = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv, nn AS qn FROM n WHERE vec_id < 10),
+probe AS (
+  SELECT q.qid, q.qv, q.qn, c.cid,
+    row_number() OVER (
+      PARTITION BY q.qid
+      ORDER BY ({_dot_sql('q.qv', 'c.cv')}) / (q.qn * c.cn) DESC, c.cid
+    ) AS rk
+  FROM q CROSS JOIN c
+),
+p AS (SELECT qid, qv, qn, cid FROM probe WHERE rk <= 4),
+scored AS (
+  SELECT p.qid, a.nid,
+    ({_dot_sql('p.qv', 'a.nv')}) / (p.qn * a.nn) AS cos
+  FROM a JOIN p USING (cid)
+  WHERE a.nid != p.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, {_r('cos', 'cos')} FROM ranked WHERE rank <= 5""",
+    ),
+)
+
 # --------------------------------------------------------------------- #
 # Event-time windows / sessionization
 # --------------------------------------------------------------------- #

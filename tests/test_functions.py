@@ -90,6 +90,37 @@ def test_knn_and_cosine_pairs(spark):
     assert {(r["ia"], r["ib"]) for r in pairs} >= {(0, 1)}
 
 
+def test_knn_ivf_hand_fixture(spark):
+    from indicators_spark.functions.similarity import knn_ivf
+
+    # Two well-separated clusters around e0 and e1; ids 0 and 1 double as
+    # the coarse centroids (n_centroids=2).  With nprobe=1 each query only
+    # sees its own cluster — id 5 (near e1) must NOT appear for query 0.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.8, 0.0, 0.2, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+        (5, [0.0, 0.8, 0.0, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_ivf(
+        df, df.filter(F.col("vec_id") < 2), k=3, n_centroids=2, nprobe=1
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nid"]))
+    assert sorted(by_q[0]) == [(1, 2), (2, 3)]      # own cell only, ranked
+    assert sorted(by_q[1]) == [(1, 4), (2, 5)]
+    # nprobe=2 probes both cells → the orthogonal cluster becomes visible
+    out2 = knn_ivf(
+        df, df.filter(F.col("vec_id") == 0), k=5, n_centroids=2, nprobe=2
+    )
+    nids = {r["nid"] for r in out2.collect()}
+    assert nids == {1, 2, 3, 4, 5}
+
+
 def test_asof_join_semantics(spark):
     def ts(m):
         return dt.datetime(2024, 1, 1, 0, m)
