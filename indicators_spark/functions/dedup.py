@@ -158,24 +158,46 @@ def minhash_lsh_candidates(
     bands: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs: band the k=8 signature into ``bands``
-    bands of 2 rows, bucket-join per band, union, distinct.
+    bands of 2 rows, bucket-join per band, count collisions per pair.
 
     Returns (ia, ib, n_bands) — how many bands collided (monotone in
-    estimated Jaccard).  At scale each band join shuffles only
-    (band_id, h, h, id) int rows."""
+    estimated Jaccard).
+
+    Plan shape: the signature aggregate runs ONCE; ``posexplode`` turns
+    each doc into ``bands`` (band, key-struct) rows and a single
+    self-equi-join on (band, key) replaces a per-band union of joins —
+    one shuffle of small int rows instead of ``bands`` joins each
+    recomputing the signatures (a naive union-of-band-joins plan costs
+    2·bands signature aggregations; this one costs one, and the aliased
+    self-join lets Catalyst reuse the exchange across both sides)."""
     sig = minhash_signatures(df, id_col, text_col)
     rows_per_band = len(MINHASH_COEFFS) // bands
-    parts = []
-    for bi in range(bands):
-        cols = [f"h{bi * rows_per_band + j + 1}" for j in range(rows_per_band)]
-        left = sig.select(F.col(id_col).alias("ia"), *cols)
-        right = sig.select(F.col(id_col).alias("ib"), *cols)
-        pair = left.join(right, cols).filter(F.col("ia") < F.col("ib"))
-        parts.append(pair.select("ia", "ib"))
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionAll(p)
-    return allp.groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("n_bands"))
+    band_structs = [
+        F.struct(
+            *[
+                F.col(f"h{bi * rows_per_band + j + 1}").alias(f"k{j + 1}")
+                for j in range(rows_per_band)
+            ]
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*band_structs)).alias("band", "key"),
+    )
+    # shuffle_hash (not the default broadcast): with both sides shuffled on
+    # (band, key) the two exchange subtrees canonicalize identically, so
+    # Catalyst's ReuseExchange computes the signature aggregate ONCE and
+    # replays it for the other side — the whole shingle→minhash pipeline
+    # runs a single time however large the corpus.
+    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+    return pairs.groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -69,3 +69,22 @@ def test_q3_uses_broadcast_join(spark):
     df = QUERIES["tpch_q3_topk"].spark(spark, SF_SMOKE)
     plan = plan_string(df)
     assert broadcast_join_count(plan) >= 1, plan
+
+
+def test_minhash_lsh_reuses_signature_exchange(spark):
+    """The LSH self-join must compute the shingle->minhash aggregate ONCE:
+    both join sides shuffle on (band, key), so their exchange subtrees
+    canonicalize identically and ReuseExchange replays one for the other.
+    Without this the whole signature pipeline runs twice per query."""
+    from indicators_spark.functions import dedup
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = dedup.minhash_lsh_candidates(docs)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan, plan
