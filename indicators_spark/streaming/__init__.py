@@ -1,6 +1,8 @@
 """Structured Streaming surface: event-time windowed aggregation with
-watermarks, sessionization, and stateful custom operators."""
+watermarks, sessionization, stateful custom operators, and exactly-once
+``foreachBatch`` sinks."""
 
+from .sinks import ExactlyOnceParquetSink, UpsertParquetSink
 from .windows import (
     sessionized_counts_stream,
     stateful_running_indicators,
@@ -11,4 +13,6 @@ __all__ = [
     "tumbling_counts_stream",
     "sessionized_counts_stream",
     "stateful_running_indicators",
+    "ExactlyOnceParquetSink",
+    "UpsertParquetSink",
 ]

@@ -99,3 +99,51 @@ def test_stateful_running_ema_stream(spark, events_stream_dir):
         .first()
     )
     assert first["ema"] == pytest.approx(first["value"])
+
+
+def test_exactly_once_parquet_sink_replay(spark, events_stream_dir, tmp_path):
+    """foreachBatch ledger sink: a replayed epoch must not duplicate rows."""
+    from indicators_spark.streaming import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.processAllAvailable()
+    q.stop()
+
+    total = spark.read.parquet(events_stream_dir).count()
+    assert sink.read(spark).count() == total
+    epochs = sink.committed_epochs()
+    assert epochs
+
+    # simulate the at-least-once failure mode: re-deliver a committed epoch
+    replay = spark.read.parquet(events_stream_dir).limit(50)
+    sink(replay, epochs[0])
+    assert sink.read(spark).count() == total  # unchanged: skipped by ledger
+
+    # a NEW epoch still lands
+    sink(replay, max(epochs) + 1)
+    assert sink.read(spark).count() == total + 50
+
+
+def test_upsert_sink_replay_and_merge(spark, tmp_path):
+    """foreachBatch MERGE sink: replays are no-ops, new epochs upsert."""
+    from indicators_spark.streaming import UpsertParquetSink
+
+    sink = UpsertParquetSink(str(tmp_path / "store"), key="k", order_col="v")
+    b0 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, v long, s string")
+    b1 = spark.createDataFrame([(2, 2, "B"), (3, 1, "c")], "k long, v long, s string")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {tuple(r) for r in sink.read(spark).collect()}
+    assert got == {(1, 1, "a"), (2, 2, "B"), (3, 1, "c")}
+
+    # replay epoch 1: pointer skip, state unchanged
+    sink(b1, 1)
+    assert {tuple(r) for r in sink.read(spark).collect()} == got
+
+    # stale update loses to latest-wins
+    sink(spark.createDataFrame([(2, 1, "stale")], "k long, v long, s string"), 2)
+    assert {tuple(r) for r in sink.read(spark).collect()} == got
