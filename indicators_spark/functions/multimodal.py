@@ -70,9 +70,90 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> Da
     return df.filter(F.col(id_col) % every_n == 0)
 
 
+#: One output row per audio frame (hop of a framed PCM stream).
+AUDIO_FRAME_SCHEMA = (
+    "frame_idx int, frame_start long, rms double, zero_crossings int, "
+    "peak double"
+)
+
+
+def fake_decode_pcm(payload: bytes) -> "np.ndarray":
+    """Deterministic stand-in for an audio codec: interpret the payload
+    bytes as centered int8 samples in [-1, 1).  Swap for soundfile/ffmpeg
+    in a real deployment — only this function changes; the framing and
+    feature math below already operate on a PCM float array."""
+    import numpy as np
+
+    return (
+        np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+    ) / 128.0
+
+
+def audio_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Decode → frame → per-frame features, one output row per frame.
+
+    The 1:N exploding ``mapInPandas`` shape for audio: each input row
+    (one clip) yields ``ceil((n-frame_len)/hop)+1`` frame rows carrying
+    (rms, zero_crossings, peak) — the standard VAD/silence-trim features.
+    All math is vectorized numpy over a strided frame matrix; the payload
+    bytes never leave the executor, and the output is narrow columnar
+    metadata (ints/doubles) that downstream aggregations prune and push
+    down like any other table.
+
+    Scale: state is one batch at a time (Arrow-bounded); frames-per-clip
+    is bounded by clip length, so output skew follows input clip-length
+    skew — repartition on ``id_col`` first if clips vary wildly.
+    """
+    import numpy as np
+
+    out_schema = f"{id_col} long, " + AUDIO_FRAME_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pcm = fake_decode_pcm(payload)
+                if len(pcm) < frame_len:
+                    pcm = np.pad(pcm, (0, frame_len - len(pcm)))
+                n_frames = (len(pcm) - frame_len) // hop + 1
+                idx = (
+                    np.arange(frame_len)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                frames = pcm[idx]  # (n_frames, frame_len)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                zc = (np.diff(np.signbit(frames), axis=1) != 0).sum(axis=1)
+                peak = np.abs(frames).max(axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: doc_id,
+                            "frame_idx": np.arange(n_frames, dtype=np.int32),
+                            "frame_start": hop * np.arange(n_frames),
+                            "rms": rms,
+                            "zero_crossings": zc.astype(np.int32),
+                            "peak": peak,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(run, out_schema)
+
+
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real audio decode requires codecs absent from this container."""
+    """Real audio decode requires codecs absent from this container; see
+    ``audio_frame_features`` for the full framing pipeline over the
+    deterministic fake decoder."""
     raise NotImplementedError(
         "audio codecs not available in this environment; plug a decoder "
-        "into decode_image_meta's mapInPandas shape"
+        "into fake_decode_pcm — framing/features in audio_frame_features "
+        "are codec-agnostic"
     )

@@ -725,6 +725,62 @@ FROM documents""",
 )
 
 
+def _audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(_docs(spark, sf_dir))
+    frames = multimodal.audio_frame_features(docs.select("doc_id", "payload"))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        round4(F.col("rms")).alias("rms_r"),
+        "zero_crossings",
+        round4(F.col("peak")).alias("peak_r"),
+    )
+
+
+# Oracle replays the whole fake-codec + framing pipeline relationally:
+# bytes → centered samples (documents are pure ASCII, so ascii(char) ==
+# byte), zero-padded to frame_len, exploded to (doc, frame, sample) and
+# re-aggregated per frame.  Exercises the 1:N exploding mapInPandas shape
+# end-to-end against an independent engine.
+_register(
+    "multimodal_audio_frames",
+    Query(
+        spark=_audio_frames,
+        sql="""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         greatest(octet_length(encode(text)), 256) AS m
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n, CAST(t.f AS INT) AS f
+  FROM d, unnest(range(0, (m - 256) // 128 + 1)) AS t(f)
+),
+samp AS (
+  SELECT d.doc_id, t.i,
+    CASE WHEN t.i <= n
+         THEN (ascii(substr(text, CAST(t.i AS INT), 1)) - 128.0) / 128.0
+         ELSE 0.0 END AS s
+  FROM d, unnest(range(1, m + 1)) AS t(i)
+),
+samp2 AS (
+  SELECT *, lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s_next FROM samp
+)
+SELECT fr.doc_id, fr.f AS frame_idx,
+  {rms},
+  CAST(sum(CASE WHEN samp2.i < fr.f*128+256 AND ((s<0) != (s_next<0))
+                THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+  {peak}
+FROM fr JOIN samp2 ON samp2.doc_id = fr.doc_id
+  AND samp2.i BETWEEN fr.f*128+1 AND fr.f*128+256
+GROUP BY fr.doc_id, fr.f""".format(
+            rms=_r("sqrt(sum(s*s)/256.0)", "rms_r"),
+            peak=_r("max(abs(s))", "peak_r"),
+        ),
+    ),
+)
+
+
 # --------------------------------------------------------------------- #
 # Lineitem-derived prices (FIXTURES.md F2): the larger multi-symbol series
 # (~60k rows at sf0.01, ~600k at sf0.1; 3 symbols) — same operators on a
@@ -1137,6 +1193,43 @@ j AS (
 )
 SELECT symbol, seq, {_r('snap', 'snap_right')} FROM j"""
         ),
+    ),
+)
+
+
+def _salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.sum("l_quantity")).alias("sum_qty"),
+        round4(slog(F.sum("l_extendedprice"))).alias("sum_price_slog"),
+    )
+
+
+# The salt is invisible to the result: oracle is the PLAIN join+agg — the
+# parity check proves salting is a pure physical rewrite.
+_register(
+    "skew_salted_join",
+    Query(
+        spark=_salted_query,
+        sql=f"""
+WITH a AS (
+  SELECT p_brand, count(*) AS n, sum(l_quantity) AS sq,
+    sum(l_extendedprice) AS sp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n, {_r('sq', 'sum_qty')},
+  {_r('sign(sp) * ln(1 + abs(sp))', 'sum_price_slog')}
+FROM a""",
     ),
 )
 

@@ -139,3 +139,57 @@ def test_asof_join_semantics(spark):
     assert got[2] == 200.0     # equal timestamps match (<=)
     assert got[3] == 200.0     # carried forward
     assert got[4] is None      # B has no right row <= 00:05
+
+
+def test_audio_frame_features_hand_fixture(spark):
+    """Known bytes -> known frames: 400 bytes of 0xFF gives 2 frames
+    ((400-256)//128+1, hop 128), rms == peak == 127/128, zero crossings 0;
+    a short alternating clip pads to one frame with a crossing per pair."""
+    from indicators_spark.functions.multimodal import audio_frame_features
+
+    loud = bytes([255] * 400)
+    alt = bytes([0, 255] * 4)  # 8 samples, padded to 256
+    df = spark.createDataFrame(
+        [(1, bytearray(loud)), (2, bytearray(alt))], "doc_id long, payload binary"
+    )
+    out = {
+        (r.doc_id, r.frame_idx): r
+        for r in audio_frame_features(df).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    f = out[(1, 0)]
+    assert f.rms == pytest.approx(127 / 128)
+    assert f.peak == pytest.approx(127 / 128)
+    assert f.zero_crossings == 0
+    assert out[(1, 1)].frame_start == 128
+    g = out[(2, 0)]
+    # samples: -1, 127/128 alternating x4 then zeros; signbit flips between
+    # each of the 8 real samples (7) plus the -1 -> pad-zero edge... the
+    # last real sample is 127/128 (positive) so pad edge adds 0: 7 total
+    assert g.zero_crossings == 7
+    assert g.peak == pytest.approx(1.0)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a pure physical rewrite: inner and left results must
+    equal the unsalted join, including unmatched-left NULLs and a key
+    absent from the dim side."""
+    from indicators_spark.functions.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(0, i * 1.0) for i in range(50)] + [(7, 99.0), (404, 1.0)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame([(0, "hot"), (7, "cold")], "k long, name string")
+
+    for how in ("inner", "left"):
+        got = {
+            tuple(r)
+            for r in salted_join(fact, dim, "k", n_salt=5, how=how).collect()
+        }
+        want = {tuple(r) for r in fact.join(dim, "k", how).collect()}
+        assert got == want, how
+    assert len(got) == 52  # left keeps the dim-less key 404
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="right")
