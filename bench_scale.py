@@ -96,6 +96,52 @@ def main() -> None:
         label, dt, rps = timed(label, fn)
         results[label] = {"sec": dt, "rows_per_sec": rps}
 
+    # ---- skew-join shape: power-law fact ⋈ non-broadcastable dim -------
+    # Half the fact rows hit ONE key: a plain shuffle join puts 5M rows on
+    # a single reducer. Measured three ways: plain sort-merge (AQE off),
+    # salted_join (AQE off), and AQE's adaptive skew split.
+    from indicators_spark.functions.joins import salted_join
+
+    n_dim = 100_000
+    fact = (
+        spark.range(rows)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.hash(F.col("id")), F.lit(n_dim)))
+            .alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        .cache()
+    )
+    fact.count()
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("grp")
+    )
+
+    def agg_after(joined):
+        return joined.groupBy("grp").agg(F.sum("v").alias("sv"))
+
+    conf = spark.conf
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, aqe, fn in (
+            ("skew_plain_join", "false", lambda: agg_after(fact.join(dim, "k"))),
+            (
+                "skew_salted_join",
+                "false",
+                lambda: agg_after(salted_join(fact, dim, "k", n_salt=32)),
+            ),
+            ("skew_aqe_join", "true", lambda: agg_after(fact.join(dim, "k"))),
+        ):
+            conf.set("spark.sql.adaptive.enabled", aqe)
+            label, dt, rps = timed(label, fn)
+            results[label] = {"sec": dt, "rows_per_sec": rps}
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

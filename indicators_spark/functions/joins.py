@@ -26,6 +26,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: identical results to ``big.join(dim, on)``
+    but a hot key's rows spread over ``n_salt`` reducers.
+
+    The big side deterministically salts each row into one of ``n_salt``
+    sub-keys (hash of ``salt_from`` columns, default all — any roughly
+    uniform row attribute works; correctness never depends on the salt).
+    The dim side replicates each row once per salt value, and the join key
+    becomes (key, salt) — so the hot key's partition splits n_salt ways at
+    the cost of an n_salt× blow-up of the SMALL side only.
+
+    Use when the dim side is too big to broadcast but far smaller than the
+    fact side, and a few keys dominate (the classic null-key / power-law
+    fact table).  AQE's skew-join split handles sort-merge spills
+    adaptively; explicit salting additionally fixes the single-reducer
+    hash-agg that follows a skewed join, and works with AQE off.  ``how``
+    supports inner/left (big side preserved)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves the big side: inner or left")
+    salt_cols = [F.col(c) for c in (salt_from or big.columns)]
+    sb = big.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(n_salt)))
+    sd = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return sb.join(sd, [on, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
