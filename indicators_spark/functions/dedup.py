@@ -67,9 +67,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(keep, id_col, "left_semi")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the doc scan uses the cluster's width before the per-token
+    explode.  A small corpus arrives as one file split, so the whole
+    shingle→hash pipeline would run in a single task; round-robin to
+    ``defaultParallelism`` first.  At scale inputs already have ≥ that many
+    splits and this is a no-op (no exchange added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) pairs, distinct tokens per doc."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("tok"),
     )
@@ -85,7 +97,7 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(ws) - 1),
         lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
     )
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles)).alias("tok"),
     )
