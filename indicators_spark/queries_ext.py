@@ -1496,3 +1496,153 @@ SELECT custkey, change_id, {_r('balance', 'balance')}, version, valid_to,
 FROM v""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Relational breadth: JSON functions, CUBE grouping sets, set operations,
+# Python UDAF registration (SURVEY §2's "maps to built-in Spark" list)
+# --------------------------------------------------------------------- #
+
+
+def _json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column processing stays JVM-side: ``get_json_object`` is a
+    codegen'd path expression — no Python in the loop, and only
+    (event_type, k, value) survive past the scan projection."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k") * F.col("value")).alias("kv"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        round4(F.col("avg_k")).alias("avg_k"),
+        "max_k",
+        round4(slog(F.col("kv"))).alias("kv_slog"),
+    )
+
+
+_register(
+    "json_extract_events",
+    Query(
+        spark=_json_query,
+        sql=f"""
+WITH j AS (
+  SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+  FROM events
+),
+a AS (
+  SELECT event_type, count(*) AS n, avg(k) AS avg_k, max(k) AS max_k,
+    sum(k * value) AS kv
+  FROM j GROUP BY event_type
+)
+SELECT event_type, n, {_r('avg_k', 'avg_k')}, max_k,
+  {_r('sign(kv) * ln(1 + abs(kv))', 'kv_slog')}
+FROM a""",
+    ),
+)
+
+
+def _cube_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): all 4 grouping sets in ONE
+    shuffle (Spark expands grouping sets map-side), disambiguated by the
+    standard grouping_id bit encoding — identical on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(5)).alias("ub"), "value"
+    )
+    return (
+        ev.cube("event_type", "ub")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            round4(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+_register(
+    "cube_events",
+    Query(
+        spark=_cube_query,
+        sql=f"""
+WITH e AS (
+  SELECT event_type, user_id % 5 AS ub, value FROM events
+)
+SELECT event_type, ub, CAST(GROUPING(event_type, ub) AS INT) AS gid,
+  count(*) AS n, {_r('avg(value)', 'avg_value')}
+FROM e GROUP BY CUBE(event_type, ub)""",
+    ),
+)
+
+
+def _setops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) — customers ordering in
+    both 1995 and 1996 vs only 1995.  Each set op is one hash shuffle on
+    the key; the tag column makes the union's provenance explicit."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = a.intersect(b).withColumn("op", F.lit("both"))
+    only = a.subtract(b).withColumn("op", F.lit("only_1995"))
+    return both.unionByName(only)
+
+
+_register(
+    "setops_custkeys",
+    Query(
+        spark=_setops_query,
+        sql="""
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+e AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+SELECT o_custkey, 'both' AS op FROM i
+UNION ALL
+SELECT o_custkey, 'only_1995' AS op FROM e""",
+    ),
+)
+
+
+def _udaf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Python UDAF (Arrow grouped-agg pandas_udf): geometric
+    mean of positive quantities per return flag.  The UDAF path ships one
+    Arrow batch per group-partition — fine for low-cardinality keys; the
+    oracle is the exp∘avg∘ln identity."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings, which defeats pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(geomean(F.col("l_quantity")).alias("gm"))
+        .select("l_returnflag", round4(F.col("gm")).alias("geomean_qty"))
+    )
+
+
+_register(
+    "udaf_geomean",
+    Query(
+        spark=_udaf_query,
+        sql=f"""
+WITH a AS (
+  SELECT l_returnflag, exp(avg(ln(l_quantity))) AS gm
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag
+)
+SELECT l_returnflag, {_r('gm', 'geomean_qty')} FROM a""",
+    ),
+)

@@ -147,3 +147,28 @@ def test_upsert_sink_replay_and_merge(spark, tmp_path):
     # stale update loses to latest-wins
     sink(spark.createDataFrame([(2, 1, "stale")], "k long, v long, s string"), 2)
     assert {tuple(r) for r in sink.read(spark).collect()} == got
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir, tmp_path):
+    """Streaming exact dedup: duplicated source rows collapse to one per
+    event_id via dropDuplicates with a watermark bounding the state."""
+    dup_dir = str(tmp_path / "dup")
+    ev = spark.read.parquet(events_stream_dir)
+    ev.unionAll(ev).write.mode("overwrite").parquet(dup_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(dup_dir)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    assert got["n"] == ev.count()
+    assert got["d"] == ev.select("event_id").distinct().count()
