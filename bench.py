@@ -40,8 +40,19 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # Warm the JVM + parquet footer cache once (not timed).
+    # Warm the JVM + parquet footer cache + Python worker pool once (not
+    # timed) — worker daemon startup is session infrastructure, like the
+    # JVM itself, and would otherwise land entirely on the first
+    # applyInPandas query.
     _force(prices_from_events(spark, sf_dir))
+    from pyspark.sql import functions as _F
+
+    _force(
+        spark.range(64)
+        .withColumn("g", _F.col("id") % 4)
+        .groupBy("g")
+        .applyInPandas(lambda p: p, "id long, g long")
+    )
 
     def flagship(s, d):
         ind = (
