@@ -35,7 +35,11 @@ from .queries import (
     _ws,
 )
 
-_BASE_SYM = f"""base AS (
+# MATERIALIZED: DuckDB re-evaluates plain CTEs on every recursive-CTE
+# iteration, so each EWM replay level re-ran the window-over-scan
+# (~22-27s per oracle); materializing turns the per-level join into a
+# lookup (~3s). Results are identical — purely an oracle-cost fix.
+_BASE_SYM = f"""base AS MATERIALIZED (
   SELECT symbol, seq, "timestamp", close, volume, high, low,
          row_number() OVER (PARTITION BY symbol ORDER BY {ORDER}) AS rn
   FROM prices
@@ -43,10 +47,10 @@ _BASE_SYM = f"""base AS (
 
 #: Global-op subset (recursion cost ∝ max row rank).
 _CUT = 2500
-_BASE_GLOB = f"""sub AS (
+_BASE_GLOB = f"""sub AS MATERIALIZED (
   SELECT * FROM prices WHERE seq < {_CUT}
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT symbol, seq, "timestamp", close, volume, high, low,
          row_number() OVER (ORDER BY {ORDER}) AS rn
   FROM sub

@@ -354,14 +354,52 @@ SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= 0.4""",
     ),
 )
 
-# LSH ANN: approximate by construction → rows-only check (no oracle).
+def _lsh_bucket_sql(vec: str) -> str:
+    """Replicate knn_lsh's hyperplane signature relationally: the SAME
+    md5-derived ±1 planes (``_plane_signs``), the same left-associated
+    projection sum, the same >0 sign test per bit — so even the
+    approximation (which buckets collide) is bit-reproducible and the
+    'approximate' path gets a full value-hash oracle."""
+    from .functions.similarity import _plane_signs
+
+    bits = []
+    for m, row in enumerate(_plane_signs(8, EMB_DIM)):
+        proj = " + ".join(
+            f"CAST({vec}[{i}] AS DOUBLE) * {s:.1f}"
+            for i, s in enumerate(row, start=1)
+        )
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << m} ELSE 0 END")
+    return " + ".join(bits)
+
+
 _register(
     "similarity_knn_lsh",
     Query(
         spark=lambda s, d: similarity.knn_lsh(
             _emb(s, d), _emb(s, d).filter(F.col("vec_id") < 10), k=5
         ).select("qid", "nid", "rank", round4(F.col("cos")).alias("cos")),
-        sql=None,
+        sql=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn,
+    {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, nn AS qn, bucket FROM n
+  WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid,
+    ({_dot_sql('q.qv', 'n.embedding')}) / (q.qn * n.nn) AS cos
+  FROM n JOIN q USING (bucket)
+  WHERE n.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, {_r('cos', 'cos')} FROM ranked WHERE rank <= 5""",
     ),
 )
 
@@ -1146,11 +1184,81 @@ SELECT symbol, seq, {_r('y', 'close_kama_10')} FROM out""".format(
     ),
 )
 
+def _psar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import Indicators
+    from .sources.prices import prices_from_events
+
+    # seq<2500 subset: the oracle replays the trend-flip machine row-by-row
+    # in a recursive CTE, so its cost ∝ recursion depth (same discipline as
+    # the global-EWM oracles' _CUT).  The filter precedes the state machine
+    # on BOTH engines, so the compared semantics are identical.
+    p = prices_from_events(spark, sf_dir).filter(F.col("seq") < 2500)
+    ind = Indicators(p, order_by=("timestamp", "seq"), partition_mode="per_symbol")
+    ind.psar_ext()
+    df = ind.collect()
+    return df.select("symbol", "seq", round4(F.col("psar")).alias("psar"))
+
+
+def _psar_sql() -> str:
+    from .queries import _sql
+
+    order = '"timestamp", seq'
+    # s2 = the accelerated-and-clamped SAR candidate, before flip checks —
+    # exactly the Python scan's `sar = min/max(sar + af*(ep-sar), ...)`
+    s2 = (
+        "(CASE WHEN r.rising THEN least(r.sar + r.af*(r.ep - r.sar), b.pl)"
+        " ELSE greatest(r.sar + r.af*(r.ep - r.sar), b.ph) END)"
+    )
+    # MATERIALIZED: DuckDB re-evaluates plain CTEs on every recursion
+    # level (833 levels × scan+window = 30s+); materializing base makes
+    # the per-level join a tiny table lookup (measured 33.8s → 1.5s)
+    body = f"""sub AS MATERIALIZED (
+  SELECT * FROM prices WHERE seq < 2500
+),
+base AS MATERIALIZED (
+  SELECT symbol, seq, high, low,
+    row_number() OVER (PARTITION BY symbol ORDER BY {order}) AS rn,
+    lag(high) OVER (PARTITION BY symbol ORDER BY {order}) AS ph,
+    lag(low)  OVER (PARTITION BY symbol ORDER BY {order}) AS pl
+  FROM sub
+),
+init AS (
+  SELECT b1.symbol, b1.seq,
+    (b2.high + b2.low >= b1.high + b1.low) AS rising0,
+    CASE WHEN b2.high + b2.low >= b1.high + b1.low THEN b1.low ELSE b1.high END AS sar0,
+    CASE WHEN b2.high + b2.low >= b1.high + b1.low THEN b1.high ELSE b1.low END AS ep0
+  FROM base b1 JOIN base b2 ON b1.symbol = b2.symbol AND b1.rn = 1 AND b2.rn = 2
+),
+rec AS (
+  SELECT symbol, seq, 1 AS rn, rising0 AS rising, sar0 AS sar, ep0 AS ep,
+         0.02 AS af, CAST(NULL AS DOUBLE) AS psar
+  FROM init
+  UNION ALL
+  SELECT b.symbol, b.seq, b.rn,
+    CASE WHEN r.rising THEN (b.low >= {s2}) ELSE (b.high > {s2}) END,
+    CASE WHEN r.rising THEN (CASE WHEN b.low < {s2} THEN r.ep ELSE {s2} END)
+         ELSE (CASE WHEN b.high > {s2} THEN r.ep ELSE {s2} END) END,
+    CASE WHEN r.rising THEN (CASE WHEN b.low < {s2} THEN b.low WHEN b.high > r.ep THEN b.high ELSE r.ep END)
+         ELSE (CASE WHEN b.high > {s2} THEN b.high WHEN b.low < r.ep THEN b.low ELSE r.ep END) END,
+    CASE WHEN r.rising THEN (CASE WHEN b.low < {s2} THEN 0.02 WHEN b.high > r.ep THEN least(r.af + 0.02, 0.2) ELSE r.af END)
+         ELSE (CASE WHEN b.high > {s2} THEN 0.02 WHEN b.low < r.ep THEN least(r.af + 0.02, 0.2) ELSE r.af END) END,
+    CASE WHEN r.rising THEN (CASE WHEN b.low < {s2} THEN r.ep ELSE {s2} END)
+         ELSE (CASE WHEN b.high > {s2} THEN r.ep ELSE {s2} END) END
+  FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, seq, {_r('psar', 'psar')} FROM rec"""
+    return _sql(body, recursive=True)
+
+
+# The trend-flip state machine IS SQL-expressible after all: a recursive
+# CTE carries (rising, sar, ep, af) per step — upgraded from rows-only to a
+# full value-hash oracle (validated exactly, 10000/10000 rows, before the
+# cost-bounding subset was applied).
 _register(
     "psar_ext",
     Query(
-        spark=_per_symbol_query(lambda i: i.psar_ext(), ["psar"]),
-        sql=None,  # stateful trend-flip machine: genuinely non-SQL-expressible
+        spark=_psar_query,
+        sql=_psar_sql(),
     ),
 )
 
