@@ -101,10 +101,23 @@ def main() -> None:
         )
         return ind.collect()
 
+    def flagship_ewm_chain(s, d):
+        # four EWM-based operators; core._ewm fusion runs them as ONE
+        # applyInPandas pass (one exchange, one Python roundtrip)
+        ind = (
+            Indicators(prices_from_events(s, d), order_by=("timestamp", "seq"))
+            .ema(["close"], 20)
+            .macd(["close"])
+            .ppo()
+            .pvo()
+        )
+        return ind.collect()
+
     headline: dict[str, object] = {
         "pipeline": flagship,
         "pipeline_per_symbol": flagship_per_symbol,
         "pipeline_many_symbols": flagship_many_symbols,
+        "pipeline_ewm_chain": flagship_ewm_chain,
     }
     for name in (
         "sma",

@@ -71,6 +71,11 @@ class Indicators(
         if "symbol" not in df.columns:
             self._symbol_flag = True
             df = df.withColumn("symbol", F.lit("x"))
+        # Pending (unflushed) EWM program: consecutive EWM-based operators
+        # fuse into ONE applyInPandas pass / one exchange (see _ewm).
+        self._pending: list[Step] = []
+        self._pending_keep: list[str] = []
+        self._pending_part: tuple[str, ...] | None = None
         self._df = df
         self._order: tuple[str, ...] = tuple(order_by)
         self._mode = partition_mode
@@ -105,6 +110,43 @@ class Indicators(
     # internals shared by the operator mixins
     # ------------------------------------------------------------------ #
 
+    @property
+    def _df(self) -> DataFrame:
+        """The wrapped frame, with any pending EWM program applied first.
+
+        Every read path (window ops via ``_with``, validation of Column
+        expressions, ``collect``) goes through this getter, so a fused EWM
+        program is flushed exactly when — and only when — a non-EWM
+        operation actually needs its outputs.
+        """
+        self._flush_ewm()
+        return self.__df
+
+    @_df.setter
+    def _df(self, value: DataFrame) -> None:
+        # All assignments are of the form `self._df = f(self._df)`, so the
+        # getter has already flushed; a non-empty pending program here would
+        # mean its steps reference a frame that no longer exists.
+        assert not self._pending, "EWM program pending across _df reassignment"
+        self.__df = value
+
+    def _flush_ewm(self) -> None:
+        if not self._pending:
+            return
+        steps, keep, part = self._pending, self._pending_keep, self._pending_part
+        self._pending, self._pending_keep, self._pending_part = [], [], None
+        self.__df = apply_ewm_program(
+            self.__df, steps, partition_cols=part, order_cols=self._order, keep=keep
+        )
+
+    @property
+    def _columns(self) -> list[str]:
+        """Visible columns WITHOUT flushing: raw frame + pending EWM outputs.
+
+        Lets a chained operator validate against a predecessor's (still
+        pending) outputs without forcing the fused program to split."""
+        return self.__df.columns + self._pending_keep
+
     def _partition(self, global_op: bool) -> tuple[str, ...]:
         """Partition keys for an operator: global ops lose the symbol key in
         faithful mode; per_symbol mode partitions everything."""
@@ -130,13 +172,25 @@ class Indicators(
     def _ewm(
         self, steps: Sequence[Step], global_op: bool, keep: Sequence[str] | None = None
     ) -> None:
-        self._df = apply_ewm_program(
-            self._df,
-            steps,
-            partition_cols=self._partition(global_op),
-            order_cols=self._order,
-            keep=keep,
-        )
+        """Queue an EWM program; consecutive calls FUSE into one pass.
+
+        ``ema().macd().trix()`` costs one applyInPandas exchange, not three
+        — the programs concatenate (each is self-contained: it reads only
+        frame columns and its own earlier outputs, in order).  A flush is
+        forced when the partitioning changes (per-symbol vs global) or a
+        step's output name collides with one already pending (an overwrite
+        would corrupt the earlier op's kept column)."""
+        part = self._partition(global_op)
+        pending_outs = {s.out for s in self._pending}
+        if self._pending and (
+            part != self._pending_part
+            or any(s.out in pending_outs for s in steps)
+        ):
+            self._flush_ewm()
+        self._pending_part = part
+        self._pending.extend(steps)
+        out_names = [s.out for s in steps]
+        self._pending_keep.extend(out_names if keep is None else list(keep))
 
     def _resolve_and_validate(self, columns) -> list[str]:
         """Resolve a list of names / Column expressions to concrete names
@@ -151,8 +205,8 @@ class Indicators(
                 cols = list(columns)
         else:  # a single Column expression / selector
             cols = self._df.select(columns).columns
-        validate_columns(cols, self._df.columns)
+        validate_columns(cols, self._columns)
         return cols
 
     def _validate(self, required: list[str]) -> None:
-        validate_columns(required, self._df.columns)
+        validate_columns(required, self._columns)

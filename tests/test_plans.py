@@ -71,6 +71,32 @@ def test_q3_uses_broadcast_join(spark):
     assert broadcast_join_count(plan) >= 1, plan
 
 
+def test_chained_ewm_ops_fuse_into_one_pass(spark):
+    """ema + macd + ppo are three EWM-based operators; the pending-program
+    fusion in core._ewm must run them as ONE FlatMapGroupsInPandas (one
+    exchange, one Python roundtrip), not three."""
+    p = prices_from_events(spark, SF_SMOKE)
+    df = (
+        Indicators(p, order_by=("timestamp", "seq"))
+        .ema(["close"], 20)
+        .macd(["close"])
+        .ppo()
+        .collect()
+    )
+    plan = plan_string(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_ewm_fusion_flushes_on_partition_change(spark):
+    """A global-op EWM (tsi, faithful mode) cannot fuse with a per-symbol
+    one (ema) — the partitioning differs, so two passes are correct."""
+    p = prices_from_events(spark, SF_SMOKE)
+    ind = Indicators(p, order_by=("timestamp", "seq")).ema(["close"], 10)
+    ind.true_strength_index(["close"], 13, 25)
+    plan = plan_string(ind.collect())
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+
+
 def test_minhash_lsh_reuses_signature_exchange(spark):
     """The LSH self-join must compute the shingle->minhash aggregate ONCE:
     both join sides shuffle on (band, key), so their exchange subtrees
