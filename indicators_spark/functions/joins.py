@@ -60,6 +60,62 @@ def salted_join(
     return sb.join(sd, [on, "_salt"], how).drop("_salt")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-containment join: each ``points`` row pairs with every
+    ``intervals`` row (same ``by`` key) whose ``[start_col, end_col]``
+    contains ``point_col`` (inclusive bounds).
+
+    Spark plans a raw non-equi join (``p.x BETWEEN i.lo AND i.hi``) as a
+    broadcast-nested-loop — O(points × intervals) comparisons, a scan of
+    every interval for every point.  This formulation bins instead: each
+    interval explodes into the fixed-width buckets it overlaps, each point
+    maps to exactly ONE bucket, and the pair space collapses to an
+    equi-join on ``(by…, bucket)`` — one ordinary shuffle, AQE/skew-split
+    eligible, followed by the exact containment filter.  Because a point
+    lives in a single bucket, no dedup pass is needed.
+
+    ``bucket_width`` trades replication for selectivity: each interval is
+    copied ``~len/bucket_width + 1`` times, and each bucket pairs a point
+    with only the intervals crossing that bucket.  Pick it near the median
+    interval length (replication ≈ 2×).  Degenerate long intervals fan out
+    across many buckets — at 100 TB, split or cap outliers first.
+
+    Columns: ``by`` keys unify; all other names must be disjoint between
+    the two frames.  Works on numeric columns; cast timestamps to epoch
+    first (``F.col(ts).cast("long")``).
+    """
+    by = list(by)
+    shared = (set(points.columns) & set(intervals.columns)) - set(by)
+    if shared:
+        raise ValueError(f"non-key columns collide: {sorted(shared)}")
+    bw = F.lit(float(bucket_width))
+    pb = points.withColumn("_bucket", F.floor(F.col(point_col) / bw))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw), F.floor(F.col(end_col) / bw)
+            )
+        ),
+    )
+    return (
+        pb.join(ib, by + ["_bucket"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1061,6 +1061,136 @@ FROM a""",
 )
 
 
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single aggregate — the pushdown
+    showcase (every predicate reaches the parquet scan; no shuffle at all
+    beyond the final 1-row agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= _utc_cutoff(788918400))  # 1995-01-01
+        & (F.col("l_shipdate") < _utc_cutoff(820454400))  # 1996-01-01
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("rev"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out.select(
+        round4(slog(F.col("rev"))).alias("revenue_slog"), "n_items"
+    )
+
+
+_register(
+    "tpch_q6",
+    Query(
+        spark=_tpch_q6,
+        sql=f"""
+WITH a AS (
+  SELECT sum(l_extendedprice * l_discount) AS rev, count(*) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+    AND l_discount BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24
+)
+SELECT {_r('sign(rev) * ln(1 + abs(rev))', 'revenue_slog')}, n_items FROM a""",
+    ),
+)
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING aggregate shrinks
+    lineitem to a few thousand keys, so BOTH subsequent joins broadcast —
+    one shuffle total (the groupBy), zero join exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    j = orders.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        round4(F.col("o_totalprice")).alias("total_price"),
+        round4(F.col("total_qty")).alias("total_qty"),
+    )
+
+
+_register(
+    "tpch_q18",
+    Query(
+        spark=_tpch_q18,
+        sql=f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS tq
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, o_orderkey,
+  {_r('o_totalprice', 'total_price')},
+  {_r('tq', 'total_qty')}
+FROM orders
+JOIN big      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+    ),
+)
+
+
+def _range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via bucketing (functions/joins.py
+    range_join): every 500th row opens a 100-seq interval; points aggregate
+    per containing interval.  The oracle is the PLAIN non-equi join — the
+    binning is a pure physical rewrite."""
+    from .functions.joins import range_join
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    points = p.select("symbol", "seq", "close")
+    intervals = (
+        p.filter(F.col("seq") % 500 == 0)
+        .select(
+            "symbol",
+            F.col("seq").alias("i_start"),
+            (F.col("seq") + F.lit(99)).alias("i_end"),
+        )
+        .distinct()
+    )
+    j = range_join(
+        points, intervals, "seq", "i_start", "i_end", bucket_width=100,
+        by=["symbol"],
+    )
+    return j.groupBy("symbol", "i_start").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        round4(F.avg("close")).alias("avg_close"),
+    )
+
+
+_register(
+    "range_join_intervals",
+    Query(
+        spark=_range_join_query,
+        sql=_sql_ev(
+            f"""i AS (
+  SELECT DISTINCT symbol, seq AS i_start, seq + 99 AS i_end
+  FROM prices WHERE seq % 500 = 0
+),
+j AS (
+  SELECT p.symbol, i.i_start, p.close
+  FROM prices p
+  JOIN i ON p.symbol = i.symbol AND p.seq BETWEEN i.i_start AND i.i_end
+)
+SELECT symbol, i_start, count(*) AS n_points, {_r('avg(close)', 'avg_close')}
+FROM j GROUP BY symbol, i_start"""
+        ),
+    ),
+)
+
+
 # --------------------------------------------------------------------- #
 # per_symbol partition mode (the scalable extension): same operators, every
 # window partitioned by symbol — oracle uses per-symbol SQL windows.

@@ -141,6 +141,40 @@ def test_asof_join_semantics(spark):
     assert got[4] is None      # B has no right row <= 00:05
 
 
+def test_range_join_semantics(spark):
+    from indicators_spark.functions.joins import range_join
+
+    points = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 10, 2.0), ("A", 25, 3.0), ("A", 99, 4.0),
+         ("B", 10, 5.0), ("A", -5, 6.0)],
+        "symbol string, seq long, close double",
+    )
+    intervals = spark.createDataFrame(
+        # [0,10] inclusive both ends; [20,120] spans many buckets; B-keyed;
+        # [-10,-1] exercises negative-value bucketing
+        [("A", 0, 10), ("A", 20, 120), ("B", 5, 15), ("A", -10, -1)],
+        "symbol string, i_start long, i_end long",
+    )
+    out = range_join(
+        points, intervals, "seq", "i_start", "i_end", bucket_width=7,
+        by=["symbol"],
+    )
+    got = sorted((r["seq"], r["i_start"]) for r in out.collect())
+    # no duplicates despite [20,120] spanning ~15 buckets of width 7
+    assert got == sorted([(-5, -10), (0, 0), (10, 0), (25, 20), (99, 20), (10, 5)])
+
+
+def test_range_join_rejects_colliding_columns(spark):
+    from indicators_spark.functions.joins import range_join
+
+    df = spark.createDataFrame([("A", 1, 2)], "symbol string, x long, close long")
+    try:
+        range_join(df, df, "x", "x", "x", bucket_width=1, by=["symbol"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "collide" in str(e)
+
+
 def test_audio_frame_features_hand_fixture(spark):
     """Known bytes -> known frames: 400 bytes of 0xFF gives 2 frames
     ((400-256)//128+1, hop 128), rms == peak == 127/128, zero crossings 0;

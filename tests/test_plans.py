@@ -97,6 +97,16 @@ def test_ewm_fusion_flushes_on_partition_change(spark):
     assert plan.count("FlatMapGroupsInPandas") == 2, plan
 
 
+def test_range_join_avoids_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join (sort-merge or
+    hash) — never the O(n·m) BroadcastNestedLoopJoin Spark picks for a raw
+    BETWEEN predicate."""
+    df = QUERIES["range_join_intervals"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_minhash_lsh_reuses_signature_exchange(spark):
     """The LSH self-join must compute the shingle->minhash aggregate ONCE:
     both join sides shuffle on (band, key), so their exchange subtrees
