@@ -142,6 +142,51 @@ def main() -> None:
         conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
+    # ---- range join: bucketed rewrite vs raw BETWEEN (nested-loop) ------
+    # 1M points x 20k intervals, no equi-key: Spark plans the raw BETWEEN
+    # as BroadcastNestedLoopJoin (2e10 comparisons at this size); the
+    # bucketed rewrite is one equi-shuffle.  The raw variant runs at a
+    # 100x smaller point count so it finishes — its rows_per_sec is
+    # directly comparable.
+    from indicators_spark.functions.joins import range_join
+
+    n_pts = min(rows // 10, 1_000_000)
+    pts = (
+        spark.range(n_pts)
+        .select(
+            (F.pmod(F.hash(F.col("id")), F.lit(n_pts * 10))).alias("x"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        .cache()
+    )
+    pts.count()
+    ivals = spark.range(20_000).select(
+        (F.col("id") * (n_pts // 2)).alias("lo"),
+        (F.col("id") * (n_pts // 2) + F.lit(5000)).alias("hi"),
+    )
+
+    def agg_rj(joined):
+        return joined.groupBy("lo").agg(F.count(F.lit(1)).alias("c"))
+
+    t0 = time.time()
+    agg_rj(
+        range_join(pts, ivals, "x", "lo", "hi", bucket_width=5000)
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["range_join_bucketed"] = {"sec": round(dt, 2), "rows_per_sec": int(n_pts / dt)}
+
+    small = pts.limit(n_pts // 100).cache()
+    n_small = small.count()
+    t0 = time.time()
+    agg_rj(
+        small.join(ivals, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["range_join_raw_between_1pct"] = {
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_small / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 
