@@ -172,3 +172,56 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir, tmp_path):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
     assert got["n"] == ev.count()
     assert got["d"] == ev.select("event_id").distinct().count()
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """A straggler arriving AFTER its window was emitted and its state
+    evicted must be dropped — no resurrected or double-counted window; an
+    on-time event from the same micro-batch lands.  Files feed
+    one-per-trigger so the watermark advances between micro-batches.
+    (The eviction must happen in an EARLIER batch: a late row landing in
+    the same batch that closes its window is still merged — Spark's
+    guarantee is one-directional.)"""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, h, m):
+        return (eid, base + dt.timedelta(hours=h, minutes=m), eid, "a", 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    files = [
+        [ev(1, 10, 0), ev(2, 14, 0)],   # watermark -> 13:00 after this batch
+        [ev(3, 17, 0)],                 # [10,11) emits + evicts; wm -> 16:00
+        [ev(4, 10, 15), ev(5, 16, 30)],  # 10:15 is LATE; 16:30 on time
+        [ev(6, 23, 0)],                 # closes [16,17)
+    ]
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(files):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = str(stream_dir / f"{i:03d}.parquet")
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i * 100,) * 2)  # deterministic order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    agg = tumbling_counts_stream(stream, "1 hour", "1 hour")
+    _run_stream(agg, "late_out")
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    hour10 = [r for r in rows if r["window_start"].hour == 10]
+    assert len(hour10) == 1 and hour10[0]["n"] == 1  # straggler dropped, once
+    hour16 = [r for r in rows if r["window_start"].hour == 16]
+    assert len(hour16) == 1 and hour16[0]["n"] == 1  # on-time event landed
