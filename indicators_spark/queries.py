@@ -932,3 +932,4 @@ FROM g"""
 # EWM-family queries (recursive-CTE oracles) register themselves on import.
 from . import queries_ewm  # noqa: E402,F401  (registration side-effect)
 from . import queries_ext  # noqa: E402,F401  (registration side-effect)
+from . import queries_rel  # noqa: E402,F401  (registration side-effect)
