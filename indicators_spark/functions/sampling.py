@@ -1,0 +1,113 @@
+"""Deterministic sampling and dataset-composition operators for
+training-data pipelines.
+
+Spark's built-in ``df.sample`` is seeded per-partition, so its row set
+changes with the physical partitioning — useless for reproducible corpus
+construction and impossible to oracle across engines.  These operators
+derive every decision from a **content hash** (md5 of seed + key), which
+is bit-identical in any engine and stable under repartitioning:
+
+- :func:`hash_bucket` — uniform [0, den) bucket from md5(seed|key).
+- :func:`hash_sample` — keep rows whose bucket < rate·den (exact-rate,
+  deterministic, join-compatible: the same key samples identically in
+  every table).
+- :func:`stratified_sample` — per-stratum rates via a broadcast rate map.
+- :func:`pack_sequences` — contiguous greedy packing of documents into
+  fixed token-budget bins per shard (the "sequence packing" step before
+  training-batch assembly); pure window arithmetic, no UDF.
+
+All are narrow (no shuffle) except ``pack_sequences``, which shuffles once
+on the shard key — at 100 TB each shard streams through one task, and the
+cumulative-sum window needs no full materialization.
+
+The reference library (/root/reference/indicators.py) has no sampling
+surface; these extend SURVEY.md §7's north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_DEN = 10_000  # bucket resolution: rates are exact multiples of 0.01%
+
+
+def hash_bucket(key: Column, seed: str, den: int = HASH_DEN) -> Column:
+    """Uniform bucket in [0, den): first 8 hex chars of md5('seed|key').
+
+    ``conv`` runs JVM-side (no UDF); 32 hash bits >> den keeps modulo bias
+    under 2^-18.  DuckDB equivalent:
+    ``CAST(concat('0x', substr(md5(...),1,8)) AS UBIGINT) % den``.
+    """
+    h = F.md5(F.concat(F.lit(seed + "|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % den
+
+
+def bucket_sql(key_expr: str, seed: str, den: int = HASH_DEN) -> str:
+    """The DuckDB rendering of :func:`hash_bucket` (for oracle SQL)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}|', "
+        f"CAST({key_expr} AS VARCHAR))), 1, 8)) AS UBIGINT) % {den}"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, seed: str = "s42"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by content hash of ``key``.
+
+    Deterministic across runs, engines, and partitionings; a filter only,
+    so it pushes into the scan and costs zero shuffle.
+    """
+    return df.filter(hash_bucket(F.col(key), seed) < int(rate * HASH_DEN))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. per-source mixture weights).
+
+    ``rates`` maps stratum value → keep rate.  Implemented as a broadcast
+    join against the tiny rate table, then the same hash filter — the big
+    side is never shuffled.  Rows in strata absent from ``rates`` keep
+    ``default_rate``.
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, int(v * HASH_DEN)) for k, v in sorted(rates.items())]
+    rate_df = spark.createDataFrame(rate_rows, f"{stratum} string, _thresh int")
+    joined = df.join(F.broadcast(rate_df), on=stratum, how="left")
+    thresh = F.coalesce(F.col("_thresh"), F.lit(int(default_rate * HASH_DEN)))
+    return joined.filter(hash_bucket(F.col(key), seed) < thresh).drop("_thresh")
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard: str,
+    order: str,
+    tokens: str,
+    capacity: int,
+    out: str = "pack_id",
+) -> DataFrame:
+    """Assign each row a pack (bin) id so consecutive rows within a shard
+    fill a ``capacity``-token budget.
+
+    Semantics: rows are taken in ``order`` within each ``shard``; a row
+    joins the bin of the tokens accumulated *before* it
+    (``floor(cum_before / capacity)``).  A row longer than the remaining
+    budget overflows its bin (documents are not split); bin boundaries are
+    deterministic and oracle-able as a single SQL window.  One shuffle on
+    the shard key; the running sum is streaming-friendly (no buffering of
+    the partition).
+    """
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens).over(w), F.lit(0))
+    return df.withColumn(out, F.floor(cum_before / F.lit(capacity)))

@@ -107,6 +107,16 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_id", F.when(best_n > 0, best).otherwise(F.lit("und")))
 
 
+def with_normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup/training: lowercase, strip
+    non-alphanumerics to spaces, collapse runs of whitespace, trim.
+    Pure codegen'd regexp work — row-local, zero shuffle."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return df.withColumn("norm_text", F.trim(t))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
     * ``fp_md5`` — md5 of the lower-cased text (exact-dup key)

@@ -1,0 +1,84 @@
+"""Hand-fixture tests for deterministic sampling / mixture / packing
+(functions/sampling.py) and text normalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from indicators_spark.functions import sampling, text
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+def test_hash_sample_rate_and_determinism(spark, keyed):
+    a = sampling.hash_sample(keyed, "k", 0.2)
+    b = sampling.hash_sample(keyed.repartition(7), "k", 0.2)
+    ids_a = {r["k"] for r in a.collect()}
+    ids_b = {r["k"] for r in b.collect()}
+    assert ids_a == ids_b  # partitioning-independent
+    assert 0.15 < len(ids_a) / 2000 < 0.25  # ~rate
+    # nested rates: a 10% sample is a subset of the 20% sample (same seed)
+    ids_c = {r["k"] for r in sampling.hash_sample(keyed, "k", 0.1).collect()}
+    assert ids_c <= ids_a
+
+
+def test_hash_sample_seed_changes_set(spark, keyed):
+    a = {r["k"] for r in sampling.hash_sample(keyed, "k", 0.2).collect()}
+    b = {
+        r["k"]
+        for r in sampling.hash_sample(keyed, "k", 0.2, seed="other").collect()
+    }
+    assert a != b
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "hi" if i % 2 == 0 else "lo") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = sampling.stratified_sample(
+        df, "k", "s", {"hi": 0.5, "lo": 0.05}
+    ).groupBy("s").count()
+    counts = {r["s"]: r["count"] for r in out.collect()}
+    assert 0.4 < counts["hi"] / 1000 < 0.6
+    assert counts["lo"] / 1000 < 0.12
+    # stratum absent from rates with default_rate=0 is dropped entirely
+    out2 = sampling.stratified_sample(df, "k", "s", {"hi": 0.5})
+    assert out2.filter(F.col("s") == "lo").count() == 0
+    assert "_thresh" not in out2.columns
+
+
+def test_pack_sequences_greedy_bins(spark):
+    rows = [
+        ("a", 1, 300),
+        ("a", 2, 300),  # cum_before=300 → bin 0 (overflows budget)
+        ("a", 3, 100),  # cum_before=600 → bin 1
+        ("a", 4, 600),  # cum_before=700 → bin 1 (oversize doc, not split)
+        ("a", 5, 10),   # cum_before=1300 → bin 2
+        ("b", 1, 10),   # independent shard → bin 0
+    ]
+    df = spark.createDataFrame(rows, "shard string, seq long, tokens int")
+    packed = sampling.pack_sequences(
+        df, shard="shard", order="seq", tokens="tokens", capacity=512
+    )
+    got = {
+        (r["shard"], r["seq"]): r["pack_id"] for r in packed.collect()
+    }
+    assert got == {
+        ("a", 1): 0,
+        ("a", 2): 0,
+        ("a", 3): 1,
+        ("a", 4): 1,
+        ("a", 5): 2,
+        ("b", 1): 0,
+    }
+
+
+def test_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (42)  ")], "doc_id long, text string"
+    )
+    out = text.with_normalized(df).collect()[0]["norm_text"]
+    assert out == "hello world 42"
