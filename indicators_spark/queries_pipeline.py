@@ -10,11 +10,11 @@ sampling/packing surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import sampling, text
-from .queries import Query, _register
+from .functions import sampling, similarity, text
+from .queries import Query, _r, _register, round4
 from .sources.prices import load_table
 
 
@@ -146,6 +146,90 @@ FROM t""",
 # --------------------------------------------------------------------- #
 # Text normalization
 # --------------------------------------------------------------------- #
+
+# --------------------------------------------------------------------- #
+# End-to-end corpus-construction pipeline
+# --------------------------------------------------------------------- #
+
+
+def _doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data flow as ONE declarative plan: normalize →
+    quality filter → exact dedup (on normalized text) → deterministic 50%
+    sample → join embeddings → per-language corpus stats.
+
+    Scale shape: everything up to the dedup window is a row-local
+    projection fused into the scan; the dedup shuffles once on the text
+    hash, the embedding equi-join shuffles both sides on the id (neither
+    side is broadcastable at 100 TB), and the final agg is partial-agg
+    friendly.  Catalyst prunes ``documents`` to (doc_id, lang, text) and
+    ``embeddings`` to (vec_id, embedding)."""
+    docs = text.with_normalized(load_table(spark, sf_dir, "documents"))
+    docs = docs.withColumn("toks", F.size(F.split(F.col("norm_text"), " ")))
+    docs = docs.filter(F.col("toks") >= 5)
+    w = Window.partitionBy(F.md5(F.col("norm_text"))).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sampled = sampling.hash_sample(deduped, "doc_id", 0.5, seed="pipe")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.norm(F.col("embedding")).alias("emb_norm")
+    )
+    joined = sampled.join(emb, sampled.doc_id == emb.vec_id)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.avg("emb_norm").alias("avg_emb_norm"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            round4(F.col("avg_emb_norm")).alias("avg_emb_norm"),
+        )
+    )
+
+
+def _doc_pipeline_sql() -> str:
+    from .queries_ext import _norm_sql
+
+    return f"""
+WITH n AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         ' +', ' ', 'g')) AS norm_text
+  FROM documents
+),
+t AS (
+  SELECT *, len(string_split(norm_text, ' ')) AS toks FROM n
+  WHERE len(string_split(norm_text, ' ')) >= 5
+),
+d AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+  FROM t
+),
+s AS (
+  SELECT * FROM d
+  WHERE rn = 1 AND {sampling.bucket_sql('doc_id', 'pipe')} < 5000
+),
+j AS (
+  SELECT s.lang, s.toks, {_norm_sql('e.embedding')} AS emb_norm
+  FROM s JOIN embeddings e ON s.doc_id = e.vec_id
+)
+SELECT lang, count(*) AS n_docs, sum(toks) AS total_tokens,
+  {_r('avg(emb_norm)', 'avg_emb_norm')}
+FROM j GROUP BY 1"""
+
+
+_register(
+    "doc_pipeline_corpus",
+    Query(spark=_doc_pipeline, sql=_doc_pipeline_sql()),
+)
+
 
 _register(
     "text_normalize",
