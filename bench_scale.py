@@ -50,6 +50,35 @@ def main() -> None:
     df.cache()
     n = df.count()  # materialize
 
+    def _few(d):
+        return d.withColumn(
+            "symbol", F.concat(F.lit("r"), (F.col("seq") % 3).cast("string"))
+        )
+
+    def _rsi_halo(d, nrows):
+        from indicators_spark import kernels as K
+        from indicators_spark.scale import halo_lag, halo_rolling_multi
+
+        bounds = (0.0, float(nrows - 1))
+        lagged = halo_lag(
+            d, "close", 1, ("timestamp", "seq"), buckets=64, out="_prev",
+            bucket_by="seq", bounds=bounds,
+        )
+        delta = F.col("close") - F.col("_prev")
+        g = lagged.withColumns(
+            {
+                "_gain": K.when_nullsafe(delta > 0, delta, F.lit(0.0)),
+                "_loss": K.when_nullsafe(delta < 0, F.abs(delta), F.lit(0.0)),
+            }
+        )
+        a = halo_rolling_multi(
+            g, [("mean", "_gain", "_ag"), ("mean", "_loss", "_al")], 14,
+            ("timestamp", "seq"), buckets=64, bucket_by="seq",
+            partition_cols=("symbol",), bounds=bounds,
+        )
+        rsi = 100 - K.safe_div(F.lit(100.0), 1 + K.safe_div(F.col("_ag"), F.col("_al")))
+        return a.withColumn("rsi", rsi)
+
     def timed(label, fn):
         t0 = time.time()
         fn().write.mode("overwrite").format("noop").save()
@@ -92,6 +121,16 @@ def main() -> None:
                 ),
             ),
         ),
+        # faithful RSI on a FEW-symbol series (the reference's worst case:
+        # global delta = 1 task, per-symbol means = 3 tasks) vs the halo
+        # form (halo lag + partitioned halo rolling, parallelism = buckets)
+        (
+            "rsi_faithful_3sym",
+            lambda: Indicators(_few(df), order_by=("timestamp", "seq"))
+            .rsi(["close"], 14)
+            .collect(),
+        ),
+        ("rsi_halo_3sym", lambda: _rsi_halo(_few(df), rows)),
     ):
         label, dt, rps = timed(label, fn)
         results[label] = {"sec": dt, "rows_per_sec": rps}

@@ -243,3 +243,98 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos")
     )
+
+
+# --------------------------------------------------------------------- #
+# Trained IVF: distributed Lloyd's k-means
+# --------------------------------------------------------------------- #
+
+
+def _quant_vec(v: Column, q: float = 1e6) -> Column:
+    """Quantize a vector to 1/q steps (floor(x·q + 0.5 + ε)/q — the same
+    boundary-safe quantizer as ``queries.round4``).  Applied to centroids
+    after every update so cross-engine sum-reassociation noise (~1e-13
+    relative) can never flip a later argmin."""
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * q + 0.500000001) / q
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 as a left-to-right double fold (bit-identical to the
+    oracle's generated ``0.0 + (a[1]-b[1])^2 + …`` chain)."""
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def _assign(df: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, score every
+    vector against each (map-side, k× row amplification), argmin via
+    ``min(struct(dist, cid))`` (deterministic tie-break: lowest cid).  One
+    shuffle on the vector id for the group-min."""
+    scored = df.crossJoin(
+        F.broadcast(cent.select(F.col("cid"), F.col("cvec")))
+    ).withColumn("_d", _sq_dist(F.col(vec_col), F.col("cvec")))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d").alias("d"), F.col("cid").alias("cid"))).alias(
+                "_m"
+            ),
+            F.any_value(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, F.col("_m.cid").alias("cluster"))
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, fully
+    deterministic and cross-engine reproducible:
+
+    * init: the ``k`` lowest-id vectors (quantized) — no RNG;
+    * assign: broadcast centroids, argmin of the bit-exact fold distance;
+    * update: per-dimension mean via ``posexplode`` → (cluster, dim)
+      group-avg → rebuild the array ordered by dim (the scalable pattern —
+      the shuffle carries n·dim skinny rows, never whole-partition buffers);
+    * centroids re-quantized each round (see ``_quant_vec``).
+
+    Returns (id, cluster) after ``iters`` update rounds + a final assign.
+    The reference has no clustering; this trains the coarse quantizer its
+    IVF stand-in (``knn_ivf``) assumes given."""
+    base = df.select(id_col, vec_col)
+    cent = base.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"),
+        _quant_vec(F.col(vec_col)).alias("cvec"),
+    )
+    for _ in range(iters):
+        assigned = _assign(base, cent, id_col, vec_col)
+        expl = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = expl.groupBy("cluster", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("v")
+        )
+        cent = (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("_raw")
+            )
+            .select(
+                F.col("cluster").alias("cid"), _quant_vec(F.col("_raw")).alias("cvec")
+            )
+        )
+    return _assign(base, cent, id_col, vec_col).select(id_col, "cluster")

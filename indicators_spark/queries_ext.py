@@ -869,12 +869,8 @@ SELECT symbol, seq, {_r('v', 'close_sma_30')} FROM out"""
     ),
 )
 
-_register(
-    "lineitem_rsi",
-    Query(
-        spark=_li_query(lambda i: i.rsi(["close"], 14), ["close_rsi_14"]),
-        sql=_li_sql(
-            f"""d AS (
+_LI_RSI_SQL = _li_sql(
+    f"""d AS (
   SELECT *, close, volume, close - lag(close) OVER {_word(False, order=LINEITEM_ORDER)} AS delta FROM prices
 ),
 g AS (
@@ -890,8 +886,83 @@ a AS (
   FROM g
 )
 SELECT symbol, seq, {_r('100 - 100/(1 + ag/NULLIF(al, 0))', 'close_rsi_14')} FROM a"""
-        ),
+)
+
+_register(
+    "lineitem_rsi",
+    Query(
+        spark=_li_query(lambda i: i.rsi(["close"], 14), ["close_rsi_14"]),
+        sql=_LI_RSI_SQL,
     ),
+)
+
+
+def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same values as ``lineitem_rsi`` (same oracle SQL), computed with the
+    distributed halo kernels instead of single-task windows: the faithful
+    *global* delta becomes a halo lag (range-bucketed by ship date), the
+    per-symbol rolling means become one partitioned halo pass — no stage in
+    the plan runs as a single task, so the query scales with cores/executors
+    instead of with 1 (global) / #symbols (3).  See scale.py."""
+    from . import kernels as K
+    from .scale import halo_lag, halo_rolling_multi
+
+    order = ("timestamp", "seq", "close", "volume")
+    # Minimal base projection — RSI reads only the close series, so skip
+    # the OHLC derivation entirely (its open/high/low lag-window would cost
+    # an extra per-symbol window stage for columns this query never uses).
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.select(
+        F.col("l_returnflag").alias("symbol"),
+        F.col("l_shipdate").alias("timestamp"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.col("l_extendedprice").alias("close"),
+        F.col("l_quantity").cast("double").alias("volume"),
+        F.unix_timestamp(F.col("l_shipdate")).alias("_bkey"),
+    )
+    # one raw-column min/max scan shared by both halo passes (no window
+    # work; at 100 TB this would come from partition metadata instead)
+    lo, hi = li.agg(
+        F.min(F.unix_timestamp("l_shipdate")).cast("double"),
+        F.max(F.unix_timestamp("l_shipdate")).cast("double"),
+    ).first()
+    bounds = (lo, hi)
+    d = halo_lag(
+        p,
+        "close",
+        1,
+        order_cols=order,
+        buckets=32,
+        out="_prev",
+        bucket_by="_bkey",
+        bounds=bounds,
+    )
+    delta = F.col("close") - F.col("_prev")
+    g = d.withColumns(
+        {
+            "_gain": K.when_nullsafe(delta > 0, delta, F.lit(0.0)),
+            "_loss": K.when_nullsafe(delta < 0, F.abs(delta), F.lit(0.0)),
+        }
+    )
+    a = halo_rolling_multi(
+        g,
+        [("mean", "_gain", "_ag"), ("mean", "_loss", "_al")],
+        14,
+        order_cols=order,
+        buckets=32,
+        bucket_by="_bkey",
+        partition_cols=("symbol",),
+        bounds=bounds,
+    )
+    rsi = 100 - K.safe_div(
+        F.lit(100.0), 1 + K.safe_div(F.col("_ag"), F.col("_al"))
+    )
+    return a.select("symbol", "seq", round4(rsi).alias("close_rsi_14"))
+
+
+_register(
+    "lineitem_rsi_halo",
+    Query(spark=_li_rsi_halo, sql=_LI_RSI_SQL),
 )
 
 _register(

@@ -244,3 +244,89 @@ SELECT doc_id,
 FROM documents""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Trained IVF coarse quantizer: distributed k-means with exact oracle
+# --------------------------------------------------------------------- #
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+_KM_Q = "1000000.0"
+
+
+def _km_qv(expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> "
+        f"floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.500000001) / {_KM_Q})"
+    )
+
+
+def _km_sqd(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
+        f" * (CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
+        for i in range(1, _KM_DIM + 1)
+    )
+    return f"0.0 + {terms}"
+
+
+def _km_round(prev_cent: str, idx: int) -> str:
+    """One Lloyd round: assign to nearest centroid of ``prev_cent``, then
+    per-dimension means → quantized centroids ``c{idx}``."""
+    return f"""
+s{idx} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    {_km_sqd('e.embedding', 'c.cvec')} AS d
+  FROM embeddings e CROSS JOIN {prev_cent} c
+),
+a{idx} AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM s{idx}
+  ) WHERE rn = 1
+),
+m{idx} AS (
+  SELECT cluster, r.pos, avg(CAST(embedding[r.pos] AS DOUBLE)) AS v
+  FROM a{idx} CROSS JOIN (SELECT unnest(range(1, {_KM_DIM + 1})) AS pos) r
+  GROUP BY 1, 2
+),
+c{idx} AS (
+  SELECT cluster AS cid,
+    list(floor(v * {_KM_Q} + 0.500000001) / {_KM_Q} ORDER BY pos) AS cvec
+  FROM m{idx} GROUP BY 1
+)"""
+
+
+def _km_sql() -> str:
+    rounds = ",".join(
+        _km_round(f"c{i - 1}" if i > 1 else "c0", i)
+        for i in range(1, _KM_ITERS + 1)
+    )
+    fin = _KM_ITERS + 1
+    return f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, {_km_qv('embedding')} AS cvec
+  FROM embeddings WHERE vec_id < {_KM_K}
+),{rounds},
+s{fin} AS (
+  SELECT e.vec_id, c.cid, {_km_sqd('e.embedding', 'c.cvec')} AS d
+  FROM embeddings e CROSS JOIN c{_KM_ITERS} c
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cid AS cluster,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM s{fin}
+) WHERE rn = 1"""
+
+
+_register(
+    "kmeans_train_assign",
+    Query(
+        spark=lambda s, d: similarity.kmeans_lloyd(
+            load_table(s, d, "embeddings"), k=_KM_K, iters=_KM_ITERS
+        ),
+        sql=_km_sql(),
+    ),
+)

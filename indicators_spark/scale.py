@@ -23,7 +23,12 @@ distributed-equivalent forms fix that:
    shuffles total; exact up to ulp-level reassociation (verified ≤1e-12
    relative in tests).
 
-Both are verified equivalent to the single-window forms in
+Both generalize: ``partition_cols`` runs the same halo scheme per key
+(per-symbol rolling with #keys × #buckets parallelism instead of #keys),
+``halo_lag`` covers shift/diff/pct_change, and ``bounds`` lets a kernel
+chain share one min/max scan (or skip it via catalog metadata).
+
+All are verified equivalent to the single-window forms in
 tests/test_scale.py.
 """
 
@@ -37,11 +42,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _halo_tail(
+    bucketed: DataFrame,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    rows: int,
+    buckets: int,
+) -> DataFrame:
+    """Duplicate the last ``rows`` rows of every (partition, bucket) into
+    the next bucket of the same partition, flagged ``_halo``."""
+    wb = Window.partitionBy(*partition_cols, "_bucket").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    tail = (
+        bucketed.withColumn("_rev", F.row_number().over(wb))
+        .filter((F.col("_rev") <= rows) & (F.col("_bucket") < buckets))
+        .withColumn("_bucket", F.col("_bucket") + 1)
+        .withColumn("_halo", F.lit(True))
+        .drop("_rev")
+    )
+    return bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
+
+
 def _with_bucket(
     df: DataFrame,
     order_cols: Sequence[str],
     buckets: int,
     bucket_by: str | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Deterministic contiguous range bucketing.
 
@@ -49,15 +77,21 @@ def _with_bucket(
     dense sequence id).  Buckets come from arithmetic ranges of its min/max
     — one cheap aggregate, NO global sort, fully parallel.  This is the
     scale path; it requires roughly uniform keys (no empty buckets, each
-    bucket ≥ n-1 rows for halo use).
+    bucket ≥ n-1 rows for halo use).  Pass ``bounds=(lo, hi)`` when the key
+    range is already known (catalog metadata, a prior call) to skip the
+    min/max scan entirely — at 100 TB that scan is the only full pass this
+    kernel adds, so sharing bounds across a kernel chain halves the reads.
 
     Without ``bucket_by``, fall back to ``ntile`` over the total order —
     exact for any key distribution but serialized by the global sort
     (test/small-data path)."""
     if bucket_by is not None:
-        lo, hi = df.agg(
-            F.min(bucket_by).cast("double"), F.max(bucket_by).cast("double")
-        ).first()
+        if bounds is not None:
+            lo, hi = float(bounds[0]), float(bounds[1])
+        else:
+            lo, hi = df.agg(
+                F.min(bucket_by).cast("double"), F.max(bucket_by).cast("double")
+            ).first()
         span = (hi - lo) + 1.0
         b = (
             F.floor((F.col(bucket_by).cast("double") - F.lit(lo)) / F.lit(span) * buckets)
@@ -77,43 +111,94 @@ def halo_rolling(
     buckets: int = 8,
     out: str = "_rolled",
     bucket_by: str | None = None,
+    partition_cols: Sequence[str] = (),
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Exact global trailing-window aggregate without a single-task window.
+    """Exact trailing-window aggregate without a single-task window.
 
     ``agg`` ∈ {mean, sum, min, max, std}.  ``out`` carries the min-samples
     gate (NULL until the frame holds n non-null rows).  Pass ``bucket_by``
-    (a monotone numeric key) to bucket arithmetically with no global sort."""
-    bucketed = _with_bucket(df, order_cols, buckets, bucket_by)
-    # halo: last n-1 rows of each bucket duplicated into the next bucket
-    wb = Window.partitionBy("_bucket").orderBy(
-        *[F.col(c).desc() for c in order_cols]
-    )
-    tail = (
-        bucketed.withColumn("_rev", F.row_number().over(wb))
-        .filter((F.col("_rev") <= n - 1) & (F.col("_bucket") < buckets))
-        .withColumn("_bucket", F.col("_bucket") + 1)
-        .withColumn("_halo", F.lit(True))
-        .drop("_rev")
-    )
-    full = bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
+    (a monotone numeric key) to bucket arithmetically with no global sort.
 
-    agg_fn = {
-        "mean": F.avg,
-        "sum": F.sum,
-        "min": F.min,
-        "max": F.max,
-        "std": F.stddev_samp,
-    }[agg]
+    ``partition_cols`` generalizes the kernel to per-key rolling (e.g.
+    per-symbol): the halo flows bucket→bucket *within* each key, turning a
+    few-keys window (parallelism = #keys) into #keys × #buckets tasks.
+    Precondition, as for the global form: every (key, bucket) must be
+    non-empty — time-uniform keys and buckets ≤ rows/(#keys·(n-1)) satisfy
+    it."""
+    return halo_rolling_multi(
+        df,
+        [(agg, col, out)],
+        n,
+        order_cols=order_cols,
+        buckets=buckets,
+        bucket_by=bucket_by,
+        partition_cols=partition_cols,
+        bounds=bounds,
+    )
+
+
+_AGG_FNS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,
+}
+
+
+def halo_rolling_multi(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str, str]],
+    n: int,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 8,
+    bucket_by: str | None = None,
+    partition_cols: Sequence[str] = (),
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Several gated trailing-window aggregates (``specs`` of
+    ``(agg, col, out)``, one shared window length ``n``) in ONE halo pass —
+    one shuffle, one sort, one window stage for the whole family."""
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
+    full = _halo_tail(bucketed, order_cols, partition_cols, n - 1, buckets)
     w = (
-        Window.partitionBy("_bucket")
+        Window.partitionBy(*partition_cols, "_bucket")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(-(n - 1), Window.currentRow)
     )
     # Bucket 1 has no halo, so its warm-up gate is globally exact; buckets
     # ≥2 see their true n-1 preceding rows via the halo.
-    gate = F.count(F.col(col)).over(w)
-    rolled = full.withColumn(out, F.when(gate >= n, agg_fn(F.col(col)).over(w)))
+    cols = {}
+    for agg, col, out in specs:
+        gate = F.count(F.col(col)).over(w)
+        cols[out] = F.when(gate >= n, _AGG_FNS[agg](F.col(col)).over(w))
+    rolled = full.withColumns(cols)
     return rolled.filter(~F.col("_halo")).drop("_bucket", "_halo")
+
+
+def halo_lag(
+    df: DataFrame,
+    col: str,
+    k: int = 1,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 8,
+    out: str = "_lagged",
+    bucket_by: str | None = None,
+    partition_cols: Sequence[str] = (),
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Exact ``lag(col, k)`` over a global (or per-key) total order without
+    a single-task window — same halo scheme as :func:`halo_rolling` with a
+    ``k``-row halo.  The first ``k`` rows of the frame get NULL (bucket 1
+    has no halo), exactly like the plain window form."""
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
+    full = _halo_tail(bucketed, order_cols, partition_cols, k, buckets)
+    w = Window.partitionBy(*partition_cols, "_bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    lagged = full.withColumn(out, F.lag(col, k).over(w))
+    return lagged.filter(~F.col("_halo")).drop("_bucket", "_halo")
 
 
 _CARRY_SCHEMA = T.StructType(

@@ -124,3 +124,38 @@ def test_minhash_lsh_reuses_signature_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in plan, plan
+
+
+def test_tpch_semi_anti_join_strategies(spark):
+    """q4's EXISTS runs as a LeftSemi, q16/q22's NOT EXISTS as LeftAnti —
+    never as an inner join + distinct (which would shuffle-dedup the big
+    side) — and q14/q19 broadcast the part dimension."""
+    plans = {
+        name: plan_string(QUERIES[name].spark(spark, SF_SMOKE))
+        for name in (
+            "tpch_q4_semi",
+            "tpch_q16_anti",
+            "tpch_q22_scalar_anti",
+            "tpch_q14_promo",
+            "tpch_q19_disjunct",
+        )
+    }
+    assert "LeftSemi" in plans["tpch_q4_semi"]
+    assert "LeftAnti" in plans["tpch_q16_anti"]
+    assert "LeftAnti" in plans["tpch_q22_scalar_anti"]
+    for name in ("tpch_q14_promo", "tpch_q19_disjunct"):
+        assert broadcast_join_count(plans[name]) >= 1, plans[name]
+
+
+def test_q13_outer_join_preserves_zero_customers(spark):
+    plan = plan_string(QUERIES["tpch_q13_outer"].spark(spark, SF_SMOKE))
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+
+
+def test_sampling_filter_pushed_to_scan(spark):
+    """The md5 hash-sample predicate is a plain filter — it must reach the
+    parquet scan as a data filter (no shuffle before it) so a 10% sample
+    reads like a 10% scan at 100 TB (row-group pruning aside)."""
+    df = QUERIES["sample_hash_10pct"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert exchange_count(plan) == 0, plan

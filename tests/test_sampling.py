@@ -82,3 +82,21 @@ def test_normalize(spark):
     )
     out = text.with_normalized(df).collect()[0]["norm_text"]
     assert out == "hello world 42"
+
+
+def test_kmeans_deterministic_and_sane(spark):
+    from indicators_spark.functions.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_lloyd(emb, k=4, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in a.collect()}
+    assert set(got.values()) <= set(range(4))
+    assert len(got) == emb.count()
+    # partitioning-independent
+    b = kmeans_lloyd(emb.repartition(13), k=4, iters=2)
+    got_b = {r["vec_id"]: r["cluster"] for r in b.collect()}
+    assert got == got_b
+    # iterating changes assignments vs the 0-iteration (init-only) split
+    z = kmeans_lloyd(emb, k=4, iters=0)
+    got_z = {r["vec_id"]: r["cluster"] for r in z.collect()}
+    assert got != got_z

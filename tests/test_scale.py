@@ -85,3 +85,65 @@ def test_ewm_chunked_bucket_by_matches_sequential(spark, prices):
     ref["e"] = ref["close"].ewm(alpha=alpha, adjust=False).mean()
     pd.testing.assert_series_equal(a["e"], ref["e"], rtol=1e-10, atol=1e-12,
                                    check_names=False)
+
+
+def test_halo_lag_matches_global_window(spark, prices):
+    from indicators_spark.scale import halo_lag
+
+    scaled = halo_lag(prices, "close", 1, ("timestamp", "seq"), buckets=7, out="v")
+    w = Window.orderBy("timestamp", "seq")
+    ref = prices.withColumn("v", F.lag("close", 1).over(w))
+    a = scaled.select("seq", "v").orderBy("seq").toPandas()
+    b = ref.select("seq", "v").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_partitioned_halo_rolling_matches_per_symbol_window(spark, prices):
+    from indicators_spark.scale import halo_rolling_multi
+
+    n = 9
+    scaled = halo_rolling_multi(
+        prices,
+        [("mean", "close", "m"), ("max", "high", "x")],
+        n,
+        ("timestamp", "seq"),
+        buckets=5,
+        partition_cols=("symbol",),
+    )
+    w = K.w_rows(n, ("symbol",), ("timestamp", "seq"))
+    ref = prices.withColumns(
+        {
+            "m": K.gated(F.avg(F.col("close")), "close", n, w),
+            "x": K.gated(F.max(F.col("high")), "high", n, w),
+        }
+    )
+    a = scaled.select("symbol", "seq", "m", "x").orderBy("symbol", "seq").toPandas()
+    b = ref.select("symbol", "seq", "m", "x").orderBy("symbol", "seq").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_halo_lag_partitioned_with_bounds(spark, prices):
+    from indicators_spark.scale import halo_lag
+
+    p = prices.withColumn("_bkey", F.col("seq"))
+    lo, hi = p.agg(F.min("seq").cast("double"), F.max("seq").cast("double")).first()
+    scaled = halo_lag(
+        p,
+        "close",
+        2,
+        ("timestamp", "seq"),
+        buckets=4,
+        out="v",
+        bucket_by="_bkey",
+        partition_cols=("symbol",),
+        bounds=(lo, hi),
+    )
+    w = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    ref = p.withColumn("v", F.lag("close", 2).over(w))
+    a = scaled.select("symbol", "seq", "v").orderBy("symbol", "seq").toPandas()
+    b = ref.select("symbol", "seq", "v").orderBy("symbol", "seq").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12, atol=1e-12
+    )
