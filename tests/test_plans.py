@@ -159,3 +159,33 @@ def test_sampling_filter_pushed_to_scan(spark):
     df = QUERIES["sample_hash_10pct"].spark(spark, SF_SMOKE)
     plan = plan_string(df)
     assert exchange_count(plan) == 0, plan
+
+
+def test_tpch_rel2_join_strategies(spark):
+    """The round-out shapes keep their intended physical strategies: q20's
+    nested IN chain is two LeftSemi probes, q21 decorrelates to LeftSemi +
+    LeftAnti on the fact table, and the wide joins (q8, q9, q17) broadcast
+    every dimension-side input instead of shuffling the fact table per
+    join."""
+    plans = {
+        name: plan_string(QUERIES[name].spark(spark, SF_SMOKE))
+        for name in (
+            "tpch_q20_semi_chain",
+            "tpch_q21_lone_late",
+            "tpch_q8_market_share",
+            "tpch_q9_profit",
+            "tpch_q17_small_qty",
+        )
+    }
+    assert plans["tpch_q20_semi_chain"].count("LeftSemi") == 2
+    assert "LeftSemi" in plans["tpch_q21_lone_late"]
+    assert "LeftAnti" in plans["tpch_q21_lone_late"]
+    assert broadcast_join_count(plans["tpch_q8_market_share"]) >= 4
+    assert broadcast_join_count(plans["tpch_q9_profit"]) >= 3
+    assert broadcast_join_count(plans["tpch_q17_small_qty"]) >= 2
+    # q17's only exchanges: the decorrelated per-part avg (one hash
+    # shuffle) and the final single-row agg — the brand-filtered probe
+    # side joins with zero additional exchanges.
+    assert exchange_count(plans["tpch_q17_small_qty"]) <= 3, plans[
+        "tpch_q17_small_qty"
+    ]
