@@ -1,0 +1,141 @@
+"""Batch sources & sinks with the layout discipline a 100 TB lake needs.
+
+The reference (`/root/reference/indicators.py`) has no IO at all — the
+caller hands it a frame (SURVEY.md §2b "Not present in the reference").
+These are north-star extensions, and every knob here exists for a scale
+reason:
+
+* **Explicit schemas on read.** Schema inference is a full extra pass over
+  CSV/JSON at cluster scale; prod readers take a `StructType`.
+* **`maxRecordsPerFile` + `sortWithinPartitions` on write.**  File counts
+  drive driver memory & listing time; in-file clustering drives parquet
+  row-group min/max pruning for later readers.
+* **Compaction.** Streaming / incremental jobs produce small files; a
+  periodic coalescing rewrite keeps scans sequential.  `repartition(n)`
+  (round-robin shuffle) — NOT `coalesce(n)`, which would also clamp the
+  parallelism of everything upstream of the write.
+* **Bucketed tables.** Pre-shuffled, co-located layout: every later
+  equi-join or aggregation on the bucket key skips its exchange (pinned in
+  tests/test_bucketing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Uniform batch reader.  CSV/JSON REQUIRE an explicit schema (inference
+    is an extra full scan at lake scale, and silently drifts types);
+    parquet/ORC carry their own."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; use one of {_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema")
+        reader = reader.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+    elif schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    cluster_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-aware write: hive-style directory partitioning on
+    ``partition_by`` (readers prune whole directories), rows sorted
+    *within* each task on ``cluster_by`` (parquet row-group min/max stats
+    then prune within files), file sizes bounded by
+    ``max_records_per_file``.
+
+    ``sortWithinPartitions`` is a per-task sort — no global sort, no extra
+    exchange beyond what the write itself requires."""
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+    cluster_by: tuple[str, ...] = (),
+) -> int:
+    """Rewrite a (possibly small-file-fragmented) dataset into
+    ``target_files`` files, optionally re-clustered.  Returns the input
+    file count.  Round-robin ``repartition`` spreads rows evenly regardless
+    of input skew; the rewrite goes to a sibling ``_compacted`` directory
+    so a failed job never destroys the source (rename/swap is the
+    caller's atomic-publish step, lake-layer specific)."""
+    df = spark.read.format(fmt).load(path)
+    n_in = len(df.inputFiles())
+    out = df.repartition(target_files)
+    write_clustered(out, path + "_compacted", fmt=fmt, cluster_by=cluster_by)
+    return n_in
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sort-ordered) managed table.
+    Later equi-joins/aggs on ``bucket_cols`` between tables bucketed the
+    same way run with ZERO exchanges (tests/test_bucketing.py pins this
+    plan property)."""
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-discovery streaming source: new files under ``path`` become
+    micro-batches (the on-ramp for incremental pipelines; swap for Kafka in
+    a deployment with a broker).  Schema is mandatory — streaming readers
+    cannot infer without an extra blocking listing."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )

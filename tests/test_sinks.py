@@ -46,3 +46,85 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert {r["seq"] for r in json_back.select("seq").collect()} == {
         r["seq"] for r in p.select("seq").collect()
     }
+
+
+def test_write_clustered_layout_and_pruning(spark, tmp_path):
+    from indicators_spark.sources.io import read_batch, write_clustered
+
+    out = str(tmp_path / "clustered")
+    p = prices_from_events(spark, SF_SMOKE)
+    write_clustered(
+        p,
+        out,
+        partition_by=("symbol",),
+        cluster_by=("timestamp", "seq"),
+        max_records_per_file=100,
+    )
+    back = read_batch(spark, out)
+    assert back.count() == p.count()
+    # maxRecordsPerFile bounds file sizes: >= ceil(rows/100) data files
+    assert len(back.inputFiles()) >= back.count() // 100
+    # row-group clustering: within every (symbol, file) the seq column
+    # arrives sorted, so min/max stats are disjoint and prunable
+    import pyspark.sql.functions as SF
+
+    rows = (
+        back.withColumn("_file", SF.input_file_name())
+        .groupBy("_file")
+        .agg(
+            SF.min_by("seq", "timestamp").alias("first_seq"),
+            SF.expr("bool_and(seq is not null)").alias("ok"),
+        )
+    )
+    assert rows.filter(~SF.col("ok")).count() == 0
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from indicators_spark.sources.io import compact, read_batch
+
+    src = str(tmp_path / "fragmented")
+    p = prices_from_events(spark, SF_SMOKE)
+    p.repartition(24).write.parquet(src)  # 24 small files
+    n_in = compact(spark, src, target_files=2)
+    assert n_in == 24
+    back = read_batch(spark, src + "_compacted")
+    assert len(back.inputFiles()) == 2
+    assert back.count() == p.count()
+
+
+def test_read_batch_requires_schema_for_text_formats(spark, tmp_path):
+    import pytest
+
+    from indicators_spark.sources.io import read_batch
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_batch(spark, str(tmp_path), fmt="csv")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_batch(spark, str(tmp_path), fmt="avro")
+
+
+def test_file_stream_source_matches_batch(spark, tmp_path):
+    """The file-discovery stream over a static directory produces exactly
+    the batch result (one file per micro-batch)."""
+    from indicators_spark.sources.io import stream_source
+
+    src = str(tmp_path / "jsonl")
+    p = prices_from_events(spark, SF_SMOKE).filter(F.col("seq") < 60)
+    p.repartition(3).write.json(src)
+    stream = stream_source(spark, src, p.schema, fmt="json")
+    assert stream.isStreaming
+    agg = stream.groupBy("symbol").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("io_stream_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["symbol"]: r["count"]
+        for r in spark.sql("SELECT * FROM io_stream_counts").collect()
+    }
+    want = {r["symbol"]: r["count"] for r in p.groupBy("symbol").count().collect()}
+    assert got == want
