@@ -140,10 +140,14 @@ def main() -> None:
         "events_sessionize_30m",
         "tpch_q1",
         "tpch_q3_topk",
+        "tpch_q9_profit",
+        "tpch_q17_small_qty",
+        "tpch_q21_lone_late",
         "lineitem_sma",
         "lineitem_rsi",
         "asof_join",
         "resample_ohlcv_1h",
+        "kmeans_train_assign",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark
