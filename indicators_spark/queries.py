@@ -934,4 +934,5 @@ from . import queries_ewm  # noqa: E402,F401  (registration side-effect)
 from . import queries_ext  # noqa: E402,F401  (registration side-effect)
 from . import queries_rel  # noqa: E402,F401  (registration side-effect)
 from . import queries_rel2  # noqa: E402,F401  (registration side-effect)
+from . import queries_analytic  # noqa: E402,F401  (registration side-effect)
 from . import queries_pipeline  # noqa: E402,F401  (registration side-effect)
