@@ -6,6 +6,7 @@ from .sinks import ExactlyOnceParquetSink, UpsertParquetSink
 from .windows import (
     sessionized_counts_stream,
     stateful_running_indicators,
+    stateful_running_indicators_tws,
     tumbling_counts_stream,
 )
 
@@ -13,6 +14,7 @@ __all__ = [
     "tumbling_counts_stream",
     "sessionized_counts_stream",
     "stateful_running_indicators",
+    "stateful_running_indicators_tws",
     "ExactlyOnceParquetSink",
     "UpsertParquetSink",
 ]

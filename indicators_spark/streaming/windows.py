@@ -112,3 +112,61 @@ def stateful_running_indicators(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _RunningEmaProcessor:
+    """StatefulProcessor for the Spark 4 ``transformWithState`` engine —
+    the same O(1) EMA recurrence as :func:`stateful_running_indicators`,
+    expressed in the newer API (typed ValueState, RocksDB-backed, timer
+    support available if eviction were needed)."""
+
+    def init(self, handle):  # noqa: ANN001
+        self._carry = handle.getValueState("carry", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        alpha = 0.1
+        got = self._carry.get() if self._carry.exists() else None
+        ema, n = got if got is not None else (0.0, 0)
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            emas = []
+            for x in pdf["value"]:
+                ema = x if n == 0 else (1 - alpha) * ema + alpha * x
+                n += 1
+                emas.append(ema)
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "ema": emas,
+                }
+            )
+        self._carry.update((ema, n))
+
+    def handleInitialState(self, key, initialState, timer_values):  # noqa: ANN001
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):  # noqa: ANN001
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_running_indicators_tws(events: DataFrame) -> DataFrame:
+    """Per-symbol running EMA via ``transformWithStateInPandas`` (Spark 4
+    arbitrary-stateful API).  Requires the RocksDB state store provider —
+    callers set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` (tests do)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "RunningEmaProcessor", (_RunningEmaProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -225,3 +225,58 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
     assert len(hour10) == 1 and hour10[0]["n"] == 1  # straggler dropped, once
     hour16 = [r for r in rows if r["window_start"].hour == 16]
     assert len(hour16) == 1 and hour16[0]["n"] == 1  # on-time event landed
+
+
+def test_transform_with_state_running_ema(spark, events_stream_dir):
+    """The Spark 4 transformWithStateInPandas form of the running EMA
+    produces exactly the same rows as the applyInPandasWithState form
+    (RocksDB state store, per-key ValueState carry)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python driver worker needs protobuf, "
+        "absent in this container (installs prohibited); the operator is "
+        "exercised wherever protobuf exists",
+    )
+    from indicators_spark.streaming import stateful_running_indicators_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(events_stream_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+        out = stateful_running_indicators_tws(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ema_tws_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT * FROM ema_tws_out")
+        ev = spark.read.parquet(events_stream_dir)
+        assert got.count() == ev.count()
+        # batch replay of the same recurrence, per symbol, as ground truth
+        import pandas as pd
+
+        pdf = ev.orderBy("ts", "event_id").toPandas()
+        want = {}
+        for sym, g in pdf.groupby("event_type"):
+            ema, n = 0.0, 0
+            for _, row in g.iterrows():
+                ema = row["value"] if n == 0 else 0.9 * ema + 0.1 * row["value"]
+                n += 1
+            want[sym] = (ema, n)
+        g2 = got.orderBy("ts").toPandas()
+        for sym, grp in g2.groupby("event_type"):
+            assert len(grp) == want[sym][1]
+            assert abs(grp["ema"].iloc[-1] - want[sym][0]) < 1e-9, sym
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
