@@ -226,6 +226,76 @@ def main() -> None:
         "rows_per_sec": int(n_small / dt),
     }
 
+    # ---- k-means assignment: literal-argmin map vs crossjoin+group-min --
+    # One Lloyd round (assign + per-dim means) over 16-dim vectors.  The
+    # literal-centroid argmin is a pure projection (0 shuffles on the
+    # corpus); the crossjoin form amplifies k x and shuffles every full
+    # vector through a groupBy(id) — the thing that can't survive 100 TB.
+    n_vec = min(rows // 5, 2_000_000)
+    kk = 8
+    vecs = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.sin(F.col("id") * i.cast("double") / 1000.0),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    vecs.count()
+    from indicators_spark.functions.similarity import (
+        _argmin_cluster,
+        _quant_vec,
+        _sq_dist,
+    )
+
+    cents = sorted(
+        (int(r[0]), list(r[1]))
+        for r in vecs.filter(F.col("vec_id") < kk)
+        .select("vec_id", _quant_vec(F.col("embedding")))
+        .collect()
+    )
+
+    def means_of(assigned):
+        return (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("v"))
+        )
+
+    def km_literal():
+        return means_of(
+            vecs.withColumn("cluster", _argmin_cluster(cents, "embedding"))
+        )
+
+    def km_crossjoin():
+        cent_df = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cid int, cvec array<double>"
+        )
+        scored = vecs.crossJoin(F.broadcast(cent_df)).withColumn(
+            "_d", _sq_dist(F.col("embedding"), F.col("cvec"))
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("_d", "cid")).alias("_m"),
+                F.any_value("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("_m.cid").alias("cluster"))
+        )
+        return means_of(assigned)
+
+    for label, fn in (
+        ("kmeans_round_literal_argmin", km_literal),
+        ("kmeans_round_crossjoin_shuffle", km_crossjoin),
+    ):
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n_vec / dt)}
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

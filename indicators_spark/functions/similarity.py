@@ -272,24 +272,22 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, t: acc + t)
 
 
-def _assign(df: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k centroids, score every
-    vector against each (map-side, k× row amplification), argmin via
-    ``min(struct(dist, cid))`` (deterministic tie-break: lowest cid).  One
-    shuffle on the vector id for the group-min."""
-    scored = df.crossJoin(
-        F.broadcast(cent.select(F.col("cid"), F.col("cvec")))
-    ).withColumn("_d", _sq_dist(F.col(vec_col), F.col("cvec")))
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.min(F.struct(F.col("_d").alias("d"), F.col("cid").alias("cid"))).alias(
-                "_m"
-            ),
-            F.any_value(vec_col).alias(vec_col),
+def _argmin_cluster(cents: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """Map-only nearest-centroid expression: the k centroids are embedded
+    as LITERALS (k·dim doubles in the plan), each row folds k bit-exact
+    distances, and ``array_min`` over ``struct(d, cid)`` picks the argmin
+    with the lowest-cid tie-break.  ZERO shuffle, zero row amplification —
+    assignment cost is one codegen'd projection however large the corpus."""
+    scored = [
+        F.struct(
+            _sq_dist(
+                F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec])
+            ).alias("d"),
+            F.lit(int(cid)).alias("cid"),
         )
-        .select(id_col, vec_col, F.col("_m.cid").alias("cluster"))
-    )
+        for cid, vec in cents
+    ]
+    return F.array_min(F.array(*scored))["cid"]
 
 
 def kmeans_lloyd(
@@ -298,43 +296,60 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column, fully
     deterministic and cross-engine reproducible:
 
     * init: the ``k`` lowest-id vectors (quantized) — no RNG;
-    * assign: broadcast centroids, argmin of the bit-exact fold distance;
+    * assign: centroids collected to the driver (k·dim floats — the ONLY
+      driver data) and re-embedded as literal expressions, so assignment
+      is a map-only projection with no shuffle and no k× amplification
+      (the same structure Spark MLlib's KMeans uses);
     * update: per-dimension mean via ``posexplode`` → (cluster, dim)
-      group-avg → rebuild the array ordered by dim (the scalable pattern —
-      the shuffle carries n·dim skinny rows, never whole-partition buffers);
-    * centroids re-quantized each round (see ``_quant_vec``).
+      group-avg — the one shuffle per iteration, carrying n·dim skinny
+      rows with map-side partial aggregation, never whole vectors;
+    * centroids re-quantized each round (see ``_quant_vec``; quantized
+      doubles round-trip exactly through the driver).
 
     Returns (id, cluster) after ``iters`` update rounds + a final assign.
     The reference has no clustering; this trains the coarse quantizer its
-    IVF stand-in (``knn_ivf``) assumes given."""
+    IVF stand-in (``knn_ivf``) assumes given.
+
+    ``persist=True`` caches the projected input across the per-iteration
+    jobs (iters+2 passes read it) — the right call when the corpus fits
+    the cluster's storage memory.  Pass ``persist=False`` at
+    doesn't-fit-in-RAM scale, where re-scanning columnar parquet beats
+    spilling a 100 TB cache to disk."""
     base = df.select(id_col, vec_col)
-    cent = base.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cid"),
-        _quant_vec(F.col(vec_col)).alias("cvec"),
+    if persist:
+        base = base.persist()
+    cents = sorted(
+        (int(r[0]), list(r[1]))
+        for r in base.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int"), _quant_vec(F.col(vec_col)))
+        .collect()
     )
     for _ in range(iters):
-        assigned = _assign(base, cent, id_col, vec_col)
+        assigned = base.withColumn("cluster", _argmin_cluster(cents, vec_col))
         expl = assigned.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
         means = expl.groupBy("cluster", "pos").agg(
             F.avg(F.col("val").cast("double")).alias("v")
         )
-        cent = (
-            means.groupBy("cluster")
+        cents = sorted(
+            (int(r[0]), list(r[1]))
+            for r in means.groupBy("cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "v"))),
                     lambda s: s["v"],
                 ).alias("_raw")
             )
-            .select(
-                F.col("cluster").alias("cid"), _quant_vec(F.col("_raw")).alias("cvec")
-            )
+            .select("cluster", _quant_vec(F.col("_raw")))
+            .collect()
         )
-    return _assign(base, cent, id_col, vec_col).select(id_col, "cluster")
+    return base.select(
+        id_col, _argmin_cluster(cents, vec_col).alias("cluster")
+    )

@@ -262,3 +262,141 @@ SELECT pos, count(*) AS n_words,
 FROM words GROUP BY 1""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Navigation window functions (first/last/nth, ignore-nulls carry)
+# --------------------------------------------------------------------- #
+
+
+def _navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over deterministic frames, and
+    the last-non-null carry (Spark ``F.last(ignorenulls=True)`` ≡ SQL
+    ``last_value(x IGNORE NULLS)``) that powers forward-fill."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    order = [F.col(c) for c in ("l_shipdate", "l_orderkey", "l_linenumber")]
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wprev = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sparse = F.when(F.col("l_quantity") >= 49.5, F.col("l_extendedprice"))
+    return li.select(
+        "l_returnflag",
+        _seq(),
+        round4(F.first("l_extendedprice").over(wcum)).alias("first_price"),
+        round4(F.last("l_extendedprice").over(wall)).alias("last_price"),
+        round4(F.nth_value("l_extendedprice", 3).over(wcum)).alias("third_price"),
+        round4(F.last(sparse, ignorenulls=True).over(wprev)).alias("prev_big_price"),
+    )
+
+
+_register(
+    "analytic_navigation",
+    Query(
+        spark=_navigation,
+        sql=f"""
+SELECT l_returnflag, {_SEQ_SQL} AS seq,
+  {_r('first_value(l_extendedprice) OVER wcum', 'first_price')},
+  {_r('last_value(l_extendedprice) OVER wall', 'last_price')},
+  {_r('nth_value(l_extendedprice, 3) OVER wcum', 'third_price')},
+  {_r(
+      "last_value(CASE WHEN l_quantity >= 49.5 THEN l_extendedprice END "
+      "IGNORE NULLS) OVER wprev",
+      'prev_big_price',
+  )}
+FROM lineitem
+WHERE l_quantity >= 48
+WINDOW
+  wcum AS (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wall AS (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  wprev AS (PARTITION BY l_returnflag
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Time-series gap filling (hourly grid + LOCF forward-fill)
+# --------------------------------------------------------------------- #
+
+
+def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: per event type, a dense hourly grid over
+    the observed range with last-observation-carried-forward values.
+
+    Scale shape: the grid is ``#types × #hours`` — generated from a
+    one-row broadcast of the bounds, NEVER by resampling the fact table;
+    the fill itself is one per-type window over the (small) grid after a
+    left join that streams the hourly aggregate into it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.avg("value").alias("_v"), F.count(F.lit(1)).alias("_n")
+    )
+    bounds = hourly.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(3600))).alias("h"),
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_epoch"),
+        F.col("_n").isNotNull().alias("observed"),
+        round4(F.last("_v", ignorenulls=True).over(w)).alias("v_filled"),
+    )
+
+
+_register(
+    "gap_fill_hourly",
+    Query(
+        spark=_gap_fill,
+        sql=f"""
+WITH hourly AS (
+  SELECT event_type,
+    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+    avg(value) AS _v, count(*) AS _n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(h) AS _lo, max(h) AS _hi FROM hourly),
+grid AS (
+  SELECT t.event_type, CAST(g AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, b,
+       LATERAL (SELECT unnest(generate_series(_lo, _hi, 3600)) AS g) s
+)
+SELECT grid.event_type, grid.h AS hour_epoch,
+  hourly._n IS NOT NULL AS observed,
+  {_r(
+      "last_value(hourly._v IGNORE NULLS) OVER "
+      "(PARTITION BY grid.event_type ORDER BY grid.h)",
+      'v_filled',
+  )}
+FROM grid LEFT JOIN hourly
+  ON grid.event_type = hourly.event_type AND grid.h = hourly.h""",
+    ),
+)
