@@ -272,3 +272,95 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("ia", "ib", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "ia",
+    dst: str = "ib",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → ``(v,
+    component)`` with ``component`` = min vertex id in the component.
+
+    This is the step that turns near-dup *pairs* (LSH / SimHash / Jaccard
+    candidates) into dedup *clusters* so one canonical document per
+    cluster can be kept — pairs alone under-delete because near-dup is
+    not transitive-closed.
+
+    Algorithm: iterative min-label propagation with pointer doubling —
+    each round (1) every vertex takes the min label among itself and its
+    neighbors (one skinny join + groupBy on int ids), then (2) jumps to
+    its label's label (one self-join), which collapses chains
+    logarithmically (the large-star/small-star trick from the MapReduce
+    CC literature).  Rounds ≈ O(log diameter); near-dup graphs are
+    band-clique-dominated, so 2-4 rounds in practice.
+
+    Scale notes:
+    * every per-round shuffle carries 2-3 ints per row — never document
+      payloads;
+    * ``localCheckpoint`` truncates the plan each round (an iterated
+      unmaterialized join plan grows exponentially and re-executes the
+      whole history every action — THE classic iterative-Spark trap);
+    * convergence is detected with one count on the already-materialized
+      checkpoint, so each round costs exactly one pass.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("v")).distinct().withColumn("lab", F.col("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.select(F.col("v").alias("b"), "lab"), "b")
+            .groupBy("a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        stepped = (
+            labels.join(nbr.select(F.col("a").alias("v"), "nlab"), "v", "left")
+            .select("v", F.least("lab", F.coalesce("nlab", "lab")).alias("m"), "lab")
+        )
+        jumped = (
+            stepped.join(
+                labels.select(F.col("v").alias("_lv"), F.col("lab").alias("_ll")),
+                stepped["m"] == F.col("_lv"),
+                "left",
+            )
+            .select("v", F.least("m", F.coalesce("_ll", "m")).alias("new"), "lab")
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("new") < F.col("lab")).count()
+        labels = jumped.select("v", F.col("new").alias("lab"))
+        if changed == 0:
+            break
+    return labels.select("v", F.col("lab").alias("component"))
+
+
+def lsh_dedup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full near-dup dedup decision: MinHash-LSH candidate pairs →
+    connected components → one canonical (min-id) doc per cluster.
+
+    Returns every document with its ``component`` (cluster
+    representative), ``cluster_size``, and ``is_canonical`` (the keep
+    flag).  Docs with no near-dup are their own singleton component."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col)
+    comp = connected_components(pairs)
+    full = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("v", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("component")
+        )
+    )
+    sizes = full.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        full.join(F.broadcast(sizes), "component")
+        .select(
+            id_col,
+            "component",
+            "cluster_size",
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,268 @@
+"""Corpus-curation queries: near-dup *clustering* (pairs → connected
+components → canonical doc), BM25 relevance search, and bigram-LM
+perplexity filtering (the CCNet-style quality gate).
+
+These complete the training-data-pipeline story: `queries_ext.py` finds
+near-dup PAIRS; real dedup keeps one doc per connected CLUSTER.  The
+oracle replays the component computation with a recursive CTE
+(label-reachability to fixpoint), which matches the Spark side exactly
+because min-label propagation is also run to fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup, text
+from .kernels import safe_div
+from .queries import Query, _r, _register, round4
+from .queries_ext import _minhash_ctes
+from .sources.prices import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------- #
+# Near-dup clusters: LSH pairs -> connected components -> canonical doc
+# --------------------------------------------------------------------- #
+
+_CC_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT ia, ib FROM cand GROUP BY ia, ib
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION ALL
+  SELECT ib AS a, ia AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (
+  SELECT id, min(lab) AS component FROM reach GROUP BY id
+),
+alldocs AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM alldocs GROUP BY component
+)
+SELECT f.doc_id, f.component, s.cluster_size,
+  f.doc_id = f.component AS is_canonical
+FROM alldocs f JOIN sizes s USING (component)"""
+
+_register(
+    "dedup_cc_clusters",
+    Query(
+        spark=lambda s, d: dedup.lsh_dedup_clusters(_docs(s, d)),
+        sql=_CC_SQL,
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# BM25 relevance search (fixed query, deterministic top-k)
+# --------------------------------------------------------------------- #
+
+#: The search query (terms from the corpus vocabulary) and BM25 constants.
+BM25_TERMS: tuple[str, ...] = ("hash", "join", "vector")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi-BM25 document ranking for a fixed term set, fully
+    distributed and cross-engine bit-exact:
+
+    * per-doc term frequencies come from ONE pass over the token explode
+      (conditional sums — no per-term scans);
+    * corpus stats (N, avgdl, per-term df) are a 1-row / k-row aggregate
+      joined back by broadcast — the only "global" data;
+    * the score is a FIXED-ORDER sum of per-term contributions (literal
+      expression, not an aggregate), so both engines produce identical
+      doubles and the rank tie-break (score desc, doc_id) agrees.
+
+    Scale shape: token explode + one groupBy(doc) — same cost class as
+    the text stats; no join ever carries document text.
+    """
+    ws = text.words(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(ws).alias("dl"), F.explode(ws).alias("tok")
+    )
+    tf_aggs = [
+        F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = base.groupBy(id_col).agg(F.first("dl").alias("dl"), *tf_aggs)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        contribs.append(idf * safe_div(tf * (k1 + 1.0), denom))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    ranked = scored.select(
+        F.col(id_col), F.col("dl"), score.alias("_s")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("_s").desc(), F.col(id_col))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= topk).select(
+        id_col, "dl", "rank", round4(F.col("_s")).alias("bm25")
+    )
+
+
+def _bm25_sql() -> str:
+    terms = BM25_TERMS
+    k1, b = BM25_K1, BM25_B
+    tf_aggs = ", ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_aggs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * CASE WHEN (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} *"
+        f" dl / avgdl)) = 0 THEN NULL ELSE CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        f" END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, first(dl) AS dl, {tf_aggs} FROM base GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_aggs} FROM per_doc
+),
+ranked AS (
+  SELECT doc_id, dl, ({contribs}) AS _s,
+    row_number() OVER (ORDER BY ({contribs}) DESC, doc_id) AS rank
+  FROM per_doc, stats
+)
+SELECT doc_id, dl, rank, {_r("_s", "bm25")}
+FROM ranked WHERE rank <= {BM25_TOPK}"""
+
+
+_register(
+    "bm25_search",
+    Query(spark=lambda s, d: bm25_topk(_docs(s, d)), sql=_bm25_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Bigram-LM perplexity scoring (CCNet-style corpus quality gate)
+# --------------------------------------------------------------------- #
+
+
+def lm_perplexity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score each document's cross-entropy under an add-one-smoothed
+    bigram LM trained on the corpus itself — the classic
+    perplexity-based quality filter for LLM training data (docs the
+    corpus LM finds surprising are outliers/noise).
+
+    Distributed shape: the LM is two tiny count tables — bigram counts
+    (vocab² rows) and unigram counts (vocab rows) — built with one
+    groupBy each; scoring joins them back by BROADCAST, so the corpus
+    rows never shuffle.  At 100 TB with a real vocab you'd hash the LM
+    into buckets, but the structure (train = skinny agg, score =
+    broadcast join) is exactly how it scales.
+    """
+    ws = text.words(F.col(text_col))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"), F.element_at(ws, i + 1).alias("w2")
+        ),
+    )
+    doc_bg = df.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = doc_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(ws).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    neg_logp = -F.log(
+        (F.col("c12") + 1.0) / (F.col("c1") + F.col("v").cast("double"))
+    )
+    return (
+        doc_bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round4(F.avg(neg_logp)).alias("cross_entropy"),
+        )
+    )
+
+
+_LM_SQL = """
+WITH doc_bg AS (
+  SELECT doc_id,
+    string_split(text, ' ')[i] AS w1,
+    string_split(text, ' ')[i + 1] AS w2
+  FROM documents,
+    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')))) AS i) s
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM doc_bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM doc_bg GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+)
+SELECT d.doc_id, count(*) AS n_bigrams,
+  {avg_ce}
+FROM doc_bg d JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab
+GROUP BY d.doc_id""".format(
+    avg_ce=_r(
+        "avg(-ln((c12 + 1.0) / (c1 + CAST(v AS DOUBLE))))", "cross_entropy"
+    )
+)
+
+_register(
+    "lm_perplexity",
+    Query(spark=lambda s, d: lm_perplexity(_docs(s, d)), sql=_LM_SQL),
+)

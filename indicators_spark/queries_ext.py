@@ -205,7 +205,10 @@ SELECT ia, ib, {r} FROM j WHERE jaccard >= 0.8""".format(r=_r("jaccard", "jaccar
 )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The shingle→hash→signature→band-join CTE chain, shared by the
+    pair query's oracle and the connected-components oracle
+    (queries_corpus.py)."""
     aggs = ", ".join(
         f"min(({a} * wh + {b}) % {text.H31}) AS h{i}"
         for i, (a, b) in enumerate(dedup.MINHASH_COEFFS, start=1)
@@ -217,8 +220,7 @@ def _minhash_sql() -> str:
             f"SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b"
             f" ON a.{c1} = b.{c1} AND a.{c2} = b.{c2} AND a.doc_id < b.doc_id"
         )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
     unnest(list_distinct(
       list_transform(range(1, len(string_split(text, ' '))),
@@ -237,7 +239,12 @@ sig AS (
 ),
 cand AS (
   {' UNION ALL '.join(bands)}
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT ia, ib, count(*) AS n_bands FROM cand GROUP BY ia, ib"""
 
 

@@ -227,3 +227,38 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="right")
+
+
+def test_connected_components_fixture(spark):
+    """Path (0-1-2-3), triangle (10,11,12), isolated edge (20,21): every
+    vertex must label with its component's min id — including the path,
+    which needs multi-round propagation (exercises pointer doubling)."""
+    from indicators_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "ia long, ib long",
+    )
+    got = {
+        (r["v"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (0, 0), (1, 0), (2, 0), (3, 0),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_lm_perplexity_uniform_doc(spark):
+    """A two-doc corpus where doc 0 repeats one bigram: its cross-entropy
+    must be strictly lower than the unique-bigram doc's."""
+    from indicators_spark.queries_corpus import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b a b"), (1, "c d e f g h")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    assert rows[0]["n_bigrams"] == 7 and rows[1]["n_bigrams"] == 5
+    assert rows[0]["cross_entropy"] < rows[1]["cross_entropy"]
