@@ -28,13 +28,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # identical regardless of the calling session's default timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read the raw int64 nanos and convert to a µs timestamp.
-        # Ordering stays exact via the event_id tie-breaker; oracle queries
-        # key rows on integer ids, never on cross-engine timestamp repr.
+        # events.ts has shipped as either parquet TIMESTAMP(MICROS) (read
+        # natively) or TIMESTAMP(NANOS), which Spark can only read as a raw
+        # int64 under the legacy conf — handle both.  Ordering stays exact
+        # via the event_id tie-breaker; oracle queries key rows on integer
+        # ids, never on cross-engine timestamp repr.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
