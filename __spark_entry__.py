@@ -41,11 +41,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return ind.collect()
 
 
+def _evidenced() -> set[str]:
+    """Query names with a green driver CORRECTNESS row from any prior round.
+
+    The driver verifies queries in dict-insertion order under a budget
+    (round 1 covered the first 50 of 125), so ``queries()`` orders
+    never-green queries first — each round the budget then lands on the
+    least-evidenced part of the catalog instead of re-checking stable rows.
+    """
+    import json
+
+    green: set[str] = set()
+    for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict) or r.get("err"):
+                continue
+            if r.get("rows_match") and r.get("schema_match") is not False and r.get(
+                "hash_match", True
+            ):
+                green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2,
+    never-driver-verified queries first (see :func:`_evidenced`)."""
     from indicators_spark.queries import QUERIES
 
-    return {name: q.spark for name, q in QUERIES.items()}
+    green = _evidenced()
+    names = sorted(QUERIES, key=lambda n: (n in green, list(QUERIES).index(n)))
+    return {name: QUERIES[name].spark for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -145,6 +145,7 @@ def main() -> None:
         "tpch_q21_lone_late",
         "lineitem_sma",
         "lineitem_rsi",
+        "lineitem_rsi_halo",
         "asof_join",
         "resample_ohlcv_1h",
         "kmeans_train_assign",

@@ -72,9 +72,17 @@ def _spread(df: DataFrame) -> DataFrame:
     explode.  A small corpus arrives as one file split, so the whole
     shingle→hash pipeline would run in a single task; round-robin to
     ``defaultParallelism`` first.  At scale inputs already have ≥ that many
-    splits and this is a no-op (no exchange added)."""
+    splits and this is a no-op (no exchange added).
+
+    Width probe uses ``inputFiles()`` (a listing, no job) rather than
+    ``df.rdd.getNumPartitions()`` — the RDD conversion forces plan
+    analysis through the deprecated path on every call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (e.g. in-memory test frame)
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -109,18 +117,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Jaccard similarity of distinct-token sets.
 
-    ``max_df`` prunes tokens appearing in more than that many documents
-    before the self-join (at 100 TB the ubiquitous-token posting lists are
-    quadratic; pruning them first is mandatory, and they carry almost no
-    Jaccard signal)."""
+    ``max_df`` (absolute) / ``max_df_frac`` (fraction of the corpus —
+    scale-invariant, preferred) prune tokens appearing in more than that
+    many documents before the self-join: at 100 TB the ubiquitous-token
+    posting lists are quadratic (a token in f·N docs contributes ~(f·N)²/2
+    candidate pairs), pruning them first is mandatory, and they carry
+    almost no Jaccard signal.  The pruned-token Jaccard is computed over
+    the SURVIVING token sets on both engines (the oracle mirrors the
+    filter), so results stay exact."""
     toks = _doc_tokens(df, id_col, text_col)
-    if max_df is not None:
+    if max_df is not None or max_df_frac is not None:
         dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        if max_df_frac is not None:
+            n_docs = df.select(
+                F.count_distinct(F.col(id_col)).alias("n_docs")
+            )
+            dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+            cap = F.col("n_docs") * F.lit(max_df_frac)
+        else:
+            cap = F.lit(max_df)
         toks = toks.join(
-            F.broadcast(dfreq.filter(F.col("df") <= max_df).select("tok")),
+            F.broadcast(dfreq.filter(F.col("df") <= cap).select("tok")),
             "tok",
             "inner",
         )

@@ -32,6 +32,7 @@ any IVF build), so the only shuffle is the final tiny per-query top-k.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -89,16 +90,72 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band_prune: bool = True,
 ) -> DataFrame:
-    """All (ia < ib) pairs with cosine ≥ threshold — embedding near-dup."""
+    """All (ia < ib) pairs with cosine ≥ threshold — embedding near-dup.
+
+    EXACT result (no approximation) but NOT all-pairs: pairs are banded by
+    angle to a fixed reference direction (e₁).  Angular distance
+    θ(a,b)=arccos(cos(a,b)) is a metric on the unit sphere, so
+    cos(a,b) ≥ t ⟹ θ(a,b) ≤ arccos(t) ⟹ |θ(a,e₁) − θ(b,e₁)| ≤ arccos(t)
+    (triangle inequality).  Bucketing θ(·,e₁) at that width and equi-joining
+    adjacent buckets therefore covers every qualifying pair — the plan is a
+    shuffleable hash join on the bucket key instead of a broadcast
+    nested-loop O(n²) cross product, and the final cos ≥ t filter keeps the
+    output identical to the all-pairs form (the DuckDB oracle stays the
+    plain self-join).  Prune power grows with the threshold (width→0 as
+    t→1, the near-dup regime); at t→−1 it degrades gracefully to ~3 bands.
+    For approximate-but-faster candidate generation use knn_lsh / knn_ivf.
+
+    ``band_prune=False`` recovers the literal all-pairs join (tiny-corpus
+    debugging only — that shape does not survive scale).
+    """
     base = with_norm(df, vec_col)
-    a = base.select(
-        F.col(id_col).alias("ia"), F.col(vec_col).alias("va"), F.col("_norm").alias("na")
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    if not band_prune or theta_t <= 0.0:
+        a = base.select(
+            F.col(id_col).alias("ia"),
+            F.col(vec_col).alias("va"),
+            F.col("_norm").alias("na"),
+        )
+        b = base.select(
+            F.col(id_col).alias("ib"),
+            F.col(vec_col).alias("vb"),
+            F.col("_norm").alias("nb"),
+        )
+        joined = a.join(b, F.col("ia") < F.col("ib"))
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            joined.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("ia", "ib", "cos")
+        )
+    # Width padded 0.1% over arccos(t) so float error in θ can never push a
+    # qualifying pair two buckets apart (it would need ~a full bucket of
+    # error); zero-norm vectors get θ=π/2 arbitrarily — their cos is NULL
+    # and the final filter drops them wherever they land.
+    width = theta_t * 1.001
+    ratio = F.element_at(F.col(vec_col), 1).cast("double") / F.col("_norm")
+    theta = F.coalesce(
+        F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), ratio))),
+        F.lit(math.pi / 2.0),
     )
-    b = base.select(
-        F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"), F.col("_norm").alias("nb")
+    banded = base.withColumn("_bkt", F.floor(theta / F.lit(width)))
+    a = banded.select(
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_jb"),
     )
-    joined = a.join(b, F.col("ia") < F.col("ib"))
+    b = banded.select(
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+        F.col("_bkt").alias("_jb"),
+    )
+    joined = a.join(b, ["_jb"]).filter(F.col("ia") < F.col("ib"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         joined.withColumn("cos", cos)

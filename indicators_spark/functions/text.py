@@ -132,3 +132,104 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {"fp_md5": F.md5(F.lower(t)), "fp_roll": roll}
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style word-level repetition signals per document:
+
+    * ``dup_word_frac`` — ``1 − distinct_words/total_words`` (row-local)
+    * ``top_bigram_frac`` — occurrences of the document's most frequent
+      word bigram over total bigrams (the classic boilerplate/spam tell)
+
+    Repetitious documents (templated boilerplate, keyword stuffing, decode
+    errors) are the single biggest quality filter for LLM training data
+    after dedup (Gopher/MassiveText-style thresholds, e.g. Rae et al. 2021).
+
+    Scale shape: one explode + two groupBys keyed by (doc, bigram) then
+    doc — skinny int/string keys, partial aggregation map-side; the text
+    column itself never shuffles.  Documents with fewer than two words
+    have no bigrams and are dropped (mirrored by the oracle's inner join).
+    """
+    t = F.col(text_col)
+    ws = words(t)
+    rowstats = df.select(
+        F.col(id_col),
+        (
+            1.0
+            - F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+        ).alias("dup_word_frac"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    bg = df.filter(F.size(ws) >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    )
+    per_doc = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("tot_bg"))
+    )
+    return rowstats.join(per_doc, id_col).select(
+        id_col,
+        "dup_word_frac",
+        (F.col("top_bg").cast("double") / F.col("tot_bg")).alias("top_bigram_frac"),
+    )
+
+
+def decontaminate_flags(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/eval set (the standard guard against
+    test-set leakage into training corpora; n=8..13 word overlaps in
+    PaLM/GPT-3-style reports — smaller n here for the tiny test vocab).
+
+    Scale shape: the benchmark side is tiny by construction, so its
+    distinct n-gram set BROADCASTS; the corpus side is one explode +
+    map-side semi-join + a distinct over bare ids.  The corpus text never
+    shuffles and nothing is quadratic.  Returns (id, contaminated bool)
+    for every input document.
+    """
+
+    def _ngrams(frame: DataFrame) -> DataFrame:
+        ws = words(F.col(text_col))
+        grams = F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(grams)).alias("g"),
+        )
+
+    bench_g = _ngrams(bench).select("g").distinct()
+    hits = (
+        _ngrams(df)
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )

@@ -129,17 +129,21 @@ def bm25_topk(
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
-    ranked = scored.select(
-        F.col(id_col), F.col("dl"), score.alias("_s")
-    ).withColumn(
+    # Global top-k WITHOUT an unpartitioned row_number window (which would
+    # serialize the whole corpus through one task).  orderBy().limit(k)
+    # plans as TakeOrderedAndProject: per-partition size-k heaps + a tiny
+    # driver-side merge — the only scale-safe global top-k shape
+    # (tests/test_plans.py pins it).  The rank window then runs over just
+    # the k surviving rows.
+    top = (
+        scored.select(F.col(id_col), F.col("dl"), score.alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col(id_col))
+        .limit(topk)
+    )
+    return top.withColumn(
         "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("_s").desc(), F.col(id_col))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= topk).select(
-        id_col, "dl", "rank", round4(F.col("_s")).alias("bm25")
-    )
+        F.row_number().over(Window.orderBy(F.col("_s").desc(), F.col(id_col))),
+    ).select(id_col, "dl", "rank", round4(F.col("_s")).alias("bm25"))
 
 
 def _bm25_sql() -> str:
@@ -265,4 +269,81 @@ GROUP BY d.doc_id""".format(
 _register(
     "lm_perplexity",
     Query(spark=lambda s, d: lm_perplexity(_docs(s, d)), sql=_LM_SQL),
+)
+
+
+# --------------------------------------------------------------------- #
+# Repetition signals + benchmark decontamination (Gopher/PaLM-style)
+# --------------------------------------------------------------------- #
+
+_register(
+    "text_repetition",
+    Query(
+        spark=lambda s, d: text.repetition_signals(_docs(s, d)).select(
+            "doc_id",
+            round4(F.col("dup_word_frac")).alias("dup_word_frac"),
+            round4(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        ),
+        sql=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+rowstats AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac
+  FROM w
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM w WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+ba AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS tot_bg FROM bc GROUP BY doc_id)
+SELECT r.doc_id, {_r('r.dup_word_frac', 'dup_word_frac')},
+  {_r('CAST(a.top_bg AS DOUBLE) / a.tot_bg', 'top_bigram_frac')}
+FROM rowstats r JOIN ba a USING (doc_id)""",
+    ),
+)
+
+
+#: Decontamination fixture: docs 0..9 stand in for the benchmark/eval set,
+#: the rest are "training" docs screened against their 5-gram shingles.
+DECON_N, DECON_BENCH_MAX_ID = 5, 10
+
+
+def _decontaminate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+    train = docs.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+    return text.decontaminate_flags(train, bench, n=DECON_N)
+
+
+_register(
+    "decontaminate_ngram",
+    Query(
+        spark=_decontaminate_spark,
+        sql=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, len(ws) - {DECON_N - 2}),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+    ))) AS g
+  FROM w WHERE len(ws) >= {DECON_N}
+),
+bench AS (
+  SELECT DISTINCT g FROM ng WHERE doc_id < {DECON_BENCH_MAX_ID}
+),
+hits AS (
+  SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (g)
+  WHERE n.doc_id >= {DECON_BENCH_MAX_ID}
+)
+SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id >= {DECON_BENCH_MAX_ID}""",
+    ),
 )

@@ -150,7 +150,7 @@ h AS (
 ),
 r AS (
   SELECT h.doc_id, any_value(h.lt) AS lt,
-    sum((h.wh * p.v) % 1000000007) % 1000000007 AS fp_roll
+    CAST(sum((h.wh * p.v) % 1000000007) % 1000000007 AS BIGINT) AS fp_roll
   FROM h JOIN powers p ON p.k = h.n - h.i
   GROUP BY h.doc_id
 )
@@ -178,12 +178,25 @@ _register(
     "dedup_ngram_jaccard",
     Query(
         spark=lambda s, d: dedup.ngram_jaccard_pairs(
-            _docs(s, d), threshold=0.8
+            _docs(s, d), threshold=0.8, max_df_frac=0.8
         ).select("ia", "ib", round4(F.col("jaccard")).alias("jaccard")),
         sql="""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents
+),
+-- mirror of the Spark max_df_frac=0.8 ubiquitous-token prune (posting
+-- lists for a token in f*N docs are ~(f*N)^2/2 candidate pairs at scale)
+dfreq AS (
+  SELECT tok, count(*) AS df FROM toks0 GROUP BY tok
+),
+ndocs AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+),
+toks AS (
+  SELECT t.id, t.tok
+  FROM toks0 t JOIN dfreq f ON f.tok = t.tok, ndocs
+  WHERE f.df <= n_docs * 0.8
 ),
 sizes AS (
   SELECT id, count(*) AS sz FROM toks GROUP BY id

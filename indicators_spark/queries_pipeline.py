@@ -104,7 +104,7 @@ WITH tagged AS (
   WHERE ({sampling.bucket_sql('doc_id', 'mix')} <
          CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END)
 )
-SELECT bucket, count(*) AS n_docs, sum(toks) AS total_tokens
+SELECT bucket, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
 FROM tagged GROUP BY 1""",
     ),
 )
@@ -220,7 +220,7 @@ j AS (
   SELECT s.lang, s.toks, {_norm_sql('e.embedding')} AS emb_norm
   FROM s JOIN embeddings e ON s.doc_id = e.vec_id
 )
-SELECT lang, count(*) AS n_docs, sum(toks) AS total_tokens,
+SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
   {_r('avg(emb_norm)', 'avg_emb_norm')}
 FROM j GROUP BY 1"""
 

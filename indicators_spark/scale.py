@@ -226,8 +226,15 @@ def ewm_chunked(
     Both passes use pandas' C EWM kernel via a seed-prepend: the recurrence
     seeded with carry ``s`` equals ``ewm([s, x₁..xₘ])`` with the first
     output dropped (and zero-seed for pass 1)."""
-    bucketed = _with_bucket(df, order_cols, buckets, bucket_by)
-    bucketed.cache()
+    # Materialize the bucketed frame ONCE for the three consumers (pass1
+    # carries, x0 probe, pass2) via an eager localCheckpoint rather than
+    # cache(): the caller consumes pass2 lazily so there is no safe point
+    # to unpersist a cache (it would leak one cached lineage per call);
+    # checkpoint blocks are reclaimed by the ContextCleaner as soon as the
+    # returned frame is garbage-collected.
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by).localCheckpoint(
+        eager=True
+    )
     order = list(order_cols)
 
     def _seeded_ewm(xs: pd.Series, seed: float | None) -> pd.Series:

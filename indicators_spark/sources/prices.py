@@ -35,8 +35,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ids, never on cross-engine timestamp repr.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(ev.dtypes).get("ts") == "bigint":
+        ts_type = dict(ev.dtypes).get("ts")
+        if ts_type == "bigint":
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4 infers TIMESTAMP_NTZ for naive parquet TIMESTAMP(MICROS)
+            # but rejects NTZ as an event-time (withWatermark) column.  The
+            # session timezone is pinned to UTC above, so the cast to LTZ
+            # TimestampType is value-preserving and gives load_table ONE
+            # canonical ts type regardless of the on-disk physical type
+            # (matches EVENTS_SCHEMA in streaming/windows.py).
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         return ev
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -60,6 +60,18 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareRe
     odf = odf.sort_values(o_cols, na_position="last").reset_index(drop=True)
     for c in s_cols:
         sv, ov = sdf[c], odf[c]
+        # The driver's value-hash is repr-sensitive: a DuckDB HUGEINT/DECIMAL
+        # (arriving as float64/object) against a Spark BIGINT hashes
+        # differently even when the values agree.  Surface that locally
+        # instead of silently coercing (the r1 text_fingerprint failure mode).
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        if s_int != o_int:
+            res.ok = False
+            res.issues.append(
+                f"{c}: dtype mismatch {sv.dtype} vs {ov.dtype} "
+                "(driver value-hash would differ; CAST the oracle)"
+            )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv = sv.astype("float64").to_numpy()
             ov = ov.astype("float64").to_numpy()

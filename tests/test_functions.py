@@ -262,3 +262,80 @@ def test_lm_perplexity_uniform_doc(spark):
     rows = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
     assert rows[0]["n_bigrams"] == 7 and rows[1]["n_bigrams"] == 5
     assert rows[0]["cross_entropy"] < rows[1]["cross_entropy"]
+
+
+def test_cosine_pairs_band_prune_matches_all_pairs(spark):
+    """The angular band-prune is EXACT: banded and all-pairs forms must
+    return identical pair sets at several thresholds."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for t in (0.0, 0.4, 0.9):
+        banded = {
+            (r["ia"], r["ib"], round(r["cos"], 9))
+            for r in cosine_pairs(df, t).collect()
+        }
+        allp = {
+            (r["ia"], r["ib"], round(r["cos"], 9))
+            for r in cosine_pairs(df, t, band_prune=False).collect()
+        }
+        assert banded == allp, f"threshold {t}: {banded ^ allp}"
+
+
+def test_cosine_pairs_banded_plan_has_no_nested_loop(spark):
+    """The banded form must plan as a hash/sort-merge join on the bucket
+    key, not a BroadcastNestedLoopJoin O(n²) cross product."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = cosine_pairs(df, 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_signals(spark):
+    """dup_word_frac / top_bigram_frac on hand-computable docs; a
+    single-word doc has no bigrams and is dropped (oracle mirrors)."""
+    from indicators_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),      # 2 distinct / 6 words; top bigram "a b" x3 of 5
+            (1, "v w x y z"),        # all distinct; every bigram unique (1 of 4)
+            (2, "solo"),             # dropped: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {0, 1}
+    assert abs(rows[0]["dup_word_frac"] - (1 - 2 / 6)) < 1e-12
+    assert abs(rows[0]["top_bigram_frac"] - 3 / 5) < 1e-12
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert abs(rows[1]["top_bigram_frac"] - 1 / 4) < 1e-12
+
+
+def test_decontaminate_flags(spark):
+    """Docs sharing a benchmark 3-gram are flagged; disjoint docs are not;
+    short docs (< n words) can never be flagged."""
+    from indicators_spark.functions.text import decontaminate_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "xx the quick brown yy"),   # shares "the quick brown"
+            (1, "totally different words here"),
+            (2, "the quick"),               # too short for a 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_flags(train, bench, n=3).collect()
+    }
+    assert rows == {0: True, 1: False, 2: False}

@@ -189,3 +189,12 @@ def test_tpch_rel2_join_strategies(spark):
     assert exchange_count(plans["tpch_q17_small_qty"]) <= 3, plans[
         "tpch_q17_small_qty"
     ]
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition heaps
+    + driver merge), never an unpartitioned sort/row_number over the whole
+    corpus — the single-task shape that dies at scale."""
+    df = QUERIES["bm25_search"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
