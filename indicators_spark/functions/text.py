@@ -233,3 +233,56 @@ def decontaminate_flags(
             F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def duplicate_passage_fraction(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/CCNet-style corpus-level duplication mass: for each document,
+    the fraction of its distinct word ``n``-grams that also occur in at
+    least one OTHER document.  High values mean the document is mostly
+    boilerplate shared across the corpus — the passage-level complement to
+    pairwise near-dup detection (a doc can be 80% template without having
+    any single near-duplicate partner).
+
+    Scale shape: explode distinct n-grams → count docs per gram (map-side
+    partial agg on a hashed gram key) → join the per-gram doc-count back →
+    one per-doc agg.  Shuffles carry (gram-hash, id) ints only; document
+    text never moves.  No quadratic stage: unlike pairwise Jaccard there
+    is no self-join, so ubiquitous passages cost O(df) rows, not O(df²).
+    Returns (id, n_grams, dup_grams, dup_frac); docs shorter than ``n``
+    words have no n-grams and are dropped (oracle mirrors).
+    """
+    ws = words(F.col(text_col))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # hash the gram BEFORE the shuffle: 8-byte keys instead of n-word strings
+    doc_g = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(grams)).alias("g"),
+    ).select("_id", portable_word_hash(F.col("g")).alias("gh"))
+    gram_df = doc_g.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
+    per_doc = (
+        doc_g.join(gram_df, "gh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0)).alias("dup_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        F.col("dup_grams").cast("long").alias("dup_grams"),
+        (F.col("dup_grams").cast("double") / F.col("n_grams")).alias("dup_frac"),
+    )

@@ -400,3 +400,36 @@ FROM grid LEFT JOIN hourly
   ON grid.event_type = hourly.event_type AND grid.h = hourly.h""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Scale-safe global row numbering (bucketed enumeration, scale.py)
+# --------------------------------------------------------------------- #
+
+
+def _global_rownum_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous row_number over (ts, event_id) with NO single-task
+    window: arithmetic time-bucketing + per-bucket ranks + broadcast
+    prefix-sum offsets (scale.global_row_number).  event_id is unique, so
+    the total order — and therefore the numbering — is deterministic."""
+    from .scale import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.unix_timestamp("ts").alias("_bkey")
+    )
+    out = global_row_number(
+        ev, order_cols=("ts", "event_id"), buckets=32, bucket_by="_bkey"
+    )
+    return out.select("event_id", "rn")
+
+
+_register(
+    "analytic_global_rownum",
+    Query(
+        spark=_global_rownum_spark,
+        sql="""
+SELECT event_id,
+  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events""",
+    ),
+)

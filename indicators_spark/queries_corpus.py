@@ -347,3 +347,43 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id >= {DECON_BENCH_MAX_ID}""",
     ),
 )
+
+
+#: Passage-level duplication n-gram size (docs are ~100 words).
+PASSAGE_N = 10
+
+_register(
+    "text_dup_passages",
+    Query(
+        spark=lambda s, d: text.duplicate_passage_fraction(
+            _docs(s, d), n=PASSAGE_N
+        ).select("doc_id", "n_grams", "dup_grams", round4(F.col("dup_frac")).alias("dup_frac")),
+        sql=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, len(ws) - {PASSAGE_N - 2}),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' ||
+           ws[i+8] || ' ' || ws[i+9]
+    ))) AS g
+  FROM w WHERE len(ws) >= {PASSAGE_N}
+),
+gdf AS (
+  SELECT g, count(*) AS gdf FROM ng GROUP BY g
+),
+per_doc AS (
+  SELECT n.doc_id,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN f.gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM ng n JOIN gdf f USING (g)
+  GROUP BY n.doc_id
+)
+SELECT doc_id, n_grams, dup_grams,
+  {_r('CAST(dup_grams AS DOUBLE) / n_grams', 'dup_frac')}
+FROM per_doc""",
+    ),
+)

@@ -283,3 +283,41 @@ def ewm_chunked(
         return pdf[out_fields + [out]]
 
     return bucketed.groupBy("_bucket").applyInPandas(pass2, out_schema)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 32,
+    bucket_by: str | None = None,
+    bounds: tuple[float, float] | None = None,
+    out: str = "rn",
+) -> DataFrame:
+    """Contiguous global ``row_number()`` over a total order WITHOUT the
+    single-task window Spark plans for ``Window.orderBy(...)`` — the
+    classic "enumerate 100 TB" primitive (`monotonically_increasing_id`
+    is non-contiguous and non-ordered; RDD ``zipWithIndex`` leaves the
+    DataFrame/Catalyst world).
+
+    Same arithmetic range-bucket scheme as the halo kernels: bucket on a
+    monotone key (no global sort), per-bucket ``row_number`` in parallel,
+    then add each bucket's start offset — a prefix sum over the per-bucket
+    counts (≤ ``buckets`` rows, broadcast back).  Two skinny shuffles
+    (bucket counts + broadcast), no stage proportional to the data in one
+    task.  Exact: equal-key rows land in the same bucket, so the in-bucket
+    order extends the bucket order to the global total order.
+    """
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
+    counts = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix-sum runs over ≤ `buckets` rows — a deliberately tiny window
+    woff = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+    ).drop("_cnt")
+    win = Window.partitionBy("_bucket").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        bucketed.withColumn("_lrn", F.row_number().over(win))
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_bucket", "_lrn", "_off")
+    )

@@ -147,3 +147,41 @@ def test_halo_lag_partitioned_with_bounds(spark, prices):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12, atol=1e-12
     )
+
+
+def test_global_row_number_matches_window(spark, prices):
+    """Bucketed enumeration must equal the single-task row_number window,
+    and its plan must contain no SinglePartition exchange over the data
+    (only the ≤buckets-row offset prefix-sum)."""
+    from indicators_spark.scale import global_row_number
+
+    p = prices.withColumn("_bkey", F.col("seq"))
+    out = global_row_number(
+        p, order_cols=("timestamp", "seq"), buckets=4, bucket_by="_bkey", out="rn"
+    )
+    ref = prices.withColumn(
+        "rn", F.row_number().over(Window.orderBy("timestamp", "seq")).cast("long")
+    )
+    a = out.select("seq", "rn").orderBy("seq").toPandas()
+    b = ref.select("seq", "rn").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_duplicate_passage_fraction(spark):
+    """Two docs sharing a 3-gram window get it counted as duplicated;
+    unique passages don't; short docs are dropped."""
+    from indicators_spark.functions.text import duplicate_passage_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),   # 3-grams: abc bcd cde
+            (1, "x a b c y"),   # 3-grams: xab abc bcy -> shares abc
+            (2, "p q"),         # too short
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_passage_fraction(docs, n=3).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_grams"] == 3 and rows[0]["dup_grams"] == 1
+    assert rows[1]["n_grams"] == 3 and rows[1]["dup_grams"] == 1
+    assert abs(rows[0]["dup_frac"] - 1 / 3) < 1e-12
