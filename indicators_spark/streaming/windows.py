@@ -170,3 +170,42 @@ def stateful_running_indicators_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "2 hours",
+    upper: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream event-time interval join: each RIGHT row
+    matches LEFT rows with the same ``key`` whose event time falls in
+    ``[r.ts − upper, r.ts]`` (e.g. purchases attributed to clicks in the
+    preceding hour).
+
+    The time-range predicate plus both watermarks is what makes this
+    feasible as a stream: Spark derives a state-eviction bound from them,
+    so each side buffers only ``watermark + upper`` of history per key —
+    without the range condition the join state would grow forever.  At
+    scale, state is hash-partitioned by ``key``; the same hot-key caveats
+    as any streaming aggregation apply.
+
+    Returns one row per matched (left, right) pair with both timestamps.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l.ts") <= F.col("r.ts"))
+        & (F.col("l.ts") >= F.col("r.ts") - F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("left_ts"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("r.event_type").alias("right_type"),
+    )

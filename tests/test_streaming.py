@@ -280,3 +280,45 @@ def test_transform_with_state_running_ema(spark, events_stream_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join (purchases ⋈ clicks within the prior
+    hour per user) must emit exactly the batch join's matched pairs once
+    the final watermark passes."""
+    from indicators_spark.streaming import interval_join_stream
+
+    schema = spark.read.parquet(events_stream_dir).schema
+
+    def side(df, etype):
+        return df.filter(F.col("event_type") == etype)
+
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    joined = interval_join_stream(
+        side(stream, "click"), side(stream, "purchase"),
+        key="user_id", watermark="2 hours", upper="1 hour",
+    )
+    _run_stream(joined, "ij_out")
+    got = spark.sql("SELECT * FROM ij_out")
+
+    ev = spark.read.parquet(events_stream_dir)
+    l = side(ev, "click").alias("l")
+    r = side(ev, "purchase").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.ts") <= F.col("r.ts"))
+        & (F.col("l.ts") >= F.col("r.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = l.join(r, cond).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.event_id").alias("right_id"),
+    )
+    # availableNow + processAllAvailable advances the watermark past every
+    # event, so all pairs are emitted; compare as sets of id pairs.
+    got_pairs = {(x["left_id"], x["right_id"]) for x in got.collect()}
+    want_pairs = {(x["left_id"], x["right_id"]) for x in batch.collect()}
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 0
