@@ -286,3 +286,72 @@ def duplicate_passage_fraction(
         F.col("dup_grams").cast("long").alias("dup_grams"),
         (F.col("dup_grams").cast("double") / F.col("n_grams")).alias("dup_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    standard pre-embedding / pre-training splitter (dual of
+    ``sampling.pack_sequences``).  Chunk ``i`` covers words
+    ``[i·step+1, i·step+chunk]`` with ``step = chunk − overlap``; the last
+    chunk truncates at the document end.
+
+    Scale shape: one row-local explode (1:⌈n/step⌉ fan-out bounded by doc
+    length), zero shuffles; chunk text is re-assembled from the SAME split
+    array, so no re-tokenization drift.  Returns
+    (id, chunk_id, chunk_text, n_tokens).
+    """
+    step = chunk - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk")
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    # integer ceil((n - chunk)/step) + 1, floor-safe on doubles for any
+    # realistic doc length
+    nch = F.when(n <= chunk, F.lit(1).cast("long")).otherwise(
+        F.floor((n - chunk + (step - 1)) / F.lit(step)) + 1
+    )
+    base = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nch - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * step + 1).cast("int")
+    piece = F.slice(F.col("_ws"), start, chunk)
+    return base.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def filter_by_quality_quantile(
+    df: DataFrame, q: float = 0.2, text_col: str = "text"
+) -> DataFrame:
+    """Drop the lowest-``q`` quality quantile of the corpus — the
+    quantile-cut-off filter every curation pipeline applies after scoring
+    (keep rows with score ≥ the exact interpolated ``q``-quantile).
+
+    Scale shape: one scalar aggregate (exact percentile) broadcast back as
+    a 1-row cross join; the corpus itself never shuffles.  At 100 TB swap
+    the exact percentile for ``approx_percentile`` (t-digest) — same plan
+    shape, bounded memory.  Scores and cutoff are quantized to 4dp before
+    the comparison so the boundary is reproducible cross-engine.
+    """
+    scored = with_quality_score(df, text_col)
+    r4 = lambda c: F.floor(c * 1e4 + F.lit(0.500000001)) / 1e4  # noqa: E731
+    scored = scored.withColumn("quality_score", r4(F.col("quality_score")))
+    cutoff = scored.agg(
+        r4(F.percentile("quality_score", F.lit(q))).alias("_cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("quality_score") >= F.col("_cut"))
+        .drop("_cut")
+    )

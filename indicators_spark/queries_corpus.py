@@ -387,3 +387,79 @@ SELECT doc_id, n_grams, dup_grams,
 FROM per_doc""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Document chunking + quantile quality filter
+# --------------------------------------------------------------------- #
+
+CHUNK, CHUNK_OVERLAP = 64, 16
+_CHUNK_STEP = CHUNK - CHUNK_OVERLAP
+
+_register(
+    "chunk_documents",
+    Query(
+        spark=lambda s, d: text.chunk_documents(
+            _docs(s, d), chunk=CHUNK, overlap=CHUNK_OVERLAP
+        ),
+        sql=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) <= {CHUNK} THEN 1
+         ELSE CAST(floor((len(ws) - {CHUNK} + {_CHUNK_STEP - 1}) / {_CHUNK_STEP}) AS BIGINT) + 1
+    END AS nch
+  FROM w
+),
+e AS (
+  SELECT doc_id, ws, unnest(range(0, nch)) AS chunk_id FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  array_to_string(ws[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {CHUNK}], ' ') AS chunk_text,
+  CAST(len(ws[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {CHUNK}]) AS BIGINT) AS n_tokens
+FROM e""",
+    ),
+)
+
+
+#: Same 4dp quantization as queries.round4, applied to score AND cutoff so
+#: the >= boundary agrees cross-engine.
+_QQ = 0.2
+_QSCORE_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, text, ws,
+    CAST(len(ws) AS DOUBLE) AS n,
+    len(list_distinct(ws)) AS dt,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+  FROM t
+),
+scored AS (
+  SELECT doc_id,
+    floor((least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3
+           + (1 - punct / length(text)) * 0.2
+           + least(stop / n * 4, 1.0) * 0.2) * 1e4 + 0.500000001) / 1e4
+      AS quality_score
+  FROM m
+),
+cut AS (
+  SELECT floor(quantile_cont(quality_score, {q}) * 1e4 + 0.500000001) / 1e4 AS c
+  FROM scored
+)
+SELECT s.doc_id, s.quality_score
+FROM scored s, cut WHERE s.quality_score >= cut.c"""
+
+_register(
+    "filter_quality_quantile",
+    Query(
+        spark=lambda s, d: text.filter_by_quality_quantile(
+            _docs(s, d), q=_QQ
+        ).select("doc_id", "quality_score"),
+        sql=_QSCORE_SQL.format(q=_QQ),
+    ),
+)

@@ -339,3 +339,26 @@ def test_decontaminate_flags(spark):
         for r in decontaminate_flags(train, bench, n=3).collect()
     }
     assert rows == {0: True, 1: False, 2: False}
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk/overlap arithmetic: 10 words, chunk 4, overlap 2 → step 2 →
+    4 chunks at starts 1,3,5,7 (last covers through word 10); short doc →
+    one truncated chunk."""
+    from indicators_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (1, "a b")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk=4, overlap=2).collect()
+    )
+    assert rows == [
+        (0, 0, "w1 w2 w3 w4", 4),
+        (0, 1, "w3 w4 w5 w6", 4),
+        (0, 2, "w5 w6 w7 w8", 4),
+        (0, 3, "w7 w8 w9 w10", 4),
+        (1, 0, "a b", 2),
+    ]
