@@ -78,7 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Equivalent DuckDB SQL per query (omitted → rows-only check)."""
+    """Equivalent DuckDB SQL per query (omitted → rows-only check).
+    Same key order as :func:`queries` so positional pairing also works."""
     from indicators_spark.queries import QUERIES
 
-    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}
+    green = _evidenced()
+    names = sorted(QUERIES, key=lambda n: (n in green, list(QUERIES).index(n)))
+    return {n: QUERIES[n].sql for n in names if QUERIES[n].sql is not None}
