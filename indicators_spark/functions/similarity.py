@@ -410,3 +410,29 @@ def kmeans_lloyd(
     return base.select(
         id_col, _argmin_cluster(cents, vec_col).alias("cluster")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard 4× vector-store
+    compression before ANN indexing): ``scale = max|x| / 127``,
+    ``q = round(x / scale)`` with explicit half-up rounding
+    (``floor(v·127/mx + 0.5)``) so both engines round identically —
+    never engine-native ``round`` (banker's vs half-away differs).
+
+    Row-local projection + explode, zero shuffles.  Emitted exploded as
+    (id, pos, qval) for exact cross-engine value comparison; reassemble
+    with ``collect_list`` ordered by pos when a packed array is needed.
+    """
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"), mx.alias("_mx"))
+    e = base.select(id_col, "_mx", F.posexplode("_v").alias("pos", "val"))
+    qval = F.when(F.col("_mx") == 0.0, F.lit(0)).otherwise(
+        F.floor(F.col("val").cast("double") * 127.0 / F.col("_mx") + 0.5)
+    )
+    return e.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        qval.cast("long").alias("qval"),
+    )

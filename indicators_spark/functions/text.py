@@ -355,3 +355,20 @@ def filter_by_quality_quantile(
         .filter(F.col("quality_score") >= F.col("_cut"))
         .drop("_cut")
     )
+
+
+#: GPT-2-style pre-tokenizer, reduced to constructs with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): runs of letters,
+#: runs of digits, runs of other non-space symbols — each optionally
+#: preceded by one space — and residual whitespace runs.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Approximate LLM-token accounting: counts matches of a GPT-2-like
+    pre-tokenizer regex (the "BPE-ish" estimate pipelines use for token
+    budgets before running a real tokenizer).  Pure codegen'd regexp —
+    row-local, zero shuffle; the parquet scan is the only cost."""
+    return df.withColumn(
+        "bpe_token_count", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    )

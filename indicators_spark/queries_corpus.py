@@ -463,3 +463,49 @@ _register(
         sql=_QSCORE_SQL.format(q=_QQ),
     ),
 )
+
+
+_register(
+    "text_bpe_tokens",
+    Query(
+        spark=lambda s, d: text.with_bpe_token_count(_docs(s, d)).select(
+            "doc_id", F.col("bpe_token_count").cast("long").alias("bpe_token_count")
+        ),
+        sql=f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS BIGINT)
+    AS bpe_token_count
+FROM documents""",
+    ),
+)
+
+
+def _quant_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+_register(
+    "embedding_quantize_int8",
+    Query(
+        spark=_quant_spark,
+        sql="""
+WITH m AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, mx,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(embedding) AS val
+  FROM m
+)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+  CAST(CASE WHEN mx = 0 THEN 0
+            ELSE floor(CAST(val AS DOUBLE) * 127.0 / mx + 0.5) END AS BIGINT)
+    AS qval
+FROM e""",
+    ),
+)
