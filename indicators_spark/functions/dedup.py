@@ -146,10 +146,25 @@ def ngram_jaccard_pairs(
             "inner",
         )
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    # Size-ratio prefix prune (exact): jaccard(A,B) ≥ t forces
+    # t·|A| ≤ |B| and t·|B| ≤ |A| (|A∩B| ≤ min, |A∪B| ≥ max), so pairs
+    # outside the ratio band can be skipped BEFORE counting shared tokens.
+    # Removes only pairs the final jaccard ≥ t filter would drop anyway —
+    # results identical, oracle unchanged — but at scale it cuts the
+    # posting-list join output for heterogeneous-length corpora.
+    toks_sz = toks.join(sizes, "_id")  # AQE picks broadcast when small
+    a = toks_sz.alias("a")
+    b = toks_sz.alias("b")
+    ratio_ok = (F.col("b.sz") >= F.col("a.sz") * threshold) & (
+        F.col("a.sz") >= F.col("b.sz") * threshold
+    )
     shared = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            & ratio_ok,
+        )
         .groupBy(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )

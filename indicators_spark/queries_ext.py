@@ -1975,3 +1975,74 @@ WITH a AS (
 SELECT l_returnflag, {_r('gm', 'geomean_qty')} FROM a""",
     ),
 )
+
+
+def _li_donchian_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same values as ``lineitem_donchian`` (same oracle), computed with
+    the distributed halo kernel: the faithful GLOBAL 50-row min/max
+    windows (single-task by definition) become one range-bucketed halo
+    pass — both aggs share the bucketing, the halo union, and the
+    per-bucket window stage.  No single-task stage anywhere (cf.
+    ``lineitem_rsi_halo``; scale.py)."""
+    from .scale import halo_rolling_multi
+
+    order = ("timestamp", "seq", "close", "volume")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("symbol"),
+        F.col("l_shipdate").alias("timestamp"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.col("l_extendedprice").alias("close"),
+        F.col("l_quantity").cast("double").alias("volume"),
+        F.unix_timestamp(F.col("l_shipdate")).alias("_bkey"),
+    )
+    # high/low derive from (open, close); open needs the per-symbol lag —
+    # keep that window (per-symbol = parallel) and halo only the global
+    # rolling extrema, exactly the faithful query's serial part.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("symbol").orderBy(*order)
+    p = base.withColumn(
+        "open", F.coalesce(F.lag("close").over(w), F.col("close"))
+    ).withColumns(
+        {
+            "high": F.greatest("open", "close") * 1.01,
+            "low": F.least("open", "close") * 0.99,
+        }
+    )
+    rolled = halo_rolling_multi(
+        p,
+        [("max", "high", "_up"), ("min", "low", "_lo")],
+        50,
+        order_cols=order,
+        buckets=32,
+        bucket_by="_bkey",
+    )
+    return rolled.select(
+        "symbol",
+        "seq",
+        round4(F.col("_up")).alias("donchian_upper_50"),
+        round4(F.col("_lo")).alias("donchian_lower_50"),
+        round4((F.col("_up") + F.col("_lo")) / 2).alias("donchian_mid_50"),
+    )
+
+
+_register(
+    "lineitem_donchian_halo",
+    Query(
+        spark=_li_donchian_halo,
+        sql=_li_sql(
+            f"""t AS (
+  SELECT symbol, seq,
+    {_gated('max(high)', 'high', 50, _ws(50, False, order=LINEITEM_ORDER))} AS up,
+    {_gated('min(low)', 'low', 50, _ws(50, False, order=LINEITEM_ORDER))} AS lo
+  FROM prices
+)
+SELECT symbol, seq,
+  {_r('up', 'donchian_upper_50')},
+  {_r('lo', 'donchian_lower_50')},
+  {_r('(up + lo)/2', 'donchian_mid_50')}
+FROM t"""
+        ),
+    ),
+)

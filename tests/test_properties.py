@@ -146,3 +146,34 @@ def test_ema_matches_pandas(spark, values, span):
     want = pd.Series(values).ewm(alpha=2 / (span + 1), adjust=False).mean().tolist()
     for g, e in zip(got, want):
         assert g == pytest.approx(e, rel=1e-12)
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=120),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap=st.integers(min_value=0, max_value=20),
+)
+@_settings
+def test_chunk_documents_covers_every_word(spark, n_words, chunk, overlap):
+    """Chunking invariants for any (doc length, chunk, overlap<chunk):
+    chunks tile the doc with the exact stride, every word is covered,
+    no chunk is empty, and the last chunk reaches the final word."""
+    from indicators_spark.functions.text import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    step = chunk - overlap
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk=chunk, overlap=overlap).collect()
+    )
+    assert rows, "at least one chunk"
+    covered = set()
+    for cid, ctext, ntok in rows:
+        toks = ctext.split(" ")
+        assert 1 <= ntok == len(toks) <= chunk
+        start = cid * step
+        assert toks == [f"w{i}" for i in range(start, min(start + chunk, n_words))]
+        covered.update(range(start, start + ntok))
+    assert covered == set(range(n_words))
