@@ -339,6 +339,48 @@ def main() -> None:
         "rows_per_sec": int(n_small_cp / dt),
     }
 
+    # ---- corpus text ops: row-local scoring vs shuffle-light passage dup --
+    # Synthetic corpus generated in-engine (no driver data): ~30-word docs
+    # over a 1k vocab.  quality_score is the zero-shuffle row-local class;
+    # duplicate_passage_fraction is the 2-skinny-shuffle class (gram-hash
+    # keys); exact dedup is the 1-shuffle hash-groupBy class.
+    from indicators_spark.functions.dedup import exact_duplicate_groups
+    from indicators_spark.functions.text import (
+        duplicate_passage_fraction,
+        with_quality_score,
+    )
+
+    n_docs = min(rows // 20, 500_000)
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash(F.col("id") * 31 + i), F.lit(1000)).cast(
+                            "string"
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    docs.count()
+    for label, fn in (
+        ("text_quality_rowlocal", lambda: with_quality_score(docs)),
+        ("text_passage_dup_mass", lambda: duplicate_passage_fraction(docs, n=10)),
+        ("text_exact_dedup", lambda: exact_duplicate_groups(docs)),
+    ):
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n_docs / dt)}
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

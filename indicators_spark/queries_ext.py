@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import dedup, multimodal, similarity, text
-from .queries import Query, _r, _register, round4, slog
+from .queries import Query, _r, _register, _sql, _wcum, round4, slog
 from .sources.prices import load_table
 
 EMB_DIM = 64
@@ -2042,6 +2042,57 @@ SELECT symbol, seq,
   {_r('up', 'donchian_upper_50')},
   {_r('lo', 'donchian_lower_50')},
   {_r('(up + lo)/2', 'donchian_mid_50')}
+FROM t"""
+        ),
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Cumulative family, distributed: vwap via bucketed global cumsum
+# --------------------------------------------------------------------- #
+
+
+def _vwap_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same values as the faithful ``vwap`` (same global-window oracle),
+    computed with scale.global_cum_sum: per-bucket running sums + a
+    broadcast prefix of ≤buckets bucket totals — the cumulative family's
+    scale path (no single-task unbounded window).  Compared in signed-log
+    domain because bucketed summation legitimately reassociates doubles
+    (≈1e-12 relative); a unit test pins the equivalence tolerance."""
+    from .kernels import safe_div
+    from .queries import slog
+    from .scale import global_cum_sum
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir).withColumns(
+        {
+            "_tpv": (F.col("high") + F.col("low") + F.col("close"))
+            / 3
+            * F.col("volume"),
+            "_bkey": F.unix_timestamp("timestamp"),
+        }
+    )
+    c = global_cum_sum(
+        p, ["_tpv", "volume"], ("timestamp", "seq"), buckets=32, bucket_by="_bkey"
+    )
+    vwap = safe_div(F.col("_cum__tpv"), F.col("_cum_volume"))
+    return c.select("symbol", "seq", round4(slog(vwap)).alias("vwap"))
+
+
+_register(
+    "vwap_chunked",
+    Query(
+        spark=_vwap_chunked,
+        sql=_sql(
+            f"""t AS (
+  SELECT symbol, seq,
+    sum((high + low + close)/3 * volume) OVER {_wcum(False)} AS num,
+    sum(volume) OVER {_wcum(False)} AS den
+  FROM prices
+)
+SELECT symbol, seq,
+  {_r('sign(num / NULLIF(den, 0)) * ln(1 + abs(num / NULLIF(den, 0)))', 'vwap')}
 FROM t"""
         ),
     ),

@@ -321,3 +321,52 @@ def global_row_number(
         .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
         .drop("_bucket", "_lrn", "_off")
     )
+
+
+def global_cum_sum(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 32,
+    bucket_by: str | None = None,
+    bounds: tuple[float, float] | None = None,
+    prefix: str = "_cum_",
+) -> DataFrame:
+    """Exact global (un-partitioned) running sums for the cumulative
+    operator family (vwap/obv/vpt/adi/cumulative_returns) WITHOUT the
+    single-task window Spark plans for an unbounded-preceding global frame.
+
+    Same scheme as :func:`global_row_number`, with per-bucket SUMS in the
+    prefix-sum instead of counts — and all ``cols`` share one bucketing,
+    one skinny aggregate, one broadcast, one per-bucket window stage.
+    Null handling matches ``F.sum`` over a running frame: nulls contribute
+    nothing, and rows before the first non-null still get NULL only when
+    the running frame holds no values — here the bucket offset makes every
+    later bucket non-null once any earlier value exists, which is exactly
+    the unpartitioned-window semantics for sum (sum over empty+null frame
+    = NULL, else nulls skipped).
+    """
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
+    sums = bucketed.groupBy("_bucket").agg(
+        *[F.sum(c).alias(f"_s_{c}") for c in cols]
+    )
+    woff = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_bucket",
+        *[F.sum(f"_s_{c}").over(woff).alias(f"_off_{c}") for c in cols],
+    )
+    win = (
+        Window.partitionBy("_bucket")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed.join(F.broadcast(offsets), "_bucket")
+    for c in cols:
+        local = F.sum(c).over(win)
+        # NULL offset (no earlier values) + NULL local = NULL, matching the
+        # global-window result; otherwise treat the missing side as 0.
+        total = F.when(
+            F.col(f"_off_{c}").isNull() & local.isNull(), F.lit(None)
+        ).otherwise(F.coalesce(F.col(f"_off_{c}"), F.lit(0.0)) + F.coalesce(local, F.lit(0.0)))
+        out = out.withColumn(f"{prefix}{c}", total)
+    return out.drop("_bucket", *[f"_off_{c}" for c in cols])

@@ -185,3 +185,28 @@ def test_duplicate_passage_fraction(spark):
     assert rows[0]["n_grams"] == 3 and rows[0]["dup_grams"] == 1
     assert rows[1]["n_grams"] == 3 and rows[1]["dup_grams"] == 1
     assert abs(rows[0]["dup_frac"] - 1 / 3) < 1e-12
+
+
+def test_global_cum_sum_matches_window(spark, prices):
+    """Bucketed global running sums must match the single-task unbounded
+    window to reassociation tolerance, including NULL-frame semantics."""
+    from indicators_spark.scale import global_cum_sum
+
+    p = prices.withColumn("_bkey", F.col("seq")).withColumn(
+        "gappy", F.when(F.col("seq") % 3 != 0, F.col("close"))
+    )
+    out = global_cum_sum(
+        p, ["close", "gappy"], ("timestamp", "seq"), buckets=4, bucket_by="_bkey"
+    )
+    w = (
+        Window.orderBy("timestamp", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = p.withColumns(
+        {"_cum_close": F.sum("close").over(w), "_cum_gappy": F.sum("gappy").over(w)}
+    )
+    a = out.select("seq", "_cum_close", "_cum_gappy").orderBy("seq").toPandas()
+    b = ref.select("seq", "_cum_close", "_cum_gappy").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12, atol=1e-9
+    )
