@@ -436,3 +436,61 @@ def quantize_embeddings_int8(
         F.col("pos").cast("long").alias("pos"),
         qval.cast("long").alias("qval"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT sparse TF-IDF cosine similarity for all (ia < ib) document
+    pairs above ``threshold`` — the lexical near-dup/similarity measure
+    complementary to embedding cosine (`cosine_pairs`) and MinHash.
+
+    Fully sparse: documents are L2-normalized TF-IDF weight vectors over
+    their own tokens, and the pairwise dot product is computed by a
+    POSTING-LIST join — only (doc, token) rows meet, only shared tokens
+    contribute, no dense vector ever materializes.  ``idf = ln(N/df)``
+    (ubiquitous tokens get weight 0 and drop out — the max_df prune built
+    into the math).
+
+    Scale shape: two skinny groupBys (term stats, per-doc norms) + one
+    token-keyed self-join whose output is bounded by posting-list sizes
+    (idf=0 kills the worst token), then a per-pair sum.  Shuffles carry
+    (id, token-hash, weight) — never text.
+    """
+    from . import text as _text
+
+    ws = _text.words(F.col(text_col))
+    # per-doc term frequencies over distinct (doc, token)
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(ws).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("w", F.col("tf") * F.log(F.col("n") / F.col("df")))
+        .filter(F.col("w") > 0)  # idf=0 tokens can't contribute
+        .select("_id", "tok", "w")
+    )
+    norms = weighted.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    wn = weighted.join(norms, "_id").select(
+        "_id", "tok", (F.col("w") / F.col("nn")).alias("wn")
+    )
+    a = wn.alias("a")
+    b = wn.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .agg(F.sum(F.col("a.wn") * F.col("b.wn")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select("ia", "ib", "cos")

@@ -266,11 +266,14 @@ def duplicate_passage_fraction(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # hash the gram BEFORE the shuffle: 8-byte keys instead of n-word strings
+    # hash the gram BEFORE the shuffle: 8-byte keys instead of n-word
+    # strings.  xxhash64 (not the portable md5 hash) — the key is internal
+    # to this operator (the oracle groups raw gram strings), so the cheap
+    # engine-native hash is fine; only collisions would matter (~2⁻⁶⁴).
     doc_g = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(grams)).alias("g"),
-    ).select("_id", portable_word_hash(F.col("g")).alias("gh"))
+    ).select("_id", F.xxhash64(F.col("g")).alias("gh"))
     gram_df = doc_g.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
     per_doc = (
         doc_g.join(gram_df, "gh")

