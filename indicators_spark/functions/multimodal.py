@@ -157,3 +157,51 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "into fake_decode_pcm — framing/features in audio_frame_features "
         "are codec-agnostic"
     )
+
+
+#: One output row per sampled video frame.
+VIDEO_FRAME_SCHEMA = "frame_idx int, pts_ms long, byte_offset long"
+
+#: Fake container parameters: fixed per-frame byte size and frame rate.
+VIDEO_FRAME_BYTES, VIDEO_FPS = 32, 25
+
+
+def video_frame_sample(
+    df: DataFrame,
+    stride: int = 5,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-clip video frame sampling — the 1:N ``mapInPandas`` shape for
+    video: each clip row explodes into one row per ``stride``-th frame with
+    its presentation timestamp and byte offset.  The *container parse*
+    (frame count = payload bytes / frame size, fixed fps) is a
+    deterministic stand-in — a real demuxer (PyAV/ffmpeg) would replace
+    only ``_frames_of``; the Spark plumbing (Arrow batches in, exploded
+    narrow rows out, payload never leaves the executor) is the real thing.
+
+    Scale shape: zero shuffles; output is narrow frame metadata, so the
+    1:N fan-out (bounded by clip length / stride) never amplifies payload
+    bytes.  Skew follows clip-length skew — repartition on clip id first
+    for mixed-length corpora.
+    """
+    out_schema = f"{id_col} long, {VIDEO_FRAME_SCHEMA}"
+
+    def _frames_of(payload: bytes) -> int:
+        return max(1, len(payload) // VIDEO_FRAME_BYTES)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, pts, off = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = _frames_of(payload)
+                for f in range(0, n, stride):
+                    ids.append(i)
+                    fidx.append(f)
+                    pts.append(f * 1000 // VIDEO_FPS)
+                    off.append(f * VIDEO_FRAME_BYTES)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "pts_ms": pts, "byte_offset": off}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

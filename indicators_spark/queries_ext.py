@@ -2097,3 +2097,32 @@ FROM t"""
         ),
     ),
 )
+
+
+def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.video_frame_sample(docs, stride=5)
+
+
+# Oracle replays the fake container parse relationally: frame count =
+# ceil-less bytes//32 (min 1), every 5th frame, pts at 25 fps.
+_register(
+    "multimodal_video_frames",
+    Query(
+        spark=_video_frames,
+        sql=f"""
+WITH d AS (
+  SELECT doc_id,
+    greatest(octet_length(encode(text)) // {multimodal.VIDEO_FRAME_BYTES}, 1) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, CAST(t.f AS INT) AS frame_idx
+  FROM d, unnest(range(0, nf, 5)) AS t(f)
+)
+SELECT doc_id, frame_idx,
+  CAST(frame_idx * 1000 // {multimodal.VIDEO_FPS} AS BIGINT) AS pts_ms,
+  CAST(frame_idx * {multimodal.VIDEO_FRAME_BYTES} AS BIGINT) AS byte_offset
+FROM fr""",
+    ),
+)
