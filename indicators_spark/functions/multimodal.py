@@ -205,3 +205,49 @@ def video_frame_sample(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+#: Output schema appended by resize_image.
+RESIZE_META_SCHEMA = "out_width int, out_height int, out_bytes long"
+
+
+def resize_image(
+    df: DataFrame,
+    target_width: int = 64,
+    target_height: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize plumbing — the payload-to-payload ``mapInPandas``
+    shape (decode → transform → re-encode).  The pixel work is a
+    deterministic stand-in (output byte budget = w·h·3 — swap in
+    PIL/libvips inside ``_resize_bytes`` for real images); the Spark side
+    is real: Arrow batches in, transformed binary + metadata out, payloads
+    stay on executors, and the narrow metadata columns remain available
+    for pruning/filter pushdown downstream.
+
+    Scale shape: zero shuffles, compute-bound map — the ideal 100 TB
+    operator; batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+    bounds executor memory for large payloads.
+    """
+    budget = target_width * target_height * 3
+
+    def _resize_bytes(payload: bytes) -> bytes:
+        reps = -(-budget // max(len(payload), 1))  # ceil
+        return (payload * reps)[:budget]
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [RESIZE_META_SCHEMA]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.assign(**{payload_col: pdf[payload_col].map(_resize_bytes)})
+            pdf = pdf.assign(
+                out_width=target_width,
+                out_height=target_height,
+                out_bytes=pdf[payload_col].map(len),
+            )
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -2126,3 +2126,33 @@ SELECT doc_id, frame_idx,
 FROM fr""",
     ),
 )
+
+
+def _resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    out = multimodal.resize_image(
+        docs.select("doc_id", "payload"), target_width=64, target_height=64
+    )
+    # verify the transformed payload itself (md5), not just metadata
+    return out.select(
+        "doc_id", "out_width", "out_height", "out_bytes", F.md5("payload").alias("fp")
+    )
+
+
+# Oracle rebuilds the byte-budget transform relationally: payload = utf-8
+# text repeated to ceil(12288/len) and truncated to 12288 bytes.
+_register(
+    "multimodal_resize",
+    Query(
+        spark=_resize_meta,
+        sql="""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+  CAST(64 AS INT) AS out_width, CAST(64 AS INT) AS out_height,
+  CAST(12288 AS BIGINT) AS out_bytes,
+  md5(substr(repeat(text, CAST(ceil(12288.0 / n) AS INT)), 1, 12288)) AS fp
+FROM d""",
+    ),
+)

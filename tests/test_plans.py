@@ -198,3 +198,23 @@ def test_bm25_topk_is_take_ordered(spark):
     df = QUERIES["bm25_search"].spark(spark, SF_SMOKE)
     plan = plan_string(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_pairs_posting_join_is_hash(spark):
+    """The sparse TF-IDF pairwise dot must ride the token-keyed posting
+    join (hash join on tok) — never a cartesian over documents.  (The
+    1-row n_docs scalar legitimately cross-joins as a broadcast.)"""
+    df = QUERIES["tfidf_cosine_pairs"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[tok", plan), plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (tiny) benchmark n-gram side —
+    the corpus side never shuffles for the semi-join."""
+    df = QUERIES["decontaminate_ngram"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
