@@ -111,3 +111,31 @@ def pack_sequences(
     )
     cum_before = F.coalesce(F.sum(tokens).over(w), F.lit(0))
     return df.withColumn(out, F.floor(cum_before / F.lit(capacity)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split42",
+) -> DataFrame:
+    """Deterministic 3-way corpus split by content hash — the standard
+    leakage-safe alternative to ``randomSplit`` (which reshuffles when the
+    partitioning changes and can't be reproduced cross-engine).  A row's
+    split depends only on its key: stable across runs, engines, cluster
+    sizes, and incremental re-ingests (new rows never move old rows
+    between splits).
+
+    Pure projection (one md5 + compare), zero shuffle; the split column
+    prunes into downstream scans when written partitioned-by-split.
+    """
+    b = hash_bucket(F.col(key), seed)
+    val_cut = int(val_frac * HASH_DEN)
+    test_cut = val_cut + int(test_frac * HASH_DEN)
+    return df.withColumn(
+        "split",
+        F.when(b < val_cut, F.lit("val"))
+        .when(b < test_cut, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import dedup, multimodal, similarity, text
+from .functions import dedup, multimodal, sampling, similarity, text
 from .queries import Query, _r, _register, _sql, _wcum, round4, slog
 from .sources.prices import load_table
 
@@ -2154,5 +2154,89 @@ SELECT doc_id,
   CAST(12288 AS BIGINT) AS out_bytes,
   md5(substr(repeat(text, CAST(ceil(12288.0 / n) AS INT)), 1, 12288)) AS fp
 FROM d""",
+    ),
+)
+
+
+_register(
+    "split_train_val_test",
+    Query(
+        spark=lambda s, d: sampling.train_val_test_split(
+            load_table(s, d, "documents"), "doc_id"
+        ).select("doc_id", "split"),
+        sql=f"""
+SELECT doc_id,
+  CASE WHEN {sampling.bucket_sql('doc_id', 'split42')} < 1000 THEN 'val'
+       WHEN {sampling.bucket_sql('doc_id', 'split42')} < 2000 THEN 'test'
+       ELSE 'train' END AS split
+FROM documents""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Event funnel (signup → click → purchase, time-ordered per user)
+# --------------------------------------------------------------------- #
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered-funnel conversion counts: users whose first signup
+    precedes a click that precedes a purchase.  Stage frames are skinny
+    per-user min-timestamps (groupBy aggs), chained with hash joins —
+    event rows never join event rows directly, so no stage is quadratic
+    and the heaviest shuffle carries (user_id, ts) pairs only."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = [
+        s1.agg(F.lit(1).alias("stage"), F.count(F.lit(1)).alias("users")),
+        s2.agg(F.lit(2).alias("stage"), F.count(F.lit(1)).alias("users")),
+        s3.agg(F.lit(3).alias("stage"), F.count(F.lit(1)).alias("users")),
+    ]
+    res = out[0].unionByName(out[1]).unionByName(out[2])
+    return res.select(F.col("stage").cast("long").alias("stage"), "users")
+
+
+_register(
+    "events_funnel",
+    Query(
+        spark=_funnel,
+        sql="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3""",
     ),
 )
