@@ -400,3 +400,28 @@ def lsh_dedup_clusters(
             (F.col(id_col) == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental-ingest dedup: drop new documents whose exact
+    fingerprint already exists in the historical corpus, then dedup the
+    batch against itself (keep min id).  The realistic production shape —
+    full-corpus re-dedup on every ingest does not survive 100 TB; this
+    touches only (batch × fingerprint-table) keys.
+
+    Scale shape: one anti join on 16-byte md5 keys (the fingerprint table
+    side carries NO text) + one batch-local groupBy.  With the fingerprint
+    table bucketed on fp, the anti join is exchange-free on the historical
+    side; AQE broadcasts small batches.
+    """
+    fps = corpus_fps.select(F.col(fp_col).alias("_fp"))
+    batch = new_batch.withColumn("_fp", F.md5(F.col(text_col)))
+    fresh = batch.join(fps, "_fp", "left_anti")
+    keep = fresh.groupBy("_fp").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
+    return fresh.join(keep, id_col, "left_semi").drop("_fp")

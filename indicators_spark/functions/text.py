@@ -12,6 +12,7 @@ never engine-specific hashes like xxhash64.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -375,3 +376,33 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "bpe_token_count", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
     )
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style compressibility quality signal: zlib-compressed size
+    over raw size.  Highly repetitive/templated documents compress far
+    below natural text (~0.4–0.6) and low ratios flag them for removal;
+    random noise sits near 1.0.
+
+    This is the engine's canonical **Arrow-batched scalar pandas UDF**
+    shape: Python is unavoidable (no zlib in Spark SQL), so the work
+    arrives in columnar batches, compresses with the C zlib, and returns
+    one double per row — row-local, zero shuffle, scales with cores.  No
+    SQL oracle exists for zlib (driver records a rows-only check); the
+    deterministic behavior is pinned by unit tests instead.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn("compression_ratio", _ratio(F.col(text_col)))

@@ -542,3 +542,55 @@ p AS (
 SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= {_TFIDF_T}""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Incremental-ingest dedup: new batch vs historical fingerprint table
+# --------------------------------------------------------------------- #
+
+#: Docs below this id play the "historical corpus"; the rest are the batch.
+INCR_SPLIT_ID = 250
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") < INCR_SPLIT_ID).select(
+        F.md5("text").alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    return dedup.dedup_against_corpus(batch, hist).select("doc_id")
+
+
+_register(
+    "dedup_incremental",
+    Query(
+        spark=_dedup_incremental,
+        sql=f"""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < {INCR_SPLIT_ID}
+),
+batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= {INCR_SPLIT_ID}
+),
+fresh AS (
+  SELECT b.doc_id, b.fp FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+)
+SELECT doc_id FROM fresh f
+WHERE doc_id = (SELECT min(doc_id) FROM fresh g WHERE g.fp = f.fp)""",
+    ),
+)
+
+
+# Compressibility signal: no zlib in DuckDB SQL, so this is the catalog's
+# one deliberate rows-only entry (sql=None → the driver records the weaker
+# check); determinism is pinned by tests/test_functions.py instead.
+_register(
+    "text_compression_ratio",
+    Query(
+        spark=lambda s, d: text.with_compression_ratio(_docs(s, d)).select(
+            "doc_id", round4(F.col("compression_ratio")).alias("compression_ratio")
+        ),
+        sql=None,
+    ),
+)

@@ -362,3 +362,28 @@ def test_chunk_documents_boundaries(spark):
         (0, 3, "w7 w8 w9 w10", 4),
         (1, 0, "a b", 2),
     ]
+
+
+def test_compression_ratio_orders_repetitive_below_noise(spark):
+    """zlib compressibility: a highly repetitive doc must compress far
+    below a high-entropy one; values deterministic and in (0, ~1.1]."""
+    from indicators_spark.functions.text import with_compression_ratio
+
+    import random
+
+    rnd = random.Random(3)
+    noisy = " ".join(
+        "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    docs = spark.createDataFrame(
+        [(0, "spam ham " * 200), (1, noisy)], "doc_id long, text string"
+    )
+    twice = [
+        {r["doc_id"]: r["compression_ratio"] for r in with_compression_ratio(docs).collect()}
+        for _ in range(2)
+    ]
+    assert twice[0] == twice[1]  # deterministic
+    rows = twice[0]
+    assert rows[0] < 0.2 < rows[1] <= 1.1
+    assert rows[1] > 0.5
