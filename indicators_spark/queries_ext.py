@@ -2240,3 +2240,52 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Cohort retention (weekly signup cohorts × activity-week offsets)
+# --------------------------------------------------------------------- #
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted once per (cohort, week-offset) they were active in.
+
+    Scale shape: first-seen is one per-user min (skinny agg); the join
+    back to events carries (user, cohort-week) ints; the final distinct
+    count is a two-key agg.  Week arithmetic is integer epoch-division —
+    identical on both engines, no calendar functions with locale rules."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 604800).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("users"))
+        .select(
+            F.col("cohort_wk").cast("long").alias("cohort_wk"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("users").cast("long").alias("users"),
+        )
+    )
+
+
+_register(
+    "events_cohort_retention",
+    Query(
+        spark=_cohort_retention,
+        sql="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events
+),
+first AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+)
+SELECT CAST(f.cohort_wk AS BIGINT) AS cohort_wk,
+  CAST(e.wk - f.cohort_wk AS BIGINT) AS week_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+FROM e JOIN first f ON f.user_id = e.user_id
+GROUP BY 1, 2""",
+    ),
+)
