@@ -433,3 +433,48 @@ SELECT event_id,
 FROM events""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Per-group winsorization (quantile clipping — outlier taming)
+# --------------------------------------------------------------------- #
+
+
+def _winsorize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip n_chars to each language's exact [p05, p95] band — the
+    standard outlier-taming transform before statistics/training.
+
+    Scale shape: one per-group exact-percentile agg (tiny output: one row
+    per group) broadcast-joined back; the data side never shuffles.  At
+    100 TB swap percentile → approx_percentile (t-digest), same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.greatest(F.least(F.col("n_chars").cast("double"), F.col("hi")), F.col("lo"))
+            .alias("n_chars_winsor"),
+        )
+        .select("doc_id", "lang", round4(F.col("n_chars_winsor")).alias("n_chars_winsor"))
+    )
+
+
+_register(
+    "analytic_winsorize",
+    Query(
+        spark=_winsorize_spark,
+        sql=f"""
+WITH bands AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+  {_r('greatest(least(CAST(d.n_chars AS DOUBLE), b.hi), b.lo)', 'n_chars_winsor')}
+FROM documents d JOIN bands b ON b.lang = d.lang""",
+    ),
+)

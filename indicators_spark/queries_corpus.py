@@ -594,3 +594,101 @@ _register(
         sql=None,
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# RAG-style retrieval pipeline: dedup -> chunk -> embed-join -> top-k
+# --------------------------------------------------------------------- #
+
+RAG_TOPK, RAG_NQ = 3, 5
+
+
+def _rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval composition over library primitives: exact
+    dedup keeps one doc per text, survivors are chunked (64/16), chunks
+    inherit their document embedding, and each of the first RAG_NQ query
+    vectors retrieves its RAG_TOPK nearest chunks by cosine.
+
+    Scale shape: the query side (RAG_NQ rows) broadcasts, so scoring is a
+    map over the chunk stream; ranking partitions by query id (parallel
+    across queries — at real scale replace the per-query window with a
+    per-query TakeOrdered/limit).  Dedup/chunk shapes as in their
+    standalone operators."""
+    from .functions.similarity import dot, norm
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    kept = dedup.exact_dedup(docs)
+    chunks = text.chunk_documents(kept, chunk=64, overlap=16).select(
+        "doc_id", "chunk_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = chunks.join(emb, "doc_id")
+    q = emb.filter(F.col("doc_id") < RAG_NQ).select(
+        F.col("doc_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    joined = base.crossJoin(F.broadcast(q)).filter(F.col("doc_id") != F.col("qid"))
+    cos = dot(F.col("qvec"), F.col("embedding")) / (
+        norm(F.col("qvec")) * norm(F.col("embedding"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("_cos").desc(), "doc_id", "chunk_id")
+    return (
+        joined.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RAG_TOPK)
+        .select("qid", "doc_id", "chunk_id", "rank", round4(F.col("_cos")).alias("cos"))
+    )
+
+
+def _rag_sql() -> str:
+    from .queries_ext import _dot_sql, _norm_sql
+
+    step, chunk = 48, 64
+    return f"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+w AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+  FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) <= {chunk} THEN 1
+         ELSE CAST(floor((len(ws) - {chunk} + {step - 1}) / {step}) AS BIGINT) + 1
+    END AS nch
+  FROM w
+),
+ch AS (
+  SELECT doc_id, CAST(t.f AS BIGINT) AS chunk_id
+  FROM c, unnest(range(0, nch)) AS t(f)
+),
+base AS (
+  SELECT c2.doc_id, c2.chunk_id, e.embedding,
+         {_norm_sql('e.embedding')} AS nn
+  FROM ch c2 JOIN embeddings e ON e.vec_id = c2.doc_id
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec, {_norm_sql('embedding')} AS qn
+  FROM embeddings WHERE vec_id < {RAG_NQ}
+),
+s AS (
+  SELECT q.qid, b.doc_id, b.chunk_id,
+    ({_dot_sql('q.qvec', 'b.embedding')}) / (q.qn * b.nn) AS cos
+  FROM base b, q WHERE b.doc_id != q.qid
+),
+r AS (
+  SELECT qid, doc_id, chunk_id, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id, chunk_id) AS rank
+  FROM s
+)
+SELECT qid, doc_id, chunk_id, CAST(rank AS INT) AS rank, {_r('cos', 'cos')}
+FROM r WHERE rank <= {RAG_TOPK}"""
+
+
+_register(
+    "rag_pipeline",
+    Query(spark=_rag_pipeline, sql=_rag_sql()),
+)
