@@ -494,3 +494,62 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("ia", "ib", "cos")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with a coarse quantizer, compare pairs ONLY within each
+    cluster, and greedily drop the higher-id member of every pair with
+    cosine ≥ ``threshold``.  Returns the kept (id) rows.
+
+    The clustering bounds the comparison to per-cell blocks — the whole
+    point at billions of vectors, where corpus-wide pairing is quadratic.
+    Centroids here are the deterministic stand-in (lowest-id vectors, as
+    in `knn_ivf`); swap in trained k-means (`kmeans_fit_assign`) for real
+    corpora — the plumbing is identical.
+
+    Scale shape: cell assignment is the zero-shuffle literal-centroid
+    fold; the pair join is an equi hash join on cell id; dropped ids are
+    a bare-int anti join back to the corpus.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
+    )
+    cents = [
+        (int(r["_id"]), [float(x) for x in r["_v"]])
+        for r in base.filter(F.col("_id") < n_centroids).collect()
+    ]
+    scores = F.array(
+        *[
+            F.struct(
+                (dot(F.col("_v"), F.lit(cv)) / (F.col("_n") * norm(F.lit(cv)))).alias(
+                    "cos"
+                ),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    assigned = base.withColumn("cell", -F.array_max(scores)["ncid"])
+    a = assigned.select(
+        F.col("_id").alias("ia"), F.col("_v").alias("va"), F.col("_n").alias("na"), "cell"
+    )
+    b = assigned.select(
+        F.col("_id").alias("ib"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "cell"
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("ib").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).join(dropped, id_col, "left_anti")

@@ -692,3 +692,44 @@ _register(
     "rag_pipeline",
     Query(spark=_rag_pipeline, sql=_rag_sql()),
 )
+
+
+def _semdedup_sql() -> str:
+    from .queries_ext import _dot_sql, _norm_sql
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv, {_norm_sql('embedding')} AS cn
+  FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    ({_dot_sql('e.embedding', 'c.cv')}) / ({_norm_sql('e.embedding')} * c.cn) AS cos
+  FROM embeddings e, cent c
+),
+cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({_dot_sql('a.embedding', 'b.embedding')})
+        / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) >= 0.4
+)
+SELECT e.vec_id FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)"""
+
+
+_register(
+    "semantic_dedup",
+    Query(
+        spark=lambda s, d: similarity.semantic_dedup(
+            load_table(s, d, "embeddings"), threshold=0.4
+        ),
+        sql=_semdedup_sql(),
+    ),
+)

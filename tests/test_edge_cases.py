@@ -77,3 +77,45 @@ def test_ewm_empty_and_single_group(spark):
     empty = _frame(spark, [])
     out2 = Indicators(empty, order_by=("timestamp", "seq")).ema(["close"], 5).collect()
     assert out2.count() == 0
+
+
+def test_corpus_ops_survive_degenerate_docs(spark):
+    """Every corpus operator must handle empty/1-word/duplicate/unicode
+    docs without raising, with sane row semantics."""
+    from indicators_spark.functions import dedup, similarity, text
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "dup dup dup dup"),
+            (3, "dup dup dup dup"),
+            (4, "ünïcode tøkens here ünïcode tøkens here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert text.with_token_stats(docs).count() == 5
+    assert text.with_quality_score(docs).count() == 5
+    assert text.with_lang_id(docs).count() == 5
+    assert text.with_fingerprint(docs).count() == 5
+    assert text.with_bpe_token_count(docs).count() == 5
+    assert text.with_compression_ratio(docs).count() == 5
+    # chunking: every doc yields >= 1 chunk (empty text -> one '' chunk)
+    assert text.chunk_documents(docs, chunk=4, overlap=1).count() >= 5
+    # repetition drops docs with < 2 words (0 and 1)
+    rep = {r["doc_id"] for r in text.repetition_signals(docs).collect()}
+    assert rep == {2, 3, 4}
+    # exact dedup keeps min id of the duplicate pair
+    kept = {r["doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    assert 2 in kept and 3 not in kept and kept >= {0, 1, 4}
+    # jaccard with prune enabled on a 5-doc corpus does not raise
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df_frac=0.9).count() >= 1
+    # passage dup with n larger than every doc -> empty, not an error
+    assert text.duplicate_passage_fraction(docs, n=50).count() == 0
+    # decontamination flags nothing when bench shares no 3-gram
+    bench = spark.createDataFrame([(99, "zz yy xx ww")], "doc_id long, text string")
+    flags = dict(
+        (r["doc_id"], r["contaminated"])
+        for r in text.decontaminate_flags(docs, bench, n=3).collect()
+    )
+    assert set(flags) == {0, 1, 2, 3, 4} and not any(flags.values())
