@@ -2289,3 +2289,61 @@ FROM e JOIN first f ON f.user_id = e.user_id
 GROUP BY 1, 2""",
     ),
 )
+
+
+def _obv_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same values as the faithful ``obv`` (same oracle), with BOTH serial
+    stages distributed: the global lag via ``halo_lag`` and the global
+    running sum via ``global_cum_sum`` — the full cumulative-operator
+    recipe (shift → transform → cumsum) with no single-task stage.  One
+    shared bounds scan feeds both kernels.  The increments are
+    integer-valued doubles (±volume), so bucketed summation is EXACT
+    (< 2⁵³) and the compare needs no signed-log domain."""
+    from .kernels import when_nullsafe
+    from .scale import global_cum_sum, halo_lag
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir).withColumn(
+        "_bkey", F.unix_timestamp("timestamp")
+    )
+    lo, hi = p.agg(
+        F.min("_bkey").cast("double"), F.max("_bkey").cast("double")
+    ).first()
+    lagged = halo_lag(
+        p, "close", 1, ("timestamp", "seq"), buckets=32, out="_prev",
+        bucket_by="_bkey", bounds=(lo, hi),
+    )
+    diff = F.col("close") - F.col("_prev")
+    g = lagged.withColumn(
+        "_chg",
+        F.when(diff.isNull(), F.lit(None).cast("double")).otherwise(
+            F.signum(diff) * F.col("volume")
+        ),
+    )
+    c = global_cum_sum(
+        g, ["_chg"], ("timestamp", "seq"), buckets=32, bucket_by="_bkey",
+        bounds=(lo, hi),
+    )
+    return c.select("symbol", "seq", round4(F.col("_cum__chg")).alias("obv"))
+
+
+_register(
+    "obv_chunked",
+    Query(
+        spark=_obv_chunked,
+        sql=_sql(
+            f"""d AS (
+  SELECT symbol, seq, "timestamp", volume,
+    close - lag(close) OVER {_word(False)} AS df
+  FROM prices
+),
+o AS (
+  SELECT symbol, seq, "timestamp",
+    (CASE WHEN df IS NULL THEN NULL
+          WHEN df > 0 THEN 1.0 WHEN df < 0 THEN -1.0 ELSE 0.0 END) * volume AS chg
+  FROM d
+)
+SELECT symbol, seq, {_r(f'sum(chg) OVER {_wcum(False)}', 'obv')} FROM o"""
+        ),
+    ),
+)

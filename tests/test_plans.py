@@ -218,3 +218,13 @@ def test_decontaminate_broadcasts_benchmark(spark):
     df = QUERIES["decontaminate_ngram"].spark(spark, SF_SMOKE)
     plan = plan_string(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_chunked_cumulative_single_partition_budget(spark):
+    """The distributed cumulative twins may use at most ONE SinglePartition
+    exchange — the ≤buckets-row offset prefix-sum — never one over the
+    data (the faithful forms, by contrast, are single-task by definition)."""
+    for name in ("vwap_chunked", "obv_chunked", "analytic_global_rownum"):
+        df = QUERIES[name].spark(spark, SF_SMOKE)
+        plan = plan_string(df)
+        assert plan.count("Exchange SinglePartition") <= 1, (name, plan)
