@@ -387,3 +387,16 @@ def test_compression_ratio_orders_repetitive_below_noise(spark):
     rows = twice[0]
     assert rows[0] < 0.2 < rows[1] <= 1.1
     assert rows[1] > 0.5
+
+
+def test_semantic_dedup_keeps_one_per_dup_set(spark):
+    """Identical vectors land in the same cell; semantic dedup must keep
+    exactly the lowest id of each identical group and all singletons."""
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, v1), (1, v2), (10, v1), (11, v1), (12, v2), (20, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.99, n_centroids=2).collect()}
+    assert kept == {0, 1, 20}

@@ -177,3 +177,52 @@ def test_chunk_documents_covers_every_word(spark, n_words, chunk, overlap):
         assert toks == [f"w{i}" for i in range(start, min(start + chunk, n_words))]
         covered.update(range(start, start + ntok))
     assert covered == set(range(n_words))
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    buckets=st.integers(min_value=1, max_value=8),
+)
+@_settings
+def test_global_row_number_any_buckets(spark, n, buckets):
+    """Bucketed enumeration equals the window row_number for any series
+    length and bucket count (including buckets > rows)."""
+    from pyspark.sql import Window
+    from indicators_spark.scale import global_row_number
+
+    df = spark.range(n).select(
+        F.col("id").alias("seq"), (F.col("id") * 7 % 13).alias("v")
+    )
+    out = global_row_number(
+        df, order_cols=("seq",), buckets=buckets, bucket_by="seq", out="rn"
+    )
+    ref = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("seq")).cast("long")
+    )
+    a = sorted((r["seq"], r["rn"]) for r in out.collect())
+    b = sorted((r["seq"], r["rn"]) for r in ref.collect())
+    assert a == b
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    buckets=st.integers(min_value=1, max_value=6),
+    gap=st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_global_cum_sum_any_buckets(spark, n, buckets, gap):
+    """Bucketed running sums equal the unbounded window for any length,
+    bucket count, and null pattern (every gap-th value null)."""
+    from pyspark.sql import Window
+    from indicators_spark.scale import global_cum_sum
+
+    df = spark.range(n).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % gap != 0, (F.col("id") % 7).cast("double")).alias("x"),
+    )
+    out = global_cum_sum(df, ["x"], ("seq",), buckets=buckets, bucket_by="seq")
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.withColumn("_cum_x", F.sum("x").over(w))
+    a = sorted((r["seq"], r["_cum_x"]) for r in out.collect())
+    b = sorted((r["seq"], r["_cum_x"]) for r in ref.collect())
+    assert a == b
