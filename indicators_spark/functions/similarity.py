@@ -511,7 +511,7 @@ def semantic_dedup(
     The clustering bounds the comparison to per-cell blocks — the whole
     point at billions of vectors, where corpus-wide pairing is quadratic.
     Centroids here are the deterministic stand-in (lowest-id vectors, as
-    in `knn_ivf`); swap in trained k-means (`kmeans_fit_assign`) for real
+    in `knn_ivf`); swap in trained k-means (`kmeans_lloyd`) for real
     corpora — the plumbing is identical.
 
     Scale shape: cell assignment is the zero-shuffle literal-centroid
