@@ -406,3 +406,20 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         return texts.map(one)
 
     return df.withColumn("compression_ratio", _ratio(F.col(text_col)))
+
+
+def with_lang_margin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID confidence: the margin between the best and second-best
+    per-language marker-hit counts (0 = ambiguous, high = confident).
+    Both engines sort the identical hit array, so the margin is exact
+    regardless of which language wins ties.  Row-local, zero shuffle."""
+    ws = words(F.col(text_col))
+    hits = F.array(
+        *[_count_in(ws, vocab) for vocab in LANG_MARKERS.values()]
+    )
+    srt = F.array_sort(hits)
+    k = len(LANG_MARKERS)
+    return df.withColumn(
+        "lang_margin",
+        (F.element_at(srt, k) - F.element_at(srt, k - 1)).cast("long"),
+    )

@@ -733,3 +733,30 @@ _register(
         sql=_semdedup_sql(),
     ),
 )
+
+
+def _lang_margin_sql() -> str:
+    hit_exprs = ", ".join(
+        f"len(list_filter(ws, x -> x IN ({', '.join(repr(w) for w in vocab)})))"
+        for vocab in text.LANG_MARKERS.values()
+    )
+    k = len(text.LANG_MARKERS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id, list_sort([{hit_exprs}]) AS srt FROM t
+)
+SELECT doc_id, CAST(srt[{k}] - srt[{k - 1}] AS BIGINT) AS lang_margin FROM h"""
+
+
+_register(
+    "text_lang_margin",
+    Query(
+        spark=lambda s, d: text.with_lang_margin(_docs(s, d)).select(
+            "doc_id", "lang_margin"
+        ),
+        sql=_lang_margin_sql(),
+    ),
+)

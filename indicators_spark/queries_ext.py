@@ -2347,3 +2347,54 @@ SELECT symbol, seq, {_r(f'sum(chg) OVER {_wcum(False)}', 'obv')} FROM o"""
         ),
     ),
 )
+
+
+def _time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-lag stats: exact median / p90 seconds
+    from a user's first signup to their first subsequent purchase.
+    Skinny per-user aggregates, one tiny final percentile row."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    # cast-to-double keeps the microsecond fraction (unix_timestamp truncates)
+    lag = F.col("t2").cast("double") - F.col("t1").cast("double")
+    return p.select(lag.alias("lag_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        round4(F.percentile("lag_s", F.lit(0.5))).alias("median_s"),
+        round4(F.percentile("lag_s", F.lit(0.9))).alias("p90_s"),
+    )
+
+
+_register(
+    "events_time_to_convert",
+    Query(
+        spark=_time_to_convert,
+        sql="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s.t1) AS t1
+  FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+lags AS (
+  SELECT CAST(epoch(t2) - epoch(t1) AS DOUBLE) AS lag_s FROM p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+  floor(quantile_cont(lag_s, 0.5) * 1e4 + 0.500000001) / 1e4 AS median_s,
+  floor(quantile_cont(lag_s, 0.9) * 1e4 + 0.500000001) / 1e4 AS p90_s
+FROM lags""",
+    ),
+)
