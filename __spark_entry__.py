@@ -79,7 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent DuckDB SQL per query (omitted → rows-only check).
-    Same key order as :func:`queries` so positional pairing also works."""
+    Pair by NAME only: sql=None entries are omitted here, so positions
+    shift relative to :func:`queries` after the first omitted key."""
     from indicators_spark.queries import QUERIES
 
     green = _evidenced()

@@ -76,7 +76,14 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Width probe uses ``inputFiles()`` (a listing, no job) rather than
     ``df.rdd.getNumPartitions()`` — the RDD conversion forces plan
-    analysis through the deprecated path on every call."""
+    analysis through the deprecated path on every call.
+
+    Known under-approximation (perf-only, results unaffected): one large
+    file can already split into many tasks (the repartition is then a
+    needless extra shuffle), and an upstream-repartitioned or in-memory
+    frame reports 0 files so is never spread.  A
+    ``spark.sql.files.maxPartitionBytes``-aware size probe would be
+    exact; not worth a listing of file sizes for a heuristic."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())

@@ -525,6 +525,12 @@ def semantic_dedup(
         (int(r["_id"]), [float(x) for x in r["_v"]])
         for r in base.filter(F.col("_id") < n_centroids).collect()
     ]
+    if not cents:
+        raise ValueError(
+            f"semantic_dedup: no centroid rows — {id_col} must include values "
+            f"< n_centroids ({n_centroids}); got none (ids are assumed dense "
+            "integers starting at 0, or pass a larger n_centroids)"
+        )
     scores = F.array(
         *[
             F.struct(

@@ -9,6 +9,7 @@ driver's ``documents`` / ``embeddings`` / ``events`` / ``lineitem`` tables.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -923,9 +924,15 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
     *global* delta becomes a halo lag (range-bucketed by ship date), the
     per-symbol rolling means become one partitioned halo pass — no stage in
     the plan runs as a single task, so the query scales with cores/executors
-    instead of with 1 (global) / #symbols (3).  See scale.py."""
+    instead of with 1 (global) / #symbols (3).  See scale.py.
+
+    Size-dispatched (scale.rolling_multi_auto/lag_auto): below
+    ``HALO_MIN_ROWS`` the halo overhead dominates and the kernels fall back
+    to the plain window form — the row count rides the bounds min/max scan
+    for free, so bench-scale inputs pay no halo tax while ≥threshold inputs
+    plan no single-task stage (pinned in tests/test_plans.py)."""
     from . import kernels as K
-    from .scale import halo_lag, halo_rolling_multi
+    from .scale import lag_auto, rolling_multi_auto
 
     order = ("timestamp", "seq", "close", "volume")
     # Minimal base projection — RSI reads only the close series, so skip
@@ -940,14 +947,16 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("volume"),
         F.unix_timestamp(F.col("l_shipdate")).alias("_bkey"),
     )
-    # one raw-column min/max scan shared by both halo passes (no window
-    # work; at 100 TB this would come from partition metadata instead)
-    lo, hi = li.agg(
+    # one raw-column min/max+count scan shared by both halo passes and the
+    # size dispatch (no window work; at 100 TB this would come from
+    # partition metadata instead)
+    lo, hi, n_rows = li.agg(
         F.min(F.unix_timestamp("l_shipdate")).cast("double"),
         F.max(F.unix_timestamp("l_shipdate")).cast("double"),
+        F.count(F.lit(1)),
     ).first()
     bounds = (lo, hi)
-    d = halo_lag(
+    d = lag_auto(
         p,
         "close",
         1,
@@ -956,6 +965,7 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="_prev",
         bucket_by="_bkey",
         bounds=bounds,
+        n_rows=n_rows,
     )
     delta = F.col("close") - F.col("_prev")
     g = d.withColumns(
@@ -964,7 +974,7 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_loss": K.when_nullsafe(delta < 0, F.abs(delta), F.lit(0.0)),
         }
     )
-    a = halo_rolling_multi(
+    a = rolling_multi_auto(
         g,
         [("mean", "_gain", "_ag"), ("mean", "_loss", "_al")],
         14,
@@ -973,6 +983,7 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_by="_bkey",
         partition_cols=("symbol",),
         bounds=bounds,
+        n_rows=n_rows,
     )
     rsi = 100 - K.safe_div(
         F.lit(100.0), 1 + K.safe_div(F.col("_ag"), F.col("_al"))
@@ -1945,15 +1956,17 @@ def _udaf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean of positive quantities per return flag.  The UDAF path ships one
     Arrow batch per group-partition — fine for low-cardinality keys; the
     oracle is the exp∘avg∘ln identity."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: `from __future__ import annotations` turns
-    # hints into strings, which defeats pandas_udf's signature inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def geomean(v):
+    # real (non-stringized) Series -> float hints select the grouped-agg
+    # flavor without the deprecated PandasUDFType constant; `pd.Series` is
+    # resolvable here because this module imports pandas at top level
+    def _geomean(v: pd.Series) -> float:
         import numpy as np
 
         return float(np.exp(np.log(v[v > 0]).mean()))
+
+    geomean = pandas_udf(_geomean, "double")
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1983,8 +1996,10 @@ def _li_donchian_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (single-task by definition) become one range-bucketed halo
     pass — both aggs share the bucketing, the halo union, and the
     per-bucket window stage.  No single-task stage anywhere (cf.
-    ``lineitem_rsi_halo``; scale.py)."""
-    from .scale import halo_rolling_multi
+    ``lineitem_rsi_halo``; scale.py).  Size-dispatched like
+    ``lineitem_rsi_halo``: below HALO_MIN_ROWS the plain window form wins
+    and the kernel falls back to it."""
+    from .scale import rolling_multi_auto
 
     order = ("timestamp", "seq", "close", "volume")
     li = load_table(spark, sf_dir, "lineitem")
@@ -2010,13 +2025,16 @@ def _li_donchian_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low": F.least("open", "close") * 0.99,
         }
     )
-    rolled = halo_rolling_multi(
+    rolled = rolling_multi_auto(
         p,
         [("max", "high", "_up"), ("min", "low", "_lo")],
         50,
         order_cols=order,
         buckets=32,
         bucket_by="_bkey",
+        # count the parquet scan (row-group metadata), not the windowed
+        # frame p — same row count, no second pass over the lag stage
+        n_rows=li.count(),
     )
     return rolled.select(
         "symbol",
@@ -2141,6 +2159,11 @@ def _resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle rebuilds the byte-budget transform relationally: payload = utf-8
 # text repeated to ceil(12288/len) and truncated to 12288 bytes.
+# greatest(n, 1) mirrors the Spark side's max(len(payload), 1) so empty
+# documents hash identically (md5 of b'').  NOTE: substr/repeat count
+# *characters* while resize_image truncates *bytes* — identical only for
+# ASCII corpora (this DuckDB's md5/substr have no BLOB overloads, so a
+# byte-exact oracle is not expressible; the seed-42 testdata is ASCII).
 _register(
     "multimodal_resize",
     Query(
@@ -2151,8 +2174,8 @@ WITH d AS (
 )
 SELECT doc_id,
   CAST(64 AS INT) AS out_width, CAST(64 AS INT) AS out_height,
-  CAST(12288 AS BIGINT) AS out_bytes,
-  md5(substr(repeat(text, CAST(ceil(12288.0 / n) AS INT)), 1, 12288)) AS fp
+  CAST(CASE WHEN n = 0 THEN 0 ELSE 12288 END AS BIGINT) AS out_bytes,
+  md5(substr(repeat(text, CAST(ceil(12288.0 / greatest(n, 1)) AS INT)), 1, 12288)) AS fp
 FROM d""",
     ),
 )

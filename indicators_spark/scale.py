@@ -177,6 +177,97 @@ def halo_rolling_multi(
     return rolled.filter(~F.col("_halo")).drop("_bucket", "_halo")
 
 
+#: Row-count threshold for the size-based kernel dispatch: below this the
+#: halo kernels' fixed overhead (bucket-bounds scan, halo union, dedup
+#: filter, extra shuffle) dominates and the plain window form — though it
+#: plans a SinglePartition exchange for global orders — is faster on any
+#: realistic executor (SCALING.md: measured crossover ≈ 1e7 rows on
+#: local[32]; a single task handles 1e7 rows comfortably).
+HALO_MIN_ROWS = 8_000_000
+
+
+def rolling_multi_auto(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str, str]],
+    n: int,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 8,
+    bucket_by: str | None = None,
+    partition_cols: Sequence[str] = (),
+    bounds: tuple[float, float] | None = None,
+    n_rows: int | None = None,
+    min_rows: int = HALO_MIN_ROWS,
+) -> DataFrame:
+    """Size-dispatched trailing-window aggregates: the halo kernel
+    (:func:`halo_rolling_multi`) at scale, the plain single-window form
+    below ``min_rows`` where the halo's fixed overhead dominates.
+
+    ``n_rows``: caller-provided row count — catalog metadata, or folded
+    into an aggregate the caller already runs (e.g. the ``bounds`` min/max
+    scan).  When None, one ``df.count()`` decides (for parquet sources
+    that is row-group metadata, not a data pass).  Both paths produce
+    identical values including the min-samples warm-up gate."""
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows < min_rows:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(-(n - 1), Window.currentRow)
+        )
+        cols = {}
+        for agg, col, out in specs:
+            gate = F.count(F.col(col)).over(w)
+            cols[out] = F.when(gate >= n, _AGG_FNS[agg](F.col(col)).over(w))
+        return df.withColumns(cols)
+    return halo_rolling_multi(
+        df,
+        specs,
+        n,
+        order_cols=order_cols,
+        buckets=buckets,
+        bucket_by=bucket_by,
+        partition_cols=partition_cols,
+        bounds=bounds,
+    )
+
+
+def lag_auto(
+    df: DataFrame,
+    col: str,
+    k: int = 1,
+    order_cols: Sequence[str] = ("timestamp", "seq"),
+    buckets: int = 8,
+    out: str = "_lagged",
+    bucket_by: str | None = None,
+    partition_cols: Sequence[str] = (),
+    bounds: tuple[float, float] | None = None,
+    n_rows: int | None = None,
+    min_rows: int = HALO_MIN_ROWS,
+) -> DataFrame:
+    """Size-dispatched ``lag(col, k)``: :func:`halo_lag` at scale, the
+    plain window form below ``min_rows`` (see :func:`rolling_multi_auto`
+    for the dispatch contract)."""
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows < min_rows:
+        w = Window.partitionBy(*partition_cols).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        return df.withColumn(out, F.lag(col, k).over(w))
+    return halo_lag(
+        df,
+        col,
+        k,
+        order_cols=order_cols,
+        buckets=buckets,
+        out=out,
+        bucket_by=bucket_by,
+        partition_cols=partition_cols,
+        bounds=bounds,
+    )
+
+
 def halo_lag(
     df: DataFrame,
     col: str,
@@ -382,12 +473,17 @@ def global_cum_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = bucketed.join(F.broadcast(offsets), "_bucket")
+    # zero literal in the offset column's own sum dtype (long for integer
+    # inputs, double for floats) so the output matches the global-window
+    # F.sum result type instead of silently widening ints to double
+    off_types = {f.name: f.dataType for f in offsets.schema.fields}
     for c in cols:
         local = F.sum(c).over(win)
+        zero = F.lit(0).cast(off_types[f"_off_{c}"])
         # NULL offset (no earlier values) + NULL local = NULL, matching the
         # global-window result; otherwise treat the missing side as 0.
         total = F.when(
             F.col(f"_off_{c}").isNull() & local.isNull(), F.lit(None)
-        ).otherwise(F.coalesce(F.col(f"_off_{c}"), F.lit(0.0)) + F.coalesce(local, F.lit(0.0)))
+        ).otherwise(F.coalesce(F.col(f"_off_{c}"), zero) + F.coalesce(local, zero))
         out = out.withColumn(f"{prefix}{c}", total)
     return out.drop("_bucket", *[f"_off_{c}" for c in cols])

@@ -400,3 +400,18 @@ def test_semantic_dedup_keeps_one_per_dup_set(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.99, n_centroids=2).collect()}
     assert kept == {0, 1, 20}
+
+
+def test_semantic_dedup_no_centroids_raises(spark):
+    """Ids all >= n_centroids would yield an empty centroid list and an
+    opaque F.array() analysis error — fail fast with a clear message."""
+    import pytest
+
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="centroid"):
+        semantic_dedup(df, n_centroids=16)

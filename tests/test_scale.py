@@ -210,3 +210,58 @@ def test_global_cum_sum_matches_window(spark, prices):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12, atol=1e-9
     )
+
+
+def test_rolling_multi_auto_dispatch(spark, prices):
+    """Size dispatch: below HALO_MIN_ROWS the auto kernel plans the plain
+    window form (no halo machinery); at/above it, the halo plan with NO
+    SinglePartition stage.  Values identical either way."""
+    from indicators_spark.plans import plan_string
+    from indicators_spark.scale import rolling_multi_auto
+
+    p = prices.withColumn("_bkey", F.col("seq"))
+    kw = dict(order_cols=("timestamp", "seq"), buckets=7, bucket_by="_bkey")
+    small = rolling_multi_auto(p, [("mean", "close", "v")], 14, n_rows=10_000, **kw)
+    big = rolling_multi_auto(p, [("mean", "close", "v")], 14, n_rows=10**9, **kw)
+    assert "_halo" not in plan_string(small)
+    big_plan = plan_string(big)
+    assert "_halo" in big_plan
+    assert "SinglePartition" not in big_plan, big_plan
+    a = small.select("seq", "v").orderBy("seq").toPandas()
+    b = big.select("seq", "v").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_lag_auto_dispatch(spark, prices):
+    from indicators_spark.plans import plan_string
+    from indicators_spark.scale import lag_auto
+
+    p = prices.withColumn("_bkey", F.col("seq"))
+    kw = dict(order_cols=("timestamp", "seq"), buckets=7, out="v", bucket_by="_bkey")
+    small = lag_auto(p, "close", 1, n_rows=10_000, **kw)
+    big = lag_auto(p, "close", 1, n_rows=10**9, **kw)
+    assert "_halo" not in plan_string(small)
+    big_plan = plan_string(big)
+    assert "SinglePartition" not in big_plan, big_plan
+    a = small.select("seq", "v").orderBy("seq").toPandas()
+    b = big.select("seq", "v").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_global_cum_sum_integer_dtype(spark, prices):
+    """Integer inputs keep the long sum dtype (no silent double widening)."""
+    from indicators_spark.scale import global_cum_sum
+
+    p = prices.withColumn("_bkey", F.col("seq")).withColumn(
+        "iv", (F.col("seq") % 7).cast("long")
+    )
+    out = global_cum_sum(p, ["iv"], ("timestamp", "seq"), buckets=4, bucket_by="_bkey")
+    assert dict(out.dtypes)["_cum_iv"] == "bigint"
+    w = (
+        Window.orderBy("timestamp", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = p.withColumn("_cum_iv", F.sum("iv").over(w))
+    a = out.select("seq", "_cum_iv").orderBy("seq").toPandas()
+    b = ref.select("seq", "_cum_iv").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
