@@ -25,7 +25,7 @@ All hashes are md5-derived (portable to the DuckDB oracle) — see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import H31, word_hash31, words
@@ -206,25 +206,11 @@ def minhash_signatures(
     return toks.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bands: int = 4,
+def _banded_signatures(
+    df: DataFrame, id_col: str, text_col: str, bands: int
 ) -> DataFrame:
-    """Candidate near-dup pairs: band the k=8 signature into ``bands``
-    bands of 2 rows, bucket-join per band, count collisions per pair.
-
-    Returns (ia, ib, n_bands) — how many bands collided (monotone in
-    estimated Jaccard).
-
-    Plan shape: the signature aggregate runs ONCE; ``posexplode`` turns
-    each doc into ``bands`` (band, key-struct) rows and a single
-    self-equi-join on (band, key) replaces a per-band union of joins —
-    one shuffle of small int rows instead of ``bands`` joins each
-    recomputing the signatures (a naive union-of-band-joins plan costs
-    2·bands signature aggregations; this one costs one, and the aliased
-    self-join lets Catalyst reuse the exchange across both sides)."""
+    """(_id, band, key) rows: the k=8 MinHash signature split into
+    ``bands`` band-key structs via one ``posexplode``."""
     sig = minhash_signatures(df, id_col, text_col)
     rows_per_band = len(MINHASH_COEFFS) // bands
     band_structs = [
@@ -236,10 +222,51 @@ def minhash_lsh_candidates(
         )
         for bi in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.array(*band_structs)).alias("band", "key"),
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: band the k=8 signature into ``bands``
+    bands of 2 rows, bucket-join per band, count collisions per pair.
+
+    Returns (ia, ib, n_bands) — how many bands collided (monotone in
+    estimated Jaccard).
+
+    ``max_bucket_size`` bounds the adversarial failure mode (SCALING.md):
+    a near-identical corpus lands everything in one band bucket and the
+    self-join goes quadratic.  With a cap, each (band, key) bucket keeps
+    only its ``max_bucket_size`` lowest-id members (deterministic sample;
+    candidate pairs per bucket ≤ cap·(cap−1)/2) — an approximation, so it
+    is opt-in and the exact default keeps the oracle row.  Overflow is
+    observable via :func:`lsh_bucket_overflow`; docs dropped from an
+    overflowing bucket can still pair in their other bands.  The cap's
+    row_number window partitions by the join key itself, so it adds no
+    exchange — the join reuses the window's partitioning.
+
+    Plan shape: the signature aggregate runs ONCE; ``posexplode`` turns
+    each doc into ``bands`` (band, key-struct) rows and a single
+    self-equi-join on (band, key) replaces a per-band union of joins —
+    one shuffle of small int rows instead of ``bands`` joins each
+    recomputing the signatures (a naive union-of-band-joins plan costs
+    2·bands signature aggregations; this one costs one, and the aliased
+    self-join lets Catalyst reuse the exchange across both sides)."""
+    banded = _banded_signatures(df, id_col, text_col, bands)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "key").orderBy("_id")
+        banded = (
+            banded.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     # shuffle_hash (not the default broadcast): with both sides shuffled on
     # (band, key) the two exchange subtrees canonicalize identically, so
     # Catalyst's ReuseExchange computes the signature aggregate ONCE and
@@ -253,6 +280,28 @@ def minhash_lsh_candidates(
         & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
     return pairs.groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def lsh_bucket_overflow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, key, size, dropped) for every LSH band bucket larger than
+    ``max_bucket_size`` — run alongside a capped
+    :func:`minhash_lsh_candidates` to quantify the approximation (how many
+    docs the deterministic per-bucket sample excluded and where).  One
+    groupBy on the same skinny (band, key) rows; empty result ⇒ the cap
+    changed nothing."""
+    banded = _banded_signatures(df, id_col, text_col, bands)
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket_size)
+        .withColumn("dropped", F.col("size") - max_bucket_size)
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

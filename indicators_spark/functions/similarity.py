@@ -443,6 +443,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """EXACT sparse TF-IDF cosine similarity for all (ia < ib) document
     pairs above ``threshold`` — the lexical near-dup/similarity measure
@@ -459,6 +460,15 @@ def tfidf_cosine_pairs(
     token-keyed self-join whose output is bounded by posting-list sizes
     (idf=0 kills the worst token), then a per-pair sum.  Shuffles carry
     (id, token-hash, weight) — never text.
+
+    ``max_df_frac``: vocabulary prune for adversarial corpora.  idf=0
+    only kills tokens present in EVERY document; a token in 90% of a
+    billion docs still has idf>0 and a ~quadratic posting list.  With
+    ``max_df_frac=f``, tokens with df > f·N are dropped from the
+    vocabulary BEFORE weighting (the standard sklearn-style max_df
+    semantics: vectors are normalized over the kept vocabulary, so the
+    result is exact cosine over the pruned space).  Opt-in; the exact
+    default keeps the oracle row.
     """
     from . import text as _text
 
@@ -471,10 +481,11 @@ def tfidf_cosine_pairs(
     )
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    weighted = tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
+    if max_df_frac is not None:
+        weighted = weighted.filter(F.col("df") <= F.col("n") * max_df_frac)
     weighted = (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("w", F.col("tf") * F.log(F.col("n") / F.col("df")))
+        weighted.withColumn("w", F.col("tf") * F.log(F.col("n") / F.col("df")))
         .filter(F.col("w") > 0)  # idf=0 tokens can't contribute
         .select("_id", "tok", "w")
     )
@@ -502,6 +513,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with a coarse quantizer, compare pairs ONLY within each
@@ -517,6 +529,16 @@ def semantic_dedup(
     Scale shape: cell assignment is the zero-shuffle literal-centroid
     fold; the pair join is an equi hash join on cell id; dropped ids are
     a bare-int anti join back to the corpus.
+
+    ``max_cell_size`` bounds the adversarial failure mode: a
+    near-identical corpus lands every vector in one cell and the in-cell
+    pair join goes quadratic.  With a cap, each cell compares only its
+    ``max_cell_size`` lowest-id vectors (deterministic sample; pairs per
+    cell ≤ cap·(cap−1)/2) — vectors beyond the cap are always kept, so
+    the result over-keeps rather than over-drops.  Approximation ⇒
+    opt-in; the exact default keeps the oracle row.  The cap's
+    row_number window partitions by the join key (cell), so the pair
+    join reuses its partitioning — no extra exchange.
     """
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
@@ -543,6 +565,13 @@ def semantic_dedup(
         ]
     )
     assigned = base.withColumn("cell", -F.array_max(scores)["ncid"])
+    if max_cell_size is not None:
+        wc = Window.partitionBy("cell").orderBy("_id")
+        assigned = (
+            assigned.withColumn("_cn", F.row_number().over(wc))
+            .filter(F.col("_cn") <= max_cell_size)
+            .drop("_cn")
+        )
     a = assigned.select(
         F.col("_id").alias("ia"), F.col("_v").alias("va"), F.col("_n").alias("na"), "cell"
     )

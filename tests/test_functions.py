@@ -415,3 +415,75 @@ def test_semantic_dedup_no_centroids_raises(spark):
     )
     with pytest.raises(ValueError, match="centroid"):
         semantic_dedup(df, n_centroids=16)
+
+
+def test_minhash_lsh_bucket_cap_bounds_candidates(spark):
+    """Adversarial all-identical corpus: every doc lands in one band
+    bucket, so uncapped candidates are quadratic (C(40,2)); the cap keeps
+    the 5 lowest ids per bucket (C(5,2) pairs) and the overflow stats
+    name the dropped mass."""
+    from indicators_spark.functions.dedup import (
+        lsh_bucket_overflow,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text repeated here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_candidates(docs)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = minhash_lsh_candidates(docs, max_bucket_size=5)
+    rows = capped.collect()
+    assert len(rows) == 5 * 4 // 2
+    assert all(r["ia"] < 5 and r["ib"] < 5 and r["n_bands"] == 4 for r in rows)
+    over = lsh_bucket_overflow(docs, max_bucket_size=5).collect()
+    assert len(over) == 4  # one oversized bucket per band
+    assert all(r["size"] == 40 and r["dropped"] == 35 for r in over)
+
+
+def test_semantic_dedup_cell_cap_over_keeps(spark):
+    """All-identical vectors: uncapped keeps only id 0; with a cell cap
+    only the lowest-cap ids are compared, so beyond-cap ids are KEPT
+    (the cap over-keeps, never over-drops)."""
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {r["vec_id"] for r in semantic_dedup(df, n_centroids=2).collect()}
+    assert kept == {0}
+    kept_capped = {
+        r["vec_id"]
+        for r in semantic_dedup(df, n_centroids=2, max_cell_size=5).collect()
+    }
+    assert kept_capped == {0} | set(range(5, 20))
+
+
+def test_tfidf_max_df_frac_prunes_high_df_token(spark):
+    """idf=0 only kills corpus-wide tokens; 'common' (df=4/5, idf>0)
+    still joins every doc pair.  max_df_frac=0.5 drops it from the
+    vocabulary, so docs sharing ONLY that token no longer pair, while
+    rare-token pairs survive (renormalized over the kept vocabulary)."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare1"),
+            (1, "common rare1"),
+            (2, "common alpha"),
+            (3, "common beta"),
+            (4, "gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {(r["ia"], r["ib"]): r["cos"] for r in tfidf_cosine_pairs(docs, 0.01).collect()}
+    assert (0, 1) in base  # identical docs
+    assert (2, 3) in base  # paired through 'common' alone
+    pruned = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, 0.01, max_df_frac=0.5).collect()
+    }
+    assert (2, 3) not in pruned          # 'common' (df 4 > 0.5*5) pruned
+    assert pruned[(0, 1)] == pytest.approx(1.0)  # rare1-only vectors renormalize
