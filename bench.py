@@ -143,6 +143,7 @@ def main() -> None:
         "tpch_q9_profit",
         "tpch_q17_small_qty",
         "tpch_q21_lone_late",
+        "tpch_q21_bucketed",
         "lineitem_sma",
         "lineitem_rsi",
         "lineitem_rsi_halo",

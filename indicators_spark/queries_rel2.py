@@ -541,9 +541,38 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's order date.  Both probe sides reuse the same orderkey shuffle of
     the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return _q21_core(li, orders, sup)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1"""
+
+_register(
+    "tpch_q21_lone_late",
+    Query(spark=_q21, sql=_Q21_SQL),
+)
+
+
+def _q21_core(li: DataFrame, orders_all: DataFrame, sup: DataFrame) -> DataFrame:
+    """q21 plan shared by the plain and bucketed variants — all three fact
+    joins key on orderkey, so co-located inputs run them shuffle-free."""
+    orders = orders_all.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
     l1 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(
@@ -577,7 +606,6 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
-    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waited.join(F.broadcast(sup), F.col("_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
@@ -585,23 +613,43 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize lineitem + orders as orderkey-bucketed managed tables
+    (once per sf dir; reused across queries and sessions via the
+    spark-warehouse catalog).  Bucketing both facts identically is the
+    100 TB co-location story: every orderkey equi-join between them —
+    q21's three, q18's, q4's — then plans ZERO fact-side exchanges; the
+    one-time write amortizes over every such query.  8 buckets at test
+    scale; at 100 TB size buckets to ~executor-memory shares (e.g. 4096).
+
+    Staleness guard: rewrite when the cataloged row count no longer
+    matches the parquet source (regenerated testdata)."""
+    from .sources.io import write_bucketed_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    for tname, table, key in ((li_t, "lineitem", "l_orderkey"), (ord_t, "orders", "o_orderkey")):
+        src = load_table(spark, sf_dir, table)
+        if (
+            spark.catalog.tableExists(tname)
+            and spark.table(tname).count() == src.count()
+        ):
+            continue
+        write_bucketed_table(src, tname, (key,), 8, sort_cols=(key,))
+    return li_t, ord_t
+
+
+def _q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result (and oracle) as ``tpch_q21_lone_late``, read from the
+    orderkey-bucketed tables: the three fact joins run with no exchange —
+    the only shuffle left is the final tiny s_name aggregate
+    (plan-pinned in tests/test_bucketing.py)."""
+    li_t, ord_t = bucketed_fact_tables(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return _q21_core(spark.table(li_t), spark.table(ord_t), sup)
+
+
 _register(
-    "tpch_q21_lone_late",
-    Query(
-        spark=_q21,
-        sql="""
-SELECT s_name, count(*) AS numwait
-FROM supplier, lineitem l1, orders
-WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-  AND o_orderstatus = 'F'
-  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-  AND EXISTS (
-    SELECT 1 FROM lineitem l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
-GROUP BY 1""",
-    ),
+    "tpch_q21_bucketed",
+    Query(spark=_q21_bucketed, sql=_Q21_SQL),
 )

@@ -54,3 +54,40 @@ def test_bucketed_join_no_shuffle(spark, bucketed_tables):
     ).count()
     assert n == expected
     assert agg.count() > 0
+
+
+def test_q21_bucketed_no_fact_exchange(spark):
+    """The bucketed q21 variant must plan ZERO shuffle exchanges on the
+    fact side — the only shuffle is the final s_name aggregate.  Broadcast
+    is disabled so co-location (not broadcast) is what's proven; the fact
+    joins at 100 TB couldn't broadcast anyway."""
+    from indicators_spark.queries import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        df = QUERIES["tpch_q21_bucketed"].spark(spark, SF_SMOKE)
+        plan = plan_string(df)
+        shuffles = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln
+            and "BroadcastExchange" not in ln
+            and "ReusedExchange" not in ln
+        ]
+        # no exchange may partition on any orderkey-derived column
+        assert not any("orderkey" in ln or "_ok" in ln for ln in shuffles), plan
+        # and overall: at most the s_name agg shuffle survives
+        assert len(shuffles) <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q21_bucketed_matches_plain(spark):
+    from indicators_spark.queries import QUERIES
+
+    a = QUERIES["tpch_q21_bucketed"].spark(spark, SF_SMOKE).toPandas()
+    b = QUERIES["tpch_q21_lone_late"].spark(spark, SF_SMOKE).toPandas()
+    a = a.sort_values("s_name").reset_index(drop=True)
+    b = b.sort_values("s_name").reset_index(drop=True)
+    assert a.equals(b)
