@@ -32,6 +32,18 @@ def spark():
     )
     yield s
     s.stop()
+    # stop() alone can leave the py4j gateway (and its non-daemon JVM
+    # threads) alive, hanging pytest after the green summary — shut the
+    # gateway down explicitly so the process exits.
+    try:
+        from pyspark import SparkContext
+
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
 
 
 def _ts(i: int) -> dt.datetime:
