@@ -67,14 +67,37 @@ def _evidenced() -> set[str]:
     return green
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    never-driver-verified queries first (see :func:`_evidenced`)."""
+#: Queries added in round 3 — still never-green, but the round-2 backlog
+#: (50 queries awaiting their first driver row) must spend the budget
+#: first, so these sort after that backlog within the never-green group.
+_ROUND3_NEW = {
+    "tpch_q21_bucketed",
+    "dedup_minhash_lsh_capped",
+    "dedup_lsh_bucket_overflow",
+    "tfidf_cosine_pairs_pruned",
+    "semantic_dedup_capped",
+    "text_redact_pii",
+    "chunk_dedup_stats",
+}
+
+
+def _ordered_names() -> list[str]:
     from indicators_spark.queries import QUERIES
 
     green = _evidenced()
-    names = sorted(QUERIES, key=lambda n: (n in green, list(QUERIES).index(n)))
-    return {name: QUERIES[name].spark for name in names}
+    return sorted(
+        QUERIES,
+        key=lambda n: (n in green, n in _ROUND3_NEW, list(QUERIES).index(n)),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2,
+    never-driver-verified queries first (see :func:`_evidenced`),
+    this round's additions last within that group."""
+    from indicators_spark.queries import QUERIES
+
+    return {name: QUERIES[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -83,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
     shift relative to :func:`queries` after the first omitted key."""
     from indicators_spark.queries import QUERIES
 
-    green = _evidenced()
-    names = sorted(QUERIES, key=lambda n: (n in green, list(QUERIES).index(n)))
-    return {n: QUERIES[n].sql for n in names if QUERIES[n].sql is not None}
+    return {
+        n: QUERIES[n].sql
+        for n in _ordered_names()
+        if QUERIES[n].sql is not None
+    }

@@ -423,3 +423,89 @@ def with_lang_margin(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_margin",
         (F.element_at(srt, k) - F.element_at(srt, k - 1)).cast("long"),
     )
+
+
+#: PII patterns, applied IN ORDER to the progressively-redacted text (so
+#: e.g. an SSN is counted/replaced before the looser phone pattern can
+#: swallow it).  RE2-safe subset — no lookaround, no backreferences — so
+#: the DuckDB oracle runs the SAME patterns verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() .-]{7,14}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub personally identifiable information for training-data
+    hygiene: emails, SSN-shaped ids, IPv4 addresses, phone-shaped digit
+    runs → placeholder tokens, with a per-pattern hit count per document
+    (``pii_email_count``, …) and the total (``pii_total_count``).
+
+    Counts are taken on the text as redacted by the EARLIER patterns
+    (sequential semantics), so overlapping matches are never
+    double-counted and the count always equals the number of
+    replacements made.
+
+    Scale shape: a chain of codegen'd ``regexp_count``/``regexp_replace``
+    expressions — row-local, zero shuffle, whole-stage codegen; the ideal
+    100 TB map operator (cf. reference utils.py — the reference has no
+    PII handling; this is a north-star extension)."""
+    t = F.col(text_col)
+    cols: dict[str, Column] = {}
+    total = F.lit(0).cast("long")
+    for name, pat, token in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(pat)).cast("long")
+        cols[f"pii_{name}_count"] = c
+        total = total + c
+        t = F.regexp_replace(t, pat, token)
+    cols["pii_total_count"] = total
+    cols["redacted"] = t
+    return df.withColumns(cols)
+
+
+def chunk_dedup_exact(
+    df: DataFrame,
+    chunk: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document chunk-level exact dedup — the passage-granular
+    variant of corpus dedup (boilerplate/quotes recur across documents
+    that are NOT near-dups at whole-doc granularity).  Every distinct
+    chunk text keeps exactly one owner, the globally first occurrence
+    (min (doc_id, chunk_id)); per-document survival stats come back as
+    ``(doc_id, n_chunks, kept_chunks, kept_frac)``.
+
+    Scale shape: chunking is the row-local explode
+    (:func:`chunk_documents`); ownership is ONE min-struct groupBy keyed
+    on the chunk md5 — 16-byte keys + two ids through the shuffle, never
+    chunk text — and the mark-back join is on the same key, so AQE/
+    exchange reuse keeps it a single fan-in.  No pairwise comparison
+    anywhere (exact equality needs none)."""
+    ch = chunk_documents(df, chunk, overlap, id_col, text_col)
+    fp = ch.select(
+        id_col, "chunk_id", F.md5(F.col("chunk_text")).alias("_fp")
+    )
+    keep = fp.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("_k")
+    )
+    marked = fp.join(keep, "_fp").withColumn(
+        "_kept",
+        (
+            (F.col("_k")[id_col] == F.col(id_col))
+            & (F.col("_k")["chunk_id"] == F.col("chunk_id"))
+        ).cast("long"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_kept").alias("kept_chunks"),
+        )
+        .withColumn(
+            "kept_frac", F.col("kept_chunks") / F.col("n_chunks")
+        )
+    )

@@ -694,9 +694,22 @@ _register(
 )
 
 
-def _semdedup_sql() -> str:
+def _semdedup_sql(max_cell_size: int | None = None) -> str:
     from .queries_ext import _dot_sql, _norm_sql
 
+    if max_cell_size is None:
+        pair_src = "cells"
+        cap_cte = ""
+    else:
+        pair_src = "capped"
+        cap_cte = f""",
+capped AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY vec_id
+    ) AS crn FROM cells
+  ) WHERE crn <= {max_cell_size}
+)"""
     return f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cv, {_norm_sql('embedding')} AS cn
@@ -713,10 +726,10 @@ cells AS (
       PARTITION BY vec_id ORDER BY cos DESC, cid
     ) AS rn FROM scored
   ) WHERE rn = 1
-),
+){cap_cte},
 dropped AS (
   SELECT DISTINCT b.vec_id
-  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM {pair_src} a JOIN {pair_src} b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE ({_dot_sql('a.embedding', 'b.embedding')})
         / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) >= 0.4
 )
@@ -758,5 +771,147 @@ _register(
             "doc_id", "lang_margin"
         ),
         sql=_lang_margin_sql(),
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Round-3 adversarial-bound variants: the capped paths, oracle-verified
+# (the caps are deterministic lowest-id samples, so DuckDB row_number
+# replicates them exactly).
+# --------------------------------------------------------------------- #
+
+#: Cell cap small enough to bind on the sf0.01 embeddings (500 vectors /
+#: 16 cells ≈ 31 per cell).
+_SEMDEDUP_CELL_CAP = 20
+
+_register(
+    "semantic_dedup_capped",
+    Query(
+        spark=lambda s, d: similarity.semantic_dedup(
+            load_table(s, d, "embeddings"),
+            threshold=0.4,
+            max_cell_size=_SEMDEDUP_CELL_CAP,
+        ),
+        sql=_semdedup_sql(_SEMDEDUP_CELL_CAP),
+    ),
+)
+
+
+_register(
+    "tfidf_cosine_pairs_pruned",
+    Query(
+        spark=lambda s, d: similarity.tfidf_cosine_pairs(
+            _docs(s, d), threshold=_TFIDF_T, max_df_frac=0.5
+        ).select("ia", "ib", round4(F.col("cos")).alias("cos")),
+        sql=f"""
+WITH tf AS (
+  SELECT doc_id AS id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+wtd AS (
+  SELECT id, t.tok, tf * ln(CAST(n AS DOUBLE) / df) AS w
+  FROM tf t JOIN dfreq f ON f.tok = t.tok, nd
+  WHERE df <= n * 0.5 AND tf * ln(CAST(n AS DOUBLE) / df) > 0
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nn FROM wtd GROUP BY id),
+wn AS (SELECT w.id, w.tok, w.w / nm.nn AS wn FROM wtd w JOIN norms nm ON nm.id = w.id),
+p AS (
+  SELECT a.id AS ia, b.id AS ib, sum(a.wn * b.wn) AS cos
+  FROM wn a JOIN wn b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= {_TFIDF_T}""",
+    ),
+)
+
+
+def _pii_sql() -> str:
+    """Sequential redaction replayed relationally: pattern i counts/
+    replaces on the text already redacted by patterns 1..i-1, exactly
+    like the Spark chain."""
+    t = "text"
+    counts = []
+    for name, pat, token in text.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({t}, '{p}')) AS BIGINT)"
+            f" AS pii_{name}_count"
+        )
+        t = f"regexp_replace({t}, '{p}', '{token}', 'g')"
+    total = " + ".join(f"pii_{n}_count" for n, _, _ in text.PII_PATTERNS)
+    cols = ", ".join(counts)
+    return f"""
+WITH r AS (
+  SELECT doc_id, {cols}, {t} AS redacted FROM documents
+)
+SELECT doc_id, pii_email_count, pii_ssn_count, pii_ipv4_count,
+  pii_phone_count, CAST({total} AS BIGINT) AS pii_total_count, redacted
+FROM r"""
+
+
+_register(
+    "text_redact_pii",
+    Query(
+        spark=lambda s, d: text.redact_pii(_docs(s, d)).select(
+            "doc_id",
+            "pii_email_count",
+            "pii_ssn_count",
+            "pii_ipv4_count",
+            "pii_phone_count",
+            "pii_total_count",
+            "redacted",
+        ),
+        sql=_pii_sql(),
+    ),
+)
+
+
+_register(
+    "chunk_dedup_stats",
+    Query(
+        spark=lambda s, d: text.chunk_dedup_exact(
+            _docs(s, d), chunk=CHUNK, overlap=CHUNK_OVERLAP
+        ).select(
+            "doc_id",
+            "n_chunks",
+            "kept_chunks",
+            round4(F.col("kept_frac")).alias("kept_frac"),
+        ),
+        sql=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) <= {CHUNK} THEN 1
+         ELSE CAST(floor((len(ws) - {CHUNK} + {_CHUNK_STEP - 1}) / {_CHUNK_STEP}) AS BIGINT) + 1
+    END AS nch
+  FROM w
+),
+e AS (
+  SELECT doc_id, ws, unnest(range(0, nch)) AS chunk_id FROM c
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+    array_to_string(ws[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {CHUNK}], ' ') AS chunk_text
+  FROM e
+),
+k AS (
+  SELECT doc_id, chunk_id,
+    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+  FROM ch
+),
+per_doc AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks
+  FROM k GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, kept_chunks,
+  {_r("CAST(kept_chunks AS DOUBLE) / n_chunks", "kept_frac")} FROM per_doc""",
     ),
 )

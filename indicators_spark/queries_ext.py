@@ -219,21 +219,13 @@ SELECT ia, ib, {r} FROM j WHERE jaccard >= 0.8""".format(r=_r("jaccard", "jaccar
 )
 
 
-def _minhash_ctes() -> str:
-    """The shingle→hash→signature→band-join CTE chain, shared by the
-    pair query's oracle and the connected-components oracle
-    (queries_corpus.py)."""
+def _minhash_sig_ctes() -> str:
+    """The shingle→hash→signature CTE chain (toks, h, sig) shared by
+    every MinHash oracle."""
     aggs = ", ".join(
         f"min(({a} * wh + {b}) % {text.H31}) AS h{i}"
         for i, (a, b) in enumerate(dedup.MINHASH_COEFFS, start=1)
     )
-    bands = []
-    for bi in range(4):
-        c1, c2 = f"h{bi * 2 + 1}", f"h{bi * 2 + 2}"
-        bands.append(
-            f"SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b"
-            f" ON a.{c1} = b.{c1} AND a.{c2} = b.{c2} AND a.doc_id < b.doc_id"
-        )
     return f"""toks AS (
   SELECT doc_id,
     unnest(list_distinct(
@@ -250,7 +242,21 @@ h AS (
 ),
 sig AS (
   SELECT doc_id, {aggs} FROM h GROUP BY doc_id
-),
+)"""
+
+
+def _minhash_ctes() -> str:
+    """Signature chain + uncapped band-join ``cand`` CTE, shared by the
+    pair query's oracle and the connected-components oracle
+    (queries_corpus.py)."""
+    bands = []
+    for bi in range(4):
+        c1, c2 = f"h{bi * 2 + 1}", f"h{bi * 2 + 2}"
+        bands.append(
+            f"SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b"
+            f" ON a.{c1} = b.{c1} AND a.{c2} = b.{c2} AND a.doc_id < b.doc_id"
+        )
+    return f"""{_minhash_sig_ctes()},
 cand AS (
   {' UNION ALL '.join(bands)}
 )"""
@@ -270,6 +276,81 @@ _register(
         ),
         sql=_minhash_sql(),
     ),
+)
+
+#: Per-band-bucket cap exercised by the capped LSH queries (small enough
+#: to bind on the sf0.01 corpus, which has exact-duplicate groups).
+_LSH_CAP = 2
+
+
+def _minhash_capped_sql(cap: int) -> str:
+    """Capped band joins: each (band, key) bucket contributes only its
+    ``cap`` lowest-id docs (row_number-deterministic, mirroring the Spark
+    kernel's sample)."""
+    bnds, sels = [], []
+    for bi in range(4):
+        c1, c2 = f"h{bi * 2 + 1}", f"h{bi * 2 + 2}"
+        bnds.append(
+            f"bnd{bi} AS (SELECT doc_id, {c1}, {c2}, row_number() OVER "
+            f"(PARTITION BY {c1}, {c2} ORDER BY doc_id) AS rn FROM sig)"
+        )
+        sels.append(
+            f"SELECT a.doc_id AS ia, b.doc_id AS ib FROM bnd{bi} a JOIN bnd{bi} b"
+            f" ON a.{c1} = b.{c1} AND a.{c2} = b.{c2} AND a.doc_id < b.doc_id"
+            f" WHERE a.rn <= {cap} AND b.rn <= {cap}"
+        )
+    bnd_block = ",\n".join(bnds)
+    return f"""
+WITH {_minhash_sig_ctes()},
+{bnd_block},
+cand AS (
+  {' UNION ALL '.join(sels)}
+)
+SELECT ia, ib, count(*) AS n_bands FROM cand GROUP BY ia, ib"""
+
+
+_register(
+    "dedup_minhash_lsh_capped",
+    Query(
+        spark=lambda s, d: dedup.minhash_lsh_candidates(
+            _docs(s, d), max_bucket_size=_LSH_CAP
+        ).select("ia", "ib", "n_bands"),
+        sql=_minhash_capped_sql(_LSH_CAP),
+    ),
+)
+
+
+def _lsh_overflow_sql(cap: int) -> str:
+    sels = []
+    for bi in range(4):
+        c1, c2 = f"h{bi * 2 + 1}", f"h{bi * 2 + 2}"
+        sels.append(
+            f"SELECT CAST({bi} AS INT) AS band, {c1} AS k1, {c2} AS k2,"
+            f" count(*) AS size FROM sig GROUP BY {c1}, {c2}"
+            f" HAVING count(*) > {cap}"
+        )
+    return f"""
+WITH {_minhash_sig_ctes()},
+o AS ({' UNION ALL '.join(sels)})
+SELECT band, k1, k2, CAST(size AS BIGINT) AS size,
+  CAST(size - {cap} AS BIGINT) AS dropped
+FROM o"""
+
+
+def _lsh_overflow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.lsh_bucket_overflow(_docs(spark, sf_dir), max_bucket_size=1)
+    return out.select(
+        F.col("band").cast("int").alias("band"),
+        F.col("key.k1").alias("k1"),
+        F.col("key.k2").alias("k2"),
+        F.col("size").cast("long").alias("size"),
+        F.col("dropped").cast("long").alias("dropped"),
+    )
+
+
+_register(
+    "dedup_lsh_bucket_overflow",
+    Query(spark=_lsh_overflow_spark, sql=_lsh_overflow_sql(1)),
 )
 
 

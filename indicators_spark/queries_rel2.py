@@ -635,6 +635,18 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             and spark.table(tname).count() == src.count()
         ):
             continue
+        if not spark.catalog.tableExists(tname):
+            # The default in-memory catalog forgets managed tables between
+            # sessions while their warehouse location survives on disk;
+            # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Clear
+            # the orphaned location (Hadoop FS API — works on any
+            # filesystem, not just file:) before recreating.  A persistent
+            # metastore makes this a no-op.
+            jvm = spark._jvm
+            wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{tname.lower()}")
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(path, True)
         write_bucketed_table(src, tname, (key,), 8, sort_cols=(key,))
     return li_t, ord_t
 

@@ -487,3 +487,53 @@ def test_tfidf_max_df_frac_prunes_high_df_token(spark):
     }
     assert (2, 3) not in pruned          # 'common' (df 4 > 0.5*5) pruned
     assert pruned[(0, 1)] == pytest.approx(1.0)  # rare1-only vectors renormalize
+
+
+def test_redact_pii_fixtures(spark):
+    """Crafted PII of every pattern class: counts and sequential
+    replacement order (ssn before the looser phone pattern) must hold."""
+    from indicators_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact bob.smith+x@corp.example.com or jo@ex.org today"),
+            (1, "ssn 123-45-6789 phone +1 (415) 555-0199 done"),
+            (2, "server 10.0.255.7 pinged 192.168.1.1 twice"),
+            (3, "plain text with no identifiers at all"),
+            (4, "call 415-555-0123 x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[0]["pii_email_count"] == 2
+    assert "<EMAIL>" in rows[0]["redacted"] and "@" not in rows[0]["redacted"]
+    assert rows[1]["pii_ssn_count"] == 1 and rows[1]["pii_phone_count"] == 1
+    assert "<SSN>" in rows[1]["redacted"] and "<PHONE>" in rows[1]["redacted"]
+    assert rows[2]["pii_ipv4_count"] == 2 and "<IP>" in rows[2]["redacted"]
+    assert rows[3]["pii_total_count"] == 0
+    assert rows[3]["redacted"] == rows[3]["text"]
+    assert rows[4]["pii_phone_count"] == 1
+    total = sum(
+        rows[i][f"pii_{n}_count"]
+        for i in rows
+        for n in ("email", "ssn", "ipv4", "phone")
+    )
+    assert total == sum(rows[i]["pii_total_count"] for i in rows) == 7
+
+
+def test_chunk_dedup_exact_crafted(spark):
+    """Doc 1 repeats doc 0's text exactly (all chunks lost to doc 0);
+    doc 2 is unique (all kept)."""
+    from indicators_spark.functions.text import chunk_dedup_exact
+
+    base = " ".join(f"w{i}" for i in range(100))
+    uniq = " ".join(f"u{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, uniq)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup_exact(docs, 64, 16).collect()}
+    assert rows[0]["kept_chunks"] == rows[0]["n_chunks"]
+    assert rows[1]["kept_chunks"] == 0 and rows[1]["n_chunks"] == rows[0]["n_chunks"]
+    # 80 words, chunk=64, step=48 -> 2 chunks, both unique and kept
+    assert rows[2]["kept_chunks"] == rows[2]["n_chunks"] == 2
+    assert rows[1]["kept_frac"] == 0.0 and rows[0]["kept_frac"] == 1.0
