@@ -78,6 +78,8 @@ _ROUND3_NEW = {
     "semantic_dedup_capped",
     "text_redact_pii",
     "chunk_dedup_stats",
+    "pq_encode",
+    "similarity_knn_pq",
 }
 
 

@@ -588,3 +588,162 @@ def semantic_dedup(
         .distinct()
     )
     return df.select(id_col).join(dropped, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------- #
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# --------------------------------------------------------------------- #
+
+
+def _pq_codebooks(
+    df: DataFrame, n_sub: int, n_codes: int, id_col: str, vec_col: str
+) -> tuple[list[list[tuple[int, list[float]]]], int]:
+    """Per-subspace PQ codebooks from the ``n_codes`` lowest-id vectors
+    (quantized, see ``_quant_vec``) — the same deterministic stand-in for
+    a trained quantizer that ``knn_ivf`` uses for its coarse centroids
+    (swap in per-subspace ``kmeans_lloyd`` output for real corpora; the
+    encode/search plumbing is identical).  Returns ``(books, sub_dim)``
+    where ``books[s]`` lists ``(code, sub_vector)`` sorted by code."""
+    rows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in df.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("int"), _quant_vec(F.col(vec_col)))
+        .collect()
+    )
+    got = [cid for cid, _ in rows]
+    if got != list(range(n_codes)):
+        raise ValueError(
+            f"pq: codebook ids must be exactly 0..{n_codes - 1} "
+            f"(dense integer ids; ADC distance tables index by code); got {got}"
+        )
+    dim = len(rows[0][1])
+    if dim % n_sub:
+        raise ValueError(f"pq: dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    books = [
+        [(cid, vec[s * sub : (s + 1) * sub]) for cid, vec in rows]
+        for s in range(n_sub)
+    ]
+    return books, sub
+
+
+def _pq_code_col(
+    book: list[tuple[int, list[float]]], s: int, sub: int, vec_col: str
+) -> Column:
+    """Nearest-codeword expression for subspace ``s``: the codebook is
+    embedded as LITERALS and ``array_min`` over ``struct(d, code)`` picks
+    the argmin with lowest-code tie-break — a map-only codegen'd
+    projection, zero shuffle, exactly like ``_argmin_cluster``."""
+    scored = [
+        F.struct(
+            _sq_dist(
+                F.slice(F.col(vec_col), s * sub + 1, sub),
+                F.array(*[F.lit(float(v)) for v in cw]),
+            ).alias("d"),
+            F.lit(int(cid)).alias("code"),
+        )
+        for cid, cw in book
+    ]
+    return F.array_min(F.array(*scored))["code"]
+
+
+def pq_encode(
+    df: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split each ``dim``-vector
+    into ``n_sub`` subspaces and store only the id of the nearest
+    codeword per subspace — ``n_sub`` small ints (bytes when
+    ``n_codes ≤ 256``) instead of ``dim`` floats, a 32× compression at
+    the classic 8×256 configuration.
+
+    Scale shape: the whole encode is one codegen'd projection over
+    literal codebooks — ZERO shuffle, zero row amplification, so a
+    100 TB corpus encodes in a single map-only scan and the code table
+    it produces is what a billion-row ANN index actually stores.
+
+    Returns ``(id, c0..c{n_sub-1})`` int code columns.  Deterministic
+    end-to-end (quantized codebooks, bit-exact distance folds, lowest-code
+    tie-break) ⇒ carries a full value-hash oracle."""
+    books, sub = _pq_codebooks(df, n_sub, n_codes, id_col, vec_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            _pq_code_col(books[s], s, sub, vec_col).alias(f"c{s}")
+            for s in range(n_sub)
+        ],
+    )
+
+
+def knn_pq(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance
+    computation (ADC): corpus vectors are searched through their PQ codes
+    only; each query precomputes a per-subspace distance TABLE to every
+    codeword, and a candidate's distance is the sum of ``n_sub`` table
+    LOOKUPS instead of a ``dim``-term dot product.
+
+    Scale shape: the corpus side carries ``n_sub`` ints per row (the PQ
+    point — at 8 codes vs 64 floats the scan is memory-bandwidth-bound at
+    1/32 the bytes), encode is the zero-shuffle literal-codebook
+    projection, the query side (tiny) is broadcast with its distance
+    tables inlined, and scoring is ``n_sub`` ``element_at`` lookups per
+    pair — no per-pair floating dot.  Compose with ``knn_ivf`` cells to
+    also prune WHICH rows are scored (IVF-ADC); here every code row is
+    scored so the approximation error is purely quantization error.
+
+    Ranks by ascending approximate squared L2 distance (``adist``), ties
+    to the smaller neighbor id.  Deterministic ⇒ full value-hash oracle
+    despite being an approximation."""
+    import operator
+    from functools import reduce
+
+    books, sub = _pq_codebooks(df, n_sub, n_codes, id_col, vec_col)
+    enc = df.select(
+        F.col(id_col).alias("nid"),
+        *[
+            _pq_code_col(books[s], s, sub, vec_col).alias(f"c{s}")
+            for s in range(n_sub)
+        ],
+    )
+    qt = queries.select(
+        F.col(id_col).alias("qid"),
+        *[
+            F.array(
+                *[
+                    _sq_dist(
+                        F.slice(F.col(vec_col), s * sub + 1, sub),
+                        F.array(*[F.lit(float(v)) for v in cw]),
+                    )
+                    for _, cw in books[s]
+                ]
+            ).alias(f"t{s}")
+            for s in range(n_sub)
+        ],
+    )
+    pairs = enc.crossJoin(F.broadcast(qt)).filter(F.col("nid") != F.col("qid"))
+    adist = reduce(
+        operator.add,
+        [
+            F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
+            for s in range(n_sub)
+        ],
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid"))
+    return (
+        pairs.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
+    )

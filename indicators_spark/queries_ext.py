@@ -558,6 +558,134 @@ SELECT qid, nid, rank, {_r('cos', 'cos')} FROM ranked WHERE rank <= 5""",
     ),
 )
 
+# Product quantization: deterministic codebooks (lowest-id vectors, the
+# same stand-in knn_ivf uses for centroids) make both the encoding AND
+# the ADC approximate distances bit-reproducible, so this compression /
+# scale path carries a FULL value-hash oracle.
+_PQ_SUB = 8  # subspaces
+_PQ_CODES = 16  # codewords per subspace
+_PQ_W = EMB_DIM // _PQ_SUB  # dims per subspace
+
+
+def _pq_qv_sql(expr: str) -> str:
+    """Codebook quantizer — same boundary-safe 1e-6 step as
+    ``similarity._quant_vec`` (and the kmeans oracle)."""
+    return (
+        f"list_transform({expr}, x -> "
+        f"floor(CAST(x AS DOUBLE) * 1000000.0 + 0.500000001) / 1000000.0)"
+    )
+
+
+def _pq_sqd_sql(a: str, cw: str, s: int) -> str:
+    """Squared L2 between subspace ``s`` of raw vector ``a`` and quantized
+    codeword ``cw`` — the same left-to-right ``0.0 + …`` fold as
+    ``similarity._sq_dist`` over the slice."""
+    terms = " + ".join(
+        f"(CAST({a}[{s * _PQ_W + i}] AS DOUBLE) - {cw}[{s * _PQ_W + i}])"
+        f" * (CAST({a}[{s * _PQ_W + i}] AS DOUBLE) - {cw}[{s * _PQ_W + i}])"
+        for i in range(1, _PQ_W + 1)
+    )
+    return f"0.0 + {terms}"
+
+
+def _pq_enc_ctes() -> str:
+    """CTEs ``c`` (quantized codebook rows) and ``enc`` (nid, c0..c7):
+    per-subspace argmin replayed relationally — one cross join, one
+    row_number per subspace, lowest-code tie-break like ``array_min``
+    over ``struct(d, code)``."""
+    dists = ",\n    ".join(
+        f"{_pq_sqd_sql('e.embedding', 'c.cv', s)} AS d{s}"
+        for s in range(_PQ_SUB)
+    )
+    ranks = ",\n    ".join(
+        f"row_number() OVER (PARTITION BY nid ORDER BY d{s}, cid) AS r{s}"
+        for s in range(_PQ_SUB)
+    )
+    picks = ",\n    ".join(
+        f"max(CASE WHEN r{s} = 1 THEN cid END) AS c{s}" for s in range(_PQ_SUB)
+    )
+    return f"""c AS (
+  SELECT CAST(vec_id AS INT) AS cid, {_pq_qv_sql('embedding')} AS cv
+  FROM embeddings WHERE vec_id < {_PQ_CODES}
+),
+sc AS (
+  SELECT e.vec_id AS nid, c.cid,
+    {dists}
+  FROM embeddings e CROSS JOIN c
+),
+rk AS (
+  SELECT nid, cid,
+    {ranks}
+  FROM sc
+),
+enc AS (
+  SELECT nid,
+    {picks}
+  FROM rk GROUP BY nid
+)"""
+
+
+_register(
+    "pq_encode",
+    Query(
+        spark=lambda s, d: similarity.pq_encode(
+            _emb(s, d), n_sub=_PQ_SUB, n_codes=_PQ_CODES
+        ).select(
+            F.col("vec_id").alias("nid"),
+            *[F.col(f"c{i}") for i in range(_PQ_SUB)],
+        ),
+        sql=f"""
+WITH {_pq_enc_ctes()}
+SELECT nid, {', '.join(f'c{i}' for i in range(_PQ_SUB))} FROM enc""",
+    ),
+)
+
+
+def _pq_knn_sql() -> str:
+    qds = ",\n    ".join(
+        f"{_pq_sqd_sql('q.qv', 'c.cv', s)} AS qd{s}" for s in range(_PQ_SUB)
+    )
+    lookups = " + ".join(f"t{s}.qd{s}" for s in range(_PQ_SUB))
+    tjoins = "\n  ".join(
+        f"JOIN qt t{s} ON t{s}.qid = q.qid AND t{s}.cid = e.c{s}"
+        for s in range(_PQ_SUB)
+    )
+    return f"""
+WITH {_pq_enc_ctes()},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+qt AS (
+  SELECT q.qid, c.cid,
+    {qds}
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT q.qid, e.nid, ({lookups}) AS adist
+  FROM enc e CROSS JOIN q
+  {tjoins}
+  WHERE e.nid != q.qid
+),
+ranked AS (
+  SELECT qid, nid, adist,
+    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, {_r('adist', 'adist')} FROM ranked WHERE rank <= 5"""
+
+
+_register(
+    "similarity_knn_pq",
+    Query(
+        spark=lambda s, d: similarity.knn_pq(
+            _emb(s, d),
+            _emb(s, d).filter(F.col("vec_id") < 10),
+            k=5,
+            n_sub=_PQ_SUB,
+            n_codes=_PQ_CODES,
+        ).select("qid", "nid", "rank", round4(F.col("adist")).alias("adist")),
+        sql=_pq_knn_sql(),
+    ),
+)
+
 # --------------------------------------------------------------------- #
 # Event-time windows / sessionization
 # --------------------------------------------------------------------- #

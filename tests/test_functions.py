@@ -537,3 +537,47 @@ def test_chunk_dedup_exact_crafted(spark):
     # 80 words, chunk=64, step=48 -> 2 chunks, both unique and kept
     assert rows[2]["kept_chunks"] == rows[2]["n_chunks"] == 2
     assert rows[1]["kept_frac"] == 0.0 and rows[0]["kept_frac"] == 1.0
+
+
+def test_pq_encode_and_adc_hand_fixture(spark):
+    from indicators_spark.functions.similarity import knn_pq, pq_encode
+
+    # dim=4, n_sub=2 (2 dims per subspace), n_codes=2: ids 0/1 double as
+    # the per-subspace codebooks.  Codes are hand-checkable.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.1, 0.9]),   # sub0≈cw0, sub1≈cw0 → (0, 0)
+        (3, [0.1, 0.9, 0.9, 0.1]),   # → (1, 1)
+        (4, [0.9, 0.1, 0.9, 0.1]),   # mixed: (0, 1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in pq_encode(df, n_sub=2, n_codes=2).collect()
+    }
+    assert enc[2] == (0, 0)
+    assert enc[3] == (1, 1)
+    assert enc[4] == (0, 1)
+
+    # ADC from query 0: candidate distance = sum of per-subspace TABLE
+    # lookups, so identically-coded rows tie exactly (1 and 3 both (1,1))
+    # and break to the smaller nid.
+    out = knn_pq(df, df.filter(F.col("vec_id") == 0), k=4, n_sub=2, n_codes=2)
+    got = [(r["rank"], r["nid"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 2), (2, 4), (3, 1), (4, 3)]
+    adists = {r["nid"]: r["adist"] for r in out.collect()}
+    assert adists[1] == adists[3]          # same codes → identical adist
+    assert adists[2] < adists[4] < adists[1]
+
+
+def test_pq_codebook_requires_dense_ids(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (7, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="dense integer ids"):
+        pq_encode(df, n_sub=1, n_codes=2)

@@ -228,3 +228,16 @@ def test_chunked_cumulative_single_partition_budget(spark):
         df = QUERIES[name].spark(spark, SF_SMOKE)
         plan = plan_string(df)
         assert plan.count("Exchange SinglePartition") <= 1, (name, plan)
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding must be a single codegen'd projection over literal
+    codebooks — zero exchanges however large the corpus (the codebook
+    collect is its own tiny job, not part of the encode plan)."""
+    from indicators_spark.functions.similarity import pq_encode
+    from indicators_spark.sources.prices import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    enc = pq_encode(emb, n_sub=8, n_codes=16)
+    plan = plan_string(enc)
+    assert exchange_count(plan) == 0, plan
