@@ -80,6 +80,8 @@ _ROUND3_NEW = {
     "chunk_dedup_stats",
     "pq_encode",
     "similarity_knn_pq",
+    "corpus_vocab_stats",
+    "source_overlap_matrix",
 }
 
 

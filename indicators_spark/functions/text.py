@@ -13,7 +13,7 @@ never engine-specific hashes like xxhash64.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Marker stopwords per language for the n-gram/stopword-hit language-ID
@@ -507,5 +507,106 @@ def chunk_dedup_exact(
         )
         .withColumn(
             "kept_frac", F.col("kept_chunks") / F.col("n_chunks")
+        )
+    )
+
+
+def vocab_stats(
+    df: DataFrame, top_k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary table: the ``top_k`` most frequent tokens with
+    occurrence count, document frequency, and corpus share — the Zipf
+    table every tokenizer-training / vocab-coverage audit starts from.
+
+    Scale shape: one (token-key) groupBy with map-side partial agg —
+    shuffles carry (token, 1) pairs, text never moves; the corpus total
+    rides the same aggregation as a broadcast one-row frame.  Top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject (per-partition heap +
+    k·P driver merge), NEVER a global row_number window over the full
+    vocabulary — rank is attached after the limit, when only ``top_k``
+    rows remain.  Ties break lexicographically for cross-engine
+    determinism."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.col("_id")).alias("docs"),
+    )
+    total = toks.select(F.count(F.lit(1)).alias("_n"))
+    top = stats.orderBy(F.desc("cnt"), "tok").limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            "docs",
+            (F.col("cnt").cast("double") / F.col("_n")).alias("share"),
+        )
+    )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source contamination / overlap matrix: for every source pair
+    (sa < sb), the number of distinct word ``n``-grams present in BOTH
+    sources, plus per-source distinct-gram counts and the n-gram Jaccard.
+    The corpus-curation dual of per-document dedup — tells you which
+    ingest feeds are mirrors/scrapes of each other before you mix them.
+
+    Scale shape: (source, gram-hash) pairs are distinct'd (one shuffle on
+    the 8-byte hash; text never moves), and the pair join is keyed on the
+    gram hash where each gram meets at most |sources| rows — so even a
+    ubiquitous boilerplate gram contributes ≤ |sources|² pairs, a small
+    constant.  Per-source sizes broadcast back.  No document-pair or
+    doc×gram quadratic stage anywhere."""
+    ws = words(F.col(text_col))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = (
+        df.select(F.col(source_col).alias("src"), F.explode(grams).alias("g"))
+        .select("src", F.xxhash64(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    a = sg.select(F.col("src").alias("sa"), "gh")
+    b = sg.select(F.col("src").alias("sb"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("src").alias("sa"), F.col("sz").alias("na"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("sb"), F.col("sz").alias("nb"))),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "n_shared",
+            "na",
+            "nb",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
         )
     )

@@ -915,3 +915,77 @@ SELECT doc_id, n_chunks, kept_chunks,
   {_r("CAST(kept_chunks AS DOUBLE) / n_chunks", "kept_frac")} FROM per_doc""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Corpus vocabulary + cross-source overlap (round 3)
+# --------------------------------------------------------------------- #
+
+_VOCAB_TOP_K = 100
+
+_register(
+    "corpus_vocab_stats",
+    Query(
+        spark=lambda s, d: text.vocab_stats(_docs(s, d), top_k=_VOCAB_TOP_K).select(
+            "rank", "tok", "cnt", "docs", round4(F.col("share")).alias("share")
+        ),
+        sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+stats AS (
+  SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS docs
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT count(*) AS n FROM toks),
+ranked AS (
+  SELECT tok, cnt, docs,
+    row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM stats
+)
+SELECT rank, tok, cnt, docs, {_r('CAST(cnt AS DOUBLE) / n', 'share')}
+FROM ranked CROSS JOIN tot WHERE rank <= {_VOCAB_TOP_K}""",
+    ),
+)
+
+#: Cross-source overlap n-gram size.
+_OVERLAP_N = 5
+
+
+def _overlap_gram_sql() -> str:
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(_OVERLAP_N))
+    return (
+        f"list_transform(range(1, len(ws) - {_OVERLAP_N - 2}), i -> {concat})"
+    )
+
+
+_register(
+    "source_overlap_matrix",
+    Query(
+        spark=lambda s, d: text.source_ngram_overlap(
+            _docs(s, d), n=_OVERLAP_N
+        ).select(
+            "sa", "sb", "n_shared", "na", "nb",
+            round4(F.col("jaccard")).alias("jaccard"),
+        ),
+        sql=f"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT source AS src, unnest({_overlap_gram_sql()}) AS g
+  FROM w WHERE len(ws) >= {_OVERLAP_N}
+),
+sizes AS (SELECT src, count(*) AS sz FROM g GROUP BY src),
+shared AS (
+  SELECT a.src AS sa, b.src AS sb, count(*) AS n_shared
+  FROM g a JOIN g b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.sa, s.sb, s.n_shared, za.sz AS na, zb.sz AS nb,
+  {_r('CAST(s.n_shared AS DOUBLE) / (za.sz + zb.sz - s.n_shared)', 'jaccard')}
+FROM shared s
+JOIN sizes za ON za.src = s.sa
+JOIN sizes zb ON zb.src = s.sb""",
+    ),
+)

@@ -241,3 +241,12 @@ def test_pq_encode_is_map_only(spark):
     enc = pq_encode(emb, n_sub=8, n_codes=16)
     plan = plan_string(enc)
     assert exchange_count(plan) == 0, plan
+
+
+def test_vocab_stats_topk_is_take_ordered(spark):
+    """The vocabulary top-k must heap-merge (TakeOrderedAndProject over
+    the aggregated vocab), never global-sort the full vocabulary; the
+    rank window runs after the limit, on top_k rows only."""
+    df = QUERIES["corpus_vocab_stats"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
