@@ -82,6 +82,7 @@ _ROUND3_NEW = {
     "similarity_knn_pq",
     "corpus_vocab_stats",
     "source_overlap_matrix",
+    "similarity_knn_ivfpq",
 }
 
 

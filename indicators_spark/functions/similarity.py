@@ -747,3 +747,107 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "adist")
     )
+
+
+def knn_ivfpq(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC composition (the FAISS ``IVFPQ`` shape, Jégou et al. 2011):
+    coarse IVF cells prune WHICH corpus rows are scored (only ``nprobe``
+    cells per query), PQ distance tables determine HOW they score
+    (``n_sub`` lookups per pair, no floats on the corpus side) — the two
+    prunings multiply, which is what billion-vector ANN actually ships.
+
+    Corpus side: ONE zero-shuffle literal projection emits (cell, PQ
+    codes) per row — the stored index is ~9 small ints/row.  Query side:
+    probe cells + distance tables inline on the broadcast (tiny) side.
+    The candidate join is an equi hash join on cell id; each corpus row
+    lives in exactly one cell so no pair duplicates.  Coarse assignment
+    is cosine (matching ``knn_ivf``); ADC ranks by approximate squared
+    L2 with id tie-break.  Deterministic stand-in quantizers (lowest-id
+    centroids/codebooks) ⇒ full value-hash oracle."""
+    import operator
+    from functools import reduce
+
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col("_norm").alias("nn"),
+    )
+    cents = [
+        (r["nid"], [float(x) for x in r["nvec"]])
+        for r in base.filter(F.col("nid") < n_centroids).collect()
+    ]
+
+    def cell_scores(vec: Column, vnorm: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    (dot(vec, F.lit(cv)) / (vnorm * norm(F.lit(cv)))).alias("cos"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    books, sub = _pq_codebooks(df, n_sub, n_codes, id_col, vec_col)
+    enc = base.select(
+        "nid",
+        (-F.array_max(cell_scores(F.col("nvec"), F.col("nn")))["ncid"]).alias("cid"),
+        *[
+            _pq_code_col(books[s], s, sub, "nvec").alias(f"c{s}")
+            for s in range(n_sub)
+        ],
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("_norm").alias("qn"),
+    )
+    probes = q.select(
+        "qid",
+        "qvec",
+        F.explode(
+            F.slice(
+                F.sort_array(cell_scores(F.col("qvec"), F.col("qn")), asc=False),
+                1,
+                nprobe,
+            )
+        ).alias("probe"),
+    ).select("qid", "qvec", (-F.col("probe.ncid")).alias("cid"))
+    qt = probes.select(
+        "qid",
+        "cid",
+        *[
+            F.array(
+                *[
+                    _sq_dist(
+                        F.slice(F.col("qvec"), s * sub + 1, sub),
+                        F.array(*[F.lit(float(v)) for v in cw]),
+                    )
+                    for _, cw in books[s]
+                ]
+            ).alias(f"t{s}")
+            for s in range(n_sub)
+        ],
+    )
+    joined = enc.join(F.broadcast(qt), "cid").filter(F.col("nid") != F.col("qid"))
+    adist = reduce(
+        operator.add,
+        [F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1) for s in range(n_sub)],
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid"))
+    return (
+        joined.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
+    )

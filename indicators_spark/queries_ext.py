@@ -686,6 +686,83 @@ _register(
     ),
 )
 
+
+def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4) -> str:
+    """IVF-ADC replay: the knn_ivf coarse assign/probe CTEs (cosine,
+    centroid ids < n_centroids) composed with the PQ enc/table CTEs —
+    candidates join on cell id, score by table lookups."""
+    qds = ",\n    ".join(
+        f"{_pq_sqd_sql('q.qv', 'c.cv', s)} AS qd{s}" for s in range(_PQ_SUB)
+    )
+    lookups = " + ".join(f"t{s}.qd{s}" for s in range(_PQ_SUB))
+    tjoins = "\n  ".join(
+        f"JOIN qt t{s} ON t{s}.qid = p.qid AND t{s}.code = e.c{s}"
+        for s in range(_PQ_SUB)
+    )
+    return f"""
+WITH {_pq_enc_ctes()},
+n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+),
+cc AS (
+  SELECT vec_id AS cid, embedding AS cv, nn AS cn FROM n
+  WHERE vec_id < {n_centroids}
+),
+assign AS (
+  SELECT n.vec_id AS nid, cc.cid,
+    row_number() OVER (
+      PARTITION BY n.vec_id
+      ORDER BY ({_dot_sql('n.embedding', 'cc.cv')}) / (n.nn * cc.cn) DESC, cc.cid
+    ) AS crk
+  FROM n CROSS JOIN cc
+),
+a AS (SELECT nid, cid FROM assign WHERE crk = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv, nn AS qn FROM n WHERE vec_id < 10),
+probe AS (
+  SELECT q.qid, cc.cid,
+    row_number() OVER (
+      PARTITION BY q.qid
+      ORDER BY ({_dot_sql('q.qv', 'cc.cv')}) / (q.qn * cc.cn) DESC, cc.cid
+    ) AS crk
+  FROM q CROSS JOIN cc
+),
+p AS (SELECT qid, cid FROM probe WHERE crk <= {nprobe}),
+qt AS (
+  SELECT q.qid, c.cid AS code,
+    {qds}
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT p.qid, a.nid, ({lookups}) AS adist
+  FROM a JOIN p USING (cid)
+  JOIN enc e ON e.nid = a.nid
+  {tjoins}
+  WHERE a.nid != p.qid
+),
+ranked AS (
+  SELECT qid, nid, adist,
+    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, {_r('adist', 'adist')} FROM ranked WHERE rank <= 5"""
+
+
+_register(
+    "similarity_knn_ivfpq",
+    Query(
+        spark=lambda s, d: similarity.knn_ivfpq(
+            _emb(s, d),
+            _emb(s, d).filter(F.col("vec_id") < 10),
+            k=5,
+            n_centroids=16,
+            nprobe=4,
+            n_sub=_PQ_SUB,
+            n_codes=_PQ_CODES,
+        ).select("qid", "nid", "rank", round4(F.col("adist")).alias("adist")),
+        sql=_ivfpq_sql(n_centroids=16, nprobe=4),
+    ),
+)
+
 # --------------------------------------------------------------------- #
 # Event-time windows / sessionization
 # --------------------------------------------------------------------- #

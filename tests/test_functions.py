@@ -581,3 +581,40 @@ def test_pq_codebook_requires_dense_ids(spark):
     )
     with _pytest.raises(ValueError, match="dense integer ids"):
         pq_encode(df, n_sub=1, n_codes=2)
+
+
+def test_knn_ivfpq_cell_pruning(spark):
+    from indicators_spark.functions.similarity import knn_ivfpq
+
+    # Same two-cluster geometry as the IVF fixture; ids 0/1 double as both
+    # the coarse centroids AND the PQ codebooks.  With nprobe=1 query 0
+    # must only see its own cluster, scored by ADC table lookups.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.8, 0.0, 0.2, 0.0]),
+        (4, [0.1, 0.9, 0.9, 0.0]),
+        (5, [0.0, 0.8, 0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_ivfpq(
+        df,
+        df.filter(F.col("vec_id") < 2),
+        k=5,
+        n_centroids=2,
+        nprobe=1,
+        n_sub=2,
+        n_codes=2,
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["qid"], set()).add(r["nid"])
+    assert by_q[0] <= {2, 3}        # own cell only — 4/5 pruned by IVF
+    assert by_q[1] <= {4, 5}
+    # nprobe=2 opens both cells
+    out2 = knn_ivfpq(
+        df, df.filter(F.col("vec_id") == 0), k=5,
+        n_centroids=2, nprobe=2, n_sub=2, n_codes=2,
+    )
+    assert {r["nid"] for r in out2.collect()} == {1, 2, 3, 4, 5}

@@ -250,3 +250,18 @@ def test_vocab_stats_topk_is_take_ordered(spark):
     df = QUERIES["corpus_vocab_stats"].spark(spark, SF_SMOKE)
     plan = plan_string(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivfpq_corpus_side_is_map_only(spark):
+    """The IVFPQ stored index — (cell, PQ codes) per corpus row — must be
+    one zero-exchange literal projection: coarse assignment and all
+    n_sub code argmins fold in a single codegen'd map stage."""
+    from indicators_spark.queries_ext import _PQ_CODES, _PQ_SUB  # noqa: F401
+    from indicators_spark.sources.prices import load_table
+
+    df = QUERIES["similarity_knn_ivfpq"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    # corpus scan feeds the broadcast-hash join directly; the ONLY hash
+    # exchange in the whole query is the per-query top-k window.
+    assert "BroadcastHashJoin" in plan, plan
+    assert exchange_count(plan) == 1, plan
