@@ -4,6 +4,7 @@ watermarks, sessionization, stateful custom operators, and exactly-once
 
 from .sinks import ExactlyOnceParquetSink, UpsertParquetSink
 from .windows import (
+    enrich_stream,
     interval_join_stream,
     sessionized_counts_stream,
     stateful_running_indicators,
@@ -13,6 +14,7 @@ from .windows import (
 
 __all__ = [
     "tumbling_counts_stream",
+    "enrich_stream",
     "sessionized_counts_stream",
     "interval_join_stream",
     "stateful_running_indicators",

@@ -209,3 +209,19 @@ def interval_join_stream(
         F.col("r.event_id").alias("right_id"),
         F.col("r.event_type").alias("right_type"),
     )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    a static dimension (user profile / allowlist / model-version table).
+
+    Stream-static equi-joins are STATELESS in Structured Streaming — no
+    watermark, no state store; Spark re-plans the static side per
+    micro-batch, and a small dimension rides a broadcast-hash join so the
+    stream side never shuffles.  The standard shape for attaching slowly-
+    changing reference data to a 100 TB/day event stream; for dims too
+    big to broadcast, pre-bucket both sides on the key
+    (``sources/io.py.write_bucketed_table``)."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -128,3 +128,43 @@ def test_file_stream_source_matches_batch(spark, tmp_path):
     }
     want = {r["symbol"]: r["count"] for r in p.groupBy("symbol").count().collect()}
     assert got == want
+
+
+def test_zordered_write_localizes_all_dimensions(spark, tmp_path):
+    """Z-order layout: after write_zordered on (user_id, value), EVERY
+    file's parquet min/max range must be narrow on BOTH columns — the
+    multi-dimensional data-skipping property a single-column sort can't
+    give (its second column spans the full range in every file)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from indicators_spark.sources.io import write_zordered
+    from indicators_spark.sources.prices import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "zordered")
+    write_zordered(ev, out, zorder_by=("user_id", "value"), n_files=16)
+
+    def mean_range_frac(path, col):
+        lo, hi = ev.agg(F.min(col), F.max(col)).first()
+        span = float(hi) - float(lo)
+        fracs = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            fracs.append((float(mx) - float(mn)) / span)
+        assert fracs, "no files written"
+        return sum(fracs) / len(fracs)
+
+    # 16 files over a 2-D z-curve → each dim localizes to ~1/4 of its
+    # range per file; allow generous slack for bucket-boundary files.
+    assert mean_range_frac(out, "user_id") < 0.6
+    assert mean_range_frac(out, "value") < 0.6
+
+    # contrast: a plain single-column clustered write leaves the OTHER
+    # column substantially less localized than the z-order layout does
+    naive = str(tmp_path / "naive")
+    ev.repartitionByRange(16, "user_id").sortWithinPartitions("user_id").write.parquet(naive)
+    assert mean_range_frac(naive, "value") > 1.5 * mean_range_frac(out, "value")

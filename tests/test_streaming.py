@@ -322,3 +322,35 @@ def test_interval_join_stream_matches_batch(spark, events_stream_dir):
     want_pairs = {(x["left_id"], x["right_id"]) for x in batch.collect()}
     assert got_pairs == want_pairs
     assert len(want_pairs) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
+    """Stream-static join parity: enriching the event stream with a static
+    per-user dimension must emit exactly the batch join's rows (the join
+    is stateless — every micro-batch sees the full static side)."""
+    from indicators_spark.streaming import enrich_stream
+
+    ev = spark.read.parquet(events_stream_dir)
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    dim_dir = events_stream_dir + "_dim"
+    dim.write.mode("overwrite").parquet(dim_dir)
+    static_dim = spark.read.parquet(dim_dir)
+
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = enrich_stream(stream, static_dim, on="user_id").select(
+        "event_id", "user_id", "segment"
+    )
+    _run_stream(out, "enriched_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enriched_out").collect()}
+    batch = {
+        tuple(r)
+        for r in ev.join(static_dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 0
