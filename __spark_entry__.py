@@ -83,6 +83,7 @@ _ROUND3_NEW = {
     "corpus_vocab_stats",
     "source_overlap_matrix",
     "similarity_knn_ivfpq",
+    "stats_hll_rollup",
 }
 
 

@@ -989,3 +989,22 @@ JOIN sizes za ON za.src = s.sa
 JOIN sizes zb ON zb.src = s.sb""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Mergeable HLL distinct sketches (rows-only: engine-specific sketch
+# family; exactness bounds pinned in tests/test_functions.py)
+# --------------------------------------------------------------------- #
+
+from .functions import sketches as _sketches  # noqa: E402
+
+
+def _hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _sketches.hll_distinct_rollup(ev).orderBy("day")
+
+
+_register(
+    "stats_hll_rollup",
+    Query(spark=_hll_rollup, sql=None),
+)

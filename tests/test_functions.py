@@ -618,3 +618,34 @@ def test_knn_ivfpq_cell_pruning(spark):
         n_centroids=2, nprobe=2, n_sub=2, n_codes=2,
     )
     assert {r["nid"] for r in out2.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_hll_rollup_accuracy_and_merge_consistency(spark):
+    from indicators_spark.functions.sketches import hll_distinct_rollup
+    from indicators_spark.sources.prices import load_table
+
+    from conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = {r["day"]: r["approx_distinct"] for r in hll_distinct_rollup(ev).collect()}
+
+    # per-day estimates within 2% of exact (lgK=12 is ~0.8% RSE)
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact.items():
+        assert abs(out[day] - n) <= max(2, 0.02 * n), (day, out[day], n)
+
+    # mergeability: the ALL row (union of stored daily sketches) must equal
+    # the sketch built in one pass over the whole table — bit-identical
+    # estimate, not merely close.  This is the compute-once/rollup-forever
+    # contract.
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+    ).first()[0]
+    assert out["ALL"] == whole
+    exact_all = ev.select(F.count_distinct("user_id")).first()[0]
+    assert abs(out["ALL"] - exact_all) <= max(2, 0.02 * exact_all)

@@ -265,3 +265,40 @@ def test_ivfpq_corpus_side_is_map_only(spark):
     # exchange in the whole query is the per-query top-k window.
     assert "BroadcastHashJoin" in plan, plan
     assert exchange_count(plan) == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: when a selective dim filter feeds a
+    shuffle join, Catalyst builds a bloom filter from the dim keys and
+    applies it to the FACT scan side — fact rows that can't join are
+    dropped before the shuffle.  At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice; the
+    size thresholds (off at test scale) exist so tiny inputs skip the
+    overhead.  This pins that the engine's join shapes remain eligible
+    for the optimization."""
+    from indicators_spark.sources.prices import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_string(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
