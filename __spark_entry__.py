@@ -84,6 +84,7 @@ _ROUND3_NEW = {
     "source_overlap_matrix",
     "similarity_knn_ivfpq",
     "stats_hll_rollup",
+    "analytic_seasonal_decompose",
 }
 
 

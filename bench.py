@@ -135,6 +135,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "similarity_knn",
+        "similarity_knn_ivfpq",
         "text_quality_score",
         "events_tumbling_1h",
         "events_sessionize_30m",

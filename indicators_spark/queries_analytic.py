@@ -478,3 +478,86 @@ SELECT d.doc_id, d.lang,
 FROM documents d JOIN bands b ON b.lang = d.lang""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Seasonal decomposition (trend / seasonal / residual) over hourly counts
+# --------------------------------------------------------------------- #
+
+
+def _seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly event-count series
+    per event_type: trend = centered 24-row moving average (gated to full
+    windows), seasonal = mean detrended value per hour-of-day, residual =
+    what's left — the anomaly-detection / forecasting baseline every
+    metrics pipeline needs.
+
+    All hour arithmetic is integer epoch math (``floor(epoch/3600)``) —
+    no locale calendar, identical on both engines.  The trend window is
+    ROW-based over the aggregated series (documented choice: with gap
+    hours a range window would differ); the aggregated series is
+    #hours × #types rows, so the three window passes cost nothing next to
+    the one fact-table aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_id"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-11, 12)
+    )
+    trended = hourly.withColumn(
+        "trend",
+        F.when(F.count(F.lit(1)).over(wt) == 24, F.avg("y").over(wt)),
+    ).withColumn("hod", F.col("hour_id") % 24)
+    ws = Window.partitionBy("event_type", "hod")
+    out = trended.withColumn(
+        "seasonal", F.avg(F.col("y") - F.col("trend")).over(ws)
+    ).withColumn(
+        "resid", F.col("y") - F.col("trend") - F.col("seasonal")
+    )
+    return out.select(
+        "event_type",
+        "hour_id",
+        "y",
+        round4(F.col("trend")).alias("trend"),
+        round4(F.col("seasonal")).alias("seasonal"),
+        round4(F.col("resid")).alias("resid"),
+    )
+
+
+_register(
+    "analytic_seasonal_decompose",
+    Query(
+        spark=_seasonal_decompose,
+        sql=f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
+    count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+    CASE WHEN count(*) OVER w24 = 24 THEN avg(y) OVER w24 END AS trend,
+    hour_id % 24 AS hod
+  FROM hourly
+  WINDOW w24 AS (PARTITION BY event_type ORDER BY hour_id
+                 ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+),
+s AS (
+  SELECT *,
+    avg(y - trend) OVER (PARTITION BY event_type, hod) AS seasonal
+  FROM t
+)
+SELECT event_type, hour_id, y,
+  {_r('trend', 'trend')},
+  {_r('seasonal', 'seasonal')},
+  {_r('y - trend - seasonal', 'resid')}
+FROM s""",
+    ),
+)
