@@ -85,6 +85,9 @@ _ROUND3_NEW = {
     "similarity_knn_ivfpq",
     "stats_hll_rollup",
     "analytic_seasonal_decompose",
+    "text_entropy",
+    "source_kl_divergence",
+    "sample_weighted_aes",
 }
 
 

@@ -139,3 +139,31 @@ def train_val_test_split(
         .when(b < test_cut, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    seed: str = "w42",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES, 2006): each row draws ``u`` from its content hash and
+    ranks by ``ln(u)/w`` — the top ``k`` are a weighted sample where a
+    row's inclusion probability is proportional to its weight.  The
+    hash-derived ``u`` replaces the RNG, so the sample is bit-stable
+    across runs, engines, and repartitioning (the same property
+    :func:`hash_sample` has for uniform rates).
+
+    Scale shape: the score is a narrow projection (no shuffle) and the
+    top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
+    heaps + k·P driver merge) — never a global sort."""
+    u = (hash_bucket(F.col(key), seed) + 1).cast("double") / HASH_DEN
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)  # A-ES is undefined for w <= 0
+        .withColumn("aes_score", score)
+        .orderBy(F.desc("aes_score"), key)
+        .limit(k)
+    )

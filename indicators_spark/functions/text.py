@@ -610,3 +610,68 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def doc_token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats): ``H = ln T − Σ c·ln c / T``
+    over the document's token counts — the classic diversity/quality
+    signal (template spam and keyword stuffing sit at low entropy; natural
+    prose near the corpus ceiling).
+
+    One (doc, token) groupBy then one per-doc agg — shuffles carry token
+    hashes and counts, never text.  The log-identity form needs a single
+    aggregation pass instead of joining per-doc totals back."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    tc = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tc.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_s"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("_s") / F.col("n_tokens")
+        ).alias("entropy"),
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution:
+    ``KL(P_s ‖ Q) = Σ_tok P_s(tok)·ln(P_s(tok)/Q(tok))`` — the drift
+    signal that flags an ingest feed whose language suddenly diverges
+    from the corpus mix (encoding breakage, spam floods, wrong-language
+    scrapes).  Every source token also occurs in the corpus, so Q > 0
+    wherever P_s > 0 and the sum is finite by construction.
+
+    Scale shape: two token-keyed groupBys (per-source and corpus counts)
+    + a join on token hash; sums ride map-side partial agg.  The corpus
+    side is |vocab| rows — broadcast-sized for any real tokenizer."""
+    toks = df.select(
+        F.col(source_col).alias("src"), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    sc = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    cc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cq"))
+    totals = sc.groupBy("src").agg(F.sum("cs").alias("ts"))
+    tq = toks.select(F.count(F.lit(1)).alias("tq"))
+    j = (
+        sc.join(F.broadcast(cc), "tok")
+        .join(F.broadcast(totals), "src")
+        .crossJoin(F.broadcast(tq))
+    )
+    term = (F.col("cs").cast("double") / F.col("ts")) * F.log(
+        (F.col("cs").cast("double") / F.col("ts"))
+        / (F.col("cq").cast("double") / F.col("tq"))
+    )
+    return (
+        j.groupBy("src")
+        .agg(F.max("ts").alias("n_tokens"), F.sum(term).alias("kl"))
+        .select(F.col("src").alias(source_col), "n_tokens", "kl")
+    )

@@ -1008,3 +1008,85 @@ _register(
     "stats_hll_rollup",
     Query(spark=_hll_rollup, sql=None),
 )
+
+
+# --------------------------------------------------------------------- #
+# Information-theoretic corpus signals + weighted sampling (round 3)
+# --------------------------------------------------------------------- #
+
+from .functions import sampling as _sampling  # noqa: E402
+
+_register(
+    "text_entropy",
+    Query(
+        spark=lambda s, d: text.doc_token_entropy(_docs(s, d)).select(
+            "doc_id", "n_tokens", round4(F.col("entropy")).alias("entropy")
+        ),
+        sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+  FROM tc GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+  {_r('ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens', 'entropy')}
+FROM pd""",
+    ),
+)
+
+_register(
+    "source_kl_divergence",
+    Query(
+        spark=lambda s, d: text.source_kl_divergence(_docs(s, d)).select(
+            "source", "n_tokens", round4(F.col("kl")).alias("kl")
+        ),
+        sql=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sc AS (SELECT source AS src, tok, count(*) AS cs FROM toks GROUP BY 1, 2),
+cc AS (SELECT tok, count(*) AS cq FROM toks GROUP BY 1),
+totals AS (SELECT src, CAST(sum(cs) AS BIGINT) AS ts FROM sc GROUP BY 1),
+tq AS (SELECT count(*) AS tq FROM toks),
+terms AS (
+  SELECT sc.src, totals.ts,
+    (CAST(sc.cs AS DOUBLE) / totals.ts)
+      * ln((CAST(sc.cs AS DOUBLE) / totals.ts)
+           / (CAST(cc.cq AS DOUBLE) / tq.tq)) AS term
+  FROM sc JOIN cc USING (tok) JOIN totals USING (src) CROSS JOIN tq
+)
+SELECT src AS source, CAST(max(ts) AS BIGINT) AS n_tokens,
+  {_r('sum(term)', 'kl')}
+FROM terms GROUP BY src""",
+    ),
+)
+
+_register(
+    "sample_weighted_aes",
+    Query(
+        spark=lambda s, d: _sampling.weighted_sample(
+            _docs(s, d), key="doc_id", weight_col="n_chars", k=50
+        ).select(
+            "doc_id", "n_chars", round4(F.col("aes_score")).alias("aes_score")
+        ),
+        sql=f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+    ln(CAST(({_sampling.bucket_sql('doc_id', 'w42')}) + 1 AS DOUBLE)
+       / {_sampling.HASH_DEN})
+      / CAST(n_chars AS DOUBLE) AS aes_score
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, {_r('aes_score', 'aes_score')}
+FROM (
+  -- order/limit on the RAW score in a subquery: in the outer SELECT the
+  -- name aes_score resolves to the ROUNDED output alias, which would
+  -- reorder ties differently from Spark's raw-score top-k
+  SELECT * FROM s ORDER BY aes_score DESC, doc_id LIMIT 50
+)""",
+    ),
+)
