@@ -88,6 +88,8 @@ _ROUND3_NEW = {
     "text_entropy",
     "source_kl_divergence",
     "sample_weighted_aes",
+    "analytic_histogram_equidepth",
+    "analytic_chi_square",
 }
 
 

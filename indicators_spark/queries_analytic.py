@@ -561,3 +561,116 @@ SELECT event_type, hour_id, y,
 FROM s""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Equi-depth histogram (exact quartile breakpoints) + chi-square test
+# --------------------------------------------------------------------- #
+
+
+def _histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: buckets hold ~equal row counts, with exact
+    interpolated quartile breakpoints (the optimizer-statistics dual of
+    the equal-width `analytic_histogram`).  Breakpoints are 3 scalars —
+    broadcast back; bucket assignment is a codegen'd comparison sum, so
+    the fact table is scanned twice but never shuffled wide (the same
+    two-pass shape as the quantile quality filter; at 100 TB swap the
+    exact percentile for approx_percentile, same plan)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = li.agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.5).alias("q2"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    v = F.col("l_extendedprice")
+    bucket = (
+        (v > F.col("q1")).cast("int")
+        + (v > F.col("q2")).cast("int")
+        + (v > F.col("q3")).cast("int")
+    )
+    return (
+        li.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.avg(v)).alias("avg_price"),
+        )
+    )
+
+
+_register(
+    "analytic_histogram_equidepth",
+    Query(
+        spark=_histogram_equidepth,
+        sql=f"""
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.5) AS q2,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+)
+SELECT
+  (CAST(l_extendedprice > q1 AS INT) + CAST(l_extendedprice > q2 AS INT)
+   + CAST(l_extendedprice > q3 AS INT)) AS bucket,
+  count(*) AS n, {_r('avg(l_extendedprice)', 'avg_price')}
+FROM lineitem, q GROUP BY 1""",
+    ),
+)
+
+
+def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the lang × source
+    contingency table — "is language mix independent of ingest feed?", the
+    one-number screen before per-source corpus debugging.  Observed and
+    marginal counts are three skinny groupBys on an already-aggregated
+    table; the cell-term sum is |langs|·|sources| rows — nothing at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rl = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    cs = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    n = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rl").cast("double") * F.col("cs") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).alias("dof"),
+        round4(F.sum(term)).alias("chi2"),
+    )
+
+
+_register(
+    "analytic_chi_square",
+    Query(
+        spark=_chi_square,
+        sql=f"""
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM obs GROUP BY 1),
+cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+j AS (
+  SELECT obs.o, rl.rl, cs.cs, n.n
+  FROM obs JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN n
+),
+t AS (
+  SELECT o,
+    (o - CAST(rl AS DOUBLE) * cs / n) * (o - CAST(rl AS DOUBLE) * cs / n)
+      / (CAST(rl AS DOUBLE) * cs / n) AS term
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+  CAST((SELECT count(DISTINCT lang) FROM documents) - 1 AS BIGINT)
+    * CAST((SELECT count(DISTINCT source) FROM documents) - 1 AS BIGINT) AS dof,
+  {_r('sum(term)', 'chi2')}
+FROM t""",
+    ),
+)
