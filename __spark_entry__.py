@@ -90,6 +90,14 @@ _ROUND3_NEW = {
     "sample_weighted_aes",
     "analytic_histogram_equidepth",
     "analytic_chi_square",
+    "similarity_hard_negatives",
+    "embedding_centroid_classify",
+    "embedding_covariance",
+    "text_bpe_pairs",
+    "mixture_temperature",
+    "events_attribution_last_touch",
+    "analytic_key_skew",
+    "graph_pagerank_nations",
 }
 
 

@@ -167,3 +167,45 @@ def weighted_sample(
         .orderBy(F.desc("aes_score"), key)
         .limit(k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    weight_expr: Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group (the multilingual /
+    multi-source sampling rule from mBERT/XLM-R and T5 data recipes):
+    ``p_g ∝ n_g^alpha`` — ``alpha=1`` keeps natural proportions,
+    ``alpha→0`` flattens toward uniform, ``0<alpha<1`` up-samples the
+    tail without starving the head.
+
+    Returns one row per group: raw count, natural share, tempered weight
+    (normalized to 1), and the expected number of samples per epoch of
+    corpus size (``weight · Σn``).
+
+    Scale shape: one group-keyed count with map-side combine (the shuffle
+    is |groups| skinny rows), then the normalizing constant joins back as
+    a broadcast single row — no second pass over the data and nothing on
+    the driver."""
+    n = (weight_expr if weight_expr is not None else F.count(F.lit(1))).alias("n")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(n)
+    tempered = counts.withColumn(
+        "t", F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    )
+    totals = tempered.agg(
+        F.sum("n").alias("tot_n"), F.sum("t").alias("tot_t")
+    )
+    return (
+        tempered.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n_docs"),
+            (F.col("n") / F.col("tot_n")).alias("natural_share"),
+            (F.col("t") / F.col("tot_t")).alias("weight"),
+            (F.col("t") / F.col("tot_t") * F.col("tot_n")).alias(
+                "expected_samples"
+            ),
+        )
+    )

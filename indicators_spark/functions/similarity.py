@@ -851,3 +851,165 @@ def knn_ivfpq(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "adist")
     )
+
+
+def knn_hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar corpus vectors with a DIFFERENT
+    label (the near-misses a bi-encoder must learn to push apart).
+
+    Same physical shape as :func:`knn_bruteforce` — the small query side
+    broadcasts, the corpus streams through one scan, the label-mismatch
+    predicate rides the join (filtering BEFORE scoring so excluded rows
+    never pay the dot product), and top-k is a per-query window over the
+    surviving candidates.  Zero corpus shuffles; at billion-row scale swap
+    the candidate generator for :func:`knn_ivf`/:func:`knn_lsh` cells and
+    keep the same label-mismatch re-rank.
+
+    The reference engine has no embedding surface; this extends its query
+    catalog the way a training-data pipeline needs (hard negatives are the
+    standard retrieval-training companion to near-dup mining)."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(label_col).alias("nlabel"),
+        F.col(vec_col).alias("nvec"),
+        F.col("_norm").alias("nn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("qlabel"),
+        F.col(vec_col).alias("qvec"),
+        F.col("_norm").alias("qn"),
+    )
+    joined = base.crossJoin(F.broadcast(q)).filter(
+        F.col("nlabel") != F.col("qlabel")
+    )
+    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def centroid_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over an embedding column:
+    per-label mean centroids, then every vector assigned to the nearest
+    centroid by squared L2 — the standard embedding-space sanity check
+    (labels whose members scatter across other centroids are noisy).
+
+    Returns (id, label, assigned) per vector.
+
+    Scale shape mirrors :func:`kmeans_lloyd`'s update+assign: the centroid
+    build is ONE skinny (label, dim) shuffle of ``posexplode`` partial
+    averages (map-side combined — n·dim narrow rows reduce to
+    |labels|·dim), centroids collect to the driver (|labels|·dim floats,
+    the only driver data) and re-embed as literal expressions, so the
+    assignment pass is a zero-shuffle codegen'd argmin projection over the
+    corpus.  Centroids are quantized (``_quant_vec``) so cross-engine
+    sum-reassociation noise can never flip an argmin."""
+    expl = df.select(
+        F.col(label_col).alias("_lab"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    means = expl.groupBy("_lab", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("v")
+    )
+    cents = sorted(
+        (int(r[0]), list(r[1]))
+        for r in means.groupBy("_lab")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("_raw")
+        )
+        .select("_lab", _quant_vec(F.col("_raw")))
+        .collect()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        _argmin_cluster(cents, vec_col).alias("assigned"),
+    )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Distributed covariance matrix of an embedding column: one row per
+    (i ≤ j) dimension pair with ``cov = E[x_i·x_j] − E[x_i]·E[x_j]``
+    (population covariance) — the input to PCA whitening / feature-corr
+    audits over a vector corpus.
+
+    Scale shape: the cross-moment matrix is accumulated per Arrow batch
+    inside ``mapInPandas`` as a dim×dim ``XᵀX`` numpy product, and each
+    PARTITION emits only its dim·(dim+1)/2 upper-triangular partial sums —
+    so the shuffle carries P·dim² skinny partials instead of n·dim² pair
+    rows, and vectors never leave their executor.  Means ride the same
+    partials (row sums + counts).  This is the classic one-pass
+    moment-aggregation layout (RowMatrix.computeGramianMatrix's shape) —
+    at 100 TB the reduce side sees ~buckets·dim²/2 rows regardless of
+    corpus size.  A dim=1024 corpus emits ~524k partials per partition —
+    still far below data scale; shard the triangle by ``i`` ranges if
+    dim² itself outgrows a task."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+
+    schema = "i int, j int, sxy double, si double, sj double, n long"
+
+    def partials(batches):
+        import numpy as np
+
+        iu, ju = np.triu_indices(dim)
+        s_xy = np.zeros((dim, dim))
+        s_x = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s_xy += x.T @ x
+            s_x += x.sum(axis=0)
+            n += x.shape[0]
+        if n:
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "sxy": s_xy[iu, ju],
+                    "si": s_x[iu],
+                    "sj": s_x[ju],
+                    "n": n,
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(partials, schema)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    cov = (F.col("sxy") / F.col("n")) - (F.col("si") / F.col("n")) * (
+        F.col("sj") / F.col("n")
+    )
+    return agg.select("i", "j", cov.alias("cov"))

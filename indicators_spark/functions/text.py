@@ -675,3 +675,44 @@ def source_kl_divergence(
         .agg(F.max("ts").alias("n_tokens"), F.sum(term).alias("kl"))
         .select(F.col("src").alias(source_col), "n_tokens", "kl")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 30
+) -> DataFrame:
+    """One BPE merge-selection round at corpus scale: frequency of every
+    adjacent character pair inside whitespace words, top-``top_k`` by
+    count — the inner statistic a distributed tokenizer trainer computes
+    each merge iteration (the merge picked is simply the top row).
+
+    Scale shape: pair extraction is a row-local 1:N explode (a
+    ``sequence``→``substring`` transform, all codegen'd — no Python), the
+    count is ONE pair-keyed groupBy with map-side partial aggregation
+    (the shuffle carries ≤ |alphabet|² distinct 2-char keys per partition,
+    a few KB regardless of corpus size), and top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject, never a global sort of
+    the counts.  Rank attaches after the limit, over top_k rows only."""
+    w = F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    # dynamic-start substring needs the expr form (Column starts unsupported)
+    pairs = (
+        df.select(w)
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_k)
+    )
+    win = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "pair", "cnt"
+    )

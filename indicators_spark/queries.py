@@ -937,3 +937,4 @@ from . import queries_rel2  # noqa: E402,F401  (registration side-effect)
 from . import queries_analytic  # noqa: E402,F401  (registration side-effect)
 from . import queries_pipeline  # noqa: E402,F401  (registration side-effect)
 from . import queries_corpus  # noqa: E402,F401  (registration side-effect)
+from . import queries_ml  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,440 @@
+"""Round-3 catalog additions: embedding/ML analytics (hard-negative
+mining, nearest-centroid classification, covariance matrix), tokenizer
+statistics (BPE pair counts), corpus mixture weighting, marketing-style
+event attribution, key-skew diagnostics, and link-graph PageRank.
+
+Each query pairs a Spark-first implementation with an exact DuckDB
+oracle, following the conventions in ``queries.py`` (boundary-safe
+quantizers on every float output, deterministic tie-breaks on every
+rank/limit, integer casts on every count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import graph, sampling, similarity, text
+from .queries import Query, _r, _register, round4
+from .queries_pipeline import _km_sqd
+from .sources.prices import load_table
+
+EMB_DIM = 64
+
+
+def round6(c):
+    """1e-6-step variant of :func:`queries.round4` (same boundary-safe
+    floor form) for outputs whose natural scale is ≪ 1 (PageRank mass)."""
+    c = F.when(~F.isnan(c), c)
+    return F.floor(c * 1000000 + F.lit(0.500000001)).cast("double") / 1000000
+
+
+def _r6(expr: str, alias: str) -> str:
+    return (
+        f"CAST(floor(({expr}) * 1000000 + 0.500000001) AS DOUBLE)"
+        f' / 1000000 AS "{alias}"'
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(1, EMB_DIM + 1)
+        )
+        + ")"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Hard-negative mining (contrastive-training companion to near-dup)
+# --------------------------------------------------------------------- #
+
+_register(
+    "similarity_hard_negatives",
+    Query(
+        spark=lambda s, d: similarity.knn_hard_negatives(
+            load_table(s, d, "embeddings"),
+            load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+            k=5,
+        ).select("qid", "nid", "rank", round4(F.col("cos")).alias("cos")),
+        sql=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS nn
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nn AS qn
+  FROM n WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid,
+    ({_dot_sql('q.qv', 'n.embedding')}) / (q.qn * n.nn) AS cos
+  FROM n CROSS JOIN q
+  WHERE n.label != q.qlabel
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, {_r('cos', 'cos')} FROM ranked WHERE rank <= 5""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Nearest-centroid classification (label-coherence audit)
+# --------------------------------------------------------------------- #
+
+_CC_Q = "1000000.0"
+
+_register(
+    "embedding_centroid_classify",
+    Query(
+        spark=lambda s, d: similarity.centroid_classify(
+            load_table(s, d, "embeddings")
+        ),
+        sql=f"""
+WITH m AS (
+  SELECT label, r.pos, avg(CAST(embedding[r.pos] AS DOUBLE)) AS v
+  FROM embeddings CROSS JOIN (
+    SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) r
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT label AS clab,
+    list(floor(v * {_CC_Q} + 0.500000001) / {_CC_Q} ORDER BY pos) AS cvec
+  FROM m GROUP BY 1
+),
+s AS (
+  SELECT e.vec_id, e.label, c.clab,
+    {_km_sqd('e.embedding', 'c.cvec')} AS d
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, label, assigned FROM (
+  SELECT vec_id, label, clab AS assigned,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, clab) AS rn
+  FROM s
+) WHERE rn = 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Covariance matrix (PCA/whitening input) — mapInPandas partial moments
+# --------------------------------------------------------------------- #
+
+_register(
+    "embedding_covariance",
+    Query(
+        spark=lambda s, d: similarity.covariance_matrix(
+            load_table(s, d, "embeddings"), dim=EMB_DIM
+        ).select("i", "j", round6(F.col("cov")).alias("cov")),
+        sql=f"""
+WITH x AS (
+  SELECT vec_id, t.range AS i, CAST(embedding[t.range] AS DOUBLE) AS xi
+  FROM embeddings, range(1, {EMB_DIM + 1}) t
+),
+m AS (SELECT i, avg(xi) AS mi FROM x GROUP BY 1),
+p AS (
+  SELECT a.i, b.i AS j, avg(a.xi * b.xi) AS exy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j, {_r6('p.exy - ma.mi * mb.mi', 'cov')}
+FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# BPE merge statistics (tokenizer-trainer inner loop)
+# --------------------------------------------------------------------- #
+
+_register(
+    "text_bpe_pairs",
+    Query(
+        spark=lambda s, d: text.bpe_pair_counts(
+            load_table(s, d, "documents"), top_k=30
+        ),
+        sql="""
+WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+p AS (
+  SELECT substr(w, t.range, 2) AS pair
+  FROM w, range(1, 64) t
+  WHERE len(w) >= 2 AND t.range <= len(w) - 1
+),
+c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+top AS (SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 30)
+SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+FROM top""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Temperature-scaled mixture weights (multilingual sampling recipe)
+# --------------------------------------------------------------------- #
+
+_register(
+    "mixture_temperature",
+    Query(
+        spark=lambda s, d: sampling.temperature_mixture(
+            load_table(s, d, "documents"), group_col="source", alpha=0.5
+        ).select(
+            "source",
+            "n_docs",
+            round4(F.col("natural_share")).alias("natural_share"),
+            round4(F.col("weight")).alias("weight"),
+            round4(F.col("expected_samples")).alias("expected_samples"),
+        ),
+        sql=f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS tot_n,
+    sum(pow(CAST(n AS DOUBLE), 0.5)) AS tot_t
+  FROM c
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  {_r('n / tot_n', 'natural_share')},
+  {_r('pow(CAST(n AS DOUBLE), 0.5) / tot_t', 'weight')},
+  {_r('pow(CAST(n AS DOUBLE), 0.5) / tot_t * tot_n', 'expected_samples')}
+FROM c, t""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Last-touch attribution (conversion credit to the preceding touchpoint)
+# --------------------------------------------------------------------- #
+
+
+def _attribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic last-touch model: every ``purchase`` credits the user's most
+    recent prior ``click``/``view``; purchases with no prior touch fall in
+    the ``none`` bucket.
+
+    One user-keyed window pass (the exchange on ``user_id`` parallelizes
+    across users; per-user state is a single carried value) followed by a
+    tiny touch-type groupBy — no event×event self-join, so the plan stays
+    linear in events at any scale.  Hot users are bounded by the same
+    carry-forward shape sessionization uses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+_register(
+    "events_attribution_last_touch",
+    Query(
+        spark=_attribution_spark,
+        sql=f"""
+WITH t AS (
+  SELECT event_type, value,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch_type,
+  count(*) AS n_conversions, {_r('sum(value)', 'sum_value')}
+FROM t WHERE event_type = 'purchase' GROUP BY 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Key-skew diagnostics (the pre-flight check before any keyed shuffle)
+# --------------------------------------------------------------------- #
+
+
+def _skew_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of events per user: count quantiles, hot-key
+    share, Gini — the numbers that decide whether a join needs salting.
+
+    The expensive pass is the one map-side-combined groupBy; every window
+    below runs over the AGGREGATED key table (|keys| rows, not events).
+    At extreme key cardinality swap the rank window for
+    ``scale.global_row_number`` and the exact percentiles for
+    ``approx_percentile`` — same output schema."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(Window.orderBy("cnt", "user_id"))
+    ranked = counts.withColumn("rn", rn)
+    top10 = (
+        counts.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("cnt").alias("t10"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("cnt").alias("s"),
+        F.max("cnt").alias("mx"),
+        F.percentile(F.col("cnt"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("cnt"), F.lit(0.99)).alias("p99"),
+        F.sum(F.col("rn").cast("double") * F.col("cnt")).alias("sic"),
+    )
+    return agg.crossJoin(top10).select(
+        F.col("k").cast("long").alias("n_keys"),
+        F.col("mx").cast("long").alias("max_cnt"),
+        round4(F.col("p50")).alias("p50_cnt"),
+        round4(F.col("p99")).alias("p99_cnt"),
+        round4(F.col("t10").cast("double") / F.col("s")).alias("top10_share"),
+        round4(
+            (F.lit(2.0) * F.col("sic")) / (F.col("k") * F.col("s"))
+            - (F.col("k") + F.lit(1.0)) / F.col("k")
+        ).alias("gini"),
+    )
+
+
+_register(
+    "analytic_key_skew",
+    Query(
+        spark=_skew_spark,
+        sql=f"""
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn FROM c
+),
+tot AS (
+  SELECT count(*) AS k, sum(cnt) AS s, max(cnt) AS mx,
+    quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+  FROM c
+),
+top AS (
+  SELECT sum(cnt) AS t10 FROM (
+    SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+),
+g AS (SELECT sum(CAST(rn AS DOUBLE) * cnt) AS sic FROM r)
+SELECT CAST(k AS BIGINT) AS n_keys, CAST(mx AS BIGINT) AS max_cnt,
+  {_r('p50', 'p50_cnt')}, {_r('p99', 'p99_cnt')},
+  {_r('CAST(t10 AS DOUBLE) / s', 'top10_share')},
+  {_r('(2.0 * sic) / (k * s) - (k + 1.0) / k', 'gini')}
+FROM tot, top, g""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# PageRank over the nation trade graph (link-analysis building block)
+# --------------------------------------------------------------------- #
+
+_PR_ITERS = 3
+_PR_D = 0.85
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation → customer-nation edges weighted by lineitem count.
+
+    The only fact-scale work: lineitem⋈orders (one orderkey hash join —
+    co-bucketing removes it, see ``tpch_q21_bucketed``) with every
+    dimension broadcast; the output edge list is ≤ |nations|² rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("snk"),
+                                   F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("cnk"),
+                                   F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = graph.pagerank(
+        _trade_edges(spark, sf_dir), iters=_PR_ITERS, damping=_PR_D, weight="w"
+    )
+    return ranks.select(
+        F.col("node").alias("nation"), round6(F.col("rank")).alias("rank")
+    )
+
+
+def _pr_iter_sql(prev: str, idx: int) -> str:
+    return f"""
+i{idx} AS (
+  SELECT e.dst, sum({prev}.rank * e.frac) AS inflow
+  FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY 1
+),
+r{idx} AS (
+  SELECT n.node,
+    (1.0 - {_PR_D}) / nn.n + {_PR_D} * COALESCE(i{idx}.inflow, 0.0) AS rank
+  FROM nodes n CROSS JOIN nn LEFT JOIN i{idx} ON n.node = i{idx}.dst
+)"""
+
+
+def _pagerank_sql() -> str:
+    iters = ",".join(
+        _pr_iter_sql(f"r{i - 1}" if i > 1 else "r0", i)
+        for i in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+),
+ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1),
+e AS (
+  SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) / ow.outw AS frac
+  FROM e0 JOIN ow ON e0.src = ow.src
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),{iters}
+SELECT node AS nation, {_r6('rank', 'rank')} FROM r{_PR_ITERS}"""
+
+
+_register(
+    "graph_pagerank_nations",
+    Query(spark=_pagerank_spark, sql=_pagerank_sql()),
+)

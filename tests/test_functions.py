@@ -649,3 +649,103 @@ def test_hll_rollup_accuracy_and_merge_consistency(spark):
     assert out["ALL"] == whole
     exact_all = ev.select(F.count_distinct("user_id")).first()[0]
     assert abs(out["ALL"] - exact_all) <= max(2, 0.02 * exact_all)
+
+
+def test_knn_hard_negatives_excludes_same_label(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.similarity import knn_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label as query 0 — must never appear
+        (2, [0.9, 0.2], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    got = {(r.qid, r.rank): r.nid for r in out}
+    # nearest different-label vector is 2, then 3 — never 1
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 3
+    assert 1 not in {r.nid for r in out}
+
+
+def test_centroid_classify_tight_clusters_self_consistent(spark):
+    from indicators_spark.functions.similarity import centroid_classify
+
+    rows = [(i, [float(lab), 0.1 * (i % 3)], lab) for i, lab in enumerate([0] * 4 + [1] * 4 + [2] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = centroid_classify(df).collect()
+    assert all(r.assigned == r.label for r in out)
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from indicators_spark.functions.similarity import covariance_matrix
+
+    rng = [[0.1, 1.0, -0.5], [0.2, 0.8, -0.4], [0.0, 1.3, -0.9], [0.4, 0.7, 0.1]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    out = {(r.i, r.j): r.cov for r in covariance_matrix(df, dim=3).collect()}
+    # the column stores float32 — the reference must round-trip the same way
+    x = np.array(rng, dtype=np.float32).astype(np.float64)
+    ref = np.cov(x, rowvar=False, bias=True)  # population covariance
+    assert len(out) == 6  # upper triangle of 3x3
+    for (i, j), v in out.items():
+        assert abs(v - ref[i - 1, j - 1]) < 1e-12
+
+
+def test_bpe_pair_counts_crafted(spark):
+    from indicators_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aba ab x"), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r.pair: (r.cnt, r.rank) for r in bpe_pair_counts(df, top_k=10).collect()}
+    # pairs: "aba" -> ab, ba ; "ab" -> ab ; "ab" -> ab ; "x" skipped (len 1)
+    assert out["ab"] == (3, 1)
+    assert out["ba"] == (1, 2)
+    assert "x" not in out
+
+
+def test_temperature_mixture_weights(spark):
+    from indicators_spark.functions.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    flat = {r.source: r for r in temperature_mixture(df, alpha=0.5).collect()}
+    nat = {r.source: r for r in temperature_mixture(df, alpha=1.0).collect()}
+    assert abs(sum(r.weight for r in flat.values()) - 1.0) < 1e-12
+    # alpha=1 keeps natural proportions; alpha=0.5 up-samples the tail
+    assert abs(nat["big"].weight - 0.9) < 1e-12
+    assert flat["small"].weight > 0.1
+    assert flat["big"].weight + flat["small"].weight == pytest.approx(1.0)
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    from indicators_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert all(abs(v - 1.0 / 3) < 1e-12 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_weighted_sink_gets_more_mass(spark):
+    from indicators_spark.functions.graph import pagerank
+
+    # b receives 9x the weight a->c does; c and b both return to a
+    edges = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=10, weight="w").collect()}
+    assert ranks["b"] > ranks["c"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
