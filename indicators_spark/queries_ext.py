@@ -579,7 +579,7 @@ def _pq_qv_sql(expr: str) -> str:
 def _pq_sqd_sql(a: str, cw: str, s: int) -> str:
     """Squared L2 between subspace ``s`` of raw vector ``a`` and quantized
     codeword ``cw`` — the same left-to-right ``0.0 + …`` fold as
-    ``similarity._sq_dist`` over the slice."""
+    ``similarity._np_fold_sq_dists`` over the slice."""
     terms = " + ".join(
         f"(CAST({a}[{s * _PQ_W + i}] AS DOUBLE) - {cw}[{s * _PQ_W + i}])"
         f" * (CAST({a}[{s * _PQ_W + i}] AS DOUBLE) - {cw}[{s * _PQ_W + i}])"

@@ -231,9 +231,9 @@ def test_chunked_cumulative_single_partition_budget(spark):
 
 
 def test_pq_encode_is_map_only(spark):
-    """PQ encoding must be a single codegen'd projection over literal
-    codebooks — zero exchanges however large the corpus (the codebook
-    collect is its own tiny job, not part of the encode plan)."""
+    """PQ encoding must be a single map stage (one Arrow-batched
+    mapInPandas over the scan) — zero exchanges however large the corpus
+    (the codebook collect is its own tiny job, not in the encode plan)."""
     from indicators_spark.functions.similarity import pq_encode
     from indicators_spark.sources.prices import load_table
 
@@ -254,8 +254,8 @@ def test_vocab_stats_topk_is_take_ordered(spark):
 
 def test_ivfpq_corpus_side_is_map_only(spark):
     """The IVFPQ stored index — (cell, PQ codes) per corpus row — must be
-    one zero-exchange literal projection: coarse assignment and all
-    n_sub code argmins fold in a single codegen'd map stage."""
+    zero-exchange: coarse assignment and all n_sub code argmins happen in
+    a single Arrow-batched map stage feeding the broadcast join."""
     from indicators_spark.queries_ext import _PQ_CODES, _PQ_SUB  # noqa: F401
     from indicators_spark.sources.prices import load_table
 
