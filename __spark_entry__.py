@@ -98,6 +98,10 @@ _ROUND3_NEW = {
     "events_attribution_last_touch",
     "analytic_key_skew",
     "graph_pagerank_nations",
+    "graph_communities_nations",
+    "profile_lineitem",
+    "events_anomaly_mad",
+    "grouping_sets_lineitem",
 }
 
 

@@ -87,3 +87,61 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) for a fixed
+    number of supersteps: every node starts in its own community (label =
+    its own id), then each superstep adopts the label with the highest
+    total incident edge weight among neighbors, ties to the SMALLEST
+    label — the deterministic synchronous variant (async LPA is
+    order-dependent and unreproducible by design; this one replays
+    identically anywhere, including in the SQL oracle).
+
+    With integer weights every aggregate here is exact integer math —
+    no float tie-break hazards at all.
+
+    Scale shape mirrors :func:`pagerank`: state is one (node, label) row
+    per vertex; a superstep is edges⋈labels (broadcast the label side
+    when |V| ≪ |E|) → one (node, label)-keyed weight sum → one per-node
+    argmax via ``max_by``-style struct ordering — all map-side combined.
+    Undirected graphs union the reversed edge list once, up front."""
+    w_col = F.col(weight).cast("long") if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        lab = F.broadcast(labels)
+        votes = (
+            e.join(lab, e["u"] == lab["node"])
+            .groupBy(F.col("v").alias("n"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        # argmax by (wsum desc, label asc): max of struct(wsum, neg-ish)
+        # — label ordering must invert, so use min over (-wsum, label).
+        best = (
+            votes.groupBy("n")
+            .agg(F.min(F.struct((-F.col("wsum")).alias("nw"), "label")).alias("b"))
+            .select(F.col("n"), F.col("b.label").alias("new_label"))
+        )
+        labels = nodes.join(
+            best, nodes["node"] == best["n"], "left"
+        ).select(
+            "node", F.coalesce(F.col("new_label"), F.col("node")).alias("label")
+        )
+    return labels

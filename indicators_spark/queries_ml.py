@@ -438,3 +438,234 @@ _register(
     "graph_pagerank_nations",
     Query(spark=_pagerank_spark, sql=_pagerank_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Label propagation (community detection) over the same trade graph
+# --------------------------------------------------------------------- #
+
+_LPA_ITERS = 3
+
+
+def _lpa_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = graph.label_propagation(
+        _trade_edges(spark, sf_dir), iters=_LPA_ITERS, weight="w"
+    )
+    return labels.select(
+        F.col("node").alias("nation"), F.col("label").alias("community")
+    )
+
+
+def _lpa_iter_sql(prev: str, idx: int) -> str:
+    return f"""
+v{idx} AS (
+  SELECT eu.v AS n, {prev}.label, sum(eu.w) AS wsum
+  FROM eu JOIN {prev} ON eu.u = {prev}.node GROUP BY 1, 2
+),
+l{idx} AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN (
+    SELECT n, label FROM (
+      SELECT n, label,
+        row_number() OVER (PARTITION BY n ORDER BY wsum DESC, label) AS rn
+      FROM v{idx}
+    ) WHERE rn = 1
+  ) b ON n.node = b.n
+)"""
+
+
+def _lpa_sql() -> str:
+    iters = ",".join(
+        _lpa_iter_sql(f"l{i - 1}" if i > 1 else "l0", i)
+        for i in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+),
+eu AS (
+  SELECT src AS u, dst AS v, w FROM e0
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM e0
+),
+nodes AS (SELECT u AS node FROM eu UNION SELECT v FROM eu),
+l0 AS (SELECT node, node AS label FROM nodes),{iters}
+SELECT node AS nation, label AS community FROM l{_LPA_ITERS}"""
+
+
+_register(
+    "graph_communities_nations",
+    Query(spark=_lpa_spark, sql=_lpa_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Column profiler (the data-quality pre-flight over any fact table)
+# --------------------------------------------------------------------- #
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-column profile of lineitem's numeric columns: row /
+    null / exact-distinct counts, min/max/mean.  Each column's metrics are
+    ONE map-side-combined aggregate (count-distinct rewrites to a partial
+    agg under AQE); the union of per-column single-row results is
+    negligible.  At 100 TB swap exact `countDistinct` for
+    `approx_count_distinct` (same output schema) — the profiler is the
+    first thing a pipeline runs on an unknown drop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        li.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+            round4(F.min(F.col(c))).alias("min_v"),
+            round4(F.max(F.col(c))).alias("max_v"),
+            round4(F.avg(F.col(c))).alias("avg_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_register(
+    "profile_lineitem",
+    Query(
+        spark=_profile_spark,
+        sql=" UNION ALL ".join(
+            f"""
+SELECT '{c}' AS column, count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  count(DISTINCT {c}) AS n_distinct,
+  {_r(f'min({c})', 'min_v')}, {_r(f'max({c})', 'max_v')},
+  {_r(f'avg({c})', 'avg_v')}
+FROM lineitem"""
+            for c in _PROFILE_COLS
+        ),
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Robust (MAD) anomaly detection over hourly event-type counts
+# --------------------------------------------------------------------- #
+
+
+def _anomaly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates from their type's median by more
+    than 3 robust sigmas (MAD · 1.4826) — the outlier screen that doesn't
+    let the outliers poison the baseline (unlike mean/stddev z-scores).
+
+    Both passes run over the AGGREGATED hourly series (|hours|·|types|
+    rows), never raw events; medians broadcast back per type.  At 100 TB
+    replace the exact `percentile` with `approx_percentile` — identical
+    plan shape (this is the same swap note as `analytic_winsorize`)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("etype"),
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    med = hourly.groupBy("etype").agg(
+        F.percentile(F.col("cnt"), F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "etype").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("etype").alias("_e")).agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    scored = dev.join(
+        F.broadcast(mad), dev["etype"] == mad["_e"]
+    ).withColumn(
+        "rz",
+        (F.col("cnt") - F.col("med"))
+        / (F.lit(1.4826) * F.col("mad")),
+    )
+    return (
+        scored.filter(F.abs(F.col("rz")) > 3.0)
+        .select(
+            "etype",
+            F.col("hour_epoch").cast("long").alias("hour_epoch"),
+            F.col("cnt").cast("long").alias("cnt"),
+            round4(F.col("rz")).alias("robust_z"),
+        )
+    )
+
+
+_register(
+    "events_anomaly_mad",
+    Query(
+        spark=_anomaly_spark,
+        sql=f"""
+WITH hourly AS (
+  SELECT event_type AS etype,
+    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+    count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT etype, quantile_cont(cnt, 0.5) AS med FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.*, m.med, abs(h.cnt - m.med) AS adev
+  FROM hourly h JOIN med m ON h.etype = m.etype
+),
+mad AS (
+  SELECT etype, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+),
+scored AS (
+  SELECT d.etype, d.hour_epoch, d.cnt,
+    (d.cnt - d.med) / (1.4826 * s.mad) AS rz
+  FROM dev d JOIN mad s ON d.etype = s.etype
+)
+SELECT etype, hour_epoch, CAST(cnt AS BIGINT) AS cnt,
+  {_r('rz', 'robust_z')}
+FROM scored WHERE abs(rz) > 3.0""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Explicit GROUPING SETS (the general form cube/rollup specialize)
+# --------------------------------------------------------------------- #
+
+
+def _grouping_sets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  count(*) AS n,
+  CAST(floor(sum(l_quantity) * 10000 + 0.500000001) AS DOUBLE) / 10000
+    AS sum_qty
+FROM _gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+_register(
+    "grouping_sets_lineitem",
+    Query(
+        spark=_grouping_sets_spark,
+        sql=f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+  count(*) AS n, {_r('sum(l_quantity)', 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    ),
+)

@@ -749,3 +749,20 @@ def test_pagerank_weighted_sink_gets_more_mass(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iters=10, weight="w").collect()}
     assert ranks["b"] > ranks["c"]
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_label_propagation_two_triangles(spark):
+    from indicators_spark.functions.graph import label_propagation
+
+    # two triangles joined by one weak bridge — LPA should find 2 blocks
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(
+        [(u, v, 3) for u, v in tri1 + tri2] + [("c", "x", 1)],
+        "src string, dst string, w int",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iters=4, weight="w").collect()}
+    assert len(set(out.values())) == 2
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
