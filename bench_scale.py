@@ -381,6 +381,100 @@ def main() -> None:
         dt = time.time() - t0
         results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n_docs / dt)}
 
+    # ---- PQ encode + covariance: the Arrow fold-exact kernel class ------
+    # Synthetic 64-dim embeddings generated in-engine.  pq_encode is the
+    # zero-shuffle mapInPandas argmin grid (the billion-row ANN index
+    # build); covariance_matrix ships dim^2/2 partial moments per
+    # partition instead of n*dim^2 exploded pair rows — the naive
+    # posexplode self-join form is measured on a 10x smaller sample for a
+    # directly comparable rows_per_sec.
+    from indicators_spark.functions.similarity import (
+        covariance_matrix,
+        pq_encode,
+    )
+
+    n_vec = min(rows // 20, 500_000)
+    emb = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: (
+                    F.sin(F.col("id") * j.cast("double") / 997.0) * 0.5
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    emb.count()
+
+    t0 = time.time()
+    pq_encode(emb, n_sub=8, n_codes=16).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    dt = time.time() - t0
+    results["pq_encode_arrow"] = {
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_vec / dt),
+    }
+
+    t0 = time.time()
+    covariance_matrix(emb, dim=64).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["covariance_partials"] = {
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_vec / dt),
+    }
+
+    small_emb = emb.limit(n_vec // 10).cache()
+    n_se = small_emb.count()
+    x = small_emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xi")
+    )
+    xa = x.select("vec_id", F.col("i").alias("ia"), F.col("xi").alias("xa"))
+    xb = x.select("vec_id", F.col("i").alias("ib"), F.col("xi").alias("xb"))
+    naive = (
+        xa.join(xb, "vec_id")
+        .filter(F.col("ib") >= F.col("ia"))
+        .groupBy("ia", "ib")
+        .agg(F.avg(F.col("xa").cast("double") * F.col("xb")).alias("exy"))
+    )
+    t0 = time.time()
+    naive.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["covariance_explode_join_10pct"] = {
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_se / dt),
+    }
+
+    # ---- PageRank superstep throughput over a synthetic edge list --------
+    # 20 out-edges per node via hash; 3 supersteps.  State stays |V| rows;
+    # the measured cost is the per-iteration edge shuffle - the number that
+    # decides web-scale feasibility.
+    from indicators_spark.functions.graph import pagerank
+
+    n_edges = min(rows // 2, 5_000_000)
+    n_nodes = max(n_edges // 20, 1)
+    edges = (
+        spark.range(n_edges)
+        .select(
+            (F.col("id") % n_nodes).alias("src"),
+            F.pmod(F.hash(F.col("id")), F.lit(n_nodes)).alias("dst"),
+        )
+        .cache()
+    )
+    edges.count()
+    t0 = time.time()
+    pagerank(edges, iters=3, broadcast_ranks=False).agg(
+        F.sum("rank").alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["pagerank_3_supersteps"] = {
+        "sec": round(dt, 2),
+        "edges_per_sec_per_iter": int(3 * n_edges / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 
