@@ -4,6 +4,7 @@ watermarks, sessionization, stateful custom operators, and exactly-once
 
 from .sinks import ExactlyOnceParquetSink, UpsertParquetSink
 from .windows import (
+    dedup_stream_against_corpus,
     enrich_stream,
     interval_join_stream,
     sessionized_counts_stream,
@@ -14,6 +15,7 @@ from .windows import (
 
 __all__ = [
     "tumbling_counts_stream",
+    "dedup_stream_against_corpus",
     "enrich_stream",
     "sessionized_counts_stream",
     "interval_join_stream",

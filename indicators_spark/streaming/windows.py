@@ -225,3 +225,33 @@ def enrich_stream(
     big to broadcast, pre-bucket both sides on the key
     (``sources/io.py.write_bucketed_table``)."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def dedup_stream_against_corpus(
+    doc_stream: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Streaming twin of ``dedup.dedup_against_corpus`` — the production
+    ingest gate: incoming documents drop out when their content
+    fingerprint already exists in the historical corpus table, then the
+    stream dedups against itself on the fingerprint.
+
+    Stream-static LEFT ANTI joins are stateless (the static fingerprint
+    side re-plans per micro-batch; broadcast when it fits, pre-bucketed
+    otherwise); ``dropDuplicates`` keeps the FIRST ARRIVAL per
+    fingerprint — the natural streaming representative (streams have
+    arrival order, not id order; the batch operator's min-id pick is the
+    batch analogue of the same "one survivor per content" contract).
+    The 16-byte fingerprint is the only thing joined or held in state;
+    document text never shuffles.  Unbounded runs should add a watermark
+    + ``dropDuplicatesWithinWatermark`` and periodically fold survivors
+    into the corpus table — which then provides the durable memory."""
+    fp = doc_stream.withColumn("_fp", F.md5(F.col(text_col)))
+    fresh = fp.join(
+        F.broadcast(corpus_fps.select(F.col(fp_col).alias("_fp"))),
+        "_fp",
+        "left_anti",
+    )
+    return fresh.dropDuplicates(["_fp"]).withColumnRenamed("_fp", "fp")

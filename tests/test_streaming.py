@@ -354,3 +354,36 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
+    """Streaming ingest-dedup parity: the stream-static anti join +
+    in-stream dropDuplicates must keep exactly one survivor for exactly
+    the CONTENT the batch operator keeps (fingerprint sets match; the
+    representative id may differ — arrival order vs min-id)."""
+    from indicators_spark.functions.dedup import dedup_against_corpus
+    from indicators_spark.streaming import dedup_stream_against_corpus
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    corpus_fps = corpus.select(F.md5("text").alias("fp")).distinct()
+
+    corpus_dir = str(tmp_path / "corpus_fps")
+    batch_dir = str(tmp_path / "batch_docs")
+    corpus_fps.write.mode("overwrite").parquet(corpus_dir)
+    batch.write.mode("overwrite").parquet(batch_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(batch_dir)
+    out = dedup_stream_against_corpus(
+        stream, spark.read.parquet(corpus_dir)
+    ).select("doc_id", "fp")
+    _run_stream(out, "stream_dedup_out")
+    rows = spark.sql("SELECT * FROM stream_dedup_out").collect()
+    got_fps = {r.fp for r in rows}
+    assert len(rows) == len(got_fps)  # exactly one survivor per content
+
+    kept = dedup_against_corpus(batch, spark.read.parquet(corpus_dir))
+    batch_fps = {r.fp for r in kept.select(F.md5("text").alias("fp")).collect()}
+    assert got_fps == batch_fps
+    assert len(got_fps) > 0
