@@ -102,6 +102,7 @@ _ROUND3_NEW = {
     "profile_lineitem",
     "events_anomaly_mad",
     "grouping_sets_lineitem",
+    "stats_kmv_quantile",
 }
 
 

@@ -66,6 +66,8 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
     for _ in range(iters):

@@ -49,3 +49,59 @@ def hll_distinct_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
     ).select(F.lit("ALL").alias("day"), "approx_distinct")
     return per_day.unionByName(total)
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bottom-k (KMV-style) sketch of a value column: per group, keep the
+    ``k`` rows whose content-hash (``md5`` of the row key) is smallest —
+    a deterministic uniform sample with the property HLL has for distinct
+    counts and t-digest approximates for quantiles: it is EXACTLY
+    mergeable.  Bottom-k of a union of bottom-k sketches equals bottom-k
+    of the union of the raw inputs (the k smallest hashes of the whole
+    are each the smallest within their own part), so per-day sketches
+    roll up to any date range loss-free relative to a directly-built
+    sketch of that range.
+
+    Unlike RNG sampling, the hash order is a property of the DATA — the
+    same rows win on any cluster, any partitioning, any engine (md5 hex
+    compares identically everywhere), which is what makes the estimator
+    oracle-checkable.
+
+    Scale shape: one hash-ranked window per group (the only shuffle);
+    the sketch table is |groups|·k skinny rows; every later rollup
+    re-ranks sketch rows only, never facts."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(
+        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy(h.asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            *group_cols, F.col("_h").alias("h"), F.col(value_col).alias("v")
+        )
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Merge bottom-k sketches (drop group columns, re-take the k
+    smallest hashes).  Runs over sketch rows only — |groups|·k, not
+    facts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc())
+    return (
+        sketches.select("h", "v")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("h", "v")
+    )

@@ -669,3 +669,82 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Mergeable KMV quantile sketch (compute per day once, roll up any range)
+# --------------------------------------------------------------------- #
+
+_KMV_K = 128
+
+
+def _kmv_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day bottom-k sketches over event values, merged into one
+    range-wide sketch, quantiles estimated from the merged sample and
+    reported next to the exact values — the quantile companion of
+    `stats_hll_rollup`, but EXACTLY oracle-checkable: the bottom-k sample
+    is a deterministic function of the data (md5 order), so both engines
+    pick the identical sample and interpolate identical estimates."""
+    from .functions.sketches import kmv_bottom_k, kmv_merge
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    )
+    daily = kmv_bottom_k(
+        ev, value_col="value", key_col="event_id", k=_KMV_K,
+        group_cols=("day",),
+    )
+    merged = kmv_merge(daily, k=_KMV_K)
+    est = merged.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.percentile(F.col("v"), F.lit(0.5)).alias("p50_est"),
+        F.percentile(F.col("v"), F.lit(0.9)).alias("p90_est"),
+    )
+    exact = ev.agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50_exact"),
+        F.percentile(F.col("value"), F.lit(0.9)).alias("p90_exact"),
+    )
+    return est.crossJoin(exact).select(
+        "n_sample",
+        round4(F.col("p50_est")).alias("p50_est"),
+        round4(F.col("p90_est")).alias("p90_est"),
+        round4(F.col("p50_exact")).alias("p50_exact"),
+        round4(F.col("p90_exact")).alias("p90_exact"),
+    )
+
+
+_register(
+    "stats_kmv_quantile",
+    Query(
+        spark=_kmv_spark,
+        sql=f"""
+WITH ev AS (
+  SELECT *, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+sk AS (
+  SELECT day, value AS v, md5(CAST(event_id AS VARCHAR)) AS h,
+    row_number() OVER (
+      PARTITION BY day ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+  FROM ev
+),
+daily AS (SELECT day, h, v FROM sk WHERE rn <= {_KMV_K}),
+m AS (
+  SELECT h, v, row_number() OVER (ORDER BY h) AS rn FROM daily
+),
+merged AS (SELECT h, v FROM m WHERE rn <= {_KMV_K}),
+est AS (
+  SELECT count(*) AS n_sample,
+    quantile_cont(v, 0.5) AS p50_est, quantile_cont(v, 0.9) AS p90_est
+  FROM merged
+),
+ex AS (
+  SELECT quantile_cont(value, 0.5) AS p50_exact,
+    quantile_cont(value, 0.9) AS p90_exact
+  FROM ev
+)
+SELECT CAST(n_sample AS BIGINT) AS n_sample,
+  {_r('p50_est', 'p50_est')}, {_r('p90_est', 'p90_est')},
+  {_r('p50_exact', 'p50_exact')}, {_r('p90_exact', 'p90_exact')}
+FROM est, ex""",
+    ),
+)

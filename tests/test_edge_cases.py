@@ -119,3 +119,31 @@ def test_corpus_ops_survive_degenerate_docs(spark):
         for r in text.decontaminate_flags(docs, bench, n=3).collect()
     )
     assert set(flags) == {0, 1, 2, 3, 4} and not any(flags.values())
+
+
+def test_pagerank_empty_edges(spark):
+    from indicators_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iters=2).count() == 0
+
+
+def test_covariance_empty_input(spark):
+    from indicators_spark.functions.similarity import covariance_matrix
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert covariance_matrix(df, dim=4).count() == 0
+
+
+def test_temperature_mixture_empty(spark):
+    from indicators_spark.functions.sampling import temperature_mixture
+
+    df = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_mixture(df).count() == 0
+
+
+def test_bpe_pair_counts_single_char_words_only(spark):
+    from indicators_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert bpe_pair_counts(df).count() == 0

@@ -766,3 +766,21 @@ def test_label_propagation_two_triangles(spark):
     assert out["a"] == out["b"] == out["c"]
     assert out["x"] == out["y"] == out["z"]
     assert out["a"] != out["x"]
+
+
+def test_kmv_sketch_exactly_mergeable(spark):
+    """Bottom-k of merged per-group sketches must equal bottom-k built
+    directly over all rows — the exact-mergeability contract."""
+    from indicators_spark.functions.sketches import kmv_bottom_k, kmv_merge
+
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(500)],
+        "id long, grp int, value double",
+    )
+    daily = kmv_bottom_k(df, "value", "id", k=32, group_cols=("grp",))
+    merged = {(r.h, r.v) for r in kmv_merge(daily, k=32).collect()}
+    whole = {
+        (r.h, r.v) for r in kmv_bottom_k(df, "value", "id", k=32).collect()
+    }
+    assert merged == whole
+    assert len(merged) == 32
