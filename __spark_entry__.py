@@ -103,6 +103,9 @@ _ROUND3_NEW = {
     "events_anomaly_mad",
     "grouping_sets_lineitem",
     "stats_kmv_quantile",
+    "dedup_minhash_estimate",
+    "reconcile_snapshots",
+    "unpivot_lineitem",
 }
 
 

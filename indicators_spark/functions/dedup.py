@@ -481,3 +481,71 @@ def dedup_against_corpus(
     fresh = batch.join(fps, "_fp", "left_anti")
     keep = fresh.groupBy("_fp").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
     return fresh.join(keep, id_col, "left_semi").drop("_fp")
+
+
+def minhash_estimate_vs_true(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching positions / k) next to the TRUE shingle-set Jaccard — the
+    table you look at before trusting a banding config on a new corpus
+    (band/row choices trade recall for candidate volume; this measures
+    what the 8-position signature actually resolves).
+
+    Scale shape: candidates come from the banded LSH join (bounded, never
+    all-pairs); signatures attach by two id equi-joins; the true-Jaccard
+    intersection is a posting-list join on shingle hashes that is
+    SEMI-JOINED TO THE CANDIDATE SET FIRST (broadcast — candidates are
+    few by construction), so the exact computation is paid only for pairs
+    the sketch already surfaced."""
+    cand = minhash_lsh_candidates(df, id_col, text_col)
+    sig = minhash_signatures(df, id_col, text_col)
+    k = len(MINHASH_COEFFS)
+    sa = sig.select(
+        F.col(id_col).alias("ia"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(1, k + 1)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("ib"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(1, k + 1)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(1, k + 1)
+    )
+    est = (
+        cand.join(sa, "ia")
+        .join(sb, "ib")
+        .select("ia", "ib", "n_bands", (matches / float(k)).alias("est_jaccard"))
+    )
+    sh = (
+        _doc_shingles(df, id_col, text_col)
+        .select("_id", word_hash31(F.col("tok")).alias("wh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    pair_keys = cand.select("ia", "ib")
+    inter = (
+        sh.select(F.col("_id").alias("ia"), "wh")
+        .join(sh.select(F.col("_id").alias("ib"), "wh"), "wh")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(pair_keys), ["ia", "ib"], "left_semi")
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        est.join(inter, ["ia", "ib"], "left")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("ia"), F.col("n").alias("na"))), "ia")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("ib"), F.col("n").alias("nb"))), "ib")
+        .select(
+            "ia",
+            "ib",
+            "n_bands",
+            "est_jaccard",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("true_jaccard"),
+        )
+    )

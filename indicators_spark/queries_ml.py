@@ -748,3 +748,178 @@ SELECT CAST(n_sample AS BIGINT) AS n_sample,
 FROM est, ex""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# MinHash estimator-quality audit (estimate vs true Jaccard per candidate)
+# --------------------------------------------------------------------- #
+
+
+def _minhash_est_sql() -> str:
+    from .functions.dedup import MINHASH_COEFFS
+    from .queries_ext import _minhash_ctes
+
+    k = len(MINHASH_COEFFS)
+    match_sum = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+cb AS (SELECT ia, ib, count(*) AS n_bands FROM cand GROUP BY 1, 2),
+hd AS (SELECT DISTINCT doc_id, wh FROM h),
+sz AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY 1),
+it AS (
+  SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS inter
+  FROM hd x JOIN hd y ON x.wh = y.wh AND x.doc_id < y.doc_id
+  JOIN cb ON cb.ia = x.doc_id AND cb.ib = y.doc_id
+  GROUP BY 1, 2
+)
+SELECT cb.ia, cb.ib, cb.n_bands,
+  {_r(f'({match_sum}) / {float(k)}', 'est_jaccard')},
+  {_r('CAST(COALESCE(it.inter, 0) AS DOUBLE)'
+      ' / (sa.n + sb.n - COALESCE(it.inter, 0))', 'true_jaccard')}
+FROM cb
+JOIN sig a ON cb.ia = a.doc_id
+JOIN sig b ON cb.ib = b.doc_id
+JOIN sz sa ON cb.ia = sa.doc_id
+JOIN sz sb ON cb.ib = sb.doc_id
+LEFT JOIN it ON cb.ia = it.ia AND cb.ib = it.ib"""
+
+
+def _minhash_est_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import dedup
+
+    out = dedup.minhash_estimate_vs_true(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "ia",
+        "ib",
+        "n_bands",
+        round4(F.col("est_jaccard")).alias("est_jaccard"),
+        round4(F.col("true_jaccard")).alias("true_jaccard"),
+    )
+
+
+_register(
+    "dedup_minhash_estimate",
+    Query(spark=_minhash_est_spark, sql=_minhash_est_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Snapshot reconciliation (FULL OUTER join + row-status classification)
+# --------------------------------------------------------------------- #
+
+
+def _reconcile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly "what changed between snapshots" report: FULL OUTER
+    join of two order snapshots on the key, rows classified as
+    unchanged / changed / left_only / right_only, with the total price
+    drift per class.  One key-hash shuffle (or zero with both snapshots
+    bucketed on the key — `write_bucketed_table`); the classification is
+    a codegen'd CASE over the join's null pattern."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("pa")
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("pb"),
+    )
+    j = old.join(new, "k", "full_outer")
+    status = (
+        F.when(F.col("pa").isNull(), F.lit("right_only"))
+        .when(F.col("pb").isNull(), F.lit("left_only"))
+        .when(F.col("pa") == F.col("pb"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("pb"), F.lit(0.0))
+                        - F.coalesce(F.col("pa"), F.lit(0.0))
+                    )
+                )
+            ).alias("abs_drift"),
+        )
+    )
+
+
+_register(
+    "reconcile_snapshots",
+    Query(
+        spark=_reconcile_spark,
+        sql=f"""
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS pa FROM orders
+  WHERE o_orderkey % 89 != 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS pb
+  FROM orders WHERE o_orderkey % 97 != 0
+),
+j AS (SELECT * FROM old FULL OUTER JOIN new USING (k)),
+c AS (
+  SELECT CASE WHEN pa IS NULL THEN 'right_only'
+              WHEN pb IS NULL THEN 'left_only'
+              WHEN pa = pb THEN 'unchanged'
+              ELSE 'changed' END AS status,
+    abs(COALESCE(pb, 0.0) - COALESCE(pa, 0.0)) AS d
+  FROM j
+)
+SELECT status, count(*) AS n, {_r('sum(d)', 'abs_drift')}
+FROM c GROUP BY 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Unpivot / melt (wide → long) with a per-metric rollup
+# --------------------------------------------------------------------- #
+
+
+def _unpivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native ``unpivot`` (Expand-based — one
+    pass over the input emitting |metrics| rows each, no joins), then a
+    per-metric rollup.  The inverse of `pivot_lineitem`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("v")).alias("avg_v"),
+        round4(F.max("v")).alias("max_v"),
+    )
+
+
+_register(
+    "unpivot_lineitem",
+    Query(
+        spark=_unpivot_spark,
+        sql=f"""
+WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, count(*) AS n, {_r('avg(v)', 'avg_v')},
+  {_r('max(v)', 'max_v')}
+FROM long GROUP BY 1""",
+    ),
+)
