@@ -247,6 +247,7 @@ def main() -> None:
     vecs.count()
     from indicators_spark.functions.similarity import (
         _argmin_cluster,
+        _assign_arrow,
         _quant_vec,
         _sq_dist,
     )
@@ -287,8 +288,15 @@ def main() -> None:
         )
         return means_of(assigned)
 
+    def km_arrow():
+        # the production form kmeans_lloyd now uses: the assign kernel
+        # emits the exploded (cluster, pos, val) update input directly
+        expl = _assign_arrow(vecs, cents, "vec_id", "embedding", emit="explode")
+        return expl.groupBy("cluster", "pos").agg(F.avg("val").alias("v"))
+
     for label, fn in (
         ("kmeans_round_literal_argmin", km_literal),
+        ("kmeans_round_arrow_assign", km_arrow),
         ("kmeans_round_crossjoin_shuffle", km_crossjoin),
     ):
         t0 = time.time()

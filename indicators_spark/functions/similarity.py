@@ -347,6 +347,58 @@ def _argmin_cluster(cents: list[tuple[int, list[float]]], vec_col: str) -> Colum
     return F.array_min(F.array(*scored))["cid"]
 
 
+def _assign_arrow(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    emit: str = "assign",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid pass (fold-exact, see
+    ``_np_fold_sq_dists`` — bit-identical to the literal-expression
+    ``_argmin_cluster`` and to the SQL oracle's distance chain, ~an order
+    of magnitude faster at 64d×8 centroids than interpreted HOF folds).
+
+    ``emit="assign"`` yields (id, cluster); ``emit="explode"`` yields the
+    update-step input (cluster, pos, val) directly — same rows the
+    ``posexplode`` projection produced, skipping a second pass."""
+    import pandas as pd
+
+    cid_list = [int(c) for c, _ in cents]
+    vec_list = [list(map(float, v)) for _, v in cents]
+    schema = (
+        f"{id_col} long, cluster int"
+        if emit == "assign"
+        else "cluster int, pos int, val double"
+    )
+
+    def run(batches):
+        import numpy as np
+
+        cv = np.asarray(vec_list, dtype=np.float64)
+        cids = np.asarray(cid_list, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            assigned = cids[np.argmin(_np_fold_sq_dists(x, cv), axis=1)]
+            if emit == "assign":
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "cluster": assigned}
+                )
+            else:
+                n, dim = x.shape
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(assigned, dim),
+                        "pos": np.tile(np.arange(dim, dtype=np.int32), n),
+                        "val": x.reshape(-1),
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -360,12 +412,15 @@ def kmeans_lloyd(
 
     * init: the ``k`` lowest-id vectors (quantized) — no RNG;
     * assign: centroids collected to the driver (k·dim floats — the ONLY
-      driver data) and re-embedded as literal expressions, so assignment
-      is a map-only projection with no shuffle and no k× amplification
-      (the same structure Spark MLlib's KMeans uses);
-    * update: per-dimension mean via ``posexplode`` → (cluster, dim)
-      group-avg — the one shuffle per iteration, carrying n·dim skinny
-      rows with map-side partial aggregation, never whole vectors;
+      driver data) and shipped into a fold-exact Arrow kernel
+      (``_assign_arrow``), so assignment is a zero-shuffle map stage with
+      no k× amplification (the same structure Spark MLlib's KMeans uses;
+      the literal-expression ``_argmin_cluster`` form computes identical
+      bits but pays interpreted HOF folds per row);
+    * update: the assign kernel emits (cluster, dim, val) directly →
+      (cluster, dim) group-avg — the one shuffle per iteration, carrying
+      n·dim skinny rows with map-side partial aggregation, never whole
+      vectors;
     * centroids re-quantized each round (see ``_quant_vec``; quantized
       doubles round-trip exactly through the driver).
 
@@ -388,10 +443,7 @@ def kmeans_lloyd(
         .collect()
     )
     for _ in range(iters):
-        assigned = base.withColumn("cluster", _argmin_cluster(cents, vec_col))
-        expl = assigned.select(
-            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
-        )
+        expl = _assign_arrow(base, cents, id_col, vec_col, emit="explode")
         means = expl.groupBy("cluster", "pos").agg(
             F.avg(F.col("val").cast("double")).alias("v")
         )
@@ -407,9 +459,7 @@ def kmeans_lloyd(
             .select("cluster", _quant_vec(F.col("_raw")))
             .collect()
         )
-    return base.select(
-        id_col, _argmin_cluster(cents, vec_col).alias("cluster")
-    )
+    return _assign_arrow(base, cents, id_col, vec_col, emit="assign")
 
 
 def quantize_embeddings_int8(
