@@ -106,6 +106,7 @@ _ROUND3_NEW = {
     "dedup_minhash_estimate",
     "reconcile_snapshots",
     "unpivot_lineitem",
+    "pysource_ticks_agg",
 }
 
 

@@ -923,3 +923,53 @@ SELECT metric, count(*) AS n, {_r('avg(v)', 'avg_v')},
 FROM long GROUP BY 1""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Custom Python DataSource V2 connector (partition-parallel + pushdown)
+# --------------------------------------------------------------------- #
+
+_TICKS_ROWS = 20000
+_TICKS_SYMS = 8
+
+
+def _pysource_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the custom ``synthetic_ticks`` Python DataSource —
+    the V2 connector surface (partition-parallel generator reader with
+    source-side filter pushdown).  ``sf_dir`` is unused: the source IS the
+    input; the oracle replays its integer-exact row formula over
+    ``range()``, so even a from-thin-air connector gets a value-hash
+    row."""
+    from .sources.pysource import register_ticks_source
+
+    register_ticks_source(spark)
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("rows", _TICKS_ROWS)
+        .option("symbols", _TICKS_SYMS)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("close")).alias("avg_close"),
+        F.sum("volume").cast("long").alias("sum_volume"),
+    )
+
+
+_register(
+    "pysource_ticks_agg",
+    Query(
+        spark=_pysource_spark,
+        sql=f"""
+WITH t AS (
+  SELECT 'S' || CAST(seq % {_TICKS_SYMS} AS VARCHAR) AS symbol,
+    CAST((seq * 2654435761) % 100000 AS DOUBLE) / 100.0 AS close,
+    (seq * 40503) % 1000 + 1 AS volume
+  FROM (SELECT range AS seq FROM range(0, {_TICKS_ROWS}))
+)
+SELECT symbol, count(*) AS n, {_r('avg(close)', 'avg_close')},
+  CAST(sum(volume) AS BIGINT) AS sum_volume
+FROM t GROUP BY 1""",
+    ),
+)

@@ -168,3 +168,34 @@ def test_zordered_write_localizes_all_dimensions(spark, tmp_path):
     naive = str(tmp_path / "naive")
     ev.repartitionByRange(16, "user_id").sortWithinPartitions("user_id").write.parquet(naive)
     assert mean_range_frac(naive, "value") > 1.5 * mean_range_frac(out, "value")
+
+
+def test_python_datasource_ticks(spark):
+    """Custom Python DataSource V2: partition count honors the option,
+    rows follow the integer-exact formula, and symbol-equality predicates
+    push into the source (consumed by pushFilters, not a post-scan
+    Filter)."""
+    from indicators_spark.sources.pysource import (
+        register_ticks_source,
+        tick_row,
+    )
+
+    register_ticks_source(spark)
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("rows", 400)
+        .option("symbols", 4)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 400
+    got = sorted(tuple(r) for r in df.limit(5).collect())
+    assert got == sorted(tick_row(i, 4) for i in range(5))
+
+    flt = df.filter(df.symbol == "S2")
+    assert flt.count() == 100
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate was consumed by the source; only the
+    # isnotnull guard may remain in a post-scan Filter
+    assert "S2" not in plan
