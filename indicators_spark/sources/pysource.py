@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 KNUTH = 2654435761  # 2^32 · golden-ratio conjugate (Knuth multiplicative hash)
@@ -95,6 +96,9 @@ class TicksDataSource(DataSource):
     def reader(self, schema) -> TicksReader:
         return TicksReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return TicksStreamReader(self.options)
+
 
 def register_ticks_source(spark) -> None:
     """Idempotent registration (re-registering overwrites, which is fine).
@@ -103,3 +107,39 @@ def register_ticks_source(spark) -> None:
     so registration enables it."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TicksDataSource)
+
+
+class TicksStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same tick formula: offsets are row
+    sequence numbers, each poll emits the next ``batch_rows`` ticks —
+    the replayable-offset contract (``readBetweenOffsets`` re-derives any
+    committed range bit-for-bit, so exactly-once sinks can replay a lost
+    epoch).  ``SimpleDataSourceStreamReader`` trades partition-parallel
+    reads for a driver-side generator — right for prototype feeds; a
+    production queue source implements the partitioned
+    ``DataSourceStreamReader`` with per-partition offsets instead, and
+    everything downstream (watermarks, sinks, parity tests) is
+    unchanged."""
+
+    def __init__(self, options):
+        self.n_symbols = int(options.get("symbols", 8))
+        self.batch_rows = int(options.get("batchRows", 1000))
+        self.max_rows = int(options.get("maxRows", 10000))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lo = start["seq"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return (
+            iter([tick_row(s, self.n_symbols) for s in range(lo, hi)]),
+            {"seq": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [tick_row(s, self.n_symbols) for s in range(start["seq"], end["seq"])]
+        )
+
+

@@ -199,3 +199,47 @@ def test_python_datasource_ticks(spark):
     # the equality predicate was consumed by the source; only the
     # isnotnull guard may remain in a post-scan Filter
     assert "S2" not in plan
+
+
+def test_python_datasource_stream_matches_batch(spark):
+    """The connector's micro-batch stream must emit exactly the batch
+    reader's rows (same formula, offsets are row ranges)."""
+    from indicators_spark.sources.pysource import register_ticks_source
+
+    register_ticks_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_ticks")
+        .option("symbols", 4)
+        .option("batchRows", 700)
+        .option("maxRows", 3000)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ticks_stream_out")
+        .start()
+    )
+    # the simple stream advances one batchRows window per poll, so drain
+    # until the offset stops moving (bounded by maxRows), then stop
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM ticks_stream_out").first().c
+        if n >= 3000:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ticks_stream_out").collect()}
+    batch = {
+        tuple(r)
+        for r in spark.read.format("synthetic_ticks")
+        .option("rows", 3000)
+        .option("symbols", 4)
+        .load()
+        .collect()
+    }
+    assert got == batch
+    assert len(got) == 3000
