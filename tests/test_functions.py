@@ -784,3 +784,42 @@ def test_kmv_sketch_exactly_mergeable(spark):
     }
     assert merged == whole
     assert len(merged) == 32
+
+
+def test_arrow_assign_bitwise_equals_literal_argmin(spark):
+    """The fold-exact numpy kernel must agree with the JVM literal-
+    expression argmin on every row — not approximately: the per-dimension
+    accumulation replicates the exact IEEE op order, so cluster choices
+    are identical even where two centroids are nearly equidistant."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.similarity import (
+        _argmin_cluster,
+        _assign_arrow,
+        _quant_vec,
+    )
+
+    rng = random.Random(1234)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sorted(
+        (int(r[0]), list(r[1]))
+        for r in df.filter(F.col("vec_id") < 6)
+        .select("vec_id", _quant_vec(F.col("embedding")))
+        .collect()
+    )
+    lit = {
+        r.vec_id: r.cluster
+        for r in df.select(
+            "vec_id", _argmin_cluster(cents, "embedding").alias("cluster")
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.cluster
+        for r in _assign_arrow(df, cents, "vec_id", "embedding").collect()
+    }
+    assert lit == arrow and len(lit) == 300
