@@ -107,6 +107,9 @@ _ROUND3_NEW = {
     "reconcile_snapshots",
     "unpivot_lineitem",
     "pysource_ticks_agg",
+    "rolling_median",
+    "events_attribution_linear",
+    "analytic_ols_trend",
 }
 
 

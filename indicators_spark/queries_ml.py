@@ -973,3 +973,219 @@ SELECT symbol, count(*) AS n, {_r('avg(close)', 'avg_close')},
 FROM t GROUP BY 1""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Rolling exact median (robust smoother — window-aggregate percentile)
+# --------------------------------------------------------------------- #
+
+
+def _rolling_median_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 21-row rolling median of close per symbol — the robust
+    smoother SMAs can't give you.  One symbol-hash exchange shared with
+    any co-partitioned chain; the per-frame percentile is O(frame log
+    frame) locally.  At extreme frame sizes switch to a t-digest-style
+    window or the KMV sample (`stats_kmv_quantile`)."""
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp", "seq")
+        .rowsBetween(-20, 0)
+    )
+    return p.select(
+        "symbol",
+        "seq",
+        round4(F.percentile(F.col("close"), F.lit(0.5)).over(w)).alias(
+            "close_median_21"
+        ),
+    )
+
+
+def _sql_prices(body: str) -> str:
+    from .sources.prices import PRICES_SQL_EVENTS
+
+    return f"WITH {PRICES_SQL_EVENTS.strip()}, {body}"
+
+
+_register(
+    "rolling_median",
+    Query(
+        spark=_rolling_median_spark,
+        sql=_sql_prices(
+            f"""m AS (
+  SELECT symbol, seq,
+    quantile_cont(close, 0.5) OVER (
+      PARTITION BY symbol ORDER BY "timestamp", seq
+      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med
+  FROM prices
+)
+SELECT symbol, seq, {_r('med', 'close_median_21')} FROM m"""
+        ),
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Linear multi-touch attribution — ZERO self-join (running-count credit)
+# --------------------------------------------------------------------- #
+
+
+def _attribution_linear_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear attribution without the event×event self-join every naive
+    implementation writes: per user, RUNNING counts of prior clicks and
+    views (two conditional window sums over one exchange) give each
+    purchase its touch mix directly — credit = value · cnt_t / Σcnt.
+    Purchases with no prior touch fall in 'none'.  Cost is identical to
+    last-touch: one user-keyed window pass + a 3-row groupBy, linear in
+    events at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nclick = F.sum(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).over(w)
+    nview = F.sum(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ).over(w)
+    p = (
+        ev.withColumn("nc", nclick)
+        .withColumn("nv", nview)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("tot", F.coalesce(F.col("nc"), F.lit(0)) + F.coalesce(F.col("nv"), F.lit(0)))
+    )
+    credits = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    F.when(
+                        F.col("tot") > 0,
+                        F.col("value") * F.col("nc") / F.col("tot"),
+                    ).otherwise(F.lit(0.0)).alias("credit"),
+                ),
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    F.when(
+                        F.col("tot") > 0,
+                        F.col("value") * F.col("nv") / F.col("tot"),
+                    ).otherwise(F.lit(0.0)).alias("credit"),
+                ),
+                F.struct(
+                    F.lit("none").alias("touch_type"),
+                    F.when(F.col("tot") == 0, F.col("value"))
+                    .otherwise(F.lit(0.0))
+                    .alias("credit"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.touch_type", "c.credit")
+    return credits.groupBy("touch_type").agg(
+        round4(F.sum("credit")).alias("credited")
+    )
+
+
+_register(
+    "events_attribution_linear",
+    Query(
+        spark=_attribution_linear_spark,
+        sql=f"""
+WITH t AS (
+  SELECT event_type, value,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nc,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nv
+  FROM events
+),
+p AS (
+  SELECT value, COALESCE(nc, 0) AS nc, COALESCE(nv, 0) AS nv,
+    COALESCE(nc, 0) + COALESCE(nv, 0) AS tot
+  FROM t WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT 'click' AS touch_type,
+    CASE WHEN tot > 0 THEN value * nc / tot ELSE 0.0 END AS credit FROM p
+  UNION ALL
+  SELECT 'view',
+    CASE WHEN tot > 0 THEN value * nv / tot ELSE 0.0 END FROM p
+  UNION ALL
+  SELECT 'none', CASE WHEN tot = 0 THEN value ELSE 0.0 END FROM p
+)
+SELECT touch_type, {_r('sum(credit)', 'credited')} FROM c GROUP BY 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Per-group OLS trend (centered raw-moment formula, engine-identical)
+# --------------------------------------------------------------------- #
+
+
+def _ols_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of value on time: slope/intercept from CENTERED
+    raw moments — x is shifted by the global min epoch before any sum, so
+    the classic ``nΣxy − ΣxΣy`` cancellation never eats the precision the
+    cross-engine hash needs (uncentered, the subtraction runs at ~1e19
+    where doubles carry ~1e3 ulps).  Built-in ``regr_slope`` is avoided
+    on purpose: its streaming update order is engine-specific.  Two
+    passes over the aggregated skinny columns; at 100 TB both are
+    map-side-combined single aggregates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    x0 = ev.agg(F.min("x").alias("x0"))
+    c = ev.crossJoin(F.broadcast(x0)).withColumn("cx", F.col("x") - F.col("x0"))
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("cx") * F.col("y")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        # slope per DAY (per-second slopes round to 0 at 4 decimals)
+        round4(slope * 86400).alias("slope_per_day"),
+        round4(
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n"))
+        ).alias("intercept"),
+    )
+
+
+_register(
+    "analytic_ols_trend",
+    Query(
+        spark=_ols_spark,
+        sql=f"""
+WITH ev AS (
+  SELECT event_type,
+    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS x, value AS y
+  FROM events
+),
+x0 AS (SELECT min(x) AS x0 FROM ev),
+c AS (SELECT event_type, x - x0 AS cx, y FROM ev CROSS JOIN x0),
+m AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+    sum(cx) AS sx, sum(y) AS sy, sum(cx * y) AS sxy, sum(cx * cx) AS sxx
+  FROM c GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  {_r('(n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400', 'slope_per_day')},
+  {_r('sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n)',
+      'intercept')}
+FROM m""",
+    ),
+)
