@@ -302,3 +302,48 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_linear_attribution_single_user_exchange(spark):
+    """Linear multi-touch attribution must cost what last-touch costs:
+    the running-count windows and the purchase filter ride ONE user-keyed
+    hash exchange; the only other exchange is the 3-row credit groupBy.
+    A self-join formulation (every purchase × its prior touches) would
+    show extra joins/exchanges here."""
+    df = QUERIES["events_attribution_linear"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert exchange_count(plan) <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_rolling_median_single_symbol_exchange(spark):
+    """The window-aggregate percentile shares the standard per-symbol
+    exchange — exactly one hash exchange, no extra stage for the
+    percentile."""
+    df = QUERIES["rolling_median"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert exchange_count(plan) == 1, plan
+
+
+def test_pagerank_state_broadcasts(spark):
+    """Each PageRank superstep joins the (tiny) rank state by broadcast —
+    the edge list must never hash-shuffle for the join itself (its only
+    exchanges are the per-superstep inflow groupBys + the one-time outw
+    build + the final left join back to nodes)."""
+    df = QUERIES["graph_pagerank_nations"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert broadcast_join_count(plan) >= 3, plan
+
+
+def test_covariance_partials_no_wide_shuffle(spark):
+    """The covariance matrix must shuffle only the dim^2/2 partial-moment
+    rows per partition (one exchange for the (i, j) reduce) — never an
+    exploded n*dim or joined n*dim^2 intermediate."""
+    from indicators_spark.functions.similarity import covariance_matrix
+    from indicators_spark.sources.prices import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = covariance_matrix(emb, dim=64)
+    plan = plan_string(df)
+    assert exchange_count(plan) == 1, plan
+    assert "Join" not in plan, plan
