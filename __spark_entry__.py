@@ -110,6 +110,7 @@ _ROUND3_NEW = {
     "rolling_median",
     "events_attribution_linear",
     "analytic_ols_trend",
+    "events_path_trigrams",
 }
 
 

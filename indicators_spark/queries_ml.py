@@ -1189,3 +1189,61 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
 FROM m""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Path analysis: most common 3-step event sequences per user journey
+# --------------------------------------------------------------------- #
+
+
+def _path_trigrams_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths across user journeys (the "what do
+    users actually do" table funnels are designed from).  Two ``lead``s
+    over ONE user-keyed exchange turn each event into its outgoing
+    trigram — no sequence explosion, no self-join; the path groupBy keys
+    are ≤ |event_types|³ strings with map-side combine, and top-k is
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    top = (
+        t.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(15)
+    )
+    win = Window.orderBy(F.col("cnt").desc(), F.col("path"))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "path", "cnt"
+    )
+
+
+_register(
+    "events_path_trigrams",
+    Query(
+        spark=_path_trigrams_spark,
+        sql="""
+WITH t AS (
+  SELECT event_type AS t1,
+    lead(event_type, 1) OVER w AS t2,
+    lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path FROM t
+  WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+),
+c AS (SELECT path, count(*) AS cnt FROM p GROUP BY 1),
+top AS (SELECT path, cnt FROM c ORDER BY cnt DESC, path LIMIT 15)
+SELECT row_number() OVER (ORDER BY cnt DESC, path) AS rank, path, cnt
+FROM top""",
+    ),
+)
