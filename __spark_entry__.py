@@ -111,6 +111,8 @@ _ROUND3_NEW = {
     "events_attribution_linear",
     "analytic_ols_trend",
     "events_path_trigrams",
+    "incremental_agg_maintenance",
+    "dq_expectations",
 }
 
 

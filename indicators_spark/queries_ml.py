@@ -1247,3 +1247,147 @@ SELECT row_number() OVER (ORDER BY cnt DESC, path) AS rank, path, cnt
 FROM top""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Incremental aggregate maintenance (materialized-view upsert pattern)
+# --------------------------------------------------------------------- #
+
+
+def _incr_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-customer order-total table incrementally: aggregate
+    ONLY the delta batch, then merge partials into the stored aggregate
+    by key (sum/count are mergeable monoids).  The production pattern for
+    keeping a 100 TB-derived rollup fresh — per refresh you touch
+    |delta| + |affected keys|, never the history.  Here history =
+    orders with orderkey%7≠0, delta = the rest; the oracle recomputes
+    from scratch and must match exactly (integer counts, one-pass sums)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+
+    history = agg(orders.filter(F.col("o_orderkey") % 7 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 7 == 0))
+    merged = (
+        history.select("o_custkey", "n_orders", "total")
+        .unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total").alias("total"),
+        )
+    )
+    return merged.select(
+        "o_custkey", "n_orders", round4(F.col("total")).alias("total")
+    )
+
+
+_register(
+    "incremental_agg_maintenance",
+    Query(
+        spark=_incr_agg_spark,
+        sql=f"""
+SELECT o_custkey, count(*) AS n_orders,
+  {_r('sum(o_totalprice)', 'total')}
+FROM orders GROUP BY 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Data-quality expectations (Deequ-style gate before any pipeline run)
+# --------------------------------------------------------------------- #
+
+
+def _dq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation checks over lineitem + referential
+    integrity against orders — one row per check with the violation
+    count and a pass flag.  All column checks fold into ONE aggregate
+    pass over the fact table (conditional sums, map-side combined); the
+    FK check is a single anti-join (broadcast/bucketed at scale).  The
+    gate a pipeline runs before believing a new drop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    viol = li.agg(
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "null_quantity"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("discount_range"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("returnflag_domain"),
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orderkeys"))
+    )
+    wide = viol.crossJoin(fk)
+    checks = [
+        "null_quantity",
+        "discount_range",
+        "nonpositive_price",
+        "returnflag_domain",
+        "orphan_orderkeys",
+    ]
+    long = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("check"),
+                        F.col(c).cast("long").alias("violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("r")
+    ).select("r.check", "r.violations")
+    return long.withColumn("passed", F.col("violations") == 0)
+
+
+_register(
+    "dq_expectations",
+    Query(
+        spark=_dq_spark,
+        sql="""
+WITH v AS (
+  SELECT
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_quantity,
+    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS discount_range,
+    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nonpositive_price,
+    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+      AS BIGINT) AS returnflag_domain
+  FROM lineitem
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphan_orderkeys
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+),
+long AS (
+  SELECT 'null_quantity' AS check, null_quantity AS violations FROM v
+  UNION ALL SELECT 'discount_range', discount_range FROM v
+  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM v
+  UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM v
+  UNION ALL SELECT 'orphan_orderkeys', orphan_orderkeys FROM fk
+)
+SELECT "check", violations, violations = 0 AS passed FROM long""",
+    ),
+)
