@@ -113,6 +113,8 @@ _ROUND3_NEW = {
     "events_path_trigrams",
     "incremental_agg_maintenance",
     "dq_expectations",
+    "risk_metrics_per_symbol",
+    "heikin_ashi",
 }
 
 

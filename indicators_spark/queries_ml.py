@@ -1391,3 +1391,150 @@ long AS (
 SELECT "check", violations, violations = 0 AS passed FROM long""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Risk metrics per symbol (returns vol, Sharpe-style ratio, max drawdown)
+# --------------------------------------------------------------------- #
+
+
+def _risk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol return volatility, mean/vol ratio, and maximum drawdown
+    — the portfolio-report companion the indicator chains feed.  One
+    symbol-keyed window pass (returns + running peak share the exchange)
+    then one groupBy; everything else is arithmetic on the aggregates."""
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    word = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    wcum = word.rowsBetween(Window.unboundedPreceding, 0)
+    r = F.col("close") / F.lag("close").over(word) - 1
+    dd = F.col("close") / F.max("close").over(wcum) - 1
+    t = p.select(
+        "symbol", r.alias("r"), dd.alias("dd")
+    )
+    agg = t.groupBy("symbol").agg(
+        F.count(F.col("r")).alias("n_returns"),
+        F.avg("r").alias("mean_r"),
+        F.stddev_samp("r").alias("vol"),
+        F.min("dd").alias("mdd"),
+    )
+    return agg.select(
+        "symbol",
+        F.col("n_returns").cast("long").alias("n_returns"),
+        round6(F.col("mean_r")).alias("mean_return"),
+        round6(F.col("vol")).alias("volatility"),
+        round4(F.col("mean_r") / F.col("vol")).alias("mean_over_vol"),
+        round4(F.col("mdd")).alias("max_drawdown"),
+    )
+
+
+def _risk_sql() -> str:
+    from .sources.prices import PRICES_SQL_EVENTS
+
+    return f"""WITH {PRICES_SQL_EVENTS.strip()},
+t AS (
+  SELECT symbol,
+    close / lag(close) OVER (
+      PARTITION BY symbol ORDER BY "timestamp", seq) - 1 AS r,
+    close / max(close) OVER (
+      PARTITION BY symbol ORDER BY "timestamp", seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS dd
+  FROM prices
+),
+a AS (
+  SELECT symbol, count(r) AS n_returns, avg(r) AS mean_r,
+    stddev_samp(r) AS vol, min(dd) AS mdd
+  FROM t GROUP BY 1
+)
+SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
+  {_r6('mean_r', 'mean_return')}, {_r6('vol', 'volatility')},
+  {_r('mean_r / vol', 'mean_over_vol')}, {_r('mdd', 'max_drawdown')}
+FROM a"""
+
+
+_register(
+    "risk_metrics_per_symbol",
+    Query(spark=_risk_spark, sql=_risk_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Heikin-Ashi candles (recursive open = alpha-1/2 EWM over lagged HA close)
+# --------------------------------------------------------------------- #
+
+
+def _heikin_ashi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi transform per symbol.  ``ha_close`` is row-local;
+    the recursive ``ha_open = (ha_open₁ + ha_close₁)/2`` is EXACTLY an
+    ``alpha=0.5, adjust=False`` EWM over the LAGGED ha_close (first
+    element seeded with ``(open+close)/2``), so it rides the engine's
+    one-shuffle EWM program machinery instead of a bespoke recursion —
+    and the oracle replays it with the same recursive-CTE shape every
+    EWM query uses.  high/low wrap-arounds are row-local greatest/least
+    over (high|low, ha_open, ha_close)."""
+    from .ewm import EwmStep, apply_ewm_program
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    word = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    base = p.withColumn(
+        "ha_close",
+        (F.col("open") + F.col("high") + F.col("low") + F.col("close")) / 4,
+    ).withColumn(
+        "_x",
+        F.coalesce(
+            F.lag("ha_close").over(word),
+            (F.col("open") + F.col("close")) / 2,
+        ),
+    )
+    out = apply_ewm_program(
+        base,
+        [EwmStep(src="_x", out="ha_open", alpha=0.5, adjust=False)],
+        partition_cols=("symbol",),
+        order_cols=("timestamp", "seq"),
+    )
+    return out.select(
+        "symbol",
+        "seq",
+        round4(F.col("ha_open")).alias("ha_open"),
+        round4(F.col("ha_close")).alias("ha_close"),
+        round4(
+            F.greatest(F.col("high"), F.col("ha_open"), F.col("ha_close"))
+        ).alias("ha_high"),
+        round4(
+            F.least(F.col("low"), F.col("ha_open"), F.col("ha_close"))
+        ).alias("ha_low"),
+    )
+
+
+def _heikin_ashi_sql() -> str:
+    from .queries import ORDER
+    from .sources.prices import PRICES_SQL_EVENTS
+
+    return f"""WITH RECURSIVE {PRICES_SQL_EVENTS.strip()},
+base AS MATERIALIZED (
+  SELECT symbol, seq, "timestamp", open, high, low, close,
+    (open + high + low + close) / 4 AS ha_close,
+    row_number() OVER (PARTITION BY symbol ORDER BY {ORDER}) AS rn
+  FROM prices
+),
+rec AS (
+  SELECT symbol, seq, rn, ha_close, (open + close) / 2 AS ha_open
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.seq, b.rn, b.ha_close,
+    0.5 * r.ha_open + 0.5 * r.ha_close
+  FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT b.symbol, b.seq,
+  {_r('r.ha_open', 'ha_open')}, {_r('b.ha_close', 'ha_close')},
+  {_r('greatest(b.high, r.ha_open, b.ha_close)', 'ha_high')},
+  {_r('least(b.low, r.ha_open, b.ha_close)', 'ha_low')}
+FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn"""
+
+
+_register(
+    "heikin_ashi",
+    Query(spark=_heikin_ashi_spark, sql=_heikin_ashi_sql()),
+)
