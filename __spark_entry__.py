@@ -115,6 +115,7 @@ _ROUND3_NEW = {
     "dq_expectations",
     "risk_metrics_per_symbol",
     "heikin_ashi",
+    "range_window_trailing_1h",
 }
 
 

@@ -1538,3 +1538,59 @@ _register(
     "heikin_ashi",
     Query(spark=_heikin_ashi_spark, sql=_heikin_ashi_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# RANGE-frame window (event-time trailing aggregate, not row-count based)
+# --------------------------------------------------------------------- #
+
+
+def _range_window_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour (event-time RANGE frame) volume sum and bar count
+    per symbol — the frame type row-based rolling windows can't express
+    when bars are irregularly spaced.  Same single symbol exchange as
+    every per-symbol window; the range frame is evaluated with a sliding
+    pointer over the sorted partition (linear, not per-row rescan)."""
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir).withColumn(
+        "epoch", F.unix_timestamp("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("epoch")
+        .rangeBetween(-3600, 0)
+    )
+    return p.select(
+        "symbol",
+        "seq",
+        F.count(F.lit(1)).over(w).cast("long").alias("bars_1h"),
+        round4(F.sum("volume").over(w)).alias("volume_1h"),
+    )
+
+
+def _range_window_sql() -> str:
+    from .sources.prices import PRICES_SQL_EVENTS
+
+    return f"""WITH {PRICES_SQL_EVENTS.strip()},
+e AS (
+  SELECT symbol, seq, volume,
+    CAST(floor(epoch("timestamp")) AS BIGINT) AS epoch
+  FROM prices
+),
+t AS (
+  SELECT symbol, seq,
+    count(*) OVER w AS bars_1h, sum(volume) OVER w AS v
+  FROM e
+  WINDOW w AS (PARTITION BY symbol ORDER BY epoch
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, seq, CAST(bars_1h AS BIGINT) AS bars_1h,
+  {_r('v', 'volume_1h')}
+FROM t"""
+
+
+_register(
+    "range_window_trailing_1h",
+    Query(spark=_range_window_spark, sql=_range_window_sql()),
+)
