@@ -116,6 +116,7 @@ _ROUND3_NEW = {
     "risk_metrics_per_symbol",
     "heikin_ashi",
     "range_window_trailing_1h",
+    "events_session_window_native",
 }
 
 

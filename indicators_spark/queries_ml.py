@@ -1594,3 +1594,56 @@ _register(
     "range_window_trailing_1h",
     Query(spark=_range_window_spark, sql=_range_window_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Native session_window (engine-managed session merge, batch form)
+# --------------------------------------------------------------------- #
+
+
+def _session_window_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE ``session_window`` aggregate (the
+    same operator Structured Streaming uses with state-store-backed
+    merging) instead of the lag/gap-islands rewrite — identical session
+    boundaries (a gap ≥ 30 min closes the window: sessions are
+    [first, last+gap) half-open), same single user-keyed exchange, and
+    the exact same oracle as `events_sessionize_30m` replays."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_register(
+    "events_session_window_native",
+    Query(
+        spark=_session_window_spark,
+        sql="""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL '30 minutes'
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+  count(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+    ),
+)
