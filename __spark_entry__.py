@@ -117,6 +117,9 @@ _ROUND3_NEW = {
     "heikin_ashi",
     "range_window_trailing_1h",
     "events_session_window_native",
+    "forecast_seasonal_naive_eval",
+    "analytic_acf",
+    "embedding_pca_power",
 }
 
 

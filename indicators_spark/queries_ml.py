@@ -1647,3 +1647,267 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Forecast backtest: seasonal-naive baseline + MAE/RMSE/MAPE per series
+# --------------------------------------------------------------------- #
+
+
+def _forecast_eval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest the seasonal-naive forecaster (ŷ_d = y_{d-7}) on daily
+    event counts per type and score it with MAE/RMSE/MAPE — the baseline
+    row every forecasting system must beat, plus the metric kit used to
+    judge it.  The expensive pass is the one daily-count groupBy; the
+    forecast is a lag-7 window over the AGGREGATED (type, day) series and
+    the metrics are one more tiny aggregate — at 100 TB the evaluation
+    costs |types|·|days| rows regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("etype"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("etype").orderBy("day")
+    t = daily.withColumn("yhat", F.lag("y", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    err = F.col("y") - F.col("yhat")
+    return (
+        t.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.avg(F.abs(err)).alias("mae"),
+            F.sqrt(F.avg(err * err)).alias("rmse"),
+            F.avg(
+                F.when(F.col("y") != 0, F.abs(err) / F.col("y"))
+            ).alias("mape"),
+        )
+        .select(
+            "etype",
+            "n_days",
+            round4(F.col("mae")).alias("mae"),
+            round4(F.col("rmse")).alias("rmse"),
+            round4(F.col("mape")).alias("mape"),
+        )
+    )
+
+
+_register(
+    "forecast_seasonal_naive_eval",
+    Query(
+        spark=_forecast_eval_spark,
+        sql=f"""
+WITH daily AS (
+  SELECT event_type AS etype,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT etype, y,
+    lag(y, 7) OVER (PARTITION BY etype ORDER BY day) AS yhat
+  FROM daily
+),
+f AS (SELECT * FROM t WHERE yhat IS NOT NULL)
+SELECT etype, count(*) AS n_days,
+  {_r('avg(abs(y - yhat))', 'mae')},
+  {_r('sqrt(avg((y - yhat) * (y - yhat)))', 'rmse')},
+  {_r("avg(CASE WHEN y != 0 THEN abs(y - yhat) / y END)", 'mape')}
+FROM f GROUP BY 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Autocorrelation function per symbol (lags 1..5, centered-moment corr)
+# --------------------------------------------------------------------- #
+
+_ACF_LAGS = (1, 2, 3, 4, 5)
+
+
+def _acf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of close at small lags per symbol — the stationarity /
+    memory diagnostic read before fitting anything autoregressive.
+    Pearson r is computed from CENTERED raw moments over each (symbol,
+    lag) pair set (same engine-identical discipline as
+    `analytic_ols_trend`; built-in `corr` is engine-specific in update
+    order).  The lag columns ride one symbol-keyed window exchange; the
+    explode emits |lags| skinny rows per bar, each reduced map-side."""
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    mean0 = p.groupBy("symbol").agg(F.avg("close").alias("mu"))
+    lagged = p.select(
+        "symbol",
+        F.col("close").alias("y"),
+        *[F.lag("close", k).over(w).alias(f"l{k}") for k in _ACF_LAGS],
+    )
+    pairs = lagged.join(F.broadcast(mean0), "symbol").select(
+        "symbol",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("y") - F.col("mu")).alias("a"),
+                        (F.col(f"l{k}") - F.col("mu")).alias("b"),
+                    )
+                    for k in _ACF_LAGS
+                ]
+            )
+        ).alias("r"),
+    ).select("symbol", "r.lag", "r.a", "r.b").filter(F.col("b").isNotNull())
+    m = pairs.groupBy("symbol", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.sqrt(F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return m.select(
+        "symbol", "lag", F.col("n").cast("long").alias("n_pairs"),
+        round4(r).alias("acf"),
+    )
+
+
+def _acf_sql() -> str:
+    from .sources.prices import PRICES_SQL_EVENTS
+
+    lag_sel = ", ".join(
+        f'lag(close, {k}) OVER (PARTITION BY symbol ORDER BY "timestamp", seq)'
+        f" AS l{k}"
+        for k in _ACF_LAGS
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT symbol, {k} AS lag, y - mu AS a, l{k} - mu AS b"
+        f" FROM lagged JOIN mu0 USING (symbol) WHERE l{k} IS NOT NULL"
+        for k in _ACF_LAGS
+    )
+    return f"""WITH {PRICES_SQL_EVENTS.strip()},
+mu0 AS (SELECT symbol, avg(close) AS mu FROM prices GROUP BY 1),
+lagged AS (
+  SELECT symbol, close AS y, {lag_sel} FROM prices
+),
+pairs AS ({unions}),
+m AS (
+  SELECT symbol, lag, CAST(count(*) AS DOUBLE) AS n,
+    sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+    sum(a * a) AS saa, sum(b * b) AS sbb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT symbol, lag, CAST(n AS BIGINT) AS n_pairs,
+  {_r('(n * sab - sa * sb) / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))', 'acf')}
+FROM m"""
+
+
+_register(
+    "analytic_acf",
+    Query(spark=_acf_spark, sql=_acf_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# PCA top component via power iteration on the covariance table
+# --------------------------------------------------------------------- #
+
+_PCA_ITERS = 3
+
+
+def _pca_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus by POWER
+    ITERATION over the distributed covariance table: the corpus is
+    touched exactly once (the partial-moment pass of
+    `covariance_matrix`); every subsequent iterate is a matvec expressed
+    relationally on the dim² aggregate — join on the contraction index,
+    one (i)-keyed sum — so the iteration cost is independent of corpus
+    size.  Start v₀=e₁, 3 un-normalized iterations (power iteration is
+    scale-free until the final normalize), sign fixed to the largest-|·|
+    component.  The SQL oracle replays the identical supersteps."""
+    from .functions.similarity import covariance_matrix
+
+    cov = covariance_matrix(load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+    full = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    v = spark.range(1, EMB_DIM + 1).select(
+        F.col("id").cast("int").alias("i"),
+        F.when(F.col("id") == 1, 1.0).otherwise(0.0).alias("val"),
+    )
+    for _ in range(_PCA_ITERS):
+        v = (
+            full.join(F.broadcast(v), full["j"] == v["i"])
+            .select(full["i"].alias("vi"), (F.col("cov") * F.col("val")).alias("p"))
+            .groupBy("vi")
+            .agg(F.sum("p").alias("val"))
+            .select(F.col("vi").alias("i"), "val")
+        )
+    nrm = v.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    sgn = v.orderBy(F.abs(F.col("val")).desc(), F.col("i")).limit(1).select(
+        F.signum("val").alias("sgn")
+    )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            "i",
+            round6(F.col("val") / F.col("nrm") * F.col("sgn")).alias("loading"),
+        )
+    )
+
+
+def _pca_sql() -> str:
+    steps = []
+    for t in range(1, _PCA_ITERS + 1):
+        prev = f"v{t - 1}"
+        steps.append(
+            f"""v{t} AS (
+  SELECT f.i, sum(f.cov * {prev}.val) AS val
+  FROM fullm f JOIN {prev} ON f.j = {prev}.i GROUP BY 1
+)"""
+        )
+    return f"""
+WITH x AS (
+  SELECT vec_id, t.range AS i, CAST(embedding[t.range] AS DOUBLE) AS xi
+  FROM embeddings, range(1, {EMB_DIM + 1}) t
+),
+m AS (SELECT i, avg(xi) AS mi FROM x GROUP BY 1),
+p AS (
+  SELECT a.i, b.i AS j, avg(a.xi * b.xi) AS exy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+),
+ut AS (
+  SELECT p.i, p.j, p.exy - ma.mi * mb.mi AS cov
+  FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
+),
+fullm AS (
+  SELECT i, j, cov FROM ut
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM ut WHERE i != j
+),
+v0 AS (
+  SELECT CAST(t.range AS INT) AS i,
+    CASE WHEN t.range = 1 THEN 1.0 ELSE 0.0 END AS val
+  FROM range(1, {EMB_DIM + 1}) t
+),
+{','.join(steps)},
+nrm AS (SELECT sqrt(sum(val * val)) AS nrm FROM v{_PCA_ITERS}),
+sgn AS (
+  SELECT CASE WHEN val > 0 THEN 1.0 WHEN val < 0 THEN -1.0 ELSE 0.0 END AS sgn
+  FROM v{_PCA_ITERS} ORDER BY abs(val) DESC, i LIMIT 1
+)
+SELECT v.i, {_r6('v.val / nrm.nrm * sgn.sgn', 'loading')}
+FROM v{_PCA_ITERS} v CROSS JOIN nrm CROSS JOIN sgn"""
+
+
+_register(
+    "embedding_pca_power",
+    Query(spark=_pca_spark, sql=_pca_sql()),
+)
