@@ -120,6 +120,8 @@ _ROUND3_NEW = {
     "forecast_seasonal_naive_eval",
     "analytic_acf",
     "embedding_pca_power",
+    "text_langid_confusion",
+    "graph_shortest_paths",
 }
 
 

@@ -1911,3 +1911,161 @@ _register(
     "embedding_pca_power",
     Query(spark=_pca_spark, sql=_pca_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Classifier evaluation: lang-ID confusion matrix + per-class recall
+# --------------------------------------------------------------------- #
+
+
+def _langid_eval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the labeled
+    ``lang`` column, with per-(true, predicted) counts and the true
+    class's recall attached — the evaluation loop every classifier in
+    the pipeline (lang-ID, quality gates, dedup thresholds) gets judged
+    by.  The classify pass is the zero-shuffle lang-ID expression; the
+    matrix is one (true, pred) groupBy (≤ |langs|² cells) and recall is
+    a broadcast join of per-class totals."""
+    from .functions import text as textmod
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textmod.with_lang_id(docs).select(
+        F.col("lang").alias("true_lang"), F.col("lang_id").alias("pred_lang")
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("true_lang").agg(F.sum("n").alias("tot"))
+    return (
+        cells.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            round4(F.col("n") / F.col("tot")).alias("share_of_true"),
+        )
+    )
+
+
+def _langid_eval_sql() -> str:
+    from .queries_ext import _lang_sql
+
+    inner = _lang_sql().strip()
+    return f"""
+WITH pred AS (
+  SELECT d.lang AS true_lang, p.lang_id AS pred_lang
+  FROM documents d JOIN ({inner}) p ON d.doc_id = p.doc_id
+),
+cells AS (
+  SELECT true_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT true_lang, sum(n) AS tot FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+  {_r('CAST(c.n AS DOUBLE) / t.tot', 'share_of_true')}
+FROM cells c JOIN tot t ON c.true_lang = t.true_lang"""
+
+
+_register(
+    "text_langid_confusion",
+    Query(spark=_langid_eval_spark, sql=_langid_eval_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Shortest paths (fixed-round Bellman-Ford over the trade graph)
+# --------------------------------------------------------------------- #
+
+_BF_ROUNDS = 3
+_BF_SRC = "NATION_0"
+
+
+def _shortest_paths_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest trade routes from one nation after 3 Bellman-Ford
+    relaxation rounds, edge cost = 1/weight (heavier trade ⇒ closer).
+    Each round is one edges⋈distances join + a dst-keyed MIN — the
+    Pregel relaxation expressed relationally; ``iters`` bounds path
+    length (like PageRank's fixed supersteps) so the oracle can replay
+    rounds as CTEs.  Distances are sums of ≤3 fixed doubles added in
+    path order — no aggregation-order ambiguity, min is exact."""
+    e = _trade_edges(spark, sf_dir).select(
+        "src", "dst", (F.lit(1.0) / F.col("w")).alias("cost")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == _BF_SRC, 0.0).alias("d"),  # others NULL = inf
+    )
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            e.join(F.broadcast(dist), e["src"] == dist["node"])
+            .filter(F.col("d").isNotNull())
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = (
+            dist.join(relaxed.withColumnRenamed("node", "_n"),
+                      dist["node"] == F.col("_n"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("d"), F.lit(float("inf"))),
+                    F.coalesce(F.col("cand"), F.lit(float("inf"))),
+                ).alias("d"),
+            )
+            .select("node", F.when(F.col("d") != float("inf"), F.col("d")).alias("d"))
+        )
+    return dist.select(
+        F.col("node").alias("nation"), round6(F.col("d") * 1000).alias("dist_milli")
+    )
+
+
+def _shortest_paths_sql() -> str:
+    rounds = []
+    for t in range(1, _BF_ROUNDS + 1):
+        prev = f"d{t - 1}"
+        rounds.append(
+            f"""r{t} AS (
+  SELECT e.dst AS node, min({prev}.d + e.cost) AS cand
+  FROM e JOIN {prev} ON e.src = {prev}.node
+  WHERE {prev}.d IS NOT NULL GROUP BY 1
+),
+d{t} AS (
+  SELECT n.node,
+    CASE WHEN {prev}.d IS NULL THEN r{t}.cand
+         WHEN r{t}.cand IS NULL THEN {prev}.d
+         WHEN r{t}.cand < {prev}.d THEN r{t}.cand ELSE {prev}.d END AS d
+  FROM nodes n
+  LEFT JOIN {prev} ON n.node = {prev}.node
+  LEFT JOIN r{t} ON n.node = r{t}.node
+)"""
+        )
+    return f"""
+WITH e0 AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst, 1.0 / w AS cost FROM e0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+d0 AS (
+  SELECT node, CASE WHEN node = '{_BF_SRC}' THEN 0.0 END AS d FROM nodes
+),
+{','.join(rounds)}
+SELECT node AS nation, {_r6(f'd{_BF_ROUNDS}.d * 1000', 'dist_milli')}
+FROM d{_BF_ROUNDS}"""
+
+
+_register(
+    "graph_shortest_paths",
+    Query(spark=_shortest_paths_spark, sql=_shortest_paths_sql()),
+)
