@@ -122,6 +122,8 @@ _ROUND3_NEW = {
     "embedding_pca_power",
     "text_langid_confusion",
     "graph_shortest_paths",
+    "events_active_users",
+    "dedup_lsh_recall",
 }
 
 

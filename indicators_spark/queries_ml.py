@@ -2069,3 +2069,175 @@ _register(
     "graph_shortest_paths",
     Query(spark=_shortest_paths_spark, sql=_shortest_paths_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Active-user analytics: DAU / trailing-7d WAU / stickiness per day
+# --------------------------------------------------------------------- #
+
+
+def _active_users_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU and DAU/WAU stickiness per day.  The raw
+    pass reduces events to DISTINCT (user, day) once; the sliding
+    distinct count then expands each user-day into the ≤7 calendar days
+    it supports (a bounded explode on the SKINNY table) and counts
+    distinct users per day — never re-scanning events per window.  At
+    100 TB the exact sliding distinct is the textbook case for the
+    per-day HLL sketches in `stats_hll_rollup` (union 7 sketches per
+    day); this exact form is the oracle-checkable twin."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    bounds = ud.agg(F.max("day").alias("mx"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    support = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    )
+    wau = (
+        support.join(F.broadcast(bounds), F.col("day") <= F.col("mx"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            round4(F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+_register(
+    "events_active_users",
+    Query(
+        spark=_active_users_spark,
+        sql=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+mx AS (SELECT max(day) AS mx FROM ud),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+support AS (
+  SELECT user_id, day + t.range AS day
+  FROM ud, range(0, 7) t
+),
+wau AS (
+  SELECT s.day, count(DISTINCT s.user_id) AS wau
+  FROM support s, mx WHERE s.day <= mx.mx GROUP BY 1
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+  {_r('CAST(d.dau AS DOUBLE) / w.wau', 'stickiness')}
+FROM dau d JOIN wau w ON d.day = w.day""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# LSH banding audit: recall/precision vs ground-truth Jaccard >= 0.5
+# --------------------------------------------------------------------- #
+
+_LSH_AUDIT_T = 0.5
+
+
+def _lsh_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the 4-band/2-row MinHash banding against exact
+    ground truth: how many true (Jaccard ≥ 0.5) pairs exist, how many
+    candidate pairs the bands surfaced, and the recall / precision of the
+    sketch — the number that justifies (or rejects) a banding config
+    before a corpus-wide run.  Ground truth is computed exactly here
+    (audit-scale corpora / samples); in production you audit on a hash
+    sample and keep the banding for the full corpus."""
+    from .functions import dedup
+    from .functions.text import word_hash31
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        dedup.minhash_lsh_candidates(docs).select("ia", "ib").distinct()
+    )
+    sh = (
+        dedup._doc_shingles(docs, "doc_id", "text")
+        .select("_id", word_hash31(F.col("tok")).alias("wh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("_id").alias("ia"), "wh")
+        .join(sh.select(F.col("_id").alias("ib"), "wh"), "wh")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_id").alias("ia"), F.col("n").alias("na"))), "ia"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("ib"), F.col("n").alias("nb"))), "ib"
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= _LSH_AUDIT_T
+        )
+        .select("ia", "ib")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = truth.join(cand, ["ia", "ib"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return nt.crossJoin(nc).crossJoin(nh).select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        round4(
+            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
+        ).alias("recall"),
+        round4(
+            F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand"))
+        ).alias("precision"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    from .queries_ext import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+cd AS (SELECT DISTINCT ia, ib FROM cand),
+hd AS (SELECT DISTINCT doc_id, wh FROM h),
+sz AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY 1),
+it AS (
+  SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS inter
+  FROM hd x JOIN hd y ON x.wh = y.wh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT it.ia, it.ib
+  FROM it JOIN sz a ON it.ia = a.doc_id JOIN sz b ON it.ib = b.doc_id
+  WHERE CAST(it.inter AS DOUBLE) / (a.n + b.n - it.inter) >= {_LSH_AUDIT_T}
+),
+c AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+    (SELECT count(*) FROM cd) AS n_cand,
+    (SELECT count(*) FROM truth t JOIN cd
+       ON t.ia = cd.ia AND t.ib = cd.ib) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+  CAST(n_hit AS BIGINT) AS n_hit,
+  {_r('CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END', 'recall')},
+  {_r('CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END', 'precision')}
+FROM c"""
+
+
+_register(
+    "dedup_lsh_recall",
+    Query(spark=_lsh_recall_spark, sql=_lsh_recall_sql()),
+)
