@@ -124,6 +124,7 @@ _ROUND3_NEW = {
     "graph_shortest_paths",
     "events_active_users",
     "dedup_lsh_recall",
+    "multimodal_phash_dedup",
 }
 
 

@@ -251,3 +251,51 @@ def resize_image(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def phash64(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded payload bytes: the
+    byte stream is partitioned into 64 contiguous blocks (byte i → block
+    ``i·64/n``), and bit b is set iff block b's mean exceeds the overall
+    byte mean — compared ENTIRELY in integer arithmetic
+    (``sum_b·n > total·size_b``), so the hash is bit-reproducible on any
+    engine with no float-ordering hazard at all.  Payloads shorter than
+    64 bytes are skipped (no full block partition exists).
+
+    This is the image near-dup primitive: identical-looking media collide
+    even when bytes differ slightly (real deployments decode pixels first
+    — swap the byte source exactly like the other fake-codec ops).
+    Zero shuffle; one Arrow map stage."""
+    import numpy as np
+
+    schema = f"{id_col} long, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = len(b)
+                if n < 64:
+                    continue
+                blocks = (np.arange(n, dtype=np.int64) * 64) // n
+                sums = np.bincount(blocks, weights=b, minlength=64).astype(
+                    np.int64
+                )
+                sizes = np.bincount(blocks, minlength=64).astype(np.int64)
+                total = int(b.sum(dtype=np.int64))
+                bits = (sums * n) > (total * sizes)
+                h = 0
+                for j in range(64):
+                    if bits[j]:
+                        h |= 1 << j
+                # store as signed int64 (Spark long)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(rid)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

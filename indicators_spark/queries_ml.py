@@ -2241,3 +2241,66 @@ _register(
     "dedup_lsh_recall",
     Query(spark=_lsh_recall_spark, sql=_lsh_recall_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Perceptual-hash (aHash) media dedup — integer-exact bit derivation
+# --------------------------------------------------------------------- #
+
+
+def _phash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash per payload + collision-group size — the media
+    near-dup primitive (identical-looking payloads collide).  Bits are
+    derived with pure integer comparisons (``sum_b·n > total·size_b``) so
+    the hash carries a full value-hash oracle; the oracle replays the
+    byte blocks relationally (ASCII corpus ⇒ byte == unicode(char), the
+    same documented assumption `multimodal_resize` makes)."""
+    from .functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = multimodal.phash64(multimodal.attach_payload(docs))
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id", "phash", F.count(F.lit(1)).over(w).cast("long").alias("group_size")
+    )
+
+
+_PHASH_MAXLEN = 1024
+
+_register(
+    "multimodal_phash_dedup",
+    Query(
+        spark=_phash_spark,
+        sql=f"""
+WITH b AS (
+  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 64
+),
+pos AS (
+  SELECT doc_id, n,
+    unicode(substr(text, CAST(t.range + 1 AS INT), 1)) AS v,
+    (t.range * 64) // n AS blk
+  FROM b, range(0, {_PHASH_MAXLEN}) t WHERE t.range < n
+),
+blkagg AS (
+  SELECT doc_id, blk, sum(v) AS s, count(*) AS c, max(n) AS n
+  FROM pos GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(v) AS total FROM pos GROUP BY 1),
+bits AS (
+  SELECT a.doc_id, a.blk
+  FROM blkagg a JOIN tot ON a.doc_id = tot.doc_id
+  WHERE a.s * a.n > tot.total * a.c
+),
+ph AS (
+  SELECT b.doc_id,
+    CAST(COALESCE(sum(
+      CASE WHEN bits.blk = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << bits.blk) END), 0) AS BIGINT) AS phash
+  FROM b LEFT JOIN bits ON b.doc_id = bits.doc_id
+  GROUP BY 1
+)
+SELECT doc_id, phash,
+  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size
+FROM ph""",
+    ),
+)

@@ -823,3 +823,19 @@ def test_arrow_assign_bitwise_equals_literal_argmin(spark):
         for r in _assign_arrow(df, cents, "vec_id", "embedding").collect()
     }
     assert lit == arrow and len(lit) == 300
+
+
+def test_phash_identical_payloads_collide(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.multimodal import attach_payload, phash64
+
+    base = "x" * 40 + "y" * 40  # 80 bytes, above the 64-byte floor
+    rows = [(1, base), (2, base), (3, "z" * 30 + "a" * 50), (4, "short")]
+    df = attach_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    out = {r.doc_id: r.phash for r in phash64(df).collect()}
+    assert out[1] == out[2]          # identical bytes → identical hash
+    assert out[1] != out[3]
+    assert 4 not in out              # < 64 bytes skipped
