@@ -125,6 +125,7 @@ _ROUND3_NEW = {
     "events_active_users",
     "dedup_lsh_recall",
     "multimodal_phash_dedup",
+    "ml_training_table",
 }
 
 

@@ -2304,3 +2304,75 @@ SELECT doc_id, phash,
 FROM ph""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Leakage-safe ML training-table assembly (features at t, label from t+1)
+# --------------------------------------------------------------------- #
+
+
+def _training_table_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training set straight from the engine:
+    per-symbol features computed over PAST bars only (gated sma-20,
+    z-score of close vs that window) and a label drawn strictly from the
+    FUTURE (next bar up/down) — the feature/label temporal firewall every
+    leakage audit checks, expressed as window frames (features:
+    rows ≤ current; label: lead).  One symbol exchange carries features
+    AND label; rows without a full feature window or a next bar drop."""
+    from .queries import _sql
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir)
+    word = Window.partitionBy("symbol").orderBy("timestamp", "seq")
+    wn = word.rowsBetween(-19, 0)
+    cnt = F.count("close").over(wn)
+    sma = F.when(cnt >= 20, F.avg("close").over(wn))
+    sd = F.when(cnt >= 20, F.stddev_samp("close").over(wn))
+    label = F.when(F.lead("close").over(word) > F.col("close"), 1).otherwise(0)
+    has_next = F.lead("close").over(word).isNotNull()
+    t = p.select(
+        "symbol",
+        "seq",
+        sma.alias("sma20"),
+        ((F.col("close") - sma) / F.nullif(sd, F.lit(0.0))).alias("z20"),
+        label.alias("label"),
+        has_next.alias("_hn"),
+    ).filter(F.col("sma20").isNotNull() & F.col("_hn"))
+    return t.select(
+        "symbol",
+        "seq",
+        round4(F.col("sma20")).alias("sma20"),
+        round4(F.col("z20")).alias("z20"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _training_table_sql() -> str:
+    from .queries import _gated, _sql, _word, _ws
+
+    w = _ws(20)
+    return _sql(
+        f"""t AS (
+  SELECT symbol, seq,
+    {_gated('avg(close)', 'close', 20, w)} AS sma20,
+    {_gated('stddev_samp(close)', 'close', 20, w)} AS sd20,
+    lead(close) OVER {_word()} AS nxt,
+    close
+  FROM prices
+),
+f AS (
+  SELECT symbol, seq, sma20,
+    (close - sma20) / NULLIF(sd20, 0) AS z20,
+    CASE WHEN nxt > close THEN 1 ELSE 0 END AS label
+  FROM t WHERE sma20 IS NOT NULL AND nxt IS NOT NULL
+)
+SELECT symbol, seq, {_r('sma20', 'sma20')}, {_r('z20', 'z20')},
+  CAST(label AS BIGINT) AS label
+FROM f"""
+    )
+
+
+_register(
+    "ml_training_table",
+    Query(spark=_training_table_spark, sql=_training_table_sql()),
+)
