@@ -107,15 +107,19 @@ def label_propagation(
     order-dependent and unreproducible by design; this one replays
     identically anywhere, including in the SQL oracle).
 
-    With integer weights every aggregate here is exact integer math —
-    no float tie-break hazards at all.
+    Integer-valued weights (counts — the common case) keep every vote
+    EXACT (sums below 2⁵³ are exact in doubles), so ties break purely on
+    the label order.  Fractional weights are accepted too; their vote
+    sums are then subject to ordinary float summation, so only
+    near-exact ties (≪1e-12 relative) could flip — document your weights
+    if you need bit-reproducibility.
 
     Scale shape mirrors :func:`pagerank`: state is one (node, label) row
     per vertex; a superstep is edges⋈labels (broadcast the label side
     when |V| ≪ |E|) → one (node, label)-keyed weight sum → one per-node
     argmax via ``max_by``-style struct ordering — all map-side combined.
     Undirected graphs union the reversed edge list once, up front."""
-    w_col = F.col(weight).cast("long") if weight else F.lit(1)
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
     )

@@ -694,13 +694,16 @@ def bpe_pair_counts(
     the counts.  Rank attaches after the limit, over top_k rows only."""
     w = F.explode(words(F.lower(F.col(text_col)))).alias("w")
     # dynamic-start substring needs the expr form (Column starts unsupported)
+    # Tokens are capped at their first 64 chars (≤63 pairs): BPE
+    # pre-tokenizers split longer runs anyway, and the cap keeps the
+    # explode bounded on adversarial mega-tokens.  Mirrored in the oracle.
     pairs = (
         df.select(w)
         .filter(F.length("w") >= 2)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, char_length(w) - 1),"
+                    "transform(sequence(1, least(char_length(w) - 1, 63)),"
                     " i -> substring(w, i, 2))"
                 )
             ).alias("pair")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .functions import graph, sampling, similarity, text
 from .queries import Query, _r, _register, round4
+from .queries import _sql as _q_sql
 from .queries_pipeline import _km_sqd
 from .sources.prices import load_table
 
@@ -591,7 +592,7 @@ def _anomaly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rz",
         (F.col("cnt") - F.col("med"))
-        / (F.lit(1.4826) * F.col("mad")),
+        / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)),
     )
     return (
         scored.filter(F.abs(F.col("rz")) > 3.0)
@@ -627,7 +628,7 @@ mad AS (
 ),
 scored AS (
   SELECT d.etype, d.hour_epoch, d.cnt,
-    (d.cnt - d.med) / (1.4826 * s.mad) AS rz
+    (d.cnt - d.med) / NULLIF(1.4826 * s.mad, 0) AS rz
   FROM dev d JOIN mad s ON d.etype = s.etype
 )
 SELECT etype, hour_epoch, CAST(cnt AS BIGINT) AS cnt,
@@ -1003,17 +1004,11 @@ def _rolling_median_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_prices(body: str) -> str:
-    from .sources.prices import PRICES_SQL_EVENTS
-
-    return f"WITH {PRICES_SQL_EVENTS.strip()}, {body}"
-
-
 _register(
     "rolling_median",
     Query(
         spark=_rolling_median_spark,
-        sql=_sql_prices(
+        sql=_q_sql(
             f"""m AS (
   SELECT symbol, seq,
     quantile_cont(close, 0.5) OVER (
@@ -1151,8 +1146,8 @@ def _ols_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cx") * F.col("y")).alias("sxy"),
         F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return m.select(
         "event_type",
@@ -1183,8 +1178,8 @@ m AS (
   FROM c GROUP BY 1
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-  {_r('(n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400', 'slope_per_day')},
-  {_r('sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n)',
+  {_r('(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * 86400', 'slope_per_day')},
+  {_r('sy / n - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * (sx / n)',
       'intercept')}
 FROM m""",
     ),
@@ -1424,7 +1419,7 @@ def _risk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_returns").cast("long").alias("n_returns"),
         round6(F.col("mean_r")).alias("mean_return"),
         round6(F.col("vol")).alias("volatility"),
-        round4(F.col("mean_r") / F.col("vol")).alias("mean_over_vol"),
+        round4(F.col("mean_r") / F.nullif(F.col("vol"), F.lit(0.0))).alias("mean_over_vol"),
         round4(F.col("mdd")).alias("max_drawdown"),
     )
 
@@ -1449,7 +1444,7 @@ a AS (
 )
 SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
   {_r6('mean_r', 'mean_return')}, {_r6('vol', 'volatility')},
-  {_r('mean_r / vol', 'mean_over_vol')}, {_r('mdd', 'max_drawdown')}
+  {_r('mean_r / NULLIF(vol, 0)', 'mean_over_vol')}, {_r('mdd', 'max_drawdown')}
 FROM a"""
 
 
@@ -1765,9 +1760,10 @@ def _acf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a") * F.col("a")).alias("saa"),
         F.sum(F.col("b") * F.col("b")).alias("sbb"),
     )
-    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / F.nullif(
         F.sqrt(F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
-        * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")),
+        F.lit(0.0),
     )
     return m.select(
         "symbol", "lag", F.col("n").cast("long").alias("n_pairs"),
@@ -1801,7 +1797,7 @@ m AS (
   FROM pairs GROUP BY 1, 2
 )
 SELECT symbol, lag, CAST(n AS BIGINT) AS n_pairs,
-  {_r('(n * sab - sa * sb) / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))', 'acf')}
+  {_r('(n * sab - sa * sb) / NULLIF(sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb), 0)', 'acf')}
 FROM m"""
 
 
@@ -2319,7 +2315,6 @@ def _training_table_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage audit checks, expressed as window frames (features:
     rows ≤ current; label: lead).  One symbol exchange carries features
     AND label; rows without a full feature window or a next bar drop."""
-    from .queries import _sql
     from .sources.prices import prices_from_events
 
     p = prices_from_events(spark, sf_dir)

@@ -56,21 +56,25 @@ class _RangePartition(InputPartition):
 
 class TicksReader(DataSourceReader):
     def __init__(self, options):
-        self.rows = int(options.get("rows", 10000))
+        self.rows = max(0, int(options.get("rows", 10000)))
         self.n_symbols = int(options.get("symbols", 8))
-        self.n_parts = int(options.get("partitions", 8))
-        self.only_symbols: set[str] | None = None
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        #: Accepted symbol-equality predicates.  The pushed filter list is
+        #: a CONJUNCTION (PySpark: "the list of filters should be
+        #: interpreted as the AND of the elements"), so multiple EqualTo
+        #: values must ALL hold — two different ones ⇒ no row qualifies.
+        self.eq_symbols: list[str] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("symbol",):
-                if self.only_symbols is None:
-                    self.only_symbols = set()
-                self.only_symbols.add(str(f.value))
+                self.eq_symbols.append(str(f.value))
             else:
                 yield f  # not handled here — Spark keeps this predicate
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.rows == 0:
+            return [_RangePartition(0, 0)]
         step = -(-self.rows // self.n_parts)
         return [
             _RangePartition(lo, min(lo + step, self.rows))
@@ -80,7 +84,7 @@ class TicksReader(DataSourceReader):
     def read(self, partition: _RangePartition):
         for seq in range(partition.start, partition.end):
             row = tick_row(seq, self.n_symbols)
-            if self.only_symbols is not None and row[0] not in self.only_symbols:
+            if self.eq_symbols and any(row[0] != v for v in self.eq_symbols):
                 continue
             yield row
 

@@ -243,3 +243,22 @@ def test_python_datasource_stream_matches_batch(spark):
     }
     assert got == batch
     assert len(got) == 3000
+
+
+def test_python_datasource_conjunctive_filters_and_degenerate_options(spark):
+    """Pushed filters are a CONJUNCTION: two different symbol equalities
+    must yield zero rows (not the union).  rows=0 must plan an empty
+    DataFrame, not crash."""
+    from indicators_spark.sources.pysource import register_ticks_source
+
+    register_ticks_source(spark)
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("rows", 200)
+        .option("symbols", 4)
+        .load()
+    )
+    assert df.filter((df.symbol == "S0") & (df.symbol == "S1")).count() == 0
+    assert df.filter(df.symbol == "S0").count() == 50
+    empty = spark.read.format("synthetic_ticks").option("rows", 0).load()
+    assert empty.count() == 0
