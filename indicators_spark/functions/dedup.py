@@ -108,10 +108,19 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     across documents and LSH degenerates to all-pairs; bigrams restore
     selectivity (vocab² space)."""
     ws = words(F.col(text_col))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
+    # Guard the <2-word case: sequence(1, 0) DESCENDS in Spark and the
+    # element_at then indexes past the array (ANSI error).  Such docs
+    # have no shingles and drop out — the semantics the oracle's
+    # range(1, len(ws)) (empty for len<2) already has.
+    shingles = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles)).alias("tok"),
@@ -178,8 +187,9 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("_id").alias("ia"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("_id").alias("ib"), F.col("sz").alias("szb"))
     out = (
-        shared.join(F.broadcast(sa), "ia")
-        .join(F.broadcast(sb), "ib")
+        # per-doc size tables are O(#docs) — no broadcast hint; AQE picks
+        shared.join(sa, "ia")
+        .join(sb, "ib")
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
@@ -212,6 +222,12 @@ def _banded_signatures(
     """(_id, band, key) rows: the k=8 MinHash signature split into
     ``bands`` band-key structs via one ``posexplode``."""
     sig = minhash_signatures(df, id_col, text_col)
+    if len(MINHASH_COEFFS) % bands:
+        raise ValueError(
+            f"bands={bands} must divide the signature length "
+            f"{len(MINHASH_COEFFS)} (otherwise trailing hashes are "
+            "silently dropped and the (b, r) analysis is wrong)"
+        )
     rows_per_band = len(MINHASH_COEFFS) // bands
     band_structs = [
         F.struct(
@@ -337,7 +353,17 @@ def simhash_pairs(
     Scale shape: band the 32-bit signature into 4 bytes; by pigeonhole any
     pair within Hamming distance 3 agrees on ≥1 byte, so the join runs per
     byte bucket (small int keys), then exact popcount(xor) verifies.  No
-    all-pairs comparison ever materializes."""
+    all-pairs comparison ever materializes.
+
+    ``max_hamming`` is capped at 3: with 4 byte-bands the pigeonhole
+    guarantee breaks at distance 4 (one flipped bit per byte), and a
+    larger bound would silently lose recall."""
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 breaks the 4-byte-band pigeonhole guarantee "
+            "(a distance-4 pair can differ in every byte); use more bands "
+            "or exact verification for larger radii"
+        )
     sig = simhash(df, id_col, text_col)
     parts = []
     for b in range(4):
@@ -448,7 +474,7 @@ def lsh_dedup_clusters(
     )
     sizes = full.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        full.join(F.broadcast(sizes), "component")
+        full.join(sizes, "component")  # O(#components) — let AQE choose
         .select(
             id_col,
             "component",
@@ -536,8 +562,8 @@ def minhash_estimate_vs_true(
     )
     return (
         est.join(inter, ["ia", "ib"], "left")
-        .join(F.broadcast(sizes.select(F.col("_id").alias("ia"), F.col("n").alias("na"))), "ia")
-        .join(F.broadcast(sizes.select(F.col("_id").alias("ib"), F.col("n").alias("nb"))), "ib")
+        .join(sizes.select(F.col("_id").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(sizes.select(F.col("_id").alias("ib"), F.col("n").alias("nb")), "ib")
         .select(
             "ia",
             "ib",

@@ -59,7 +59,7 @@ def hash_sample(
     Deterministic across runs, engines, and partitionings; a filter only,
     so it pushes into the scan and costs zero shuffle.
     """
-    return df.filter(hash_bucket(F.col(key), seed) < int(rate * HASH_DEN))
+    return df.filter(hash_bucket(F.col(key), seed) < round(rate * HASH_DEN))
 
 
 def stratified_sample(
@@ -78,10 +78,10 @@ def stratified_sample(
     ``default_rate``.
     """
     spark = df.sparkSession
-    rate_rows = [(k, int(v * HASH_DEN)) for k, v in sorted(rates.items())]
+    rate_rows = [(k, round(v * HASH_DEN)) for k, v in sorted(rates.items())]
     rate_df = spark.createDataFrame(rate_rows, f"{stratum} string, _thresh int")
     joined = df.join(F.broadcast(rate_df), on=stratum, how="left")
-    thresh = F.coalesce(F.col("_thresh"), F.lit(int(default_rate * HASH_DEN)))
+    thresh = F.coalesce(F.col("_thresh"), F.lit(round(default_rate * HASH_DEN)))
     return joined.filter(hash_bucket(F.col(key), seed) < thresh).drop("_thresh")
 
 
@@ -131,8 +131,8 @@ def train_val_test_split(
     prunes into downstream scans when written partitioned-by-split.
     """
     b = hash_bucket(F.col(key), seed)
-    val_cut = int(val_frac * HASH_DEN)
-    test_cut = val_cut + int(test_frac * HASH_DEN)
+    val_cut = round(val_frac * HASH_DEN)
+    test_cut = val_cut + round(test_frac * HASH_DEN)
     return df.withColumn(
         "split",
         F.when(b < val_cut, F.lit("val"))
@@ -159,7 +159,10 @@ def weighted_sample(
     Scale shape: the score is a narrow projection (no shuffle) and the
     top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
     heaps + k·P driver merge) — never a global sort."""
-    u = (hash_bucket(F.col(key), seed) + 1).cast("double") / HASH_DEN
+    # u on the OPEN interval (0, 1): bucket midpoints (b+0.5)/den — the
+    # closed endpoint u=1.0 would give ln(u)=0 for every weight, making
+    # the top of the sample weight-independent.
+    u = (hash_bucket(F.col(key), seed).cast("double") + 0.5) / HASH_DEN
     score = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)  # A-ES is undefined for w <= 0

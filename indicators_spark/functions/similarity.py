@@ -75,7 +75,9 @@ def knn_bruteforce(
         F.col("_norm").alias("qn"),
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col("nid") != F.col("qid"))
-    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / F.nullif(
+        F.col("qn") * F.col("nn"), F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         joined.withColumn("cos", cos)
@@ -124,7 +126,9 @@ def cosine_pairs(
             F.col("_norm").alias("nb"),
         )
         joined = a.join(b, F.col("ia") < F.col("ib"))
-        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+            F.col("na") * F.col("nb"), F.lit(0.0)
+        )
         return (
             joined.withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
@@ -135,7 +139,9 @@ def cosine_pairs(
     # error); zero-norm vectors get θ=π/2 arbitrarily — their cos is NULL
     # and the final filter drops them wherever they land.
     width = theta_t * 1.001
-    ratio = F.element_at(F.col(vec_col), 1).cast("double") / F.col("_norm")
+    ratio = F.element_at(F.col(vec_col), 1).cast("double") / F.nullif(
+        F.col("_norm"), F.lit(0.0)
+    )
     theta = F.coalesce(
         F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), ratio))),
         F.lit(math.pi / 2.0),
@@ -156,7 +162,9 @@ def cosine_pairs(
         F.col("_bkt").alias("_jb"),
     )
     joined = a.join(b, ["_jb"]).filter(F.col("ia") < F.col("ib"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     return (
         joined.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
@@ -209,6 +217,11 @@ def knn_ivf(
         (r["nid"], [float(x) for x in r["nvec"]])
         for r in base.filter(F.col("nid") < n_centroids).collect()
     ]
+    if not cents:
+        raise ValueError(
+            f"knn_ivf: no centroid rows — ids must include values < "
+            f"{n_centroids} (dense integer ids), as in semantic_dedup"
+        )
 
     def cell_scores(vec: Column, vnorm: Column) -> Column:
         """array<struct<cos,ncid>> — one entry per centroid; max = nearest
@@ -216,7 +229,10 @@ def knn_ivf(
         return F.array(
             *[
                 F.struct(
-                    (dot(vec, F.lit(cv)) / (vnorm * norm(F.lit(cv)))).alias("cos"),
+                    (
+                        dot(vec, F.lit(cv))
+                        / F.nullif(vnorm * norm(F.lit(cv)), F.lit(0.0))
+                    ).alias("cos"),
                     F.lit(-cid).alias("ncid"),
                 )
                 for cid, cv in cents
@@ -248,7 +264,9 @@ def knn_ivf(
     joined = assigned.join(F.broadcast(probes), "cid").filter(
         F.col("nid") != F.col("qid")
     )
-    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / F.nullif(
+        F.col("qn") * F.col("nn"), F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         joined.withColumn("cos", cos)
@@ -292,7 +310,9 @@ def knn_lsh(
         signature(vec_col).alias("bucket"),
     )
     joined = base.join(F.broadcast(q), "bucket").filter(F.col("nid") != F.col("qid"))
-    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / F.nullif(
+        F.col("qn") * F.col("nn"), F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         joined.withColumn("cos", cos)
@@ -459,7 +479,13 @@ def kmeans_lloyd(
             .select("cluster", _quant_vec(F.col("_raw")))
             .collect()
         )
-    return _assign_arrow(base, cents, id_col, vec_col, emit="assign")
+    out = _assign_arrow(base, cents, id_col, vec_col, emit="assign")
+    if persist:
+        # training collects consumed the cache; drop it so repeated calls
+        # (k sweeps) don't leak storage memory.  The returned (lazy)
+        # assignment recomputes one scan of the projection — cheap.
+        base.unpersist(blocking=False)
+    return out
 
 
 def quantize_embeddings_int8(
@@ -628,7 +654,9 @@ def semantic_dedup(
     b = assigned.select(
         F.col("_id").alias("ib"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "cell"
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     dropped = (
         a.join(b, ["cell"])
         .filter(F.col("ia") < F.col("ib"))
@@ -1009,7 +1037,9 @@ def knn_hard_negatives(
     joined = base.crossJoin(F.broadcast(q)).filter(
         F.col("nlabel") != F.col("qlabel")
     )
-    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / F.nullif(
+        F.col("qn") * F.col("nn"), F.lit(0.0)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         joined.withColumn("cos", cos)

@@ -79,9 +79,12 @@ def kmv_bottom_k(
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
+    # Secondary order on the value pins tie-breaks when key_col repeats
+    # (identical md5); with unique keys (the intended usage) the hash
+    # alone is already a total order.
     w = Window.partitionBy(
         *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
-    ).orderBy(h.asc())
+    ).orderBy(h.asc(), F.col(value_col).asc())
     return (
         df.withColumn("_h", h)
         .withColumn("_rn", F.row_number().over(w))
@@ -98,7 +101,7 @@ def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
     facts."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc())
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc(), F.col("v").asc())
     return (
         sketches.select("h", "v")
         .withColumn("_rn", F.row_number().over(w))

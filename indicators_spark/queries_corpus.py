@@ -1076,7 +1076,7 @@ _register(
         sql=f"""
 WITH s AS (
   SELECT doc_id, n_chars,
-    ln(CAST(({_sampling.bucket_sql('doc_id', 'w42')}) + 1 AS DOUBLE)
+    ln((CAST(({_sampling.bucket_sql('doc_id', 'w42')}) AS DOUBLE) + 0.5)
        / {_sampling.HASH_DEN})
       / CAST(n_chars AS DOUBLE) AS aes_score
   FROM documents WHERE n_chars > 0

@@ -2172,10 +2172,10 @@ def _lsh_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = (
         inter.join(
-            F.broadcast(sizes.select(F.col("_id").alias("ia"), F.col("n").alias("na"))), "ia"
+            sizes.select(F.col("_id").alias("ia"), F.col("n").alias("na")), "ia"
         )
         .join(
-            F.broadcast(sizes.select(F.col("_id").alias("ib"), F.col("n").alias("nb"))), "ib"
+            sizes.select(F.col("_id").alias("ib"), F.col("n").alias("nb")), "ib"
         )
         .filter(
             F.col("inter").cast("double")

@@ -147,3 +147,72 @@ def test_bpe_pair_counts_single_char_words_only(spark):
 
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     assert bpe_pair_counts(df).count() == 0
+
+
+def test_minhash_pipeline_tolerates_short_docs(spark):
+    """Docs with <2 words have no shingles and must DROP OUT (the
+    documented semantics), not crash the ANSI element_at."""
+    from indicators_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b c a b"), (4, "a b c a b")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id for r in minhash_signatures(df).collect()}
+    assert sigs == {3, 4}
+    pairs = minhash_lsh_candidates(df).collect()
+    assert {(r.ia, r.ib) for r in pairs} == {(3, 4)}
+
+
+def test_cosine_ops_tolerate_zero_norm_vectors(spark):
+    """All-zero embeddings get NULL cosine (dropped by filters/rank),
+    never an ANSI DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.similarity import (
+        cosine_pairs,
+        knn_bruteforce,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.ia, r.ib) for r in cosine_pairs(df, 0.5).collect()}
+    assert got == {(0, 1)}
+    knn = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.nid for r in sorted(knn, key=lambda r: r.rank)][0] == 1
+
+
+def test_lsh_bands_must_divide_signature(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, bands=3)
+
+
+def test_simhash_pairs_rejects_unsound_radius(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, max_hamming=4)
+
+
+def test_knn_ivf_requires_dense_centroid_ids(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.similarity import knn_ivf
+
+    df = spark.createDataFrame(
+        [(1000, [1.0, 0.0]), (1001, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="centroid"):
+        knn_ivf(df, df, n_centroids=4)
