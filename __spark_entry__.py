@@ -126,6 +126,7 @@ _ROUND3_NEW = {
     "dedup_lsh_recall",
     "multimodal_phash_dedup",
     "ml_training_table",
+    "hypertable_rollup",
 }
 
 

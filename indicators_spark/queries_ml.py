@@ -2371,3 +2371,88 @@ _register(
     "ml_training_table",
     Query(spark=_training_table_spark, sql=_training_table_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Hypertable-style continuous aggregate (mergeable OHLCV hourly rollup)
+# --------------------------------------------------------------------- #
+
+
+def _hypertable_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timescale-style continuous aggregate: an hourly (symbol, bucket)
+    OHLCV rollup maintained INCREMENTALLY — history partials and a fresh
+    delta batch are aggregated separately and merged, because every OHLCV
+    component is a mergeable monoid: open/close ride (ts, value) struct
+    MIN/MAX (earliest/latest wins), high/low/volume are max/min/sum.
+    Per refresh you touch |delta| rows + affected buckets, never the
+    history — the `incremental_agg_maintenance` pattern specialized to
+    time-series bars.  The oracle recomputes the whole rollup from
+    scratch and must match exactly."""
+    from .sources.prices import prices_from_events
+
+    p = prices_from_events(spark, sf_dir).withColumn(
+        "bucket", (F.floor(F.unix_timestamp("timestamp") / 3600) * 3600).cast("long")
+    )
+
+    def partial(df):
+        return df.groupBy("symbol", "bucket").agg(
+            F.min(F.struct("seq", "open")).alias("_o"),
+            F.max(F.struct("seq", "close")).alias("_c"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+
+    history = partial(p.filter(F.col("seq") % 11 != 0))
+    delta = partial(p.filter(F.col("seq") % 11 == 0))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.min("_o").alias("_o"),
+            F.max("_c").alias("_c"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_bars").cast("long").alias("n_bars"),
+        )
+    )
+    return merged.select(
+        "symbol",
+        "bucket",
+        round4(F.col("_o.open")).alias("open"),
+        round4(F.col("high")).alias("high"),
+        round4(F.col("low")).alias("low"),
+        round4(F.col("_c.close")).alias("close"),
+        round4(F.col("volume")).alias("volume"),
+        "n_bars",
+    )
+
+
+def _hypertable_sql() -> str:
+    return _q_sql(
+        f"""b AS (
+  SELECT symbol,
+    CAST(floor(epoch("timestamp") / 3600) * 3600 AS BIGINT) AS bucket,
+    seq, open, high, low, close, volume
+  FROM prices
+),
+r AS (
+  SELECT symbol, bucket,
+    min_by(open, seq) AS o, max_by(close, seq) AS c,
+    max(high) AS h, min(low) AS l, sum(volume) AS v,
+    count(*) AS n_bars
+  FROM b GROUP BY 1, 2
+)
+SELECT symbol, bucket, {_r('o', 'open')}, {_r('h', 'high')},
+  {_r('l', 'low')}, {_r('c', 'close')}, {_r('v', 'volume')},
+  CAST(n_bars AS BIGINT) AS n_bars
+FROM r"""
+    )
+
+
+_register(
+    "hypertable_rollup",
+    Query(spark=_hypertable_spark, sql=_hypertable_sql()),
+)
