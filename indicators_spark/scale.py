@@ -50,16 +50,52 @@ def _halo_tail(
     buckets: int,
 ) -> DataFrame:
     """Duplicate the last ``rows`` rows of every (partition, bucket) into
-    the next bucket of the same partition, flagged ``_halo``."""
+    the next POPULATED bucket of the same partition, flagged ``_halo``.
+
+    Routing by presence (not blindly ``bucket+1``) keeps the kernel exact
+    under skewed keys that leave arithmetic buckets empty — a halo landing
+    in an empty bucket would be filtered away and the next populated
+    bucket's warm-up would silently lose its history.  The presence table
+    is one skinny (partition, bucket) aggregate (≤ |parts|·buckets rows;
+    map-side combined) and the next-populated map is a broadcast min-join
+    over it — no SinglePartition stage, preserving the halo plan contract.
+    Buckets with fewer than ``rows`` rows remain a documented precondition
+    (the halo depth is one bucket)."""
+    present = bucketed.groupBy(*partition_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).drop("_cnt")
+    a = present.select(
+        *[F.col(c).alias(f"_pa_{c}") for c in partition_cols],
+        F.col("_bucket").alias("_ba"),
+    )
+    b = present.select(
+        *[F.col(c).alias(f"_pb_{c}") for c in partition_cols],
+        F.col("_bucket").alias("_bb"),
+    )
+    cond = F.col("_bb") > F.col("_ba")
+    for c in partition_cols:
+        cond = cond & (F.col(f"_pa_{c}") == F.col(f"_pb_{c}"))
+    nxt = (
+        a.join(F.broadcast(b), cond)
+        .groupBy(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
+        .agg(F.min("_bb").alias("_next"))
+    )
+    join_cond = F.col("_ba") == F.col("_bucket")
+    for c in partition_cols:
+        join_cond = join_cond & (F.col(f"_pa_{c}") == F.col(c))
     wb = Window.partitionBy(*partition_cols, "_bucket").orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
     tail = (
         bucketed.withColumn("_rev", F.row_number().over(wb))
-        .filter((F.col("_rev") <= rows) & (F.col("_bucket") < buckets))
-        .withColumn("_bucket", F.col("_bucket") + 1)
+        .filter(F.col("_rev") <= rows)
+        .join(F.broadcast(nxt), join_cond)
+        .withColumn("_bucket", F.col("_next"))
+        .drop(
+            "_rev", "_ba", "_next",
+            *[f"_pa_{c}" for c in partition_cols],
+        )
         .withColumn("_halo", F.lit(True))
-        .drop("_rev")
     )
     return bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
 
@@ -92,6 +128,11 @@ def _with_bucket(
             lo, hi = df.agg(
                 F.min(bucket_by).cast("double"), F.max(bucket_by).cast("double")
             ).first()
+        if lo is None or hi is None:
+            raise ValueError(
+                f"range bucketing: no non-null values in {bucket_by!r} "
+                "(empty input?) — nothing to bucket"
+            )
         span = (hi - lo) + 1.0
         b = (
             F.floor((F.col(bucket_by).cast("double") - F.lit(lo)) / F.lit(span) * buckets)
@@ -364,8 +405,17 @@ def ewm_chunked(
 
     carries = bucketed.groupBy("_bucket").applyInPandas(pass1, _CARRY_SCHEMA).collect()
     carries.sort(key=lambda r: r["_bucket"])
+    _first = (
+        bucketed.filter(F.col("_bucket") == 1).orderBy(*order).select(col).first()
+    )
+    if _first is None:
+        raise ValueError(
+            "ewm_chunked: bucket 1 is empty — the bucketing key must "
+            "cover the data range (empty input or bounds wider than the "
+            "data)"
+        )
     x0 = (
-        bucketed.filter(F.col("_bucket") == 1).orderBy(*order).select(col).first()[0]
+        _first[0]
     )
 
     # Driver fold: y_end(b) = decay_b · y_in(b) + L_end(b); the true seed

@@ -70,9 +70,13 @@ def write_clustered(
     ``max_records_per_file``.
 
     ``sortWithinPartitions`` is a per-task sort — no global sort, no extra
-    exchange beyond what the write itself requires."""
-    if cluster_by:
-        df = df.sortWithinPartitions(*cluster_by)
+    exchange beyond what the write itself requires.  The sort leads with
+    the PARTITION columns: a dynamic-partition write requires its own
+    ordering on them, and satisfying it up front stops Spark from adding
+    a second (not-guaranteed-stable) sort that would scramble the
+    in-file ``cluster_by`` order the row-group pruning depends on."""
+    if cluster_by or partition_by:
+        df = df.sortWithinPartitions(*partition_by, *cluster_by)
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -157,6 +161,13 @@ def zorder_key(
     bit arithmetic: no UDF, no shuffle."""
     from functools import reduce
 
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: bits({bits}) x dims({len(cols)}) = "
+            f"{bits * len(cols)} exceeds 63 — Spark's shiftleft wraps "
+            "shift counts mod 64, which would silently interleave "
+            "colliding bits; lower bits (<= 63 // dims)"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],

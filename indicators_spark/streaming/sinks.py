@@ -117,7 +117,20 @@ class UpsertParquetSink:
             return  # replayed epoch already merged: exactly-once skip
         spark = batch_df.sparkSession
         if cur is None:
-            merged = batch_df
+            # First epoch still applies latest-wins WITHIN the batch: an
+            # intra-batch duplicate key must not seed the store with two
+            # rows (the per-key contract holds from epoch 0).
+            from pyspark.sql import Window as _W
+            from pyspark.sql import functions as _F
+
+            w = _W.partitionBy(self.key).orderBy(
+                _F.col(self.order_col).desc()
+            )
+            merged = (
+                batch_df.withColumn("_rn", _F.row_number().over(w))
+                .filter(_F.col("_rn") == 1)
+                .drop("_rn")
+            )
         else:
             target = spark.read.parquet(os.path.join(self.store_dir, cur))
             merged = merge_upsert(target, batch_df, self.key, self.order_col)
@@ -128,6 +141,20 @@ class UpsertParquetSink:
         with open(tmp, "w") as f:
             f.write(version)
         os.rename(tmp, self._pointer)
+        # Vacuum: superseded versions are dead after the pointer flip;
+        # retain ONE prior version for readers that resolved the pointer
+        # just before the flip, delete anything older (without this the
+        # copy-on-write store grows by a full copy per epoch).
+        import shutil
+
+        keep = {version, cur} if cur is not None else {version}
+        for d in os.listdir(self.store_dir):
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and d not in keep
+            ):
+                shutil.rmtree(os.path.join(self.store_dir, d), ignore_errors=True)
 
     def read(self, spark: SparkSession) -> DataFrame:
         cur = self._current_version()

@@ -11,7 +11,9 @@ Scale notes: watermark + append mode bounds state; tumbling/session state
 is per (window, key) and evicted past the watermark.  The stateful
 indicator keeps O(1) state per symbol (the EWM recurrence carry), which is
 exactly the streaming form of the engine's batch EWM — the linear
-recurrence composes across micro-batches by carrying (ema, last_ts).
+recurrence composes across micro-batches by carrying (ema, n,
+last_us) — the event-time frontier drops cross-batch stragglers, the
+same late-data policy a watermarked aggregate applies.
 """
 
 from __future__ import annotations
@@ -65,7 +67,7 @@ def sessionized_counts_stream(
     )
 
 
-_STATE_SCHEMA = "ema double, n long"
+_STATE_SCHEMA = "ema double, n long, last_us long"
 _OUT_SCHEMA = "event_type string, ts timestamp, value double, ema double"
 
 
@@ -77,29 +79,40 @@ def _ema_state_fn(
     batch applyInPandas EWM (ewm.py)."""
     alpha = 0.1
     if state.exists:
-        ema, n = state.get
+        ema, n, last_us = state.get
     else:
-        ema, n = 0.0, 0
-    out = []
-    for pdf in pdfs:
+        ema, n, last_us = 0.0, 0, -1
+    # One key's micro-batch data arrives as MULTIPLE Arrow chunks in
+    # arbitrary order — concatenate and sort ONCE (per-chunk sorting
+    # would feed the recurrence out of time order past ~10k rows/key).
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
+        # Cross-batch stragglers (ts at or before the carried frontier)
+        # would rewrite history the carry can't replay — drop them, the
+        # same late-data policy a watermarked aggregate applies.
+        us = pdf["ts"].astype("int64")
+        keep = us > last_us
+        pdf = pdf[keep]
+        us = us[keep]
         emas = []
         for x in pdf["value"]:
             ema = x if n == 0 else (1 - alpha) * ema + alpha * x
             n += 1
             emas.append(ema)
-        out.append(
-            pd.DataFrame(
-                {
-                    "event_type": pdf["event_type"],
-                    "ts": pdf["ts"],
-                    "value": pdf["value"],
-                    "ema": emas,
-                }
-            )
+        if len(us):
+            last_us = int(us.iloc[-1])
+        state.update((ema, n, last_us))
+        yield pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "ema": emas,
+            }
         )
-    state.update((ema, n))
-    yield from out
+    else:
+        state.update((ema, n, last_us))
 
 
 def stateful_running_indicators(events: DataFrame) -> DataFrame:
@@ -126,14 +139,21 @@ class _RunningEmaProcessor:
     def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
         alpha = 0.1
         got = self._carry.get() if self._carry.exists() else None
-        ema, n = got if got is not None else (0.0, 0)
-        for pdf in rows:
+        ema, n, last_us = got if got is not None else (0.0, 0, -1)
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64")
+            keep = us > last_us
+            pdf = pdf[keep]
+            us = us[keep]
             emas = []
             for x in pdf["value"]:
                 ema = x if n == 0 else (1 - alpha) * ema + alpha * x
                 n += 1
                 emas.append(ema)
+            if len(us):
+                last_us = int(us.iloc[-1])
             yield pd.DataFrame(
                 {
                     "event_type": pdf["event_type"],
@@ -142,7 +162,7 @@ class _RunningEmaProcessor:
                     "ema": emas,
                 }
             )
-        self._carry.update((ema, n))
+        self._carry.update((ema, n, last_us))
 
     def handleInitialState(self, key, initialState, timer_values):  # noqa: ANN001
         pass
@@ -212,7 +232,8 @@ def interval_join_stream(
 
 
 def enrich_stream(
-    events: DataFrame, dim: DataFrame, on: str = "user_id"
+    events: DataFrame, dim: DataFrame, on: str = "user_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the stream joins
     a static dimension (user profile / allowlist / model-version table).
@@ -222,9 +243,10 @@ def enrich_stream(
     micro-batch, and a small dimension rides a broadcast-hash join so the
     stream side never shuffles.  The standard shape for attaching slowly-
     changing reference data to a 100 TB/day event stream; for dims too
-    big to broadcast, pre-bucket both sides on the key
-    (``sources/io.py.write_bucketed_table``)."""
-    return events.join(F.broadcast(dim), on, "left")
+    big to broadcast, pass ``broadcast=False`` (and pre-bucket both sides
+    on the key — ``sources/io.py.write_bucketed_table`` — so the
+    per-micro-batch join is exchange-free on the static side)."""
+    return events.join(F.broadcast(dim) if broadcast else dim, on, "left")
 
 
 def dedup_stream_against_corpus(
@@ -232,6 +254,9 @@ def dedup_stream_against_corpus(
     corpus_fps: DataFrame,
     text_col: str = "text",
     fp_col: str = "fp",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Streaming twin of ``dedup.dedup_against_corpus`` — the production
     ingest gate: incoming documents drop out when their content
@@ -245,13 +270,25 @@ def dedup_stream_against_corpus(
     arrival order, not id order; the batch operator's min-id pick is the
     batch analogue of the same "one survivor per content" contract).
     The 16-byte fingerprint is the only thing joined or held in state;
-    document text never shuffles.  Unbounded runs should add a watermark
-    + ``dropDuplicatesWithinWatermark`` and periodically fold survivors
-    into the corpus table — which then provides the durable memory."""
+    document text never shuffles.
+
+    Unbounded runs MUST pass ``ts_col``: the in-stream dedup then runs as
+    ``dropDuplicatesWithinWatermark`` so per-fingerprint state is evicted
+    past the watermark (the corpus table provides the durable memory —
+    fold survivors into it periodically).  Without ``ts_col`` state grows
+    per distinct fingerprint forever — acceptable only for bounded
+    backfills.  ``broadcast=False`` for fingerprint tables too big to
+    broadcast (pre-bucket them on the fingerprint instead)."""
     fp = doc_stream.withColumn("_fp", F.md5(F.col(text_col)))
+    corpus_side = corpus_fps.select(F.col(fp_col).alias("_fp"))
     fresh = fp.join(
-        F.broadcast(corpus_fps.select(F.col(fp_col).alias("_fp"))),
+        F.broadcast(corpus_side) if broadcast else corpus_side,
         "_fp",
         "left_anti",
     )
-    return fresh.dropDuplicates(["_fp"]).withColumnRenamed("_fp", "fp")
+    if ts_col is not None:
+        fresh = fresh.withWatermark(ts_col, watermark)
+        deduped = fresh.dropDuplicatesWithinWatermark(["_fp"])
+    else:
+        deduped = fresh.dropDuplicates(["_fp"])
+    return deduped.withColumnRenamed("_fp", "fp")

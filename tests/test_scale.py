@@ -265,3 +265,35 @@ def test_global_cum_sum_integer_dtype(spark, prices):
     a = out.select("seq", "_cum_iv").orderBy("seq").toPandas()
     b = ref.select("seq", "_cum_iv").orderBy("seq").toPandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_halo_rolling_exact_with_empty_buckets(spark):
+    """Skewed keys that leave arithmetic buckets EMPTY must still produce
+    the exact global-window result: halos route to the next POPULATED
+    bucket, not blindly to bucket+1."""
+    rows = [(i, float(i)) for i in list(range(40)) + list(range(90000, 90040))]
+    df = (
+        spark.createDataFrame(rows, "seq long, close double")
+        .withColumn("timestamp", F.timestamp_seconds(F.col("seq")))
+    )
+    out = halo_rolling(
+        df, "mean", "close", 5, ("timestamp", "seq"), buckets=8,
+        bucket_by="seq", out="v",
+    )
+    ref = df.withColumn(
+        "v",
+        F.when(
+            F.count("close").over(
+                Window.orderBy("timestamp", "seq").rowsBetween(-4, 0)
+            )
+            >= 5,
+            F.avg("close").over(
+                Window.orderBy("timestamp", "seq").rowsBetween(-4, 0)
+            ),
+        ),
+    )
+    a = out.select("seq", "v").orderBy("seq").toPandas()
+    b = ref.select("seq", "v").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12
+    )
