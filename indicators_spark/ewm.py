@@ -85,7 +85,11 @@ def apply_ewm_program(
     kept = list(out_names if keep is None else keep)
     dropped = [n for n in out_names if n not in kept]
 
-    in_fields = list(df.schema.fields)
+    # An output name colliding with an existing column REPLACES it (the
+    # with_columns semantics every window-based operator has) — without
+    # this, re-running an op produced duplicate column names and every
+    # later reference failed with AMBIGUOUS_REFERENCE.
+    in_fields = [f for f in df.schema.fields if f.name not in set(kept)]
     out_schema = T.StructType(
         in_fields + [T.StructField(n, T.DoubleType(), True) for n in kept]
     )

@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def salted_join(
@@ -126,7 +127,14 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join: latest ``right`` row with ``right.on <= left.on``
     per ``by`` group.  ``value_cols`` defaults to all right columns except
-    ``on``/``by``."""
+    ``on``/``by``.
+
+    Carry semantics are ROW-WISE: the matched right row's values travel
+    together, NULLs included (per-column carry would stitch values from
+    DIFFERENT rows whenever a newer row holds a NULL).  Right rows with a
+    NULL ``on`` never match, and equal-``(by, on)`` right duplicates
+    resolve deterministically to the LARGEST value tuple (the window's
+    final order key is the carried struct)."""
     by = list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(by) | {on}]
@@ -135,14 +143,17 @@ def asof_join(
     lcols = left.columns
     # tag: right rows sort BEFORE left rows at equal ts so they are visible
     # to same-ts left rows (ASOF <= semantics)
+    rtype = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_tagged = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols if c not in set(by) | {on}],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(rtype).alias("_r_row"),
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(on).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -151,25 +162,21 @@ def asof_join(
             for c in lcols
             if c not in set(by) | {on}
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r_row"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(*by)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", F.col("_r_row").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+    carried = unioned.withColumn(
+        "_carried", F.last(F.col("_r_row"), ignorenulls=True).over(w)
     )
     out_cols = (
         by
         + [F.col("_ts").alias(on)]
         + [c for c in lcols if c not in set(by) | {on}]
-        + [f"{c}{suffix}" for c in value_cols]
+        + [F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in value_cols]
     )
     return carried.filter(F.col("_side") == 1).select(*out_cols)

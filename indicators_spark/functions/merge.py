@@ -28,12 +28,19 @@ def merge_upsert(
 ) -> DataFrame:
     """Latest row per key wins (ties broken by preferring updates).
 
-    ``order_col``: a version/timestamp column present on both sides."""
+    ``order_col``: a version/timestamp column present on both sides.
+    Duplicate (key, order_col, side) rows — e.g. a micro-batch carrying
+    two updates with the same version — resolve deterministically to the
+    LARGEST value tuple (the full row struct is the final sort key), so
+    replaying the same batch always stores the same row."""
     t = target.withColumn("_src", F.lit(0))
     u = updates.withColumn("_src", F.lit(1))
     unioned = t.unionByName(u)
+    value_cols = [c for c in unioned.columns if c not in {key, "_src"}]
     w = Window.partitionBy(key).orderBy(
-        F.col(order_col).desc(), F.col("_src").desc()
+        F.col(order_col).desc(),
+        F.col("_src").desc(),
+        F.struct(*[F.col(c) for c in value_cols]).desc_nulls_last(),
     )
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
@@ -48,12 +55,23 @@ def scd2(
     order_col: str,
     tracked: Sequence[str],
 ) -> DataFrame:
-    """Type-2 dimension from a change log: one row per (key, change) with
-    ``version`` (1-based), ``valid_to`` (next change's order value, NULL if
-    current) and ``is_current``."""
+    """Type-2 dimension from a change log: one row per (key, TRACKED
+    change) with ``version`` (1-based), ``valid_to`` (next change's order
+    value, NULL if current) and ``is_current``.
+
+    ``tracked`` drives change detection: a log row whose tracked columns
+    all equal (null-safely) the key's previous row is a no-op and opens
+    NO new version — the defining property of a type-2 dimension (pass
+    every non-key column to version on any change).  Two window passes
+    over one key-hash exchange."""
     w = Window.partitionBy(key).orderBy(order_col)
+    changed = F.row_number().over(w) == 1
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    real = history.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(key).orderBy(order_col)
     return (
-        history.withColumn("version", F.row_number().over(w))
-        .withColumn("valid_to", F.lead(order_col).over(w))
+        real.withColumn("version", F.row_number().over(w2))
+        .withColumn("valid_to", F.lead(order_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -50,6 +50,22 @@ def word_hash31(w: Column) -> Column:
     return portable_word_hash(w) % H31
 
 
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Overlapping word ``n``-grams of a token array (space-joined),
+    empty when the doc holds fewer than ``n`` words — the shared
+    construction for decontamination, duplicated-passage mass and
+    cross-source overlap."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
     """Token hits (with multiplicity) against a small vocabulary."""
 
@@ -88,7 +104,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = (
         F.least(n / 50, F.lit(1.0)) * 0.3
         + (F.col("distinct_tokens") / n) * 0.3
-        + (1 - F.col("punct_count") / F.length(t)) * 0.2
+        + (1 - F.col("punct_count") / F.nullif(F.length(t), F.lit(0))) * 0.2
         + F.least(stop_ratio * 4, F.lit(1.0)) * 0.2
     )
     return df.withColumn("quality_score", score)
@@ -204,15 +220,7 @@ def decontaminate_flags(
 
     def _ngrams(frame: DataFrame) -> DataFrame:
         ws = words(F.col(text_col))
-        grams = F.when(
-            F.size(ws) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(ws, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        grams = word_ngrams(ws, n)
         return frame.select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(grams)).alias("g"),
@@ -258,15 +266,7 @@ def duplicate_passage_fraction(
     words have no n-grams and are dropped (oracle mirrors).
     """
     ws = words(F.col(text_col))
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(ws, n)
     # hash the gram BEFORE the shuffle: 8-byte keys instead of n-word
     # strings.  xxhash64 (not the portable md5 hash) — the key is internal
     # to this operator (the oracle groups raw gram strings), so the cheap
@@ -403,7 +403,8 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
                 return 1.0
             return len(zlib.compress(raw, 6)) / len(raw)
 
-        return texts.map(one)
+        # na_action keeps NULL text NULL instead of crashing on None
+        return texts.map(one, na_action="ignore")
 
     return df.withColumn("compression_ratio", _ratio(F.col(text_col)))
 
@@ -533,7 +534,9 @@ def vocab_stats(
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct(F.col("_id")).alias("docs"),
     )
-    total = toks.select(F.count(F.lit(1)).alias("_n"))
+    # total from the AGGREGATED side — a second corpus explode just for a
+    # scalar would re-run the dominant scan at corpus scale
+    total = stats.agg(F.sum("cnt").alias("_n"))
     top = stats.orderBy(F.desc("cnt"), "tok").limit(top_k)
     w = Window.orderBy(F.desc("cnt"), "tok")
     return (
@@ -568,13 +571,7 @@ def source_ngram_overlap(
     constant.  Per-source sizes broadcast back.  No document-pair or
     doc×gram quadratic stage anywhere."""
     ws = words(F.col(text_col))
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(ws, n)
     sg = (
         df.select(F.col(source_col).alias("src"), F.explode(grams).alias("g"))
         .select("src", F.xxhash64(F.col("g")).alias("gh"))
@@ -660,7 +657,7 @@ def source_kl_divergence(
     sc = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("cs"))
     cc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cq"))
     totals = sc.groupBy("src").agg(F.sum("cs").alias("ts"))
-    tq = toks.select(F.count(F.lit(1)).alias("tq"))
+    tq = cc.agg(F.sum("cq").alias("tq"))  # from the aggregated side — no re-scan
     j = (
         sc.join(F.broadcast(cc), "tok")
         .join(F.broadcast(totals), "src")

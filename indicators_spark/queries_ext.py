@@ -2111,11 +2111,19 @@ WITH h AS (
   SELECT o_custkey AS custkey, o_orderkey AS change_id, o_totalprice AS balance
   FROM orders
 ),
+d AS (
+  SELECT *, row_number() OVER w AS _rn, lag(balance) OVER w AS _prev
+  FROM h WINDOW w AS (PARTITION BY custkey ORDER BY change_id)
+),
+f AS (
+  SELECT custkey, change_id, balance FROM d
+  WHERE _rn = 1 OR balance IS DISTINCT FROM _prev
+),
 v AS (
   SELECT custkey, change_id, balance,
     row_number() OVER (PARTITION BY custkey ORDER BY change_id) AS version,
     lead(change_id) OVER (PARTITION BY custkey ORDER BY change_id) AS valid_to
-  FROM h
+  FROM f
 )
 SELECT custkey, change_id, {_r('balance', 'balance')}, version, valid_to,
   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current

@@ -839,3 +839,56 @@ def test_phash_identical_payloads_collide(spark):
     assert out[1] == out[2]          # identical bytes → identical hash
     assert out[1] != out[3]
     assert 4 not in out              # < 64 bytes skipped
+
+
+def test_asof_join_rowwise_carry_and_null_ts(spark):
+    """The matched right row's values travel TOGETHER (a NULL px in the
+    newest row must not resurrect an older row's px), and right rows with
+    NULL ts never match."""
+    import datetime as _dt
+
+    from indicators_spark.functions.joins import asof_join
+
+    def ts(m):
+        return _dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [("A", ts(3), 1), ("A", ts(0), 2)],
+        "symbol string, timestamp timestamp, seq long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", ts(1), 10.0, 1.0),
+            ("A", ts(2), None, 5.0),   # newest row: px NULL, qty 5
+            ("A", None, 99.0, 99.0),   # NULL ts: must never match
+        ],
+        "symbol string, timestamp timestamp, px double, qty double",
+    )
+    out = {
+        r.seq: (r.px_right, r.qty_right)
+        for r in asof_join(
+            left, right, on="timestamp", by=["symbol"],
+            value_cols=["px", "qty"],
+        ).collect()
+    }
+    assert out[1] == (None, 5.0)   # the ts(2) ROW, not a px/qty stitch
+    assert out[2] == (None, None)  # nothing at/before ts(0)
+
+
+def test_scd2_tracked_collapses_noop_changes(spark):
+    from indicators_spark.functions.merge import scd2
+
+    hist = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 11, 5.0),   # no-op: same balance
+            (1, 12, 7.0),                 # real change
+            (2, 20, None), (2, 21, None), # null == null: no-op
+            (2, 22, 1.0),
+        ],
+        "custkey long, change_id long, balance double",
+    )
+    out = scd2(hist, key="custkey", order_col="change_id", tracked=["balance"])
+    rows = {(r.custkey, r.change_id): r for r in out.collect()}
+    assert set(rows) == {(1, 10), (1, 12), (2, 20), (2, 22)}
+    assert rows[(1, 10)].version == 1 and rows[(1, 10)].valid_to == 12
+    assert rows[(1, 12)].is_current
