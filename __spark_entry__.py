@@ -127,6 +127,9 @@ _ROUND3_NEW = {
     "multimodal_phash_dedup",
     "ml_training_table",
     "hypertable_rollup",
+    "dedup_family_histogram",
+    "customers_rfm",
+    "supplier_pareto",
 }
 
 

@@ -2456,3 +2456,172 @@ _register(
     "hypertable_rollup",
     Query(spark=_hypertable_spark, sql=_hypertable_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Duplicate-family size distribution (what the dedup actually removed)
+# --------------------------------------------------------------------- #
+
+
+def _dup_family_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate family sizes — the one-table summary
+    of a dedup run (how many singletons / pairs / large families, rows
+    removed per family size).  Two skinny groupBys over 16-byte
+    fingerprints; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fams = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return (
+        fams.groupBy("family_size")
+        .agg(F.count(F.lit(1)).alias("n_families"))
+        .select(
+            "family_size",
+            "n_families",
+            (F.col("family_size") * F.col("n_families")).cast("long").alias("n_docs"),
+            ((F.col("family_size") - 1) * F.col("n_families"))
+            .cast("long")
+            .alias("n_removed_by_dedup"),
+        )
+    )
+
+
+_register(
+    "dedup_family_histogram",
+    Query(
+        spark=_dup_family_spark,
+        sql="""
+WITH fams AS (
+  SELECT md5(text) AS fp, count(*) AS family_size FROM documents GROUP BY 1
+)
+SELECT family_size, count(*) AS n_families,
+  CAST(family_size * count(*) AS BIGINT) AS n_docs,
+  CAST((family_size - 1) * count(*) AS BIGINT) AS n_removed_by_dedup
+FROM fams GROUP BY 1""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------- #
+
+
+def _rfm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: per customer, the latest order key
+    (recency proxy), order count and total spend, each scored into
+    quintiles (``ntile(5)``, deterministic via the customer-key
+    tie-break), concatenated into the familiar 3-digit segment code.
+    One fact aggregation; the quintile windows run over the AGGREGATED
+    customer table (global ntile over |customers| rows — swap for the
+    bucketed rank of `scale.global_row_number` beyond ~10⁸ customers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderkey").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("last_order").asc(), F.col("custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), F.col("custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), F.col("custkey")))
+    scored = per_cust.select(
+        "custkey",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long").alias("rfm"),
+    )
+
+
+_register(
+    "customers_rfm",
+    Query(
+        spark=_rfm_spark,
+        sql="""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, max(o_orderkey) AS last_order,
+    count(*) AS frequency, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT custkey,
+    ntile(5) OVER (ORDER BY last_order, custkey) AS r_score,
+    ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+    ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM per_cust
+)
+SELECT custkey, r_score, f_score, m_score,
+  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM scored""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Pareto (80/20) concentration analysis of supplier revenue
+# --------------------------------------------------------------------- #
+
+
+def _pareto_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: suppliers ranked by revenue with their
+    cumulative share — plus the in-top-80% flag the 80/20 report wants.
+    The fact pass is one supplier-keyed aggregation; the running share
+    windows over |suppliers| aggregated rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("suppkey"))
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    ranked = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.sum("rev").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.col("tot"),
+        )
+    )
+    return ranked.select(
+        "suppkey",
+        "rank",
+        round4(F.col("rev")).alias("rev"),
+        round4(F.col("cum_share")).alias("cum_share"),
+        (F.col("cum_share") <= 0.8).alias("in_top80"),
+    )
+
+
+_register(
+    "supplier_pareto",
+    Query(
+        spark=_pareto_spark,
+        sql=f"""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+    sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS tot FROM rev),
+ranked AS (
+  SELECT suppkey, rev,
+    row_number() OVER (ORDER BY rev DESC, suppkey) AS rank,
+    sum(rev) OVER (ORDER BY rev DESC, suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      / tot.tot AS cum_share
+  FROM rev CROSS JOIN tot
+)
+SELECT suppkey, rank, {_r('rev', 'rev')}, {_r('cum_share', 'cum_share')},
+  cum_share <= 0.8 AS in_top80
+FROM ranked""",
+    ),
+)
