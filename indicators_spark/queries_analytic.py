@@ -125,6 +125,10 @@ def _bistats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
         round4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qp"),
         round4(F.stddev_samp("l_extendedprice")).alias("std_price"),
+        # Spark skewness = biased population g1; the oracle multiplies
+        # DuckDB's bias-corrected G1 by (n-2)/sqrt(n(n-1)) to match
+        # EXACTLY (at sf0.001 the raw estimators differ past the 4dp
+        # quantizer — this was a latent hash mismatch).
         round4(F.skewness("l_extendedprice")).alias("skew_price"),
     )
 
@@ -138,7 +142,7 @@ SELECT l_returnflag,
   {_r('corr(l_quantity, l_extendedprice)', 'corr_qp')},
   {_r('covar_samp(l_quantity, l_extendedprice)', 'covar_qp')},
   {_r('stddev_samp(l_extendedprice)', 'std_price')},
-  {_r('skewness(l_extendedprice)', 'skew_price')}
+  {_r('skewness(l_extendedprice) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0))', 'skew_price')}
 FROM lineitem GROUP BY 1""",
     ),
 )
@@ -217,6 +221,8 @@ def _udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, word string")
     class SplitWords:
         def eval(self, doc_id, text):  # noqa: ANN001
+            if text is None:
+                return  # SQL NULL emits no rows (string_split(NULL) parity)
             for i, w in enumerate(str(text).split(" ")):
                 if w:
                     yield int(doc_id), i, w

@@ -213,12 +213,19 @@ def lm_perplexity(
     broadcast join) is exactly how it scales.
     """
     ws = text.words(F.col(text_col))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.struct(
-            F.element_at(ws, i).alias("w1"), F.element_at(ws, i + 1).alias("w2")
+    # <2-token docs have no bigrams and drop out (sequence(1, 0) would
+    # DESCEND and index past the array under ANSI — same guard as
+    # text.word_ngrams)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     doc_bg = df.select(
         F.col(id_col), F.explode(bigrams).alias("bg")
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -513,13 +520,14 @@ FROM e""",
 
 _TFIDF_T = 0.9
 
-_register(
-    "tfidf_cosine_pairs",
-    Query(
-        spark=lambda s, d: similarity.tfidf_cosine_pairs(
-            _docs(s, d), threshold=_TFIDF_T
-        ).select("ia", "ib", round4(F.col("cos")).alias("cos")),
-        sql=f"""
+
+def _tfidf_sql(max_df_frac: float | None = None) -> str:
+    """One generator for both TF-IDF oracles: ``max_df_frac`` adds the
+    vocabulary prune predicate (the only difference between the plain and
+    pruned variants — keeping a single source of truth for the weighting
+    pipeline)."""
+    prune = f"df <= n * {max_df_frac} AND " if max_df_frac is not None else ""
+    return f"""
 WITH tf AS (
   SELECT doc_id AS id, tok, count(*) AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -530,7 +538,7 @@ dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
 wtd AS (
   SELECT id, t.tok, tf * ln(CAST(n AS DOUBLE) / df) AS w
   FROM tf t JOIN dfreq f ON f.tok = t.tok, nd
-  WHERE tf * ln(CAST(n AS DOUBLE) / df) > 0
+  WHERE {prune}tf * ln(CAST(n AS DOUBLE) / df) > 0
 ),
 norms AS (SELECT id, sqrt(sum(w * w)) AS nn FROM wtd GROUP BY id),
 wn AS (SELECT w.id, w.tok, w.w / nm.nn AS wn FROM wtd w JOIN norms nm ON nm.id = w.id),
@@ -539,7 +547,16 @@ p AS (
   FROM wn a JOIN wn b ON a.tok = b.tok AND a.id < b.id
   GROUP BY a.id, b.id
 )
-SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= {_TFIDF_T}""",
+SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= {_TFIDF_T}"""
+
+
+_register(
+    "tfidf_cosine_pairs",
+    Query(
+        spark=lambda s, d: similarity.tfidf_cosine_pairs(
+            _docs(s, d), threshold=_TFIDF_T
+        ).select("ia", "ib", round4(F.col("cos")).alias("cos")),
+        sql=_tfidf_sql(),
     ),
 )
 
@@ -630,8 +647,8 @@ def _rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col("doc_id") != F.col("qid"))
-    cos = dot(F.col("qvec"), F.col("embedding")) / (
-        norm(F.col("qvec")) * norm(F.col("embedding"))
+    cos = dot(F.col("qvec"), F.col("embedding")) / F.nullif(
+        norm(F.col("qvec")) * norm(F.col("embedding")), F.lit(0.0)
     )
     w = W.partitionBy("qid").orderBy(F.col("_cos").desc(), "doc_id", "chunk_id")
     return (
@@ -804,27 +821,7 @@ _register(
         spark=lambda s, d: similarity.tfidf_cosine_pairs(
             _docs(s, d), threshold=_TFIDF_T, max_df_frac=0.5
         ).select("ia", "ib", round4(F.col("cos")).alias("cos")),
-        sql=f"""
-WITH tf AS (
-  SELECT doc_id AS id, tok, count(*) AS tf
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-  GROUP BY doc_id, tok
-),
-nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-wtd AS (
-  SELECT id, t.tok, tf * ln(CAST(n AS DOUBLE) / df) AS w
-  FROM tf t JOIN dfreq f ON f.tok = t.tok, nd
-  WHERE df <= n * 0.5 AND tf * ln(CAST(n AS DOUBLE) / df) > 0
-),
-norms AS (SELECT id, sqrt(sum(w * w)) AS nn FROM wtd GROUP BY id),
-wn AS (SELECT w.id, w.tok, w.w / nm.nn AS wn FROM wtd w JOIN norms nm ON nm.id = w.id),
-p AS (
-  SELECT a.id AS ia, b.id AS ib, sum(a.wn * b.wn) AS cos
-  FROM wn a JOIN wn b ON a.tok = b.tok AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT ia, ib, {_r('cos', 'cos')} FROM p WHERE cos >= {_TFIDF_T}""",
+        sql=_tfidf_sql(max_df_frac=0.5),
     ),
 )
 
