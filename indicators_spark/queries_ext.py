@@ -1985,7 +1985,14 @@ def _rolling_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = prices_from_events(spark, sf_dir)
     w = K.w_rows(20, ("symbol",), ("timestamp", "seq"))
-    corr = K.gated(F.corr(F.col("close"), F.col("volume")), "close", 20, w)
+    # corr from covar/stddev with safe_div: Spark's Corr aggregate throws
+    # ANSI DIVIDE_BY_ZERO on a zero-variance window (any 20 constant
+    # closes — hit at sf0.001); this form yields NULL there, matching
+    # DuckDB corr's NULL
+    cv = K.gated(F.covar_samp(F.col("close"), F.col("volume")), "close", 20, w)
+    sa = K.gated(F.stddev_samp(F.col("close")), "close", 20, w)
+    sb = K.gated(F.stddev_samp(F.col("volume")), "close", 20, w)
+    corr = K.safe_div(cv, sa * sb)
     return p.select("symbol", "seq", round4(corr).alias("corr_close_vol_20"))
 
 
