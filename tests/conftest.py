@@ -12,8 +12,14 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+#: Override to sweep the oracle suite at another scale, e.g.
+#:   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 pytest tests/test_oracle_parity.py
+#: (the sf0.001 sweep catches small-group estimator/guard fragility the
+#: default scale can round away — see the skewness and rolling_corr fixes).
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
