@@ -67,99 +67,40 @@ def _evidenced() -> set[str]:
     return green
 
 
-#: Queries added in round 3 — still never-green, but the round-2 backlog
-#: (50 queries awaiting their first driver row) must spend the budget
-#: first, so these sort after that backlog within the never-green group.
-_ROUND3_NEW = {
-    "tpch_q21_bucketed",
-    "dedup_minhash_lsh_capped",
-    "dedup_lsh_bucket_overflow",
-    "tfidf_cosine_pairs_pruned",
-    "semantic_dedup_capped",
-    "text_redact_pii",
-    "chunk_dedup_stats",
-    "pq_encode",
-    "similarity_knn_pq",
-    "corpus_vocab_stats",
-    "source_overlap_matrix",
-    "similarity_knn_ivfpq",
-    "stats_hll_rollup",
-    "analytic_seasonal_decompose",
-    "text_entropy",
-    "source_kl_divergence",
-    "sample_weighted_aes",
-    "analytic_histogram_equidepth",
-    "analytic_chi_square",
-    "similarity_hard_negatives",
-    "embedding_centroid_classify",
-    "embedding_covariance",
-    "text_bpe_pairs",
-    "mixture_temperature",
-    "events_attribution_last_touch",
-    "analytic_key_skew",
-    "graph_pagerank_nations",
-    "graph_communities_nations",
-    "profile_lineitem",
-    "events_anomaly_mad",
-    "grouping_sets_lineitem",
-    "stats_kmv_quantile",
-    "dedup_minhash_estimate",
-    "reconcile_snapshots",
-    "unpivot_lineitem",
-    "pysource_ticks_agg",
-    "rolling_median",
-    "events_attribution_linear",
-    "analytic_ols_trend",
-    "events_path_trigrams",
-    "incremental_agg_maintenance",
-    "dq_expectations",
-    "risk_metrics_per_symbol",
-    "heikin_ashi",
-    "range_window_trailing_1h",
-    "events_session_window_native",
-    "forecast_seasonal_naive_eval",
-    "analytic_acf",
-    "embedding_pca_power",
-    "text_langid_confusion",
-    "graph_shortest_paths",
-    "events_active_users",
-    "dedup_lsh_recall",
-    "multimodal_phash_dedup",
-    "ml_training_table",
-    "hypertable_rollup",
-    "dedup_family_histogram",
-    "customers_rfm",
-    "supplier_pareto",
-}
+def _ordered_names(green: set[str] | None = None) -> list[str]:
+    """Driver-facing catalog order: never-green first, registration order
+    within each group.
 
-
-def _ordered_names() -> list[str]:
+    Only oracle-bearing queries are exposed: the driver has NO rows-only
+    mode — a ``queries()`` entry without a matching ``oracle_sql()`` entry
+    is recorded as ``err: "no_oracle"`` (observed in CORRECTNESS_r03), so a
+    ``sql=None`` catalog entry would burn a verification slot and produce a
+    red row every round.  Those operators (``text_compression_ratio``,
+    ``stats_hll_rollup``) keep their local evidence in
+    tests/test_functions.py + tests/test_oracle_parity.py instead.
+    """
     from indicators_spark.queries import QUERIES
 
-    green = _evidenced()
+    if green is None:
+        green = _evidenced()
+    idx = {n: i for i, n in enumerate(QUERIES)}
     return sorted(
-        QUERIES,
-        key=lambda n: (n in green, n in _ROUND3_NEW, list(QUERIES).index(n)),
+        (n for n in QUERIES if QUERIES[n].sql is not None),
+        key=lambda n: (n in green, idx[n]),
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    never-driver-verified queries first (see :func:`_evidenced`),
-    this round's additions last within that group."""
+    never-driver-verified queries first (see :func:`_evidenced`)."""
     from indicators_spark.queries import QUERIES
 
     return {name: QUERIES[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """Equivalent DuckDB SQL per query (omitted → rows-only check).
-    Pair by NAME only: sql=None entries are omitted here, so positions
-    shift relative to :func:`queries` after the first omitted key."""
+    """Equivalent DuckDB SQL per query — exactly one entry per
+    :func:`queries` key (sql=None operators are excluded from both)."""
     from indicators_spark.queries import QUERIES
 
-    return {
-        n: QUERIES[n].sql
-        for n in _ordered_names()
-        if QUERIES[n].sql is not None
-    }
+    return {n: QUERIES[n].sql for n in _ordered_names()}
