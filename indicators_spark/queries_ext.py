@@ -1233,14 +1233,19 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("volume"),
         F.unix_timestamp(F.col("l_shipdate")).alias("_bkey"),
     )
-    # one raw-column min/max+count scan shared by both halo passes and the
-    # size dispatch (no window work; at 100 TB this would come from
-    # partition metadata instead)
-    lo, hi, n_rows = li.agg(
-        F.min(F.unix_timestamp("l_shipdate")).cast("double"),
-        F.max(F.unix_timestamp("l_shipdate")).cast("double"),
-        F.count(F.lit(1)),
-    ).first()
+    # bounds + row count from parquet footer metadata (scale.py design
+    # note): zero Spark jobs, shared by both halo passes and the size
+    # dispatch — the faithful twin pays no pre-scan, so neither does this
+    from .scale import parquet_footer_stats
+
+    n_rows, lo, hi = parquet_footer_stats(
+        f"{sf_dir}/lineitem.parquet", "l_shipdate"
+    )
+    if lo is None:  # footer stats missing → one min/max scan (no count)
+        lo, hi = li.agg(
+            F.min(F.unix_timestamp("l_shipdate")).cast("double"),
+            F.max(F.unix_timestamp("l_shipdate")).cast("double"),
+        ).first()
     bounds = (lo, hi)
     d = lag_auto(
         p,
@@ -2326,6 +2331,13 @@ def _li_donchian_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low": F.least("open", "close") * 0.99,
         }
     )
+    # row count + bucket bounds from parquet footers — no pre-scan job at
+    # all (falls back to the kernel's own min/max scan if stats missing)
+    from .scale import parquet_footer_stats
+
+    n_rows, lo, hi = parquet_footer_stats(
+        f"{sf_dir}/lineitem.parquet", "l_shipdate"
+    )
     rolled = rolling_multi_auto(
         p,
         [("max", "high", "_up"), ("min", "low", "_lo")],
@@ -2333,9 +2345,8 @@ def _li_donchian_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=order,
         buckets=32,
         bucket_by="_bkey",
-        # count the parquet scan (row-group metadata), not the windowed
-        # frame p — same row count, no second pass over the lag stage
-        n_rows=li.count(),
+        bounds=None if lo is None else (lo, hi),
+        n_rows=n_rows,
     )
     return rolled.select(
         "symbol",

@@ -218,6 +218,73 @@ def halo_rolling_multi(
     return rolled.filter(~F.col("_halo")).drop("_bucket", "_halo")
 
 
+def parquet_footer_stats(
+    path: str, column: str | None = None
+) -> tuple[int, float | None, float | None]:
+    """``(n_rows, lo, hi)`` for a parquet file/directory from FOOTER
+    metadata only — no Spark job, no data pass.
+
+    This is the "catalog metadata" path the halo kernels' ``bounds`` /
+    ``n_rows`` parameters were designed for: at 100 TB the alternative is
+    a full ``agg(min, max, count)`` scan of the fact table before any real
+    work starts.  Parquet writers store exact per-row-group min/max
+    statistics and row counts in the footer, so the driver reads a few KB
+    per file instead (on a real cluster this same information comes from
+    the table catalog / manifest, e.g. Delta or Iceberg column stats).
+
+    ``lo``/``hi`` are cast to float; ``date32`` statistics convert to unix
+    seconds at UTC midnight — identical to Spark's
+    ``unix_timestamp(date_col)`` under the engine's pinned UTC session
+    timezone (sources/prices.py).  If any row group lacks statistics for
+    ``column``, ``lo``/``hi`` come back None and the caller must fall back
+    to a scan; ``n_rows`` is always exact.
+    """
+    import calendar
+    import datetime
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    n_rows, lo, hi, stats_ok = 0, None, None, column is not None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        if not stats_ok:
+            continue
+        try:
+            ci = md.schema.names.index(column)
+        except ValueError:
+            stats_ok = False
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                stats_ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, datetime.datetime):
+                # naive timestamp stats ≡ UTC under the engine's pinned
+                # session timezone
+                mn = calendar.timegm(mn.timetuple()) + mn.microsecond / 1e6
+                mx = calendar.timegm(mx.timetuple()) + mx.microsecond / 1e6
+            elif isinstance(mn, datetime.date):
+                epoch = datetime.date(1970, 1, 1)
+                mn = (mn - epoch).days * 86400.0
+                mx = (mx - epoch).days * 86400.0
+            mn, mx = float(mn), float(mx)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if not stats_ok:
+        lo = hi = None
+    return n_rows, lo, hi
+
+
 #: Row-count threshold for the size-based kernel dispatch: below this the
 #: halo kernels' fixed overhead (bucket-bounds scan, halo union, dedup
 #: filter, extra shuffle) dominates and the plain window form — though it

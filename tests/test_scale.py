@@ -297,3 +297,31 @@ def test_halo_rolling_exact_with_empty_buckets(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12
     )
+
+
+def test_parquet_footer_stats_match_scan(spark):
+    """Footer-derived (n_rows, lo, hi) must equal the full-scan
+    agg(min, max, count) — the halo queries substitute one for the other,
+    so any divergence silently mis-buckets rows."""
+    from indicators_spark.scale import parquet_footer_stats
+    from indicators_spark.sources.prices import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n_rows, lo, hi = parquet_footer_stats(f"{sf}/lineitem.parquet", "l_shipdate")
+    li = load_table(spark, sf, "lineitem")
+    slo, shi, sn = li.agg(
+        F.min(F.unix_timestamp("l_shipdate")).cast("double"),
+        F.max(F.unix_timestamp("l_shipdate")).cast("double"),
+        F.count(F.lit(1)),
+    ).first()
+    assert (n_rows, lo, hi) == (sn, slo, shi)
+    # numeric column stats too (int64)
+    n2, lo2, hi2 = parquet_footer_stats(f"{sf}/lineitem.parquet", "l_orderkey")
+    s2 = li.agg(
+        F.min("l_orderkey").cast("double"),
+        F.max("l_orderkey").cast("double"),
+    ).first()
+    assert n2 == sn and (lo2, hi2) == tuple(s2)
+    # unknown column → exact count, None bounds (caller falls back to scan)
+    n3, lo3, hi3 = parquet_footer_stats(f"{sf}/lineitem.parquet", "nope")
+    assert n3 == sn and lo3 is None and hi3 is None
