@@ -151,6 +151,13 @@ def main() -> None:
         "asof_join",
         "resample_ohlcv_1h",
         "kmeans_train_assign",
+        # round-3 heavy families (VERDICT r3 #6): regressions here were
+        # previously invisible to the headline suite
+        "graph_pagerank_nations",
+        "semantic_dedup",
+        "tfidf_cosine_pairs",
+        "embedding_covariance",
+        "rolling_median",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

@@ -60,6 +60,11 @@ def pagerank(
     e = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
     )
+    # The normalized edge list is read once per superstep; its lineage may
+    # be a fact-scale join (e.g. a trade graph derived from
+    # lineitem⋈orders), so persist it — otherwise every iteration replays
+    # the whole derivation.  nodes.count() below materializes the cache.
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -125,6 +130,9 @@ def label_propagation(
     )
     if not directed:
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    # same per-superstep reuse as pagerank: don't replay the edge
+    # derivation every iteration
+    e = e.persist()
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))

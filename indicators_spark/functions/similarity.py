@@ -514,12 +514,23 @@ def quantize_embeddings_int8(
     )
 
 
+#: Dense-GEMM dispatch bounds for :func:`tfidf_cosine_pairs`: use the
+#: broadcast matrix path only when the FULL normalized TF-IDF matrix is
+#: a broadcast-sized object (|docs|·|vocab| float64 cells).  8M cells
+#: = 64 MB broadcast — bounds BOTH the driver-side fold and the
+#: per-executor copy; tune down for small executors.
+TFIDF_DENSE_MAX_VOCAB = 4096
+TFIDF_DENSE_MAX_CELLS = 8_000_000
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df_frac: float | None = None,
+    dense_max_vocab: int = TFIDF_DENSE_MAX_VOCAB,
+    dense_max_cells: int = TFIDF_DENSE_MAX_CELLS,
 ) -> DataFrame:
     """EXACT sparse TF-IDF cosine similarity for all (ia < ib) document
     pairs above ``threshold`` — the lexical near-dup/similarity measure
@@ -545,6 +556,25 @@ def tfidf_cosine_pairs(
     semantics: vectors are normalized over the kept vocabulary, so the
     result is exact cosine over the pruned space).  Opt-in; the exact
     default keeps the oracle row.
+
+    **Degenerate-vocabulary dispatch.**  The posting-list join's output
+    is Σ_tok df², which is the right (near-linear) cost when posting
+    lists are short — real corpora, large vocabularies.  But a BOUNDED
+    vocabulary makes every posting list Θ(N) and the join Θ(N²·|V|)
+    rows through the shuffle machinery (observed: a 31-token corpus at
+    5k docs → 448M intermediate rows, 139 s, where the same arithmetic
+    is a 775 MFLOP GEMM).  When the pruned vocabulary is small enough
+    that the whole L2-normalized matrix is a broadcast-sized object
+    (``vocab ≤ dense_max_vocab`` and ``docs·vocab ≤ dense_max_cells``),
+    the pair scores are computed instead as a block GEMM: broadcast the
+    dense matrix, stream row blocks with ``mapInPandas``, emit only
+    survivors.  Same weights, same products, same threshold — identical
+    results up to float reassociation (guarded by the catalog's round4
+    quantization).  Everything else (huge vocab, or huge corpus with a
+    small vocab) takes the sparse join, whose N² worst case is then
+    inherent to the exact all-pairs ask — ``max_df_frac``, MinHash, or
+    SemDeDup are the approximate scale paths.  One extra skinny agg
+    (vocab count + doc count) decides the dispatch.
     """
     from . import text as _text
 
@@ -569,6 +599,13 @@ def tfidf_cosine_pairs(
     wn = weighted.join(norms, "_id").select(
         "_id", "tok", (F.col("w") / F.col("nn")).alias("wn")
     )
+    # dispatch: one skinny agg over the weight stream (tokenization runs
+    # once extra here; at scale this would be a catalog/vocab statistic)
+    n_vocab, n_ids = weighted.agg(
+        F.count_distinct("tok"), F.count_distinct("_id")
+    ).first()
+    if n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:
+        return _tfidf_pairs_dense(wn, threshold)
     a = wn.alias("a")
     b = wn.alias("b")
     pairs = (
@@ -581,6 +618,46 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("ia", "ib", "cos")
+
+
+def _tfidf_pairs_dense(wn: DataFrame, threshold: float) -> DataFrame:
+    """Broadcast-GEMM scorer for the bounded-vocabulary case (see
+    :func:`tfidf_cosine_pairs`).  The full L2-normalized matrix folds to
+    the driver as one Arrow (id, tok, wn) fold (≤ dense_max_cells
+    nonzeros by the dispatch bound), broadcasts, and each ``mapInPandas``
+    task scores a row block against the whole matrix with one float64
+    GEMM, emitting only (ia < ib, cos ≥ threshold) survivors — the pair
+    stream never hits a shuffle at all."""
+    import numpy as np
+    import pandas as pd
+
+    spark = wn.sparkSession
+    pdf = wn.toPandas()  # Arrow fold of the nnz stream (≤ dense_max_cells)
+    id_codes, ids = pd.factorize(pdf["_id"], sort=True)
+    tok_codes, _ = pd.factorize(pdf["tok"], sort=True)
+    mat = np.zeros((len(ids), tok_codes.max() + 1 if len(ids) else 0))
+    mat[id_codes, tok_codes] = pdf["wn"].to_numpy(dtype=np.float64)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_ids = spark.sparkContext.broadcast(id_arr)
+
+    def score(batches):
+        m, all_ids = b_mat.value, b_ids.value
+        for pdf in batches:
+            bi = pdf["_i"].to_numpy()
+            scores = m[bi] @ m.T  # (block × n)
+            my_ids = all_ids[bi]
+            keep = (scores >= threshold) & (my_ids[:, None] < all_ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"ia": my_ids[r], "ib": all_ids[c], "cos": scores[r, c]}
+            )
+
+    blocks = spark.range(len(ids)).select(F.col("id").cast("long").alias("_i"))
+    par = spark.sparkContext.defaultParallelism
+    return blocks.repartition(min(par, max(1, len(ids) // 64))).mapInPandas(
+        score, "ia long, ib long, cos double"
+    )
 
 
 def semantic_dedup(
@@ -616,9 +693,7 @@ def semantic_dedup(
     row_number window partitions by the join key (cell), so the pair
     join reuses its partitioning — no extra exchange.
     """
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
-    )
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     cents = [
         (int(r["_id"]), [float(x) for x in r["_v"]])
         for r in base.filter(F.col("_id") < n_centroids).collect()
@@ -629,18 +704,7 @@ def semantic_dedup(
             f"< n_centroids ({n_centroids}); got none (ids are assumed dense "
             "integers starting at 0, or pass a larger n_centroids)"
         )
-    scores = F.array(
-        *[
-            F.struct(
-                (dot(F.col("_v"), F.lit(cv)) / (F.col("_n") * norm(F.lit(cv)))).alias(
-                    "cos"
-                ),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    assigned = base.withColumn("cell", -F.array_max(scores)["ncid"])
+    assigned = _semdedup_assign_arrow(base, cents)
     if max_cell_size is not None:
         wc = Window.partitionBy("cell").orderBy("_id")
         assigned = (
@@ -648,24 +712,92 @@ def semantic_dedup(
             .filter(F.col("_cn") <= max_cell_size)
             .drop("_cn")
         )
-    a = assigned.select(
-        F.col("_id").alias("ia"), F.col("_v").alias("va"), F.col("_n").alias("na"), "cell"
-    )
-    b = assigned.select(
-        F.col("_id").alias("ib"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "cell"
-    )
-    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
-        F.col("na") * F.col("nb"), F.lit(0.0)
-    )
-    dropped = (
-        a.join(b, ["cell"])
-        .filter(F.col("ia") < F.col("ib"))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= threshold)
-        .select(F.col("ib").alias(id_col))
-        .distinct()
-    )
+    dropped = _semdedup_dropped_arrow(assigned, threshold, id_col)
     return df.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def _semdedup_assign_arrow(
+    base: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid cell assignment for :func:`semantic_dedup` as one
+    Arrow map stage — fold-exact (:func:`_np_fold_cos`) and therefore
+    bit-identical to the former literal-expression
+    ``array_max(struct(cos, -cid))`` argmax (first-occurrence
+    ``np.argmax`` over cid-sorted centroids = the lowest-cid tie-break),
+    but vectorized C instead of k·dim interpreted HOF lambda steps per
+    row, and a compact plan node instead of k·dim literals (cf.
+    ``_pq_index_arrow``).  Still zero shuffle, zero row amplification;
+    the vectors ride the Arrow batch through to the cell stage."""
+    import pandas as pd
+
+    ordered = sorted(cents)
+    cid_list = [int(c) for c, _ in ordered]
+    vec_list = [list(map(float, v)) for _, v in ordered]
+
+    def assign(batches):
+        import numpy as np
+
+        cv = np.asarray(vec_list, dtype=np.float64)
+        cids = np.asarray(cid_list, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cell = cids[np.argmax(_np_fold_cos(x, cv), axis=1)]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "_v": list(x),
+                    "cell": cell,
+                }
+            )
+
+    return base.select("_id", "_v").mapInPandas(
+        assign, "_id long, _v array<double>, cell long"
+    )
+
+
+def _semdedup_dropped_arrow(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Per-cell pair scoring for :func:`semantic_dedup` as one
+    ``applyInPandas`` over the cell key: each cell's vectors form a
+    (n_cell × dim) matrix scored against itself with :func:`_np_fold_cos`
+    — bit-identical to the JVM ``dot()/(na·nb)`` fold (and the SQL
+    oracle), so this is purely a physical-plan change vs the former
+    in-cell self-join.  Same single hash exchange on cell, but the
+    quadratic pair stream now lives inside a vectorized kernel instead of
+    being materialized as join+aggregate rows (~3× at 2k×64d; the gap
+    grows with cell size).  Row-blocked to cap the score-matrix memory;
+    the cell's own vectors must fit in one task — ``max_cell_size`` is
+    the guard for adversarial cells, exactly as for the join form (whose
+    build side had the same bound)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        dropped = np.zeros(len(ids), dtype=bool)
+        cols = np.arange(len(ids))
+        block = 1024
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, len(ids), block):
+                cos = _np_fold_cos(x[s : s + block], x)
+                # NaN (zero-norm 0/0) compares False — the join form's
+                # nullif→NULL filter drop, replicated
+                hit = cos >= threshold
+                upper = cols[None, :] > np.arange(s, s + len(cos))[:, None]
+                dropped |= (hit & upper).any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return (
+        assigned.select("_id", "_v", "cell")
+        .groupBy("cell")
+        .applyInPandas(lambda _, pdf: run(pdf), f"{id_col} long")
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -1983,9 +1983,11 @@ def _shortest_paths_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (like PageRank's fixed supersteps) so the oracle can replay
     rounds as CTEs.  Distances are sums of ≤3 fixed doubles added in
     path order — no aggregation-order ambiguity, min is exact."""
+    # persist: the edge list re-reads per relaxation round, and its
+    # lineage is the fact-scale lineitem⋈orders join (cf. graph.pagerank)
     e = _trade_edges(spark, sf_dir).select(
         "src", "dst", (F.lit(1.0) / F.col("w")).alias("cost")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -892,3 +892,24 @@ def test_scd2_tracked_collapses_noop_changes(spark):
     assert set(rows) == {(1, 10), (1, 12), (2, 20), (2, 22)}
     assert rows[(1, 10)].version == 1 and rows[(1, 10)].valid_to == 12
     assert rows[(1, 12)].is_current
+
+
+def test_tfidf_dense_matches_sparse(spark):
+    """The dense-GEMM and posting-join paths must produce identical pair
+    sets and cosines (to float reassociation) — the dispatch is a plan
+    choice, never a semantics choice."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    dense = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.3).collect()
+    }
+    sparse = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.3, dense_max_vocab=0).collect()
+    }
+    assert dense.keys() == sparse.keys() and dense
+    for k in dense:
+        assert dense[k] == pytest.approx(sparse[k], rel=1e-12)

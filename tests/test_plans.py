@@ -201,15 +201,30 @@ def test_bm25_topk_is_take_ordered(spark):
 
 
 def test_tfidf_pairs_posting_join_is_hash(spark):
-    """The sparse TF-IDF pairwise dot must ride the token-keyed posting
-    join (hash join on tok) — never a cartesian over documents.  (The
-    1-row n_docs scalar legitimately cross-joins as a broadcast.)"""
-    df = QUERIES["tfidf_cosine_pairs"].spark(spark, SF_SMOKE)
+    """The sparse TF-IDF pairwise dot (large-vocab path, forced via
+    dense_max_vocab=0) must ride the token-keyed posting join (hash join
+    on tok) — never a cartesian over documents.  (The 1-row n_docs scalar
+    legitimately cross-joins as a broadcast.)"""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = tfidf_cosine_pairs(docs, threshold=0.5, dense_max_vocab=0)
     plan = plan_string(df)
     assert "CartesianProduct" not in plan, plan
     import re
 
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[tok", plan), plan
+
+
+def test_tfidf_pairs_dense_dispatch_no_pair_shuffle(spark):
+    """The catalog corpus has a bounded vocabulary, so the query must take
+    the dense-GEMM path: scoring is a mapInPandas over broadcast state —
+    no join and no aggregate anywhere downstream of the matrix fold."""
+    df = QUERIES["tfidf_cosine_pairs"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
