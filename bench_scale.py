@@ -483,6 +483,38 @@ def main() -> None:
         "edges_per_sec_per_iter": int(3 * n_edges / dt),
     }
 
+    # ---- LPA superstep throughput over the same synthetic edge list -----
+    # Community detection's per-iteration cost: one edges⋈labels join +
+    # a (node,label) weight sum + per-node argmax — all map-side combined.
+    from indicators_spark.functions.graph import label_propagation
+
+    t0 = time.time()
+    label_propagation(edges, iters=3).agg(
+        F.count_distinct("label").alias("c")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["lpa_3_supersteps"] = {
+        "sec": round(dt, 2),
+        # undirected: each superstep scans the reversed union (2·|E|)
+        "edges_per_sec_per_iter": int(3 * 2 * n_edges / dt),
+    }
+
+    # ---- MinHash LSH band join throughput (the dedup candidate path) ----
+    # shingle → 64-perm minhash → 8-band buckets → bucket self-join.  The
+    # corpus is the same synthetic doc set; measured end-to-end to the
+    # candidate-pair count — the number that decides billion-doc dedup.
+    from indicators_spark.functions.dedup import minhash_lsh_candidates
+
+    t0 = time.time()
+    minhash_lsh_candidates(docs).agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["minhash_lsh_band_join"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

@@ -83,6 +83,11 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        # contrib is ≤|V| rows; under broadcast_ranks (the |V|≪|E| regime)
+        # it broadcasts for the same reason the rank table does, removing
+        # the nodes-side shuffle from every superstep
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(

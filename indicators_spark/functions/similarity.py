@@ -599,9 +599,14 @@ def tfidf_cosine_pairs(
     wn = weighted.join(norms, "_id").select(
         "_id", "tok", (F.col("w") / F.col("nn")).alias("wn")
     )
-    # dispatch: one skinny agg over the weight stream (tokenization runs
-    # once extra here; at scale this would be a catalog/vocab statistic)
-    n_vocab, n_ids = weighted.agg(
+    # The normalized weight stream is read 2-3× downstream (dispatch agg,
+    # then either the a/b self-join sides or the dense matrix fold) and
+    # its lineage is the full tokenize → tf → df → norm pipeline — persist
+    # it so that pipeline runs once (spills to disk at corpus scale).
+    wn = wn.persist()
+    # dispatch: one skinny agg (materializes the cache; at scale these two
+    # numbers would come from a catalog/vocab statistic instead)
+    n_vocab, n_ids = wn.agg(
         F.count_distinct("tok"), F.count_distinct("_id")
     ).first()
     if n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:

@@ -17,6 +17,12 @@ def get_spark(app_name: str = "indicators_spark", cores: int | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(max(cores, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce the output partitioning of persisted plans too
+        # (off by default) — a cached skinny aggregate otherwise pins the
+        # pre-AQE reducer count and every downstream scan pays one task
+        # per empty partition (hit by the iterative graph kernels, whose
+        # persisted edge lists are read once per superstep)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
