@@ -216,3 +216,35 @@ def test_knn_ivf_requires_dense_centroid_ids(spark):
     )
     with _pytest.raises(ValueError, match="centroid"):
         knn_ivf(df, df, n_centroids=4)
+
+
+def test_tfidf_dense_degenerate_corpora(spark):
+    """The dense-GEMM dispatch must survive the empty-matrix corners: a
+    corpus whose every token has idf=0 (weight stream is empty) and a
+    single-document corpus (no pairs)."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+
+    same = spark.createDataFrame(
+        [(i, "same") for i in range(4)], "doc_id long, text string"
+    )
+    assert tfidf_cosine_pairs(same, 0.1).collect() == []
+    one = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    assert tfidf_cosine_pairs(one, 0.1).collect() == []
+
+
+def test_semantic_dedup_zero_norm_vector_kept(spark):
+    """A zero vector's cosine is 0/0 → NaN, which never clears the
+    threshold — it must be KEPT (the join form's nullif→NULL filter drop,
+    replicated by the Arrow kernel), while genuine near-dups still drop."""
+    from indicators_spark.functions.similarity import semantic_dedup
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(vecs, threshold=0.9, n_centroids=1).collect()
+    )
+    assert kept == [0, 1]
