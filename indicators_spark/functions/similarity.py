@@ -605,11 +605,14 @@ def tfidf_cosine_pairs(
     # it so that pipeline runs once (spills to disk at corpus scale).
     wn = wn.persist()
     # dispatch: one skinny agg (materializes the cache; at scale these two
-    # numbers would come from a catalog/vocab statistic instead)
+    # numbers would come from a catalog/vocab statistic instead).  The
+    # dense kernel ships ids as int64, so non-integral id types always
+    # take the sparse join (which only needs an orderable id).
+    integral_ids = dict(docs.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     n_vocab, n_ids = wn.agg(
         F.count_distinct("tok"), F.count_distinct("_id")
     ).first()
-    if n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:
+    if integral_ids and n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:
         return _tfidf_pairs_dense(wn, threshold)
     a = wn.alias("a")
     b = wn.alias("b")

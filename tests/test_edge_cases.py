@@ -248,3 +248,21 @@ def test_semantic_dedup_zero_norm_vector_kept(spark):
         for r in semantic_dedup(vecs, threshold=0.9, n_centroids=1).collect()
     )
     assert kept == [0, 1]
+
+
+def test_tfidf_string_ids_take_sparse_path(spark):
+    """Non-integral doc ids can't ride the dense kernel's int64 id array —
+    the dispatch must fall back to the sparse posting join and still
+    produce correct pairs."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z"), ("c", "p q r")],
+        "doc_id string, text string",
+    )
+    pairs = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, 0.5).collect()
+    }
+    assert set(pairs) == {("a", "b")}
+    assert abs(pairs[("a", "b")] - 1.0) < 1e-12
