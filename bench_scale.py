@@ -500,9 +500,10 @@ def main() -> None:
     }
 
     # ---- MinHash LSH band join throughput (the dedup candidate path) ----
-    # shingle → 64-perm minhash → 8-band buckets → bucket self-join.  The
-    # corpus is the same synthetic doc set; measured end-to-end to the
-    # candidate-pair count — the number that decides billion-doc dedup.
+    # shingle → k=8 minhash signature → 4 bands of 2 rows → bucket
+    # self-join (the library defaults).  The corpus is the same synthetic
+    # doc set; measured end-to-end to the candidate-pair count — the
+    # number that decides billion-doc dedup.
     from indicators_spark.functions.dedup import minhash_lsh_candidates
 
     t0 = time.time()

@@ -64,6 +64,9 @@ def pagerank(
     # be a fact-scale join (e.g. a trade graph derived from
     # lineitem⋈orders), so persist it — otherwise every iteration replays
     # the whole derivation.  nodes.count() below materializes the cache.
+    # The returned plan references the cache, so it stays pinned for the
+    # plan's lifetime (LRU-evictable; callers looping many graphs can
+    # df.unpersist() after consuming the result).
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -522,6 +522,10 @@ def quantize_embeddings_int8(
 TFIDF_DENSE_MAX_VOCAB = 4096
 TFIDF_DENSE_MAX_CELLS = 8_000_000
 
+#: Per-task score-matrix bound for the dense scorer (cells of float64):
+#: 8M cells = 64 MB per materialized chunk, whatever |docs| is.
+_DENSE_CHUNK_CELLS = 8_000_000
+
 
 def tfidf_cosine_pairs(
     docs: DataFrame,
@@ -599,21 +603,27 @@ def tfidf_cosine_pairs(
     wn = weighted.join(norms, "_id").select(
         "_id", "tok", (F.col("w") / F.col("nn")).alias("wn")
     )
-    # The normalized weight stream is read 2-3× downstream (dispatch agg,
-    # then either the a/b self-join sides or the dense matrix fold) and
-    # its lineage is the full tokenize → tf → df → norm pipeline — persist
-    # it so that pipeline runs once (spills to disk at corpus scale).
-    wn = wn.persist()
-    # dispatch: one skinny agg (materializes the cache; at scale these two
-    # numbers would come from a catalog/vocab statistic instead).  The
-    # dense kernel ships ids as int64, so non-integral id types always
-    # take the sparse join (which only needs an orderable id).
+    # The dense kernel ships ids as int64, so non-integral id types (or a
+    # disabled dispatch) always take the sparse join, which only needs an
+    # orderable id — and in that statically-decided case we skip the
+    # dispatch agg entirely: the call stays a pure plan build (no eager
+    # job), exactly the pre-dispatch behavior.
     integral_ids = dict(docs.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
-    n_vocab, n_ids = wn.agg(
-        F.count_distinct("tok"), F.count_distinct("_id")
-    ).first()
-    if integral_ids and n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:
-        return _tfidf_pairs_dense(wn, threshold)
+    if integral_ids and dense_max_vocab > 0 and dense_max_cells > 0:
+        # Persist the normalized weight stream: it is read by the dispatch
+        # agg and again by whichever scoring path wins, and its lineage is
+        # the full tokenize → tf → df → norm pipeline.  The dense path
+        # releases it as soon as the matrix is folded; the sparse path's
+        # returned plan still references it, so there it stays pinned for
+        # the plan's lifetime (LRU-evictable, dropped at session close).
+        wn = wn.persist()
+        n_vocab, n_ids = wn.agg(
+            F.count_distinct("tok"), F.count_distinct("_id")
+        ).first()
+        if n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:
+            out = _tfidf_pairs_dense(wn, threshold)
+            wn.unpersist()
+            return out
     a = wn.alias("a")
     b = wn.alias("b")
     pairs = (
@@ -634,8 +644,22 @@ def _tfidf_pairs_dense(wn: DataFrame, threshold: float) -> DataFrame:
     the driver as one Arrow (id, tok, wn) fold (≤ dense_max_cells
     nonzeros by the dispatch bound), broadcasts, and each ``mapInPandas``
     task scores a row block against the whole matrix with one float64
-    GEMM, emitting only (ia < ib, cos ≥ threshold) survivors — the pair
-    stream never hits a shuffle at all."""
+    GEMM, emitting only (ia < ib, shared-token, cos ≥ threshold)
+    survivors — the pair stream never hits a shuffle at all.
+
+    The extra ``cos > 0`` mask preserves EXACT sparse-join semantics at
+    any threshold: a posting join emits a pair only when the docs share a
+    token, and with strictly positive kept weights shared tokens imply
+    cos > 0 while disjoint vocabularies give exactly 0.0 — so a
+    threshold ≤ 0 must not surface the structural zeros the sparse form
+    (and the SQL oracle) cannot produce.
+
+    Per-task memory is bounded independently of the Arrow batch size: the
+    score matrix materializes in row chunks of ≤ ``_DENSE_CHUNK_CELLS``
+    cells (64 MB float64), because the dispatch bound caps |docs|·|vocab|
+    but NOT |docs|² — a 250k-doc corpus with a 31-token vocabulary passes
+    the dispatch, and an unchunked 10k-row batch would hold a 10k×250k
+    (20 GB) grid."""
     import numpy as np
     import pandas as pd
 
@@ -651,15 +675,23 @@ def _tfidf_pairs_dense(wn: DataFrame, threshold: float) -> DataFrame:
 
     def score(batches):
         m, all_ids = b_mat.value, b_ids.value
+        n = len(all_ids)
+        chunk = max(1, _DENSE_CHUNK_CELLS // max(n, 1))
         for pdf in batches:
             bi = pdf["_i"].to_numpy()
-            scores = m[bi] @ m.T  # (block × n)
-            my_ids = all_ids[bi]
-            keep = (scores >= threshold) & (my_ids[:, None] < all_ids[None, :])
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"ia": my_ids[r], "ib": all_ids[c], "cos": scores[r, c]}
-            )
+            for s in range(0, len(bi), chunk):
+                ci = bi[s : s + chunk]
+                scores = m[ci] @ m.T  # (chunk × n)
+                my_ids = all_ids[ci]
+                keep = (
+                    (scores >= threshold)
+                    & (scores > 0)
+                    & (my_ids[:, None] < all_ids[None, :])
+                )
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"ia": my_ids[r], "ib": all_ids[c], "cos": scores[r, c]}
+                )
 
     blocks = spark.range(len(ids)).select(F.col("id").cast("long").alias("_i"))
     par = spark.sparkContext.defaultParallelism
@@ -730,12 +762,15 @@ def _semdedup_assign_arrow(
     """Nearest-centroid cell assignment for :func:`semantic_dedup` as one
     Arrow map stage — fold-exact (:func:`_np_fold_cos`) and therefore
     bit-identical to the former literal-expression
-    ``array_max(struct(cos, -cid))`` argmax (first-occurrence
-    ``np.argmax`` over cid-sorted centroids = the lowest-cid tie-break),
-    but vectorized C instead of k·dim interpreted HOF lambda steps per
-    row, and a compact plan node instead of k·dim literals (cf.
-    ``_pq_index_arrow``).  Still zero shuffle, zero row amplification;
-    the vectors ride the Arrow batch through to the cell stage."""
+    ``array_max(struct(cos, -cid))`` argmax for well-formed (nonzero-norm)
+    inputs (first-occurrence ``np.argmax`` over cid-sorted centroids = the
+    lowest-cid tie-break), but vectorized C instead of k·dim interpreted
+    HOF lambda steps per row, and a compact plan node instead of k·dim
+    literals (cf. ``_pq_index_arrow``).  Degenerate zero-norm inputs get
+    explicit semantics (see the NaN mask below) instead of inheriting an
+    engine's NaN-ordering accident.  Still zero shuffle, zero row
+    amplification; the vectors ride the Arrow batch through to the cell
+    stage."""
     import pandas as pd
 
     ordered = sorted(cents)
@@ -752,7 +787,15 @@ def _semdedup_assign_arrow(
                 continue
             x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
-                cell = cids[np.argmax(_np_fold_cos(x, cv), axis=1)]
+                grid = _np_fold_cos(x, cv)
+            # A zero-norm CENTROID yields a NaN column; np.argmax would
+            # route every vector there (NaN propagates as "max").  Mask
+            # NaN to -inf so a degenerate centroid never wins; a
+            # zero-norm VECTOR (all-NaN row → all -inf) then lands
+            # deterministically in the lowest-cid cell, where its NaN
+            # pair cosines never clear the threshold — it is always kept.
+            grid = np.where(np.isnan(grid), -np.inf, grid)
+            cell = cids[np.argmax(grid, axis=1)]
             yield pd.DataFrame(
                 {
                     "_id": pdf["_id"].to_numpy(),

@@ -270,9 +270,13 @@ def parquet_footer_stats(
             mn, mx = st.min, st.max
             if isinstance(mn, datetime.datetime):
                 # naive timestamp stats ≡ UTC under the engine's pinned
-                # session timezone
-                mn = calendar.timegm(mn.timetuple()) + mn.microsecond / 1e6
-                mx = calendar.timegm(mx.timetuple()) + mx.microsecond / 1e6
+                # session timezone.  Whole seconds only (timetuple drops
+                # the microsecond = floor): Spark's unix_timestamp()
+                # truncates to seconds, and floor is monotone, so
+                # floor(min/max stat) equals min/max of the per-row
+                # truncated values — including sub-second data.
+                mn = calendar.timegm(mn.timetuple())
+                mx = calendar.timegm(mx.timetuple())
             elif isinstance(mn, datetime.date):
                 epoch = datetime.date(1970, 1, 1)
                 mn = (mn - epoch).days * 86400.0

@@ -266,3 +266,47 @@ def test_tfidf_string_ids_take_sparse_path(spark):
     }
     assert set(pairs) == {("a", "b")}
     assert abs(pairs[("a", "b")] - 1.0) < 1e-12
+
+
+def test_semantic_dedup_zero_norm_centroid_never_wins(spark):
+    """A zero-norm CENTROID produces a NaN cosine column; the assignment
+    must mask it to -inf so no vector routes to the degenerate cell
+    (np.argmax would otherwise send EVERY vector there)."""
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # centroid 0
+            (1, [0.0, 0.0]),   # centroid 1: zero norm
+            (2, [1.0, 0.001]), # near-dup of 0 -> must drop (same cell as 0)
+            (3, [0.9, 0.0]),   # near-dup of 0 -> must drop
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(vecs, threshold=0.99, n_centroids=2).collect()
+    )
+    # if the NaN column won, 2 and 3 would land in cell 1 away from 0 and
+    # could never pair with it
+    assert kept == [0, 1]
+
+
+def test_tfidf_dense_threshold_zero_matches_sparse(spark):
+    """At threshold <= 0 the dense grid contains structural zeros for
+    disjoint-vocabulary pairs; those must NOT surface (the sparse posting
+    join and the SQL oracle only ever emit shared-token pairs)."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (1, "aa cc"), (2, "dd ee")],
+        "doc_id long, text string",
+    )
+    dense = {
+        (r["ia"], r["ib"]) for r in tfidf_cosine_pairs(docs, 0.0).collect()
+    }
+    sparse = {
+        (r["ia"], r["ib"])
+        for r in tfidf_cosine_pairs(docs, 0.0, dense_max_vocab=0).collect()
+    }
+    assert dense == sparse == {(0, 1)}  # doc 2 shares no token with anyone
