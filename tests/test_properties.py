@@ -226,3 +226,106 @@ def test_global_cum_sum_any_buckets(spark, n, buckets, gap):
     a = sorted((r["seq"], r["_cum_x"]) for r in out.collect())
     b = sorted((r["seq"], r["_cum_x"]) for r in ref.collect())
     assert a == b
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.0, 0.3, 0.7]),
+)
+@_settings
+def test_tfidf_dense_equals_sparse_random_corpora(spark, docs, threshold):
+    """Dispatch invariance: on ANY corpus the dense-GEMM and posting-join
+    scorers produce the same pair set and equal cosines (float
+    reassociation tolerance) — including corpora with duplicate docs,
+    idf-0 tokens, and disjoint vocabularies."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    dense = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(df, threshold).collect()
+    }
+    sparse = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(df, threshold, dense_max_vocab=0).collect()
+    }
+    assert dense.keys() == sparse.keys()
+    for k, v in dense.items():
+        assert math.isclose(v, sparse[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.5, 0.9, 0.999]),
+)
+@_settings
+def test_semantic_dedup_matches_bruteforce(spark, vecs, threshold):
+    """The Arrow cell kernel must agree with a direct numpy reference:
+    within each cell (nearest centroid by cosine, lowest-cid ties,
+    zero-norm centroids excluded), drop the higher id of every pair with
+    cos >= threshold; zero-norm vectors are never dropped."""
+    import numpy as np
+
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    n_cents = 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=threshold, n_centroids=n_cents).collect()
+    )
+
+    x = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    cents = x[: min(n_cents, len(vecs))]
+    cnorms = np.linalg.norm(cents, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        grid = (x @ cents.T) / (norms[:, None] * cnorms[None, :])
+    grid = np.where(np.isnan(grid), -np.inf, grid)
+    cell = np.argmax(grid, axis=1)
+    dropped = set()
+    for c in set(cell.tolist()):
+        ids = [i for i in range(len(vecs)) if cell[i] == c]
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if norms[a] == 0 or norms[b] == 0:
+                    continue
+                cos = float(x[a] @ x[b]) / (norms[a] * norms[b])
+                if cos >= threshold - 1e-12:
+                    dropped.add(b)
+    expect = sorted(set(range(len(vecs))) - dropped)
+    # borderline pairs (|cos - threshold| ~ float noise) may differ in
+    # fold order; tolerate only those
+    if kept != expect:
+        diff = set(kept) ^ set(expect)
+        for d in diff:
+            near = any(
+                norms[d] > 0 and norms[o] > 0
+                and abs(float(x[d] @ x[o]) / (norms[d] * norms[o]) - threshold) < 1e-9
+                for o in range(len(vecs))
+                if o != d
+            )
+            assert near, (kept, expect, d)
