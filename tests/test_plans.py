@@ -362,3 +362,20 @@ def test_covariance_partials_no_wide_shuffle(spark):
     plan = plan_string(df)
     assert exchange_count(plan) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_pagerank_supersteps_read_cached_edges(spark):
+    """The iterative graph kernels persist their normalized edge list; the
+    final plan must actually READ that cache (InMemoryTableScan) in every
+    superstep instead of replaying the edge derivation — and under
+    broadcast_ranks the per-iteration rank joins must all be broadcasts."""
+    from indicators_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 3.0)],
+        "src string, dst string, w double",
+    )
+    ranks = pagerank(edges, iters=3, weight="w")
+    plan = plan_string(ranks)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
