@@ -2,7 +2,8 @@
 
 Structured Streaming delivers ``(batch_df, epoch_id)`` to ``foreachBatch``
 at-least-once: after a failure the SAME epoch can be replayed.  Exactly-once
-therefore means *idempotent writes keyed by epoch_id*.  Two standard shapes:
+therefore means *idempotent writes keyed by the epoch identity*.  Two
+standard shapes:
 
 * :class:`ExactlyOnceParquetSink` — the transactional-directory (commit
   ledger) pattern: each epoch's data lands in its own directory, then the
@@ -17,6 +18,17 @@ therefore means *idempotent writes keyed by epoch_id*.  Two standard shapes:
   through ``merge_upsert`` (latest-wins by key+version) makes replays
   no-ops without any ledger, at the cost of rewriting the keyed store.
 
+**Epoch ids are scoped to one query checkpoint.**  A restarted query with
+a fresh/lost checkpoint restarts epochs at 0, and a ledger keyed on epoch
+alone would then silently skip REAL new data (the Delta ``txn`` problem —
+Delta keys its idempotence ledger by ``(appId, version)`` for exactly this
+reason).  Both sinks therefore take a ``run_id``: pass a stable identity
+for the checkpointed stream (the checkpoint path is the natural choice).
+One ledger/pointer namespace exists per ``run_id``; a new ``run_id`` never
+skips.  The default (single implicit run) is only safe while one
+checkpointed query ever writes to the sink directory — the tests'
+bounded-backfill shape.
+
 Scale: the ledger write is a driver-side O(1) rename per epoch; data
 writes are fully parallel. Reads list the ledger (tiny) and plan a normal
 multi-path parquet scan over committed epochs only, so partition pruning
@@ -26,8 +38,16 @@ and pushdown behave exactly as for any static table.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _run_ns(run_id: str | None) -> str:
+    """Filesystem-safe namespace for a run identity."""
+    if run_id is None:
+        return "run-default"
+    return "run-" + re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)
 
 
 class ExactlyOnceParquetSink:
@@ -35,30 +55,54 @@ class ExactlyOnceParquetSink:
 
     Usage::
 
-        sink = ExactlyOnceParquetSink("/data/out")
+        sink = ExactlyOnceParquetSink("/data/out", run_id=checkpoint_dir)
         stream.writeStream.foreachBatch(sink).start()
         ...
         committed = sink.read(spark)   # sees only committed epochs
+
+    ``run_id`` scopes the commit ledger to one query checkpoint (see the
+    module docstring); epochs of different runs commit side by side and
+    ``read`` sees the union.
     """
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, run_id: str | None = None) -> None:
         self.out_dir = out_dir
+        self.run_ns = _run_ns(run_id)
         self.data_dir = os.path.join(out_dir, "data")
-        self.commit_dir = os.path.join(out_dir, "_commits")
+        self.commit_dir = os.path.join(out_dir, "_commits", self.run_ns)
         os.makedirs(self.commit_dir, exist_ok=True)
 
     def _commit_path(self, epoch_id: int) -> str:
         return os.path.join(self.commit_dir, str(epoch_id))
 
     def committed_epochs(self) -> list[int]:
+        """Committed epoch ids of THIS run."""
         return sorted(
             int(f) for f in os.listdir(self.commit_dir) if f.isdigit()
         )
 
+    def _committed_paths(self) -> list[str]:
+        ledger_root = os.path.join(self.out_dir, "_commits")
+        paths = []
+        for ns in sorted(os.listdir(ledger_root)):
+            ns_dir = os.path.join(ledger_root, ns)
+            if not os.path.isdir(ns_dir):
+                continue
+            for f in sorted(os.listdir(ns_dir), key=lambda s: (len(s), s)):
+                if f.isdigit():
+                    paths.append(
+                        os.path.join(self.data_dir, ns, f"epoch={f}")
+                    )
+        return paths
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if os.path.exists(self._commit_path(epoch_id)):
             return  # replayed epoch: already committed, exactly-once skip
-        path = os.path.join(self.data_dir, f"epoch={epoch_id}")
+        if batch_df.isEmpty():
+            # nothing to write; committing would create a footer-less
+            # directory that breaks schema inference on read
+            return
+        path = os.path.join(self.data_dir, self.run_ns, f"epoch={epoch_id}")
         # overwrite: a half-written directory from a pre-commit crash is
         # harmless (not in the ledger) and replaced wholesale on replay
         batch_df.write.mode("overwrite").parquet(path)
@@ -70,11 +114,9 @@ class ExactlyOnceParquetSink:
         os.rename(tmp, self._commit_path(epoch_id))
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Read ONLY committed epochs (ledger-trusting reader)."""
-        paths = [
-            os.path.join(self.data_dir, f"epoch={e}")
-            for e in self.committed_epochs()
-        ]
+        """Read ONLY committed epochs (ledger-trusting reader), across
+        every run that has written to this sink directory."""
+        paths = self._committed_paths()
         if not paths:
             raise ValueError("no committed epochs yet")
         return spark.read.parquet(*paths)
@@ -89,57 +131,61 @@ class UpsertParquetSink:
     key), writes a NEW version directory, then flips a ``_latest`` pointer
     file by atomic rename — never a driver-side collect, never overwriting
     a directory being read.  Idempotent under epoch replay twice over: a
-    replayed epoch is skipped by the pointer (named by epoch), and even a
-    re-merge of the same rows is a no-op because latest-wins by
-    (key, order_col) is idempotent.  This is exactly Delta/Iceberg's MERGE
-    commit protocol minus the manifest format.
+    replayed epoch of the SAME run is skipped by the pointer (which records
+    ``run_id`` + epoch), and even a re-merge of the same rows is a no-op
+    because latest-wins by (key, order_col) is idempotent.  A NEW run
+    (fresh checkpoint, epochs restarting at 0) is never skipped — its first
+    epoch merges into the existing store.  This is exactly Delta/Iceberg's
+    MERGE commit protocol (including the ``txn``-style run scoping) minus
+    the manifest format.
     """
 
-    def __init__(self, store_dir: str, key: str, order_col: str) -> None:
+    def __init__(
+        self, store_dir: str, key: str, order_col: str,
+        run_id: str | None = None,
+    ) -> None:
         self.store_dir = store_dir
         self.key = key
         self.order_col = order_col
+        self.run_ns = _run_ns(run_id)
         os.makedirs(store_dir, exist_ok=True)
         self._pointer = os.path.join(store_dir, "_latest")
+        self._seq = 0  # monotone version counter within this process
 
-    def _current_version(self) -> str | None:
+    def _current(self) -> tuple[str, str, int] | None:
+        """(version_dir, run_ns, epoch) from the pointer, or None."""
         if not os.path.exists(self._pointer):
             return None
         with open(self._pointer) as f:
-            return f.read().strip()
+            body = f.read().strip()
+        version, run_ns, epoch = body.split("\n")
+        return version, run_ns, int(epoch)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.merge import merge_upsert
 
-        version = f"v{epoch_id}"
-        cur = self._current_version()
-        if cur is not None and int(cur[1:]) >= epoch_id:
-            return  # replayed epoch already merged: exactly-once skip
+        cur = self._current()
+        if cur is not None and cur[1] == self.run_ns and cur[2] >= epoch_id:
+            return  # replayed epoch of this run: exactly-once skip
+        if batch_df.isEmpty():
+            return  # empty trigger: skip the full copy-on-write pass
         spark = batch_df.sparkSession
         if cur is None:
-            # First epoch still applies latest-wins WITHIN the batch: an
-            # intra-batch duplicate key must not seed the store with two
-            # rows (the per-key contract holds from epoch 0).
-            from pyspark.sql import Window as _W
-            from pyspark.sql import functions as _F
-
-            w = _W.partitionBy(self.key).orderBy(
-                _F.col(self.order_col).desc()
-            )
-            merged = (
-                batch_df.withColumn("_rn", _F.row_number().over(w))
-                .filter(_F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            # epoch 0 seeds through the SAME merge (latest-wins incl. the
+            # deterministic whole-row tie-break) against an empty target —
+            # one dedup semantics from the first epoch on
+            target = spark.createDataFrame([], batch_df.schema)
         else:
-            target = spark.read.parquet(os.path.join(self.store_dir, cur))
-            merged = merge_upsert(target, batch_df, self.key, self.order_col)
+            target = spark.read.parquet(os.path.join(self.store_dir, cur[0]))
+        merged = merge_upsert(target, batch_df, self.key, self.order_col)
+        self._seq = (cur and int(cur[0].split("-")[1]) or self._seq) + 1
+        version = f"v-{self._seq}-{self.run_ns}-{epoch_id}"
         merged.write.mode("overwrite").parquet(
             os.path.join(self.store_dir, version)
         )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
-            f.write(version)
+            f.write(f"{version}\n{self.run_ns}\n{epoch_id}")
         os.rename(tmp, self._pointer)
         # Vacuum: superseded versions are dead after the pointer flip;
         # retain ONE prior version for readers that resolved the pointer
@@ -147,17 +193,13 @@ class UpsertParquetSink:
         # copy-on-write store grows by a full copy per epoch).
         import shutil
 
-        keep = {version, cur} if cur is not None else {version}
+        keep = {version} | ({cur[0]} if cur is not None else set())
         for d in os.listdir(self.store_dir):
-            if (
-                d.startswith("v")
-                and d[1:].isdigit()
-                and d not in keep
-            ):
+            if d.startswith("v-") and d not in keep:
                 shutil.rmtree(os.path.join(self.store_dir, d), ignore_errors=True)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        cur = self._current_version()
+        cur = self._current()
         if cur is None:
             raise ValueError("store is empty")
-        return spark.read.parquet(os.path.join(self.store_dir, cur))
+        return spark.read.parquet(os.path.join(self.store_dir, cur[0]))

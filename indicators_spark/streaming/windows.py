@@ -11,9 +11,10 @@ Scale notes: watermark + append mode bounds state; tumbling/session state
 is per (window, key) and evicted past the watermark.  The stateful
 indicator keeps O(1) state per symbol (the EWM recurrence carry), which is
 exactly the streaming form of the engine's batch EWM — the linear
-recurrence composes across micro-batches by carrying (ema, n,
-last_us) — the event-time frontier drops cross-batch stragglers, the
-same late-data policy a watermarked aggregate applies.
+recurrence composes across micro-batches by carrying (ema, n, last_ns,
+last_eid) — the (event-time, event-id) frontier drops only true
+cross-batch stragglers (rows at or before what the recurrence already
+consumed); equal-timestamp on-time rows in a later batch survive.
 """
 
 from __future__ import annotations
@@ -67,52 +68,73 @@ def sessionized_counts_stream(
     )
 
 
-_STATE_SCHEMA = "ema double, n long, last_us long"
+#: Frontier carry: event-time NANOSECONDS (pinned explicitly in
+#: :func:`_ema_advance` — pandas' default datetime64[ns] int view happens
+#: to be ns today, but the unit must not float with a pandas/Arrow
+#: resolution change while checkpointed state is in flight) plus the
+#: event_id tie-break, so an on-time event that shares its timestamp with
+#: the frontier but arrives in a later micro-batch is NOT dropped.
+_STATE_SCHEMA = "ema double, n long, last_ns long, last_eid long"
 _OUT_SCHEMA = "event_type string, ts timestamp, value double, ema double"
+
+#: int64 min: "no frontier yet" sentinel (below any representable ns/id).
+_FRONTIER_INIT = -(1 << 63)
+
+
+def _ema_advance(
+    pdf: pd.DataFrame, carry: tuple, alpha: float = 0.1
+) -> tuple[pd.DataFrame | None, tuple]:
+    """The shared EMA recurrence body for BOTH stateful engines (the
+    GroupState fn and the transformWithState processor wrap this — one
+    implementation, one set of frontier semantics).
+
+    Sorts the micro-batch by (ts, event_id), drops only rows at or before
+    the carried (last_ns, last_eid) frontier — i.e. rows the recurrence
+    has already consumed or true cross-batch stragglers; an equal-ts
+    higher-id row in a later batch is on time and survives — then folds
+    the recurrence.  Returns ``(output or None, new_carry)``."""
+    ema, n, last_ns, last_eid = carry
+    if not len(pdf):
+        return None, carry
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+    eid = pdf["event_id"].to_numpy()
+    keep = (ns > last_ns) | ((ns == last_ns) & (eid > last_eid))
+    pdf = pdf[keep]
+    ns, eid = ns[keep], eid[keep]
+    emas = []
+    for x in pdf["value"]:
+        ema = x if n == 0 else (1 - alpha) * ema + alpha * x
+        n += 1
+        emas.append(ema)
+    if len(ns):
+        last_ns, last_eid = int(ns[-1]), int(eid[-1])
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"],
+            "ts": pdf["ts"],
+            "value": pdf["value"],
+            "ema": emas,
+        }
+    )
+    return out, (ema, n, last_ns, last_eid)
 
 
 def _ema_state_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-symbol running EMA across micro-batches: the O(1) recurrence
-    carry (ema, count) lives in GroupState — the streaming twin of the
-    batch applyInPandas EWM (ewm.py)."""
-    alpha = 0.1
-    if state.exists:
-        ema, n, last_us = state.get
-    else:
-        ema, n, last_us = 0.0, 0, -1
+    carry (ema, count, frontier) lives in GroupState — the streaming twin
+    of the batch applyInPandas EWM (ewm.py)."""
+    carry = state.get if state.exists else (0.0, 0, _FRONTIER_INIT, _FRONTIER_INIT)
     # One key's micro-batch data arrives as MULTIPLE Arrow chunks in
     # arbitrary order — concatenate and sort ONCE (per-chunk sorting
     # would feed the recurrence out of time order past ~10k rows/key).
     pdf = pd.concat(list(pdfs), ignore_index=True)
-    if len(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"])
-        # Cross-batch stragglers (ts at or before the carried frontier)
-        # would rewrite history the carry can't replay — drop them, the
-        # same late-data policy a watermarked aggregate applies.
-        us = pdf["ts"].astype("int64")
-        keep = us > last_us
-        pdf = pdf[keep]
-        us = us[keep]
-        emas = []
-        for x in pdf["value"]:
-            ema = x if n == 0 else (1 - alpha) * ema + alpha * x
-            n += 1
-            emas.append(ema)
-        if len(us):
-            last_us = int(us.iloc[-1])
-        state.update((ema, n, last_us))
-        yield pd.DataFrame(
-            {
-                "event_type": pdf["event_type"],
-                "ts": pdf["ts"],
-                "value": pdf["value"],
-                "ema": emas,
-            }
-        )
-    else:
-        state.update((ema, n, last_us))
+    out, carry = _ema_advance(pdf, carry)
+    state.update(carry)
+    if out is not None:
+        yield out
 
 
 def stateful_running_indicators(events: DataFrame) -> DataFrame:
@@ -137,32 +159,13 @@ class _RunningEmaProcessor:
         self._carry = handle.getValueState("carry", _STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
-        alpha = 0.1
         got = self._carry.get() if self._carry.exists() else None
-        ema, n, last_us = got if got is not None else (0.0, 0, -1)
+        carry = got if got is not None else (0.0, 0, _FRONTIER_INIT, _FRONTIER_INIT)
         pdf = pd.concat(list(rows), ignore_index=True)
-        if len(pdf):
-            pdf = pdf.sort_values(["ts", "event_id"])
-            us = pdf["ts"].astype("int64")
-            keep = us > last_us
-            pdf = pdf[keep]
-            us = us[keep]
-            emas = []
-            for x in pdf["value"]:
-                ema = x if n == 0 else (1 - alpha) * ema + alpha * x
-                n += 1
-                emas.append(ema)
-            if len(us):
-                last_us = int(us.iloc[-1])
-            yield pd.DataFrame(
-                {
-                    "event_type": pdf["event_type"],
-                    "ts": pdf["ts"],
-                    "value": pdf["value"],
-                    "ema": emas,
-                }
-            )
-        self._carry.update((ema, n, last_us))
+        out, carry = _ema_advance(pdf, carry)
+        self._carry.update(carry)
+        if out is not None:
+            yield out
 
     def handleInitialState(self, key, initialState, timer_values):  # noqa: ANN001
         pass
@@ -279,16 +282,28 @@ def dedup_stream_against_corpus(
     per distinct fingerprint forever — acceptable only for bounded
     backfills.  ``broadcast=False`` for fingerprint tables too big to
     broadcast (pre-bucket them on the fingerprint instead)."""
-    fp = doc_stream.withColumn("_fp", F.md5(F.col(text_col)))
-    corpus_side = corpus_fps.select(F.col(fp_col).alias("_fp"))
+    # The output carries the computed fingerprint as ``fp_col``; a stream
+    # that already has a column of that name would end up with two — an
+    # AMBIGUOUS_REFERENCE trap downstream — so reject it up front.
+    if fp_col in doc_stream.columns:
+        raise ValueError(
+            f"dedup_stream_against_corpus: doc_stream already has a "
+            f"{fp_col!r} column — drop/rename it, or pass a different fp_col "
+            "for the computed fingerprint"
+        )
+    tmp = "_fp"
+    while tmp in doc_stream.columns:
+        tmp += "_"
+    fp = doc_stream.withColumn(tmp, F.md5(F.col(text_col)))
+    corpus_side = corpus_fps.select(F.col(fp_col).alias(tmp))
     fresh = fp.join(
         F.broadcast(corpus_side) if broadcast else corpus_side,
-        "_fp",
+        tmp,
         "left_anti",
     )
     if ts_col is not None:
         fresh = fresh.withWatermark(ts_col, watermark)
-        deduped = fresh.dropDuplicatesWithinWatermark(["_fp"])
+        deduped = fresh.dropDuplicatesWithinWatermark([tmp])
     else:
-        deduped = fresh.dropDuplicates(["_fp"])
-    return deduped.withColumnRenamed("_fp", "fp")
+        deduped = fresh.dropDuplicates([tmp])
+    return deduped.withColumnRenamed(tmp, fp_col)

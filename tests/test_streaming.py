@@ -387,3 +387,110 @@ def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
     batch_fps = {r.fp for r in kept.select(F.md5("text").alias("fp")).collect()}
     assert got_fps == batch_fps
     assert len(got_fps) > 0
+
+
+def test_ema_frontier_keeps_equal_timestamp_later_batch(spark):
+    """An on-time event that shares its timestamp with the carried
+    frontier but arrives in the NEXT micro-batch must be processed, not
+    silently dropped (the frontier tie-breaks on event_id)."""
+    import pandas as pd
+
+    from indicators_spark.streaming.windows import _FRONTIER_INIT, _ema_advance
+
+    t = pd.Timestamp("2024-01-01 10:00:00")
+    batch1 = pd.DataFrame(
+        {"event_id": [7], "ts": [t], "event_type": ["x"], "value": [10.0]}
+    )
+    out1, carry = _ema_advance(batch1, (0.0, 0, _FRONTIER_INIT, _FRONTIER_INIT))
+    assert len(out1) == 1 and carry[1] == 1
+    batch2 = pd.DataFrame(
+        {"event_id": [8], "ts": [t], "event_type": ["x"], "value": [20.0]}
+    )
+    out2, carry = _ema_advance(batch2, carry)
+    assert len(out2) == 1  # equal ts, higher id: on time
+    assert carry[1] == 2
+    assert out2["ema"].iloc[0] == 0.9 * 10.0 + 0.1 * 20.0
+    # a true straggler (same (ts, id) replayed, or lower id) IS dropped
+    out3, carry3 = _ema_advance(batch2, carry)
+    assert len(out3) == 0 and carry3 == carry
+
+
+def test_sinks_new_run_restarting_epochs_not_skipped(spark, tmp_path):
+    """Epoch ids are checkpoint-scoped: a NEW run whose epochs restart at
+    0 must not be mistaken for a replay of the old run's epoch 0 (the
+    silent-data-loss mode of an epoch-only ledger)."""
+    from indicators_spark.streaming import ExactlyOnceParquetSink, UpsertParquetSink
+
+    df1 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    df2 = spark.createDataFrame([(2, 20.0)], "k long, v double")
+
+    out = str(tmp_path / "eo")
+    ExactlyOnceParquetSink(out, run_id="ckpt-A")(df1, 0)
+    ExactlyOnceParquetSink(out, run_id="ckpt-B")(df2, 0)  # new checkpoint
+    got = {
+        (r["k"], r["v"])
+        for r in ExactlyOnceParquetSink(out, run_id="ckpt-B").read(spark).collect()
+    }
+    assert got == {(1, 10.0), (2, 20.0)}
+    # replay of the SAME run's epoch is still skipped
+    ExactlyOnceParquetSink(out, run_id="ckpt-B")(df2, 0)
+    assert len(ExactlyOnceParquetSink(out, run_id="ckpt-B").read(spark).collect()) == 2
+
+    store = str(tmp_path / "up")
+    UpsertParquetSink(store, key="k", order_col="v", run_id="ckpt-A")(df1, 0)
+    sink_b = UpsertParquetSink(store, key="k", order_col="v", run_id="ckpt-B")
+    sink_b(df2, 0)
+    got = {(r["k"], r["v"]) for r in sink_b.read(spark).collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+    # same-run replay is a no-op
+    sink_b(df2, 0)
+    assert len(sink_b.read(spark).collect()) == 2
+
+
+def test_sinks_skip_empty_batches(spark, tmp_path):
+    """Empty triggers must not commit footer-less epoch dirs or pay a full
+    copy-on-write pass."""
+    from indicators_spark.streaming import ExactlyOnceParquetSink, UpsertParquetSink
+
+    empty = spark.createDataFrame([], "k long, v double")
+    data = spark.createDataFrame([(1, 1.0)], "k long, v double")
+
+    eo = ExactlyOnceParquetSink(str(tmp_path / "eo"))
+    eo(empty, 0)
+    assert eo.committed_epochs() == []
+    eo(data, 1)
+    assert eo.committed_epochs() == [1]
+    assert eo.read(spark).count() == 1
+
+    up = UpsertParquetSink(str(tmp_path / "up"), key="k", order_col="v")
+    up(empty, 0)
+    up(data, 1)
+    assert up.read(spark).count() == 1
+
+
+def test_upsert_sink_first_epoch_deterministic_tiebreak(spark, tmp_path):
+    """Epoch 0 must resolve duplicate (key, order_col) rows with
+    merge_upsert's deterministic whole-row tie-break, so a crash-replay of
+    the first epoch stores the identical survivor."""
+    from indicators_spark.streaming import UpsertParquetSink
+
+    dup = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 1.0, "b")], "k long, v double, s string"
+    )
+    rows = []
+    for attempt in range(2):
+        store = str(tmp_path / f"s{attempt}")
+        sink = UpsertParquetSink(store, key="k", order_col="v")
+        sink(dup, 0)
+        rows.append(tuple(sink.read(spark).collect()[0]))
+    assert rows[0] == rows[1]
+
+
+def test_dedup_stream_rejects_fp_collision(spark):
+    from indicators_spark.streaming.windows import dedup_stream_against_corpus
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "t", "x")], "doc_id long, text string, fp string")
+    corpus = spark.createDataFrame([("aa",)], "fp string")
+    with _pytest.raises(ValueError, match="already has"):
+        dedup_stream_against_corpus(docs, corpus)
