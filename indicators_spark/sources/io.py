@@ -74,10 +74,16 @@ def write_clustered(
     the PARTITION columns: a dynamic-partition write requires its own
     ordering on them, and satisfying it up front stops Spark from adding
     a second (not-guaranteed-stable) sort that would scramble the
-    in-file ``cluster_by`` order the row-group pruning depends on."""
+    in-file ``cluster_by`` order the row-group pruning depends on.
+
+    CSV writes carry a header — :func:`read_batch` reads CSV with
+    ``header=true``, and the pair must round-trip (a headerless file read
+    with header=true silently drops its first data row)."""
     if cluster_by or partition_by:
         df = df.sortWithinPartitions(*partition_by, *cluster_by)
     writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file is not None:
@@ -91,17 +97,33 @@ def compact(
     target_files: int,
     fmt: str = "parquet",
     cluster_by: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+    schema: StructType | None = None,
 ) -> int:
     """Rewrite a (possibly small-file-fragmented) dataset into
     ``target_files`` files, optionally re-clustered.  Returns the input
     file count.  Round-robin ``repartition`` spreads rows evenly regardless
     of input skew; the rewrite goes to a sibling ``_compacted`` directory
     so a failed job never destroys the source (rename/swap is the
-    caller's atomic-publish step, lake-layer specific)."""
-    df = spark.read.format(fmt).load(path)
+    caller's atomic-publish step, lake-layer specific).
+
+    Reads through :func:`read_batch`, so the module's no-inference
+    discipline holds here too: CSV/JSON compaction REQUIRES ``schema`` (a
+    bare load would silently rewrite every CSV column as string and drift
+    JSON timestamps).  A hive-partitioned source must pass the same
+    ``partition_by`` it was written with — Spark reads partition values
+    back as ordinary columns, so omitting it flattens the directory
+    layout readers prune on."""
+    df = read_batch(spark, path, fmt=fmt, schema=schema)
     n_in = len(df.inputFiles())
     out = df.repartition(target_files)
-    write_clustered(out, path + "_compacted", fmt=fmt, cluster_by=cluster_by)
+    write_clustered(
+        out,
+        path + "_compacted",
+        fmt=fmt,
+        cluster_by=cluster_by,
+        partition_by=partition_by,
+    )
     return n_in
 
 
@@ -137,11 +159,16 @@ def stream_source(
     """File-discovery streaming source: new files under ``path`` become
     micro-batches (the on-ramp for incremental pipelines; swap for Kafka in
     a deployment with a broker).  Schema is mandatory — streaming readers
-    cannot infer without an extra blocking listing."""
+    cannot infer without an extra blocking listing.  Same format contract
+    as :func:`read_batch` (validated formats; CSV streams read with
+    ``header=true`` so header lines never ingest as NULL-cast data rows)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; use one of {_FORMATS}")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
     return (
-        spark.readStream.format(fmt)
-        .schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(path)
     )
 
@@ -176,6 +203,11 @@ def zorder_key(
     max_bucket = (1 << bits) - 1
     parts = []
     for d, c in enumerate(cols):
+        if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None:
+            raise ValueError(
+                f"zorder_key: no non-null values in column {c!r} "
+                "(empty input?) — nothing to scale the Morton buckets by"
+            )
         mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
         span = (mx - mn) or 1.0
         bucket = F.least(
@@ -213,11 +245,14 @@ def write_zordered(
     Readers filtering on ANY z-ordered column then skip most files via
     footer min/max — the layout a 100 TB multi-tenant scan needs when no
     single partition column dominates the predicates."""
-    keyed = df.withColumn("_zkey", zorder_key(df, zorder_by, bits=bits))
+    zkey = "_zkey"
+    while zkey in df.columns:  # never clobber (then drop) a user column
+        zkey += "_"
+    keyed = df.withColumn(zkey, zorder_key(df, zorder_by, bits=bits))
     (
-        keyed.repartitionByRange(n_files, F.col("_zkey"))
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        keyed.repartitionByRange(n_files, F.col(zkey))
+        .sortWithinPartitions(zkey)
+        .drop(zkey)
         .write.format(fmt)
         .mode(mode)
         .save(path)

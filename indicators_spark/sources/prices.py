@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _events_has_nanos(path: str) -> bool:
+    """True iff the parquet file stores ``ts`` as TIMESTAMP(NANOS) —
+    footer-only probe, no Spark job, tolerant of a missing/odd file (the
+    read itself will surface real errors)."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The test parquet stores NAIVE timestamps (isAdjustedToUTC=false),
     # which Spark interprets in the *session* timezone; the DuckDB oracle
@@ -33,7 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64 under the legacy conf — handle both.  Ordering stays exact
         # via the event_id tie-breaker; oracle queries key rows on integer
         # ids, never on cross-engine timestamp repr.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        #
+        # The legacy conf is SESSION-WIDE and would change how every later
+        # parquet read in the session decodes TIMESTAMP(NANOS) columns, so
+        # probe the footer first (driver-side, a few KB) and flip it only
+        # when this file actually stores nanos.
+        if _events_has_nanos(f"{sf_dir}/events.parquet"):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = dict(ev.dtypes).get("ts")
         if ts_type == "bigint":

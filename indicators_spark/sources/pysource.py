@@ -127,8 +127,12 @@ class TicksStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.n_symbols = int(options.get("symbols", 8))
-        self.batch_rows = int(options.get("batchRows", 1000))
-        self.max_rows = int(options.get("maxRows", 10000))
+        # same clamps as the batch TicksReader: batchRows <= 0 would make
+        # read() return an empty batch with an UNCHANGED offset forever (a
+        # silently stalled stream), and a negative value would move the
+        # checkpointed offset BACKWARD — both violate offset monotonicity
+        self.batch_rows = max(1, int(options.get("batchRows", 1000)))
+        self.max_rows = max(0, int(options.get("maxRows", 10000)))
 
     def initialOffset(self) -> dict:
         return {"seq": 0}

@@ -262,3 +262,62 @@ def test_python_datasource_conjunctive_filters_and_degenerate_options(spark):
     assert df.filter(df.symbol == "S0").count() == 50
     empty = spark.read.format("synthetic_ticks").option("rows", 0).load()
     assert empty.count() == 0
+
+
+def test_write_read_csv_roundtrip_via_module(spark, tmp_path):
+    """write_clustered + read_batch must round-trip CSV exactly: the
+    writer emits the header the reader is contracted to skip (a headerless
+    file under header=true silently loses its first data row)."""
+    from indicators_spark.sources.io import read_batch, write_clustered
+
+    p = prices_from_events(spark, SF_SMOKE).filter(F.col("seq") < 50)
+    d = str(tmp_path / "csv_rt")
+    write_clustered(p, d, fmt="csv")
+    back = read_batch(spark, d, fmt="csv", schema=p.schema)
+    assert back.count() == 50
+    assert {r["seq"] for r in back.select("seq").collect()} == set(range(50))
+
+
+def test_compact_requires_schema_for_text_and_keeps_partitions(spark, tmp_path):
+    """compact reads through read_batch (schema discipline holds) and a
+    partitioned source keeps its directory layout when partition_by is
+    passed."""
+    import pytest as _pytest
+
+    from indicators_spark.sources.io import compact, read_batch, write_clustered
+
+    p = prices_from_events(spark, SF_SMOKE).filter(F.col("seq") < 60)
+    with _pytest.raises(ValueError, match="schema"):
+        compact(spark, str(tmp_path / "nope"), 2, fmt="csv")
+
+    src = str(tmp_path / "part")
+    write_clustered(p.repartition(4), src, partition_by=("symbol",))
+    compact(spark, src, 2, partition_by=("symbol",))
+    import os
+
+    out = src + "_compacted"
+    assert any(d.startswith("symbol=") for d in os.listdir(out)), os.listdir(out)
+    assert read_batch(spark, out).count() == 60
+
+
+def test_zorder_empty_input_clear_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from indicators_spark.sources.io import write_zordered
+
+    p = prices_from_events(spark, SF_SMOKE).filter(F.col("seq") < 0)
+    with _pytest.raises(ValueError, match="no non-null values"):
+        write_zordered(p, str(tmp_path / "z"), zorder_by=("seq", "close"))
+
+
+def test_ticks_stream_clamps_degenerate_batch_rows(spark):
+    """batchRows <= 0 must not stall the stream with a never-advancing
+    offset; the reader clamps to 1 like the batch reader."""
+    from indicators_spark.sources.pysource import TicksStreamReader
+
+    r = TicksStreamReader({"batchRows": "0", "maxRows": "3", "symbols": "2"})
+    rows, off = r.read({"seq": 0})
+    assert off == {"seq": 1} and len(list(rows)) == 1
+    r2 = TicksStreamReader({"batchRows": "-5", "maxRows": "3"})
+    _, off2 = r2.read({"seq": 0})
+    assert off2["seq"] > 0
