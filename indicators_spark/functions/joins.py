@@ -97,6 +97,10 @@ def range_join(
     shared = (set(points.columns) & set(intervals.columns)) - set(by)
     if shared:
         raise ValueError(f"non-key columns collide: {sorted(shared)}")
+    if not bucket_width > 0:
+        # floor(x/0) is NULL (non-ANSI) or DIVIDE_BY_ZERO (ANSI): either
+        # a silently-empty join or a runtime crash — reject up front
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     bw = F.lit(float(bucket_width))
     pb = points.withColumn("_bucket", F.floor(F.col(point_col) / bw))
     ib = intervals.withColumn(

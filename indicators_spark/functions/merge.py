@@ -32,7 +32,12 @@ def merge_upsert(
     Duplicate (key, order_col, side) rows — e.g. a micro-batch carrying
     two updates with the same version — resolve deterministically to the
     LARGEST value tuple (the full row struct is the final sort key), so
-    replaying the same batch always stores the same row."""
+    replaying the same batch always stores the same row.
+
+    NULL keys follow MERGE semantics: ``ON t.key = u.key`` matches no
+    NULL against anything, so NULL-key rows pass through UNCHANGED from
+    both sides (a window on the key would instead collapse them into one
+    arbitrary survivor)."""
     t = target.withColumn("_src", F.lit(0))
     u = updates.withColumn("_src", F.lit(1))
     unioned = t.unionByName(u)
@@ -42,11 +47,14 @@ def merge_upsert(
         F.col("_src").desc(),
         F.struct(*[F.col(c) for c in value_cols]).desc_nulls_last(),
     )
-    return (
-        unioned.withColumn("_rn", F.row_number().over(w))
+    keyed = (
+        unioned.filter(F.col(key).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        .drop("_rn")
     )
+    nullkey = unioned.filter(F.col(key).isNull())
+    return keyed.unionByName(nullkey).drop("_src")
 
 
 def scd2(
@@ -63,15 +71,20 @@ def scd2(
     all equal (null-safely) the key's previous row is a no-op and opens
     NO new version — the defining property of a type-2 dimension (pass
     every non-key column to version on any change).  Two window passes
-    over one key-hash exchange."""
-    w = Window.partitionBy(key).orderBy(order_col)
+    over one key-hash exchange.
+
+    Both windows order by (order_col, tracked...) — duplicate
+    (key, order_col) log rows would otherwise sort in partitioning-luck
+    order, making lag()'s predecessor (hence which rows open versions,
+    the version numbers, and valid_to) nondeterministic across runs."""
+    order = [F.col(order_col), *[F.col(c) for c in tracked]]
+    w = Window.partitionBy(key).orderBy(*order)
     changed = F.row_number().over(w) == 1
     for c in tracked:
         changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
     real = history.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
-    w2 = Window.partitionBy(key).orderBy(order_col)
     return (
-        real.withColumn("version", F.row_number().over(w2))
-        .withColumn("valid_to", F.lead(order_col).over(w2))
+        real.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to", F.lead(order_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -23,6 +23,24 @@ IMAGE_META_SCHEMA = (
 )
 
 
+def _append_schema(df: DataFrame, extra: str) -> str:
+    """Input schema + appended DDL fields, rejecting collisions — a
+    second application (or an input that already carries an output
+    column) would otherwise yield duplicate names that are unresolvable
+    downstream."""
+    extra_names = [p.strip().split()[0] for p in extra.split(",")]
+    clash = set(extra_names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"output columns already present on the input: {sorted(clash)} "
+            "— drop/rename them before reapplying this operator"
+        )
+    return ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [extra]
+    )
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a binary payload column (here: utf-8 bytes of the text — the
     test corpus has no real media; the pipeline treats it as opaque)."""
@@ -44,19 +62,21 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Real Arrow plumbing: batches arrive as pandas DataFrames with a bytes
     column; per-batch vectorized metadata extraction; output schema is the
     input plus IMAGE_META_SCHEMA fields.  A real decoder would replace
-    ``fake_decode_dims`` only."""
-    out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [IMAGE_META_SCHEMA]
-    )
+    ``fake_decode_dims`` only.  NULL payloads yield NULL metadata (the
+    row survives — one undecodable asset must not kill the job)."""
+    out_schema = _append_schema(df, IMAGE_META_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf[payload_col].map(fake_decode_dims)
+            dims = pdf[payload_col].map(
+                lambda p: fake_decode_dims(p) if p is not None else (None,) * 3
+            )
             pdf = pdf.assign(
                 width=dims.map(lambda d: d[0]),
                 height=dims.map(lambda d: d[1]),
-                n_bytes=pdf[payload_col].map(len),
+                n_bytes=pdf[payload_col].map(
+                    lambda p: len(p) if p is not None else None
+                ),
                 format=dims.map(lambda d: d[2]),
             )
             yield pdf
@@ -99,7 +119,9 @@ def audio_frame_features(
     """Decode → frame → per-frame features, one output row per frame.
 
     The 1:N exploding ``mapInPandas`` shape for audio: each input row
-    (one clip) yields ``ceil((n-frame_len)/hop)+1`` frame rows carrying
+    (one clip) yields ``floor((n-frame_len)/hop)+1`` frame rows (the
+    trailing partial hop is not emitted; clips shorter than one frame
+    are zero-padded to exactly one) carrying
     (rms, zero_crossings, peak) — the standard VAD/silence-trim features.
     All math is vectorized numpy over a strided frame matrix; the payload
     bytes never leave the executor, and the output is narrow columnar
@@ -118,6 +140,8 @@ def audio_frame_features(
         for pdf in batches:
             outs = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # undecodable asset: no frames, job survives
                 pcm = fake_decode_pcm(payload)
                 if len(pcm) < frame_len:
                     pcm = np.pad(pcm, (0, frame_len - len(pcm)))
@@ -194,6 +218,8 @@ def video_frame_sample(
         for pdf in batches:
             ids, fidx, pts, off = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # undecodable asset: no frames, job survives
                 n = _frames_of(payload)
                 for f in range(0, n, stride):
                     ids.append(i)
@@ -231,14 +257,13 @@ def resize_image(
     """
     budget = target_width * target_height * 3
 
-    def _resize_bytes(payload: bytes) -> bytes:
+    def _resize_bytes(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None  # NULL asset passes through as NULL
         reps = -(-budget // max(len(payload), 1))  # ceil
         return (payload * reps)[:budget]
 
-    out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [RESIZE_META_SCHEMA]
-    )
+    out_schema = _append_schema(df, RESIZE_META_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,7 +271,9 @@ def resize_image(
             pdf = pdf.assign(
                 out_width=target_width,
                 out_height=target_height,
-                out_bytes=pdf[payload_col].map(len),
+                out_bytes=pdf[payload_col].map(
+                    lambda p: len(p) if p is not None else None
+                ),
             )
             yield pdf
 
@@ -276,6 +303,8 @@ def phash64(
         for pdf in batches:
             ids, hashes = [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # undecodable asset: no hash, job survives
                 b = np.frombuffer(payload, dtype=np.uint8)
                 n = len(b)
                 if n < 64:
@@ -286,10 +315,13 @@ def phash64(
                 )
                 sizes = np.bincount(blocks, minlength=64).astype(np.int64)
                 total = int(b.sum(dtype=np.int64))
-                bits = (sums * n) > (total * sizes)
+                # arbitrary-precision Python ints: sums*n / total*sizes
+                # overflow int64 around ~1.5 GB payloads, which would
+                # silently corrupt bits under numpy's wrapping arithmetic
+                sums_l, sizes_l = sums.tolist(), sizes.tolist()
                 h = 0
                 for j in range(64):
-                    if bits[j]:
+                    if sums_l[j] * n > total * sizes_l[j]:
                         h |= 1 << j
                 # store as signed int64 (Spark long)
                 if h >= 1 << 63:

@@ -73,38 +73,48 @@ def kmv_bottom_k(
     compares identically everywhere), which is what makes the estimator
     oracle-checkable.
 
-    Scale shape: one hash-ranked window per group (the only shuffle);
-    the sketch table is |groups|·k skinny rows; every later rollup
-    re-ranks sketch rows only, never facts."""
+    NULL keys are EXCLUDED (``md5(NULL)`` is NULL, and ascending
+    nulls-first ranking would otherwise let null-key rows fill every
+    sketch slot, destroying the uniform-sample property); a sketch
+    samples the population of real key values.
+
+    Scale shape: grouped, one hash-ranked window per group (the only
+    shuffle); ungrouped, a global ``orderBy().limit(k)`` which Spark
+    plans as TakeOrderedAndProject — per-partition bottom-k heaps merged
+    on the driver, never a single-task sort of the facts.  The sketch
+    table is |groups|·k skinny rows; every later rollup re-ranks sketch
+    rows only, never facts."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
     # Secondary order on the value pins tie-breaks when key_col repeats
     # (identical md5); with unique keys (the intended usage) the hash
     # alone is already a total order.
-    w = Window.partitionBy(
-        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
-    ).orderBy(h.asc(), F.col(value_col).asc())
-    return (
-        df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(
-            *group_cols, F.col("_h").alias("h"), F.col(value_col).alias("v")
+    base = df.filter(F.col(key_col).isNotNull()).withColumn("_h", h)
+    out_cols = [*group_cols, F.col("_h").alias("h"), F.col(value_col).alias("v")]
+    if not group_cols:
+        return (
+            base.orderBy(F.col("_h").asc(), F.col(value_col).asc())
+            .limit(k)
+            .select(*out_cols)
         )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        h.asc(), F.col(value_col).asc()
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*out_cols)
     )
 
 
 def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
     """Merge bottom-k sketches (drop group columns, re-take the k
     smallest hashes).  Runs over sketch rows only — |groups|·k, not
-    facts."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc(), F.col("v").asc())
+    facts — as a TakeOrderedAndProject (no single-task window)."""
     return (
         sketches.select("h", "v")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        .orderBy(F.col("h").asc(), F.col("v").asc())
+        .limit(k)
         .select("h", "v")
     )

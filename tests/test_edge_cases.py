@@ -310,3 +310,85 @@ def test_tfidf_dense_threshold_zero_matches_sparse(spark):
         for r in tfidf_cosine_pairs(docs, 0.0, dense_max_vocab=0).collect()
     }
     assert dense == sparse == {(0, 1)}  # doc 2 shares no token with anyone
+
+
+def test_merge_upsert_null_keys_pass_through(spark):
+    """MERGE ON t.key=u.key never matches NULL keys: NULL-key rows from
+    BOTH sides must survive unchanged, not collapse to one survivor."""
+    from indicators_spark.functions.merge import merge_upsert
+
+    t = spark.createDataFrame([(None, 1, "t"), (1, 1, "t1")], "k int, v int, s string")
+    u = spark.createDataFrame([(None, 2, "u"), (1, 2, "u1")], "k int, v int, s string")
+    got = {(r["k"], r["v"], r["s"]) for r in merge_upsert(t, u, "k", "v").collect()}
+    assert got == {(None, 1, "t"), (None, 2, "u"), (1, 2, "u1")}
+
+
+def test_scd2_duplicate_order_rows_deterministic(spark):
+    """Duplicate (key, order_col) log rows must version deterministically
+    (windows tie-break on the tracked columns)."""
+    from indicators_spark.functions.merge import scd2
+
+    rows = [(1, 5, "b"), (1, 5, "a"), (1, 7, "c")]
+    outs = []
+    for _ in range(2):
+        df = spark.createDataFrame(rows, "k int, ord int, val string").repartition(4)
+        out = scd2(df, "k", "ord", ["val"])
+        outs.append(sorted((r["ord"], r["val"], r["version"]) for r in out.collect()))
+    assert outs[0] == outs[1]
+    assert [v for _, v, _ in outs[0]] == ["a", "b", "c"]
+
+
+def test_kmv_excludes_null_keys_and_plans_topk(spark):
+    """NULL keys must not fill the sketch (md5(NULL) sorts first), and the
+    ungrouped sketch must plan as TakeOrderedAndProject, not a
+    single-partition window."""
+    from indicators_spark.functions.sketches import kmv_bottom_k
+    from indicators_spark.plans import plan_string
+
+    df = spark.createDataFrame(
+        [(None, 0.0)] * 10 + [(i, float(i)) for i in range(1, 6)],
+        "k int, v double",
+    )
+    sk = kmv_bottom_k(df, key_col="k", value_col="v", k=4)
+    rows = sk.collect()
+    assert len(rows) == 4 and all(r["h"] is not None for r in rows)
+    assert "TakeOrderedAndProject" in plan_string(sk)
+
+
+def test_range_join_rejects_zero_bucket_width(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.joins import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "id int, x int")
+    iv = spark.createDataFrame([(0, 10)], "lo int, hi int")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(pts, iv, "x", "lo", "hi", bucket_width=0)
+
+
+def test_multimodal_null_payloads_survive(spark):
+    """A NULL payload (undecodable asset) must not kill any kernel: meta
+    ops emit NULL columns, exploding ops emit no rows for that asset."""
+    from indicators_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 100), (2, None)], "doc_id long, payload binary"
+    )
+    meta = {r["doc_id"]: r["width"] for r in M.decode_image_meta(df).collect()}
+    assert meta[1] is not None and meta[2] is None
+    rs = {r["doc_id"]: r["out_bytes"] for r in M.resize_image(df).collect()}
+    assert rs[1] is not None and rs[2] is None
+    assert {r["doc_id"] for r in M.audio_frame_features(df).collect()} == {1}
+    assert {r["doc_id"] for r in M.video_frame_sample(df).collect()} == {1}
+    assert {r["doc_id"] for r in M.phash64(df).collect()} == {1}
+
+
+def test_decode_image_meta_rejects_reapplication(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions import multimodal as M
+
+    df = spark.createDataFrame([(1, b"x" * 70)], "doc_id long, payload binary")
+    once = M.decode_image_meta(df)
+    with _pytest.raises(ValueError, match="already present"):
+        M.decode_image_meta(once)
