@@ -68,7 +68,11 @@ class Indicators(
         if partition_mode not in ("faithful", "per_symbol"):
             raise ValueError(f"unknown partition_mode: {partition_mode!r}")
         self._symbol_flag = False
-        if "symbol" not in df.columns:
+        # case-insensitive probe: Spark resolves withColumn("symbol", ...)
+        # against an existing "Symbol" column under the default
+        # caseSensitive=false, which would CLOBBER the user's data with
+        # the injected literal
+        if not any(c.lower() == "symbol" for c in df.columns):
             self._symbol_flag = True
             df = df.withColumn("symbol", F.lit("x"))
         # Pending (unflushed) EWM program: consecutive EWM-based operators
@@ -77,7 +81,11 @@ class Indicators(
         self._pending_keep: list[str] = []
         self._pending_part: tuple[str, ...] | None = None
         self._df = df
-        self._order: tuple[str, ...] = tuple(order_by)
+        # a bare string satisfies Sequence[str] but tuple() would explode
+        # it into characters ("timestamp" -> ('t','i','m',...))
+        self._order: tuple[str, ...] = (
+            (order_by,) if isinstance(order_by, str) else tuple(order_by)
+        )
         self._mode = partition_mode
         validate_columns(list(self._order), df.columns)
 
@@ -181,6 +189,15 @@ class Indicators(
         step's output name collides with one already pending (an overwrite
         would corrupt the earlier op's kept column)."""
         part = self._partition(global_op)
+        # Duplicate outputs WITHIN one call (e.g. sma-style duplicate
+        # column lists: ema(["close", "close"], 12)) dedupe to the last
+        # step, exactly as the window path's dict comprehension does —
+        # otherwise the output schema would carry two identical fields and
+        # later references fail with AMBIGUOUS_REFERENCE.
+        by_out: dict[str, Step] = {}
+        for s in steps:
+            by_out[s.out] = s
+        steps = list(by_out.values())
         pending_outs = {s.out for s in self._pending}
         if self._pending and (
             part != self._pending_part
@@ -190,7 +207,8 @@ class Indicators(
         self._pending_part = part
         self._pending.extend(steps)
         out_names = [s.out for s in steps]
-        self._pending_keep.extend(out_names if keep is None else list(keep))
+        keep_names = out_names if keep is None else list(dict.fromkeys(keep))
+        self._pending_keep.extend(keep_names)
 
     def _resolve_and_validate(self, columns) -> list[str]:
         """Resolve a list of names / Column expressions to concrete names
@@ -200,13 +218,27 @@ class Indicators(
             cols = [columns]
         elif isinstance(columns, (list, tuple)):
             if columns and not isinstance(columns[0], str):
-                cols = self._df.select(*columns).columns  # schema-only, no job
+                cols = self._probe_df().select(*columns).columns  # schema-only
             else:
                 cols = list(columns)
         else:  # a single Column expression / selector
-            cols = self._df.select(columns).columns
+            cols = self._probe_df().select(columns).columns
         validate_columns(cols, self._columns)
         return cols
+
+    def _probe_df(self) -> DataFrame:
+        """Name-resolution frame that does NOT flush the pending EWM
+        program: the raw frame plus a null stand-in for each pending
+        output, so a Column expression referencing a predecessor's
+        (still-fused) output resolves without splitting the fusion into an
+        extra applyInPandas pass."""
+        probe = self.__df
+        missing = [n for n in self._pending_keep if n not in probe.columns]
+        if missing:
+            probe = probe.withColumns(
+                {n: F.lit(None).cast("double") for n in missing}
+            )
+        return probe
 
     def _validate(self, required: list[str]) -> None:
         validate_columns(required, self._columns)

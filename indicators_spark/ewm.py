@@ -83,12 +83,11 @@ def apply_ewm_program(
     steps = list(steps)
     out_names = [s.out for s in steps]
     kept = list(out_names if keep is None else keep)
-    dropped = [n for n in out_names if n not in kept]
 
-    # An output name colliding with an existing column REPLACES it (the
-    # with_columns semantics every window-based operator has) — without
-    # this, re-running an op produced duplicate column names and every
-    # later reference failed with AMBIGUOUS_REFERENCE.
+    # A KEPT output name colliding with an existing column REPLACES it
+    # (the with_columns semantics every window-based operator has) —
+    # without this, re-running an op produced duplicate column names and
+    # every later reference failed with AMBIGUOUS_REFERENCE.
     in_fields = [f for f in df.schema.fields if f.name not in set(kept)]
     out_schema = T.StructType(
         in_fields + [T.StructField(n, T.DoubleType(), True) for n in kept]
@@ -97,18 +96,29 @@ def apply_ewm_program(
     in_cols = [f.name for f in in_fields]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+        # nulls FIRST: matches the Spark window path (orderBy default) and
+        # the Polars reference, so an EWM stage and a window stage of the
+        # same chain see the same row order (pandas defaults to nulls last)
+        pdf = pdf.sort_values(order, kind="mergesort", na_position="first")
+        # Steps write into a shallow working copy: a DROPPED intermediate
+        # whose name collides with an input column must not leak EWM
+        # doubles into that column — the output takes input columns from
+        # the untouched frame and only the kept outputs from the work copy.
+        work = pdf.copy(deep=False)
         for s in steps:
             if isinstance(s, EwmStep):
-                src = pdf[s.src].astype("float64")
+                src = work[s.src].astype("float64")
                 if s.alpha is not None:
                     ew = src.ewm(alpha=s.alpha, adjust=s.adjust)
                 else:
                     ew = src.ewm(span=s.span, adjust=s.adjust)
-                pdf[s.out] = ew.mean()
+                work[s.out] = ew.mean()
             else:
-                pdf[s.out] = s.fn(pdf)
-        return pdf[in_cols + kept]
+                work[s.out] = s.fn(work)
+        out = pdf[in_cols].copy(deep=False)
+        for n in kept:
+            out[n] = work[n]
+        return out
 
     if partition_cols:
         grouped = df.groupBy(*partition_cols)
@@ -116,15 +126,17 @@ def apply_ewm_program(
     else:
         # Global (un-partitioned) EWM — the reference's no-`.over` ops.
         # Single group: sequential by definition; see module docstring.
-        tmp = df.withColumn(_GROUP_KEY, F.lit(1))
+        # The injected key never clobbers a user column of the same name.
+        gk = _GROUP_KEY
+        while gk in df.columns:
+            gk += "_"
+        tmp = df.withColumn(gk, F.lit(1))
 
         def run_drop(pdf: pd.DataFrame) -> pd.DataFrame:
-            return run(pdf.drop(columns=[_GROUP_KEY]))
+            return run(pdf.drop(columns=[gk]))
 
-        result = tmp.groupBy(_GROUP_KEY).applyInPandas(run_drop, out_schema)
+        result = tmp.groupBy(gk).applyInPandas(run_drop, out_schema)
 
-    if dropped:
-        pass  # already projected out inside `run`
     return result
 
 

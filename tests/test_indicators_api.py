@@ -80,3 +80,67 @@ def test_chaining_returns_self(spark, ohlcv):
     ind = Indicators(ohlcv)
     assert ind.sma(["close"], 3) is ind
     assert ind.atr(5) is ind
+
+
+def test_existing_capitalized_symbol_not_clobbered(spark):
+    """Spark resolves withColumn('symbol', ...) case-insensitively: a frame
+    with a 'Symbol' column must keep its data (per-symbol grouping), not be
+    overwritten by the injected literal."""
+    import datetime as dt
+
+    rows = [
+        (s, dt.datetime(2024, 1, 1, 0, i), i, 10.0 + i)
+        for i, s in enumerate(["A", "A", "B", "B"])
+    ]
+    df = spark.createDataFrame(rows, "Symbol string, timestamp timestamp, seq long, close double")
+    out = Indicators(df, order_by=("timestamp", "seq")).sma(["close"], 2).collect()
+    got = {r["Symbol"] for r in out.collect()}
+    assert got == {"A", "B"}
+
+
+def test_order_by_bare_string(spark, ohlcv):
+    out = Indicators(ohlcv, order_by="timestamp").sma(["close"], 3).collect()
+    assert "close_sma_3" in out.columns
+
+
+def test_ewm_duplicate_columns_dedupe(spark, ohlcv):
+    """ema(['close','close']) must behave like sma(['close','close']):
+    one output column, not two identical schema fields."""
+    out = Indicators(ohlcv, order_by=("timestamp",)).ema(["close", "close"], 12).collect()
+    assert out.columns.count("close_ema_12") == 1
+    assert out.count() > 0
+
+
+def test_ewm_intermediate_collision_preserves_input_column(spark):
+    """A frame that already has a column named like an operator's DROPPED
+    intermediate must keep its own values (and type) — the fused program
+    computes intermediates in a working copy."""
+    import datetime as dt
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, i), i, 10.0 + i, 9.0 + i, float(i), "u")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, seq long, high double, "
+        "low double, close double, _mi_e1 string",
+    )
+    out = Indicators(df, order_by=("timestamp", "seq")).mass_index(9, 25).collect()
+    assert dict(out.dtypes)["_mi_e1"] == "string"
+    assert {r["_mi_e1"] for r in out.collect()} == {"u"}
+
+
+def test_ewm_column_expression_validation_keeps_fusion(spark, ohlcv):
+    """Validating a Column-expression argument must not flush the pending
+    EWM program: ema + macd with F.col inputs still fuse into ONE
+    FlatMapGroupsInPandas pass."""
+    from indicators_spark.plans import plan_string
+
+    out = (
+        Indicators(ohlcv, order_by=("timestamp",))
+        .ema([F.col("close")], 20)
+        .macd([F.col("close")])
+        .collect()
+    )
+    assert plan_string(out).count("FlatMapGroupsInPandas") == 1
