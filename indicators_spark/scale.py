@@ -47,7 +47,6 @@ def _halo_tail(
     order_cols: Sequence[str],
     partition_cols: Sequence[str],
     rows: int,
-    buckets: int,
 ) -> DataFrame:
     """Duplicate the last ``rows`` rows of every (partition, bucket) into
     the next POPULATED bucket of the same partition, flagged ``_halo``.
@@ -59,27 +58,68 @@ def _halo_tail(
     is one skinny (partition, bucket) aggregate (≤ |parts|·buckets rows;
     map-side combined) and the next-populated map is a broadcast min-join
     over it — no SinglePartition stage, preserving the halo plan contract.
-    Buckets with fewer than ``rows`` rows remain a documented precondition
-    (the halo depth is one bucket)."""
+
+    The halo depth is one bucket, so a SENDING bucket must hold ≥ ``rows``
+    rows — and that precondition is now ENFORCED at runtime from the same
+    presence counts: an under-sized sender that is not its partition's
+    first populated bucket (a small first bucket is exact — the receiver's
+    warm-up gate is then legitimately below the window size in the plain
+    form too) raises through ``F.raise_error`` instead of silently
+    emitting spurious warm-up NULLs downstream."""
     present = bucketed.groupBy(*partition_cols, "_bucket").agg(
         F.count(F.lit(1)).alias("_cnt")
-    ).drop("_cnt")
+    )
     a = present.select(
         *[F.col(c).alias(f"_pa_{c}") for c in partition_cols],
         F.col("_bucket").alias("_ba"),
+        F.col("_cnt").alias("_acnt"),
     )
     b = present.select(
         *[F.col(c).alias(f"_pb_{c}") for c in partition_cols],
         F.col("_bucket").alias("_bb"),
     )
     cond = F.col("_bb") > F.col("_ba")
+    earlier = F.col("_bb") < F.col("_ba")
     for c in partition_cols:
-        cond = cond & (F.col(f"_pa_{c}") == F.col(f"_pb_{c}"))
+        same_part = F.col(f"_pa_{c}") == F.col(f"_pb_{c}")
+        cond = cond & same_part
+        earlier = earlier & same_part
+    # "not the partition's first populated bucket" via a broadcast
+    # semi-join over the skinny presence table (a global min(_bucket)
+    # aggregate would plan a SinglePartition exchange — harmless on ≤
+    # |parts|·buckets rows but it breaks the kernels' pinned
+    # no-SinglePartition plan contract)
+    not_first = (
+        a.join(F.broadcast(b), earlier, "left_semi")
+        .select(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
+        .withColumn("_nf", F.lit(True))
+    )
     nxt = (
         a.join(F.broadcast(b), cond)
         .groupBy(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
-        .agg(F.min("_bb").alias("_next"))
+        .agg(F.min("_bb").alias("_next"), F.any_value("_acnt").alias("_acnt"))
+        .join(
+            F.broadcast(not_first),
+            [*[f"_pa_{c}" for c in partition_cols], "_ba"],
+            "left",
+        )
     )
+    ok = (F.col("_acnt") >= rows) | F.col("_nf").isNull()
+    nxt = nxt.withColumn(
+        "_next",
+        F.when(ok, F.col("_next")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("halo precondition violated: a populated bucket "
+                          "holds "),
+                    F.col("_acnt").cast("string"),
+                    F.lit(f" rows < window-1 = {rows}; use fewer buckets "
+                          "(each must span >= window-1 rows) or the plain "
+                          "window form"),
+                )
+            )
+        ),
+    ).drop("_acnt", "_nf")
     join_cond = F.col("_ba") == F.col("_bucket")
     for c in partition_cols:
         join_cond = join_cond & (F.col(f"_pa_{c}") == F.col(c))
@@ -138,7 +178,22 @@ def _with_bucket(
             F.floor((F.col(bucket_by).cast("double") - F.lit(lo)) / F.lit(span) * buckets)
             + 1
         )
-        return df.withColumn("_bucket", F.least(b, F.lit(buckets)).cast("int"))
+        # NULL keys route to bucket 1 — the plain-window form sorts null
+        # order keys FIRST (F.least would instead skip the NULL and dump
+        # them in the LAST bucket); greatest(…, 1) additionally tolerates
+        # bounds slightly narrower than the data (keys below lo clamp to
+        # the first bucket instead of bucket 0)
+        b = F.when(F.col(bucket_by).isNull(), F.lit(1)).otherwise(
+            F.least(F.greatest(b, F.lit(1)), F.lit(buckets))
+        )
+        return df.withColumn("_bucket", b.cast("int"))
+    if bounds is not None:
+        raise ValueError(
+            "bounds were given without bucket_by — they would be silently "
+            "ignored and the kernel would fall back to the serialized "
+            "ntile path; pass bucket_by (the monotone key the bounds "
+            "describe) as well"
+        )
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("_bucket", F.ntile(buckets).over(w))
 
@@ -188,6 +243,18 @@ _AGG_FNS = {
 }
 
 
+def _gated_cols(specs, n, w):
+    """The min-samples-gated aggregate columns for ``specs`` over window
+    ``w`` — ONE definition of the gate semantics, shared by the halo and
+    plain-window paths so the two dispatch branches of
+    ``rolling_multi_auto`` cannot drift apart."""
+    cols = {}
+    for agg, col, out in specs:
+        gate = F.count(F.col(col)).over(w)
+        cols[out] = F.when(gate >= n, _AGG_FNS[agg](F.col(col)).over(w))
+    return cols
+
+
 def halo_rolling_multi(
     df: DataFrame,
     specs: Sequence[tuple[str, str, str]],
@@ -202,7 +269,7 @@ def halo_rolling_multi(
     ``(agg, col, out)``, one shared window length ``n``) in ONE halo pass —
     one shuffle, one sort, one window stage for the whole family."""
     bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
-    full = _halo_tail(bucketed, order_cols, partition_cols, n - 1, buckets)
+    full = _halo_tail(bucketed, order_cols, partition_cols, n - 1)
     w = (
         Window.partitionBy(*partition_cols, "_bucket")
         .orderBy(*[F.col(c) for c in order_cols])
@@ -210,11 +277,7 @@ def halo_rolling_multi(
     )
     # Bucket 1 has no halo, so its warm-up gate is globally exact; buckets
     # ≥2 see their true n-1 preceding rows via the halo.
-    cols = {}
-    for agg, col, out in specs:
-        gate = F.count(F.col(col)).over(w)
-        cols[out] = F.when(gate >= n, _AGG_FNS[agg](F.col(col)).over(w))
-    rolled = full.withColumns(cols)
+    rolled = full.withColumns(_gated_cols(specs, n, w))
     return rolled.filter(~F.col("_halo")).drop("_bucket", "_halo")
 
 
@@ -246,8 +309,18 @@ def parquet_footer_stats(
 
     import pyarrow.parquet as pq
 
+    # recursive: hive-partitioned / nested datasets keep their files under
+    # key=value subdirectories — a top-level glob would silently report
+    # n_rows=0 (and the size dispatch would then pick the single-task path
+    # for billions of rows)
     files = (
-        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        sorted(
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if not os.path.basename(f).startswith(("_", "."))
+        )
         if os.path.isdir(path)
         else [path]
     )
@@ -314,11 +387,14 @@ def rolling_multi_auto(
     (:func:`halo_rolling_multi`) at scale, the plain single-window form
     below ``min_rows`` where the halo's fixed overhead dominates.
 
-    ``n_rows``: caller-provided row count — catalog metadata, or folded
-    into an aggregate the caller already runs (e.g. the ``bounds`` min/max
-    scan).  When None, one ``df.count()`` decides (for parquet sources
-    that is row-group metadata, not a data pass).  Both paths produce
-    identical values including the min-samples warm-up gate."""
+    ``n_rows``: caller-provided row count — catalog metadata
+    (``parquet_footer_stats``), or folded into an aggregate the caller
+    already runs (e.g. the ``bounds`` min/max scan).  When None, one
+    ``df.count()`` decides — cheap ONLY for raw parquet scans (row-group
+    metadata); on a derived frame it executes the whole upstream lineage
+    once for the dispatch and again for the chosen path, so always pass
+    ``n_rows`` there.  Both paths produce identical values including the
+    min-samples warm-up gate."""
     if n_rows is None:
         n_rows = df.count()
     if n_rows < min_rows:
@@ -327,11 +403,7 @@ def rolling_multi_auto(
             .orderBy(*[F.col(c) for c in order_cols])
             .rowsBetween(-(n - 1), Window.currentRow)
         )
-        cols = {}
-        for agg, col, out in specs:
-            gate = F.count(F.col(col)).over(w)
-            cols[out] = F.when(gate >= n, _AGG_FNS[agg](F.col(col)).over(w))
-        return df.withColumns(cols)
+        return df.withColumns(_gated_cols(specs, n, w))
     return halo_rolling_multi(
         df,
         specs,
@@ -396,7 +468,7 @@ def halo_lag(
     ``k``-row halo.  The first ``k`` rows of the frame get NULL (bucket 1
     has no halo), exactly like the plain window form."""
     bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
-    full = _halo_tail(bucketed, order_cols, partition_cols, k, buckets)
+    full = _halo_tail(bucketed, order_cols, partition_cols, k)
     w = Window.partitionBy(*partition_cols, "_bucket").orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -409,6 +481,7 @@ _CARRY_SCHEMA = T.StructType(
         T.StructField("_bucket", T.IntegerType()),
         T.StructField("decay", T.DoubleType()),
         T.StructField("l_end", T.DoubleType()),
+        T.StructField("n_null", T.LongType()),
     ]
 )
 
@@ -434,7 +507,15 @@ def ewm_chunked(
     ``join_back=False`` returns just ``(order_cols…, out)`` — the
     scale-lean contract when the caller joins (or doesn't need the other
     columns); the default rejoins the full input frame on the order key,
-    which costs one wide hash join."""
+    which costs one wide hash join (null-safe on the order columns, so a
+    null order key never silently drops its row).
+
+    ``col`` must be non-null: pandas' ``ewm(ignore_na=False)``
+    renormalizes weights across NaN gaps, so the carry composition
+    ``decay = (1-α)^len(chunk)`` (which counts every row as a full decay
+    step) would silently diverge from the single-series form the moment a
+    null appears.  Pass 1 counts nulls per chunk for free and the driver
+    fold raises instead of producing bucket-boundary-dependent values."""
     # Only (order key, value, bucket) flow through the Python passes: the
     # EWM math never reads the other columns, and shipping a wide frame
     # through Arrow twice dominated the cost on wide inputs (measured ~4x
@@ -471,11 +552,21 @@ def ewm_chunked(
                 "_bucket": [int(pdf["_bucket"].iloc[0])],
                 "decay": [float((1 - alpha) ** len(pdf))],
                 "l_end": [l_end],
+                "n_null": [int(pdf[col].isna().sum())],
             }
         )
 
     carries = bucketed.groupBy("_bucket").applyInPandas(pass1, _CARRY_SCHEMA).collect()
     carries.sort(key=lambda r: r["_bucket"])
+    bad = sum(r["n_null"] for r in carries)
+    if bad:
+        raise ValueError(
+            f"ewm_chunked: {col!r} has {bad} null value(s) — the chunk "
+            "carry composition assumes a fully non-null series (pandas "
+            "renormalizes EWM weights across NaN gaps, so chunked and "
+            "single-series results would diverge); fill or drop nulls "
+            "first"
+        )
     _first = (
         bucketed.filter(F.col("_bucket") == 1).orderBy(*order).select(col).first()
     )
@@ -515,7 +606,16 @@ def ewm_chunked(
     res = bucketed.groupBy("_bucket").applyInPandas(pass2, out_schema)
     if not join_back:
         return res
-    return df.join(res, order, "inner")
+    # eqNullSafe: a null order key must rejoin its row, not vanish (plain
+    # inner equi-join never matches NULL == NULL)
+    r = res
+    for c in order:
+        r = r.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in order:
+        term = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        cond = term if cond is None else cond & term
+    return df.join(r, cond).drop(*[f"_r_{c}" for c in order])
 
 
 def global_row_number(

@@ -325,3 +325,98 @@ def test_parquet_footer_stats_match_scan(spark):
     # unknown column → exact count, None bounds (caller falls back to scan)
     n3, lo3, hi3 = parquet_footer_stats(f"{sf}/lineitem.parquet", "nope")
     assert n3 == sn and lo3 is None and hi3 is None
+
+
+def test_null_bucket_key_routes_first(spark):
+    """A NULL bucket_by key must land in bucket 1 (the plain-window form
+    sorts null order keys FIRST) — F.least alone would dump it in the LAST
+    bucket and e.g. number it after every other row."""
+    from indicators_spark.scale import global_row_number
+
+    rows = [(None, None)] + [(i, float(i)) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "seq long, close double").withColumn(
+        "timestamp", F.timestamp_seconds(F.col("seq"))
+    )
+    out = global_row_number(df, ("timestamp", "seq"), buckets=4, bucket_by="seq")
+    got = {r["seq"]: r["rn"] for r in out.collect()}
+    assert got[None] == 1 and got[1] == 2 and got[39] == 40
+
+
+def test_halo_precondition_violation_raises(spark):
+    """An under-sized SENDING bucket (not the partition's first) must
+    raise, not silently emit spurious warm-up NULLs: bucket 2 holds 2 rows
+    < n-1 = 9 while bucket 3's rows need its history."""
+    import pytest as _pytest
+
+    rows = (
+        [(i, float(i)) for i in range(30)]           # bucket 1 (dense)
+        + [(40, 40.0), (41, 41.0)]                   # bucket 2: 2 rows
+        + [(i, float(i)) for i in range(70, 100)]    # buckets 3+ (dense)
+    )
+    df = spark.createDataFrame(rows, "seq long, close double").withColumn(
+        "timestamp", F.timestamp_seconds(F.col("seq"))
+    )
+    out = halo_rolling(
+        df, "mean", "close", 10, ("timestamp", "seq"), buckets=3,
+        bucket_by="seq", out="v",
+    )
+    with _pytest.raises(Exception, match="halo precondition"):
+        out.collect()
+
+
+def test_small_first_bucket_still_exact(spark):
+    """A small FIRST populated bucket is exact (the receiver's warm-up is
+    legitimately below the window size) — must NOT raise."""
+    rows = [(0, 0.0), (1, 1.0)] + [(i, float(i)) for i in range(50, 80)]
+    df = spark.createDataFrame(rows, "seq long, close double").withColumn(
+        "timestamp", F.timestamp_seconds(F.col("seq"))
+    )
+    out = halo_rolling(
+        df, "mean", "close", 5, ("timestamp", "seq"), buckets=3,
+        bucket_by="seq", out="v",
+    )
+    ref = df.withColumn(
+        "v",
+        F.when(
+            F.count("close").over(
+                Window.orderBy("timestamp", "seq").rowsBetween(-4, 0)
+            ) >= 5,
+            F.avg("close").over(
+                Window.orderBy("timestamp", "seq").rowsBetween(-4, 0)
+            ),
+        ),
+    )
+    a = out.select("seq", "v").orderBy("seq").toPandas()
+    b = ref.select("seq", "v").orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), rtol=1e-12
+    )
+
+
+def test_ewm_chunked_rejects_null_values(spark):
+    """Null inputs break the chunk carry composition (pandas renormalizes
+    EWM weights across NaN gaps) — the kernel must raise, not return
+    bucket-boundary-dependent values."""
+    import pytest as _pytest
+
+    from indicators_spark.scale import ewm_chunked
+
+    rows = [(i, float(i) if i != 7 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "seq long, close double").withColumn(
+        "timestamp", F.timestamp_seconds(F.col("seq"))
+    )
+    with _pytest.raises(ValueError, match="null value"):
+        ewm_chunked(df, "close", 0.2, ("timestamp", "seq"), buckets=4,
+                    bucket_by="seq", out="e")
+
+
+def test_bounds_without_bucket_by_rejected(spark, prices):
+    import pytest as _pytest
+
+    from indicators_spark.scale import halo_rolling
+
+    with _pytest.raises(ValueError, match="bounds"):
+        halo_rolling(
+            prices, "mean", "close", 5, ("timestamp", "seq"), buckets=4,
+            out="v", bounds=(0.0, 1.0),
+        )
