@@ -60,11 +60,17 @@ def exact_duplicate_groups(
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep exactly one row (min id) per distinct text."""
-    keep = exact_duplicate_groups(df, id_col, text_col).select(
-        F.col("keep_id").alias(id_col)
-    )
-    return df.join(keep, id_col, "left_semi")
+    """Keep exactly one row (min id) per distinct text.
+
+    NULL text never dedupes: ``md5(NULL)`` is NULL and groupBy would pool
+    every null-text row (failed extraction, not proven-equal content) into
+    one group and silently delete all but one — those rows pass through
+    unchanged instead."""
+    keep = exact_duplicate_groups(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col
+    ).select(F.col("keep_id").alias(id_col))
+    nulls = df.filter(F.col(text_col).isNull())
+    return df.join(keep, id_col, "left_semi").unionByName(nulls)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -156,10 +162,14 @@ def ngram_jaccard_pairs(
             cap = F.col("n_docs") * F.lit(max_df_frac)
         else:
             cap = F.lit(max_df)
+        # anti-join against the UBIQUITOUS set (df > cap): tiny by
+        # construction, so the broadcast is bounded — broadcasting the
+        # surviving vocabulary (nearly all tokens) would OOM at corpus
+        # scale
         toks = toks.join(
-            F.broadcast(dfreq.filter(F.col("df") <= cap).select("tok")),
+            F.broadcast(dfreq.filter(F.col("df") > cap).select("tok")),
             "tok",
-            "inner",
+            "left_anti",
         )
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     # Size-ratio prefix prune (exact): jaccard(A,B) ≥ t forces
@@ -168,11 +178,16 @@ def ngram_jaccard_pairs(
     # Removes only pairs the final jaccard ≥ t filter would drop anyway —
     # results identical, oracle unchanged — but at scale it cuts the
     # posting-list join output for heterogeneous-length corpora.
+    # The 1e-9 slack keeps the prune strictly conservative at the
+    # jaccard == threshold boundary: the threshold double may round UP
+    # (0.8 → 0.8000…0444), and sz·t would then prune a pair whose final
+    # exact-integer-ratio jaccard equals the same double and passes the
+    # final filter on both engines.
     toks_sz = toks.join(sizes, "_id")  # AQE picks broadcast when small
     a = toks_sz.alias("a")
     b = toks_sz.alias("b")
-    ratio_ok = (F.col("b.sz") >= F.col("a.sz") * threshold) & (
-        F.col("a.sz") >= F.col("b.sz") * threshold
+    ratio_ok = (F.col("b.sz") >= F.col("a.sz") * threshold - 1e-9) & (
+        F.col("a.sz") >= F.col("b.sz") * threshold - 1e-9
     )
     shared = (
         a.join(
@@ -322,7 +337,14 @@ def lsh_bucket_overflow(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash per document from token hashes (with multiplicity):
-    bit j of the result is 1 iff Σ_tokens (2·bit_j(h) − 1) > 0."""
+    bit j of the result is 1 iff Σ_tokens (2·bit_j(h) − 1) > 0.
+
+    Effective width is 31 bits: ``word_hash31`` values live below 2³¹, so
+    bit 31's vote sum is always −count and the top bit is constant 0 —
+    the bits-24..31 band therefore has 128 reachable values (≈2× that
+    band's bucket collision rate vs a full byte).  Kept as-is for oracle
+    stability; widen ``word_hash31`` if band 3's selectivity ever
+    matters."""
     toks = df.select(
         F.col(id_col),
         F.explode(words(F.col(text_col))).alias("tok"),
@@ -425,6 +447,11 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list too: it is scanned once per round, and its
+    # lineage is typically the full LSH candidate pipeline
+    # (lsh_dedup_clusters) — without this every round re-runs the
+    # shingle → signature → band-join derivation
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("v")).distinct().withColumn("lab", F.col("v"))
     ).localCheckpoint(eager=True)
@@ -503,10 +530,19 @@ def dedup_against_corpus(
     side; AQE broadcasts small batches.
     """
     fps = corpus_fps.select(F.col(fp_col).alias("_fp"))
-    batch = new_batch.withColumn("_fp", F.md5(F.col(text_col)))
+    # NULL text (failed extraction) has no fingerprint: it can neither
+    # match history nor equal another null-text row, so those rows pass
+    # through unchanged (a NULL groupBy key would pool them and silently
+    # delete all but one)
+    nulls = new_batch.filter(F.col(text_col).isNull())
+    batch = new_batch.filter(F.col(text_col).isNotNull()).withColumn(
+        "_fp", F.md5(F.col(text_col))
+    )
     fresh = batch.join(fps, "_fp", "left_anti")
     keep = fresh.groupBy("_fp").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
-    return fresh.join(keep, id_col, "left_semi").drop("_fp")
+    return (
+        fresh.join(keep, id_col, "left_semi").drop("_fp").unionByName(nulls)
+    )
 
 
 def minhash_estimate_vs_true(
@@ -552,9 +588,21 @@ def minhash_estimate_vs_true(
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     pair_keys = cand.select("ia", "ib")
+    # Restrict the posting lists to CANDIDATE DOCS before the wh
+    # self-join: the pair semi-join alone cannot push down (its keys
+    # derive from both join sides), so without this the self-join
+    # materializes every token-sharing doc pair in the corpus — the
+    # ubiquitous-shingle quadratic blowup — before filtering to the few
+    # candidate pairs.  Candidate ids are few by construction (broadcast).
+    cand_ids = (
+        pair_keys.select(F.col("ia").alias("_id"))
+        .unionByName(pair_keys.select(F.col("ib").alias("_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
     inter = (
-        sh.select(F.col("_id").alias("ia"), "wh")
-        .join(sh.select(F.col("_id").alias("ib"), "wh"), "wh")
+        sh_c.select(F.col("_id").alias("ia"), "wh")
+        .join(sh_c.select(F.col("_id").alias("ib"), "wh"), "wh")
         .filter(F.col("ia") < F.col("ib"))
         .join(F.broadcast(pair_keys), ["ia", "ib"], "left_semi")
         .groupBy("ia", "ib")

@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 HASH_DEN = 10_000  # bucket resolution: rates are exact multiples of 0.01%
 
 
+#: NULL sampling keys hash through this sentinel so every operator in the
+#: module treats them identically (bucketed deterministically, never
+#: silently dropped): Spark's concat(NULL) is NULL, so an un-coalesced key
+#: made hash_sample drop null-key rows even at rate=1.0 while
+#: train_val_test_split routed the very same rows to 'train'.
+NULL_KEY = "<null>"
+
+
+def _key_str(key: Column) -> Column:
+    return F.coalesce(key.cast("string"), F.lit(NULL_KEY))
+
+
 def hash_bucket(key: Column, seed: str, den: int = HASH_DEN) -> Column:
     """Uniform bucket in [0, den): first 8 hex chars of md5('seed|key').
 
@@ -39,7 +51,7 @@ def hash_bucket(key: Column, seed: str, den: int = HASH_DEN) -> Column:
     under 2^-18.  DuckDB equivalent:
     ``CAST(concat('0x', substr(md5(...),1,8)) AS UBIGINT) % den``.
     """
-    h = F.md5(F.concat(F.lit(seed + "|"), key.cast("string")))
+    h = F.md5(F.concat(F.lit(seed + "|"), _key_str(key)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % den
 
 
@@ -47,7 +59,34 @@ def bucket_sql(key_expr: str, seed: str, den: int = HASH_DEN) -> str:
     """The DuckDB rendering of :func:`hash_bucket` (for oracle SQL)."""
     return (
         f"CAST(concat('0x', substr(md5(concat('{seed}|', "
-        f"CAST({key_expr} AS VARCHAR))), 1, 8)) AS UBIGINT) % {den}"
+        f"COALESCE(CAST({key_expr} AS VARCHAR), '{NULL_KEY}'))), 1, 8)) "
+        f"AS UBIGINT) % {den}"
+    )
+
+
+#: Resolution of :func:`hash_unit`: 12 hex chars = 48 bits.  v + 0.5 stays
+#: exactly representable (< 2^52), so the arithmetic is bit-identical on
+#: any IEEE engine.
+UNIT_DEN = 16 ** 12
+
+
+def hash_unit(key: Column, seed: str) -> Column:
+    """Uniform u on the OPEN interval (0, 1) with 48-bit resolution —
+    the continuous-looking variate A-ES scoring needs.  The 10⁴-bucket
+    :func:`hash_bucket` is fine for rate filters but quantizes u to
+    10,000 values, which at corpus scale creates massive score ties whose
+    lexicographic tie-break would systematically bias a weighted sample."""
+    h = F.md5(F.concat(F.lit(seed + "|"), _key_str(key)))
+    v = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").cast("double")
+    return (v + 0.5) / float(UNIT_DEN)
+
+
+def unit_sql(key_expr: str, seed: str) -> str:
+    """The DuckDB rendering of :func:`hash_unit` (for oracle SQL)."""
+    return (
+        f"(CAST(CAST(concat('0x', substr(md5(concat('{seed}|', "
+        f"COALESCE(CAST({key_expr} AS VARCHAR), '{NULL_KEY}'))), 1, 12)) "
+        f"AS UBIGINT) AS DOUBLE) + 0.5) / {float(UNIT_DEN)!r}"
     )
 
 
@@ -159,10 +198,7 @@ def weighted_sample(
     Scale shape: the score is a narrow projection (no shuffle) and the
     top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
     heaps + k·P driver merge) — never a global sort."""
-    # u on the OPEN interval (0, 1): bucket midpoints (b+0.5)/den — the
-    # closed endpoint u=1.0 would give ln(u)=0 for every weight, making
-    # the top of the sample weight-independent.
-    u = (hash_bucket(F.col(key), seed).cast("double") + 0.5) / HASH_DEN
+    u = hash_unit(F.col(key), seed)
     score = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)  # A-ES is undefined for w <= 0

@@ -310,9 +310,14 @@ def chunk_documents(
     array, so no re-tokenization drift.  Returns
     (id, chunk_id, chunk_text, n_tokens).
     """
+    if not 0 <= overlap < chunk:
+        # a negative overlap (step > chunk) would silently OMIT the words
+        # between consecutive chunks from every chunk
+        raise ValueError(
+            f"overlap must be in [0, chunk); got overlap={overlap}, "
+            f"chunk={chunk}"
+        )
     step = chunk - overlap
-    if step <= 0:
-        raise ValueError("overlap must be smaller than chunk")
     ws = words(F.col(text_col))
     n = F.size(ws)
     # integer ceil((n - chunk)/step) + 1, floor-safe on doubles for any

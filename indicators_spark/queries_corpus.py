@@ -1073,8 +1073,7 @@ _register(
         sql=f"""
 WITH s AS (
   SELECT doc_id, n_chars,
-    ln((CAST(({_sampling.bucket_sql('doc_id', 'w42')}) AS DOUBLE) + 0.5)
-       / {_sampling.HASH_DEN})
+    ln({_sampling.unit_sql('doc_id', 'w42')})
       / CAST(n_chars AS DOUBLE) AS aes_score
   FROM documents WHERE n_chars > 0
 )

@@ -392,3 +392,45 @@ def test_decode_image_meta_rejects_reapplication(spark):
     once = M.decode_image_meta(df)
     with _pytest.raises(ValueError, match="already present"):
         M.decode_image_meta(once)
+
+
+def test_exact_dedup_null_text_passthrough(spark):
+    """Null-text rows (failed extraction) are not proven-equal content —
+    both exact dedup forms must pass them through, never collapse them."""
+    from indicators_spark.functions.dedup import dedup_against_corpus, exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 2, 3]
+    corpus = spark.createDataFrame([("zz",)], "fp string")
+    kept2 = sorted(
+        r["doc_id"] for r in dedup_against_corpus(docs, corpus).collect()
+    )
+    assert kept2 == [1, 2, 3]
+
+
+def test_jaccard_prune_keeps_threshold_boundary(spark):
+    """jaccard == threshold exactly (4 shared of sizes 5/4 at t=0.8) must
+    survive the size-ratio prune — float rounding of the 0.8 literal
+    would otherwise prune what the final filter keeps."""
+    from indicators_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d")], "doc_id long, text string"
+    )
+    got = {(r["ia"], r["ib"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (0, 1) in got and abs(got[(0, 1)] - 0.8) < 1e-15
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk=64, overlap=-16)

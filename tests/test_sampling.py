@@ -100,3 +100,35 @@ def test_kmeans_deterministic_and_sane(spark):
     z = kmeans_lloyd(emb, k=4, iters=0)
     got_z = {r["vec_id"]: r["cluster"] for r in z.collect()}
     assert got != got_z
+
+
+def test_null_keys_consistent_across_samplers(spark):
+    """NULL sampling keys hash through one sentinel everywhere: rate=1.0
+    keeps them, and the same row lands in exactly one split — previously
+    hash_sample dropped the row while train_val_test_split kept it."""
+    from indicators_spark.functions.sampling import (
+        hash_sample,
+        train_val_test_split,
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0), ("b", 3.0)], "k string, w double"
+    )
+    assert hash_sample(df, "k", rate=1.0).count() == 3
+    splits = {r["k"]: r["split"] for r in train_val_test_split(df, "k").collect()}
+    assert set(splits) == {None, "a", "b"}
+    assert weighted_sample(df, "k", "w", k=3).count() == 3
+
+
+def test_weighted_sample_u_resolution(spark):
+    """A-ES scores must not collapse into 10k tie groups: with equal
+    weights the scores should be (essentially) all-distinct."""
+    from indicators_spark.functions.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("k"), F.lit(1.0).alias("w")
+    )
+    out = weighted_sample(df, "k", "w", k=2000)
+    scores = [r["aes_score"] for r in out.collect()]
+    assert len(set(scores)) == len(scores)
