@@ -111,6 +111,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str | None = None,
     directed: bool = False,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) for a fixed
     number of supersteps: every node starts in its own community (label =
@@ -129,9 +130,12 @@ def label_propagation(
 
     Scale shape mirrors :func:`pagerank`: state is one (node, label) row
     per vertex; a superstep is edges⋈labels (broadcast the label side
-    when |V| ≪ |E|) → one (node, label)-keyed weight sum → one per-node
-    argmax via ``max_by``-style struct ordering — all map-side combined.
-    Undirected graphs union the reversed edge list once, up front."""
+    when |V| ≪ |E| — ``broadcast_labels=False`` hash-joins instead when
+    the vertex table itself is too big to broadcast, the same escape
+    hatch as pagerank's ``broadcast_ranks``) → one (node, label)-keyed
+    weight sum → one per-node argmax via ``max_by``-style struct ordering
+    — all map-side combined.  Undirected graphs union the reversed edge
+    list once, up front."""
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
@@ -148,7 +152,7 @@ def label_propagation(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
-        lab = F.broadcast(labels)
+        lab = F.broadcast(labels) if broadcast_labels else labels
         votes = (
             e.join(lab, e["u"] == lab["node"])
             .groupBy(F.col("v").alias("n"), "label")

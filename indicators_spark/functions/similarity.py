@@ -114,7 +114,7 @@ def cosine_pairs(
     """
     base = with_norm(df, vec_col)
     theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    if not band_prune or theta_t <= 0.0:
+    if not band_prune:
         a = base.select(
             F.col(id_col).alias("ia"),
             F.col(vec_col).alias("va"),
@@ -137,8 +137,12 @@ def cosine_pairs(
     # Width padded 0.1% over arccos(t) so float error in θ can never push a
     # qualifying pair two buckets apart (it would need ~a full bucket of
     # error); zero-norm vectors get θ=π/2 arbitrarily — their cos is NULL
-    # and the final filter drops them wherever they land.
-    width = theta_t * 1.001
+    # and the final filter drops them wherever they land.  The epsilon
+    # floor keeps the banded plan live at threshold ≥ 1.0 (θ_t = 0 — the
+    # "exact duplicates" ask): adjacent-band coverage still holds for the
+    # θ-diff ≤ 0 pairs, where the old guard fell through to the O(n²)
+    # nested-loop join this function exists to avoid.
+    width = max(theta_t * 1.001, 1e-12)
     ratio = F.element_at(F.col(vec_col), 1).cast("double") / F.nullif(
         F.col("_norm"), F.lit(0.0)
     )
@@ -288,6 +292,17 @@ def knn_lsh(
     """Approximate top-k via random-hyperplane LSH: n_planes-bit bucket
     signature, candidates joined within buckets, exact re-rank.  Recall <1
     by construction — this is the scale path, checked rows-only."""
+    # validate dim against the data: zip_with pads a length mismatch with
+    # NULL, one NULL product poisons the projection fold, every bit falls
+    # to 0 and ALL vectors silently collapse into bucket 0 — the exact
+    # quadratic join the buckets exist to prevent
+    probe = df.select(F.size(F.col(vec_col))).first()
+    if probe is not None and probe[0] != dim:
+        raise ValueError(
+            f"knn_lsh: dim={dim} but {vec_col!r} vectors have length "
+            f"{probe[0]} — pass dim={probe[0]} (hyperplanes must span the "
+            "full vector or the bucket signature degenerates)"
+        )
     planes = _plane_signs(n_planes, dim)
 
     def signature(vec: str) -> Column:
@@ -462,6 +477,16 @@ def kmeans_lloyd(
         .select(F.col(id_col).cast("int"), _quant_vec(F.col(vec_col)))
         .collect()
     )
+    if not cents:
+        raise ValueError(
+            f"kmeans_lloyd: no init vectors — {id_col} must include values "
+            f"< k ({k}); got none (ids are assumed dense integers starting "
+            "at 0, or pass a smaller k)"
+        )
+    # NB: a centroid whose cluster goes empty in an assign pass emits no
+    # mean row and drops out (k shrinks) — the standard no-reseed Lloyd
+    # behavior, kept deterministic/oracle-replayable on purpose; reseed
+    # externally if fixed k matters.
     for _ in range(iters):
         expl = _assign_arrow(base, cents, id_col, vec_col, emit="explode")
         means = expl.groupBy("cluster", "pos").agg(
@@ -961,9 +986,12 @@ def _pq_index_arrow(
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             out = {id_col: pdf[id_col].to_numpy()}
             if cv is not None:
-                out["cid"] = np.argmax(_np_fold_cos(x, cv), axis=1).astype(
-                    np.int32
-                )
+                # NaN mask as in _semdedup_assign_arrow: a zero-norm
+                # centroid's NaN column must never capture the argmax
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    grid = _np_fold_cos(x, cv)
+                grid = np.where(np.isnan(grid), -np.inf, grid)
+                out["cid"] = np.argmax(grid, axis=1).astype(np.int32)
             for s in range(n_sub):
                 d = _np_fold_sq_dists(x[:, s * sub : (s + 1) * sub], cbs[s])
                 out[f"c{s}"] = np.argmin(d, axis=1).astype(np.int32)
@@ -1020,14 +1048,20 @@ def _pq_tables_arrow(
                     }
                 )
                 continue
-            cos = _np_fold_cos(x, cv)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _np_fold_cos(x, cv)
+            cos = np.where(np.isnan(cos), -np.inf, cos)
+            # clamp: nprobe > n_centroids would truncate the probe lists
+            # to n_centroids while np.repeat still used nprobe, producing
+            # mismatched column lengths
+            np_eff = min(nprobe, cv.shape[0])
             cells = np.asarray(
                 [
-                    np.lexsort((np.arange(cv.shape[0]), -row))[:nprobe]
+                    np.lexsort((np.arange(cv.shape[0]), -row))[:np_eff]
                     for row in cos
                 ]
             )
-            rep = np.repeat(np.arange(len(qids)), nprobe)
+            rep = np.repeat(np.arange(len(qids)), np_eff)
             yield pd.DataFrame(
                 {
                     "qid": qids[rep],
@@ -1260,8 +1294,8 @@ def centroid_classify(
     means = expl.groupBy("_lab", "pos").agg(
         F.avg(F.col("val").cast("double")).alias("v")
     )
-    cents = sorted(
-        (int(r[0]), list(r[1]))
+    rows = sorted(
+        (r[0], list(r[1]))
         for r in means.groupBy("_lab")
         .agg(
             F.transform(
@@ -1272,10 +1306,20 @@ def centroid_classify(
         .select("_lab", _quant_vec(F.col("_raw")))
         .collect()
     )
+    # Labels can be ANY orderable type (strings are the normal case):
+    # argmin runs over dense internal indices (lowest-sorted-label
+    # tie-break), and the winning index maps back to the original label
+    # value through a literal array — the output column keeps the input
+    # label type, still zero shuffle.
+    labels = [lab for lab, _ in rows]
+    cents = [(i, vec) for i, (_, vec) in enumerate(rows)]
+    label_arr = F.array(*[F.lit(lab) for lab in labels])
     return df.select(
         F.col(id_col),
         F.col(label_col).alias("label"),
-        _argmin_cluster(cents, vec_col).alias("assigned"),
+        F.element_at(
+            label_arr, _argmin_cluster(cents, vec_col) + 1
+        ).alias("assigned"),
     )
 
 
@@ -1303,7 +1347,14 @@ def covariance_matrix(
     import pandas as pd  # noqa: PLC0415 — worker-side import kept local
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None:
+            # empty input: nothing to measure — return an empty frame with
+            # the output schema instead of crashing on None[0]
+            return df.sparkSession.createDataFrame(
+                [], "i int, j int, cov double"
+            )
+        dim = len(probe[0])
 
     schema = "i int, j int, sxy double, si double, sj double, n long"
 

@@ -434,3 +434,75 @@ def test_chunk_documents_rejects_negative_overlap(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk=64, overlap=-16)
+
+
+def test_knn_ivfpq_zero_norm_centroid(spark):
+    """A zero-norm coarse centroid must not capture the corpus (NaN mask,
+    as in SemDeDup) and nprobe > n_centroids must clamp, not crash."""
+    from indicators_spark.functions.similarity import knn_ivfpq
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0] * 4)] + [
+        (i, [1.0, float(i) / 100, 0.0, 0.0]) for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 5)
+    out = knn_ivfpq(
+        df, q, k=3, n_centroids=2, n_sub=2, n_codes=4, nprobe=8
+    ).collect()
+    assert len(out) == 3  # neighbors found, not silently empty
+
+
+def test_cosine_pairs_threshold_one_stays_banded(spark):
+    """threshold=1.0 (exact duplicates) must keep the banded equi-join
+    plan — the theta=0 case previously fell through to the O(n^2)
+    nested-loop join."""
+    from indicators_spark.functions.similarity import cosine_pairs
+    from indicators_spark.plans import plan_string
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = cosine_pairs(df, threshold=1.0)
+    assert "BroadcastNestedLoopJoin" not in plan_string(pairs)
+    got = {(r["ia"], r["ib"]) for r in pairs.collect()}
+    assert got == {(0, 1)}  # colinear pair only
+
+
+def test_knn_lsh_rejects_dim_mismatch(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.similarity import knn_lsh
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        knn_lsh(df, df, dim=64)
+
+
+def test_centroid_classify_string_labels(spark):
+    from indicators_spark.functions.similarity import centroid_classify
+
+    rows = [
+        (0, [1.0, 0.0], "news"),
+        (1, [0.9, 0.1], "news"),
+        (2, [0.0, 1.0], "spam"),
+        (3, [0.1, 0.9], "spam"),
+        (4, [0.95, 0.05], "spam"),  # mislabeled: lands in 'news' centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r["vec_id"]: r["assigned"] for r in centroid_classify(df).collect()}
+    assert got[0] == "news" and got[2] == "spam" and got[4] == "news"
+
+
+def test_kmeans_requires_init_ids(spark):
+    import pytest as _pytest
+
+    from indicators_spark.functions.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1000, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="init"):
+        kmeans_lloyd(df, k=8)
