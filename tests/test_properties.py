@@ -329,3 +329,47 @@ def test_semantic_dedup_matches_bruteforce(spark, vecs, threshold):
                 if o != d
             )
             assert near, (kept, expect, d)
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-1e5, max_value=1e5, allow_nan=False, width=32),
+        ),
+        min_size=40,
+        max_size=80,
+    ),
+    buckets=st.integers(min_value=1, max_value=3),
+    n=st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_halo_rolling_matches_window_random(spark, values, buckets, n):
+    """Property: for any series (with nulls), bucket count, and window
+    size satisfying the bucket-size precondition, the halo kernel equals
+    the single-task global window bit-for-bit (including warm-up gates)."""
+    from pyspark.sql import Window as W
+
+    from indicators_spark.scale import halo_rolling
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = (
+        spark.createDataFrame(rows, "seq long, close double")
+        .withColumn("timestamp", F.timestamp_seconds(F.col("seq")))
+    )
+    out = halo_rolling(
+        df, "mean", "close", n, ("timestamp", "seq"), buckets=buckets,
+        bucket_by="seq", out="v",
+    )
+    w = W.orderBy("timestamp", "seq").rowsBetween(-(n - 1), 0)
+    ref = df.withColumn(
+        "v", F.when(F.count("close").over(w) >= n, F.avg("close").over(w))
+    )
+    a = {r["seq"]: r["v"] for r in out.collect()}
+    b = {r["seq"]: r["v"] for r in ref.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        if b[k] is None:
+            assert a[k] is None
+        else:
+            assert a[k] is not None and math.isclose(a[k], b[k], rel_tol=1e-12)
