@@ -137,12 +137,17 @@ def cosine_pairs(
     # Width padded 0.1% over arccos(t) so float error in θ can never push a
     # qualifying pair two buckets apart (it would need ~a full bucket of
     # error); zero-norm vectors get θ=π/2 arbitrarily — their cos is NULL
-    # and the final filter drops them wherever they land.  The epsilon
-    # floor keeps the banded plan live at threshold ≥ 1.0 (θ_t = 0 — the
-    # "exact duplicates" ask): adjacent-band coverage still holds for the
-    # θ-diff ≤ 0 pairs, where the old guard fell through to the O(n²)
-    # nested-loop join this function exists to avoid.
-    width = max(theta_t * 1.001, 1e-12)
+    # and the final filter drops them wherever they land.  The floor keeps
+    # the banded plan live at threshold ≥ 1.0 (θ_t = 0 — the "exact
+    # duplicates" ask) WITHOUT losing qualifying pairs: float64 cannot
+    # represent cos values between 1 and ~1−1e-16, so a pair computing
+    # cos == 1.0 can sit at a true angle up to ~1.5e-8 rad, and each
+    # member's reference angle θ(·,e₁) carries error amplified by
+    # 1/√(1−r²) near the axis.  1e-7 rad exceeds both the representable
+    # pair angle and the amplified θ error, so one-bucket adjacency
+    # genuinely covers every representable cos ≥ 1.0 pair (a 1e-12 floor
+    # provably did not — pairs landed thousands of buckets apart).
+    width = max(theta_t * 1.001, 1e-7)
     ratio = F.element_at(F.col(vec_col), 1).cast("double") / F.nullif(
         F.col("_norm"), F.lit(0.0)
     )
@@ -292,17 +297,14 @@ def knn_lsh(
     """Approximate top-k via random-hyperplane LSH: n_planes-bit bucket
     signature, candidates joined within buckets, exact re-rank.  Recall <1
     by construction — this is the scale path, checked rows-only."""
-    # validate dim against the data: zip_with pads a length mismatch with
-    # NULL, one NULL product poisons the projection fold, every bit falls
-    # to 0 and ALL vectors silently collapse into bucket 0 — the exact
-    # quadratic join the buckets exist to prevent
-    probe = df.select(F.size(F.col(vec_col))).first()
-    if probe is not None and probe[0] != dim:
-        raise ValueError(
-            f"knn_lsh: dim={dim} but {vec_col!r} vectors have length "
-            f"{probe[0]} — pass dim={probe[0]} (hyperplanes must span the "
-            "full vector or the bucket signature degenerates)"
-        )
+    # validate dim against the data, PER ROW and lazily: zip_with pads a
+    # length mismatch with NULL, one NULL product poisons the projection
+    # fold, every bit falls to 0 and ALL vectors silently collapse into
+    # bucket 0 — the exact quadratic join the buckets exist to prevent.
+    # The former eager `.first()` probe executed the full upstream
+    # lineage at plan-build time yet only saw one row, so a MIXED-length
+    # column still degenerated (ADVICE r4); the guard now rides the
+    # signature expression itself — zero extra jobs, every row covered.
     planes = _plane_signs(n_planes, dim)
 
     def signature(vec: str) -> Column:
@@ -310,7 +312,17 @@ def knn_lsh(
         for m, row in enumerate(planes):
             proj = dot(F.col(vec), F.lit(row))
             sig = sig + F.when(proj > 0, F.lit(1 << m)).otherwise(F.lit(0))
-        return sig
+        return F.when(F.size(F.col(vec)) == dim, sig).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"knn_lsh: dim={dim} but {vec_col!r} vector has "
+                          "length "),
+                    F.size(F.col(vec)).cast("string"),
+                    F.lit(" — pass the true dim (hyperplanes must span the "
+                          "full vector or the bucket signature degenerates)"),
+                )
+            )
+        )
 
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("nid"),
@@ -761,7 +773,9 @@ def semantic_dedup(
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     cents = [
         (int(r["_id"]), [float(x) for x in r["_v"]])
-        for r in base.filter(F.col("_id") < n_centroids).collect()
+        for r in base.filter(
+            (F.col("_id") < n_centroids) & F.col("_v").isNotNull()
+        ).collect()
     ]
     if not cents:
         raise ValueError(
@@ -769,7 +783,18 @@ def semantic_dedup(
             f"< n_centroids ({n_centroids}); got none (ids are assumed dense "
             "integers starting at 0, or pass a larger n_centroids)"
         )
-    assigned = _semdedup_assign_arrow(base, cents)
+    # NULL or off-dimension vectors can never be dropped (their pair
+    # cosines are NULL, which the >= threshold filter never passes — the
+    # contract the former JVM join form gave for free), but np.vstack in
+    # the Arrow kernels would crash on them.  Route them around the
+    # kernels entirely: they are simply absent from `dropped`, so the
+    # final anti join keeps them, same as exact_dedup does for NULL text.
+    dim = len(cents[0][1])
+    cents = [(c, v) for c, v in cents if len(v) == dim]
+    well_formed = base.filter(
+        F.col("_v").isNotNull() & (F.size(F.col("_v")) == dim)
+    )
+    assigned = _semdedup_assign_arrow(well_formed, cents)
     if max_cell_size is not None:
         wc = Window.partitionBy("cell").orderBy("_id")
         assigned = (

@@ -23,15 +23,39 @@ from pyspark.sql import functions as F
 
 def _events_has_nanos(path: str) -> bool:
     """True iff the parquet file stores ``ts`` as TIMESTAMP(NANOS) —
-    footer-only probe, no Spark job, tolerant of a missing/odd file (the
-    read itself will surface real errors)."""
-    try:
-        import pyarrow.parquet as pq
+    footer-only probe, no Spark job.
 
-        field = pq.ParquetFile(path).schema_arrow.field("ts")
-        return getattr(field.type, "unit", None) == "ns"
-    except Exception:
+    ``path`` may be a single file OR a Spark-written directory:
+    ``pq.ParquetFile`` cannot open a directory, so probe the first data
+    file under it (same listing discipline as
+    ``scale.parquet_footer_stats``) — otherwise a directory-shaped
+    events.parquet storing TIMESTAMP(NANOS) would silently skip the
+    legacy ``nanosAsLong`` conf and the subsequent read would fail
+    (ADVICE r4).  Only genuine absence (no path / no data files / no
+    ``ts`` field) falls back to False; a real footer-parse error
+    propagates rather than being swallowed into the wrong read path."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if not os.path.basename(f).startswith(("_", "."))
+        )
+        if not files:
+            return False
+        path = files[0]
+    elif not os.path.exists(path):
         return False
+    schema = pq.ParquetFile(path).schema_arrow
+    if schema.get_field_index("ts") < 0:
+        return False
+    return getattr(schema.field("ts").type, "unit", None) == "ns"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -41,6 +41,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _run_ns(run_id: str | None) -> str:
@@ -138,6 +139,15 @@ class UpsertParquetSink:
     epoch merges into the existing store.  This is exactly Delta/Iceberg's
     MERGE commit protocol (including the ``txn``-style run scoping) minus
     the manifest format.
+
+    **Merge keys must be non-null.**  ``merge_upsert`` follows MERGE
+    semantics — ``ON t.key = u.key`` matches no NULL, so NULL-key rows
+    pass through unchanged from BOTH sides on every merge.  For a keyed
+    store that means a replayed epoch under a *fresh checkpoint* (new
+    ``run_id``, pointer can't skip it) would append another copy of every
+    NULL-key row per replay — the passthrough and the replay-idempotence
+    contract are mutually exclusive.  The sink therefore REJECTS batches
+    containing NULL keys; filter or fill them upstream.
     """
 
     def __init__(
@@ -169,6 +179,14 @@ class UpsertParquetSink:
             return  # replayed epoch of this run: exactly-once skip
         if batch_df.isEmpty():
             return  # empty trigger: skip the full copy-on-write pass
+        if not batch_df.filter(F.col(self.key).isNull()).isEmpty():
+            raise ValueError(
+                f"UpsertParquetSink: NULL {self.key!r} values in epoch "
+                f"{epoch_id} — MERGE semantics pass NULL-key rows through "
+                "unchanged on every merge, so a replayed epoch under a "
+                "fresh checkpoint would append duplicates; keyed stores "
+                "require non-null merge keys (filter or fill upstream)"
+            )
         spark = batch_df.sparkSession
         if cur is None:
             # epoch 0 seeds through the SAME merge (latest-wins incl. the

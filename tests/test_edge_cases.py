@@ -250,6 +250,47 @@ def test_semantic_dedup_zero_norm_vector_kept(spark):
     assert kept == [0, 1]
 
 
+def test_semantic_dedup_null_and_ragged_vectors_kept(spark):
+    """NULL or wrong-length embedding vectors must pass through unchanged
+    (NULL cosines never clear the threshold — the former JVM join form's
+    contract) instead of crashing np.vstack in the Arrow kernels
+    (ADVICE r4), and must not disturb dedup among well-formed rows."""
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, None),
+            (2, [1.0, 0.0]),  # dup of 0 → dropped
+            (3, [1.0, 0.0, 5.0]),  # ragged: off-dim vs centroid → kept
+            (4, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(vecs, threshold=0.9, n_centroids=1).collect()
+    )
+    assert kept == [0, 1, 3, 4]
+
+
+def test_semantic_dedup_null_centroid_row_skipped(spark):
+    """A NULL vector among the centroid-id rows must not crash centroid
+    collection or poison assignment — it is skipped as a centroid (and
+    kept as a row)."""
+    from indicators_spark.functions.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(vecs, threshold=0.9, n_centroids=2).collect()
+    )
+    assert kept == [0, 1, 3]
+
+
 def test_tfidf_string_ids_take_sparse_path(spark):
     """Non-integral doc ids can't ride the dense kernel's int64 id array —
     the dispatch must fall back to the sparse posting join and still
@@ -469,7 +510,39 @@ def test_cosine_pairs_threshold_one_stays_banded(spark):
     assert got == {(0, 1)}  # colinear pair only
 
 
+def test_cosine_pairs_threshold_one_near_duplicate_floats(spark):
+    """Pairs whose true angle is below float64 resolution (cos computes
+    exactly 1.0) must survive the banded plan at threshold=1.0 even when
+    their reference angles theta(.,e1) differ by far more than the pair
+    angle — the regime a 1e-12 band width provably missed (ADVICE r4:
+    a 5e-10 theta diff landed the pair ~500 buckets apart)."""
+    from indicators_spark.functions.similarity import cosine_pairs
+
+    rows = [
+        # near 45 deg: cos(a,b) computes exactly 1.0 in float64 yet
+        # theta(a,e1) and theta(b,e1) differ by ~1e-9 (1000 buckets at
+        # the old 1e-12 width)
+        (0, [1.0, 1.0]),
+        (1, [1.0, 1.0 + 2e-9]),
+        # a second slope: theta diff ~1.2e-9, cos == 1.0 exactly
+        (2, [3.0, 4.0]),
+        (3, [3.0, 4.0 + 1e-8]),
+        # a genuinely distinct vector that must NOT pair with anything
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["ia"], r["ib"]) for r in cosine_pairs(df, threshold=1.0).collect()}
+    want = {
+        (r["ia"], r["ib"])
+        for r in cosine_pairs(df, threshold=1.0, band_prune=False).collect()
+    }
+    assert (0, 1) in want and (2, 3) in want  # the cases are live
+    assert got == want  # banded output identical to the all-pairs form
+
+
 def test_knn_lsh_rejects_dim_mismatch(spark):
+    """The dim guard rides the signature expression (per-row, lazy): the
+    call itself stays cheap, and the mismatch surfaces at execution."""
     import pytest as _pytest
 
     from indicators_spark.functions.similarity import knn_lsh
@@ -477,8 +550,25 @@ def test_knn_lsh_rejects_dim_mismatch(spark):
     df = spark.createDataFrame(
         [(0, [1.0] * 8), (1, [2.0] * 8)], "vec_id long, embedding array<double>"
     )
-    with _pytest.raises(ValueError, match="dim"):
-        knn_lsh(df, df, dim=64)
+    with _pytest.raises(Exception, match="knn_lsh: dim=64"):
+        knn_lsh(df, df, dim=64).collect()
+
+
+def test_knn_lsh_rejects_mixed_length_vectors(spark):
+    """A single off-length vector hidden behind well-formed rows must
+    raise, not silently zero its signature bits and collapse buckets —
+    the failure the old single-row `.first()` probe could not see
+    (ADVICE r4)."""
+    import pytest as _pytest
+
+    from indicators_spark.functions.similarity import knn_lsh
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 8), (2, [3.0] * 5)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="knn_lsh: dim=8"):
+        knn_lsh(df, df, dim=8).collect()
 
 
 def test_centroid_classify_string_labels(spark):
@@ -506,3 +596,75 @@ def test_kmeans_requires_init_ids(spark):
     )
     with _pytest.raises(ValueError, match="init"):
         kmeans_lloyd(df, k=8)
+
+
+def test_events_has_nanos_probes_directories(tmp_path):
+    """A Spark-written (directory-shaped) events.parquet storing
+    TIMESTAMP(NANOS) must be detected so the legacy nanosAsLong conf is
+    set before the read — pq.ParquetFile cannot open a directory, so the
+    probe must list the first data file (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indicators_spark.sources.prices import _events_has_nanos
+
+    ns_tbl = pa.table(
+        {"event_id": pa.array([1], pa.int64()),
+         "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))}
+    )
+    us_tbl = pa.table(
+        {"event_id": pa.array([1], pa.int64()),
+         "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}
+    )
+
+    # single files (the original shape) still work
+    pq.write_table(ns_tbl, str(tmp_path / "ns.parquet"))
+    pq.write_table(us_tbl, str(tmp_path / "us.parquet"))
+    assert _events_has_nanos(str(tmp_path / "ns.parquet")) is True
+    assert _events_has_nanos(str(tmp_path / "us.parquet")) is False
+
+    # directory shapes: data files under the dir, _SUCCESS markers ignored
+    for name, tbl in [("dir_ns.parquet", ns_tbl), ("dir_us.parquet", us_tbl)]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-00000.parquet"))
+        (d / "_SUCCESS").write_text("")
+    assert _events_has_nanos(str(tmp_path / "dir_ns.parquet")) is True
+    assert _events_has_nanos(str(tmp_path / "dir_us.parquet")) is False
+
+    # genuine absence -> False, never an exception
+    assert _events_has_nanos(str(tmp_path / "missing.parquet")) is False
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    assert _events_has_nanos(str(empty)) is False
+    # a table without ts at all -> False
+    no_ts = pa.table({"x": pa.array([1], pa.int64())})
+    pq.write_table(no_ts, str(tmp_path / "nots.parquet"))
+    assert _events_has_nanos(str(tmp_path / "nots.parquet")) is False
+
+
+def test_load_table_reads_directory_shaped_nanos_events(spark, tmp_path):
+    """End-to-end: load_table on a directory-shaped nanos events table
+    takes the legacy bigint path and lands on the canonical timestamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indicators_spark.sources.prices import load_table
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000_000, 1_700_000_001_000_000_000],
+                pa.timestamp("ns"),
+            ),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "part-00000.parquet"))
+    ev = load_table(spark, str(tmp_path), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = sorted(r["ts"].timestamp() for r in ev.collect())
+    assert got == [1_700_000_000.0, 1_700_000_001.0]

@@ -149,6 +149,27 @@ def test_upsert_sink_replay_and_merge(spark, tmp_path):
     assert {tuple(r) for r in sink.read(spark).collect()} == got
 
 
+def test_upsert_sink_rejects_null_keys(spark, tmp_path):
+    """merge_upsert's MERGE-semantics NULL-key passthrough and the sink's
+    replay-idempotence contract are mutually exclusive (a fresh-checkpoint
+    replay would append NULL-key rows every time) — the sink must reject
+    NULL keys up front (ADVICE r4)."""
+    import pytest as _pytest
+
+    from indicators_spark.streaming import UpsertParquetSink
+
+    sink = UpsertParquetSink(str(tmp_path / "store"), key="k", order_col="v")
+    good = spark.createDataFrame([(1, 1, "a")], "k long, v long, s string")
+    bad = spark.createDataFrame(
+        [(2, 1, "b"), (None, 1, "nullkey")], "k long, v long, s string"
+    )
+    sink(good, 0)
+    with _pytest.raises(ValueError, match="NULL 'k'"):
+        sink(bad, 1)
+    # the rejected epoch never committed: store unchanged, pointer intact
+    assert {tuple(r) for r in sink.read(spark).collect()} == {(1, 1, "a")}
+
+
 def test_streaming_dedup_within_watermark(spark, events_stream_dir, tmp_path):
     """Streaming exact dedup: duplicated source rows collapse to one per
     event_id via dropDuplicates with a watermark bounding the state."""
