@@ -623,3 +623,112 @@ def minhash_estimate_vs_true(
             ).alias("true_jaccard"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring (repeated-span) deduplication — the ExactSubstr
+    operator family of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": per document, every MAXIMAL span of
+    ≥ ``n`` consecutive words that occurs verbatim somewhere else in the
+    corpus (another document, or another position of the same document).
+    This is the cross-document repeated-passage complement to the
+    whole-doc fingerprint families above — a doc with no near-duplicate
+    partner can still carry a 300-word boilerplate block shared by
+    thousands of docs, which only span-level dedup removes.
+
+    Returns ``(id, span_start, span_end, span_words)`` with 1-based word
+    positions.  Spans are maximal: duplicated ``n``-gram windows whose
+    word coverage overlaps or touches are merged (same-length intervals
+    sorted by start merge while ``next_start ≤ prev_start + n``), so the
+    output spans per doc are pairwise disjoint and non-adjacent.
+
+    Scale shape (suffix-array-free, shuffle-bounded):
+
+    1. positioned ``n``-grams via one ``posexplode``; the gram is hashed
+       to an 8-byte key scan-side, so document text NEVER shuffles.
+    2. ONE map-side-combined groupBy on the gram hash counts total
+       occurrences — a gram with ``occ ≥ 2`` is a duplicated seed.
+       (The paper's suffix array finds the same seed set; at 100 TB the
+       hash-shuffle form parallelizes per gram key with no global sort.)
+    3. seeds join back on the gram hash (plain hash join, int keys);
+       only ``(id, pos)`` int pairs survive.
+    4. per-doc interval merge: lag + running-sum windows and a groupBy
+       on the doc key — one doc-keyed exchange, state bounded by
+       positions within one document.
+
+    No stage is quadratic in corpus size: a passage shared by ``d`` docs
+    costs ``O(d)`` occurrence rows (its posting list), never ``O(d²)``
+    pairs.  The gram hash is engine-internal (the oracle groups raw gram
+    strings) — xxhash64 collisions ~2⁻⁶⁴, same accepted trade as
+    ``text.duplicate_passage_fraction``.
+    """
+    from .text import word_ngrams
+
+    ws = words(F.col(text_col))
+    pos_g = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_ngrams(ws, n)).alias("_p0", "_g"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).alias("pos"),
+        F.xxhash64(F.col("_g")).alias("gh"),
+    )
+    occ = pos_g.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
+    dup = pos_g.join(occ.filter(F.col("occ") > 1), "gh").select("_id", "pos")
+    wo = Window.partitionBy("_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(wo) > n, 1).otherwise(0),
+    ).withColumn(
+        "_rid",
+        F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("_id", "_rid")
+        .agg(
+            F.min("pos").alias("_s"),
+            (F.max("pos") + F.lit(n - 1)).alias("_e"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s") + 1).cast("long").alias("span_words"),
+        )
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-span mass from :func:`substring_dup_spans`:
+    ``(id, n_words, dup_words, dup_frac)`` — the "how much would
+    ExactSubstr remove" accounting (cleaned corpus size =
+    Σ n_words − dup_words).  ``dup_words`` sums the merged maximal spans,
+    which are disjoint by construction, so ``dup_words ≤ n_words``
+    always.  Docs with ≥ ``n`` words and no duplicated span report 0;
+    shorter docs have no ``n``-grams and drop out (mirrors
+    ``duplicate_passage_fraction``)."""
+    spans = substring_dup_spans(df, n, id_col, text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).alias("n_words"),
+    ).filter(F.col("n_words") >= n)
+    per = spans.groupBy(id_col).agg(F.sum("span_words").alias("_dw"))
+    return base.join(per, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce(F.col("_dw"), F.lit(0)).cast("long").alias("dup_words"),
+        (
+            F.coalesce(F.col("_dw"), F.lit(0)).cast("double")
+            / F.col("n_words")
+        ).alias("dup_frac"),
+    )

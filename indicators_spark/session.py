@@ -27,5 +27,9 @@ def get_spark(app_name: str = "indicators_spark", cores: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress bars emit raw control chars on stderr; the driver's
+        # BENCH artifact captures the output tail verbatim, so keep the
+        # stream clean (static conf — must be set before context start)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -913,3 +913,65 @@ def test_tfidf_dense_matches_sparse(spark):
     assert dense.keys() == sparse.keys() and dense
     for k in dense:
         assert dense[k] == pytest.approx(sparse[k], rel=1e-12)
+
+
+def test_substring_dup_spans_merges_maximal(spark):
+    """Crafted corpus: a shared 12-word passage at different offsets in
+    two docs becomes ONE maximal span each; unique text yields none; a
+    within-doc repeat (same doc, two positions) also counts."""
+    from indicators_spark.functions.dedup import (
+        substring_dup_spans,
+        substring_dup_stats,
+    )
+
+    shared = " ".join(f"p{i}" for i in range(12))  # 12-word passage
+    rows = [
+        (0, "a b c " + shared + " x y z"),            # span at words 4..15
+        (1, shared + " q r s t u v w"),               # span at words 1..12
+        (2, "only unique words live here " + " ".join(f"u{i}" for i in range(10))),
+        (3, " ".join(f"w{i}" for i in range(10)) + " " + " ".join(f"w{i}" for i in range(10))),  # self-repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_words"])
+        for r in substring_dup_spans(docs, n=10).collect()
+    }
+    assert spans[0] == (4, 15, 12)
+    assert spans[1] == (1, 12, 12)
+    assert 2 not in spans
+    assert spans[3] == (1, 20, 20)  # both copies + the bridge are covered
+    stats = {
+        r["doc_id"]: (r["n_words"], r["dup_words"])
+        for r in substring_dup_stats(docs, n=10).collect()
+    }
+    assert stats[0] == (18, 12) and stats[1] == (19, 12)
+    assert stats[2][1] == 0
+    assert stats[3] == (20, 20)
+
+
+def test_substring_dup_spans_disjoint_and_bounded(spark):
+    """Merged spans are pairwise disjoint and dup_words <= n_words on a
+    repetitive corpus (the invariant substring_dup_stats relies on)."""
+    from indicators_spark.functions.dedup import (
+        substring_dup_spans,
+        substring_dup_stats,
+    )
+    from indicators_spark.sources.prices import load_table
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spans = substring_dup_spans(docs, n=10).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        assert r["span_words"] == r["span_end"] - r["span_start"] + 1 >= 10
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert by_doc, "smoke corpus should contain duplicated passages"
+    for sp in by_doc.values():
+        sp.sort()
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert s2 > e1 + 1  # disjoint AND non-adjacent (maximal)
+    for r in substring_dup_stats(docs, n=10).collect():
+        assert 0 <= r["dup_words"] <= r["n_words"]

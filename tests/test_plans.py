@@ -379,3 +379,21 @@ def test_pagerank_supersteps_read_cached_edges(spark):
     plan = plan_string(ranks)
     assert "InMemoryTableScan" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_substring_dedup_bounded_plan(spark):
+    """ExactSubstr spans: the duplicated-seed discovery must be a
+    hash-shuffle on the gram key (groupBy + equi join), NEVER an
+    all-pairs/nested-loop stage, and document text must not survive past
+    the scan-side hash (the shuffle carries int keys only)."""
+    from indicators_spark.functions.dedup import substring_dup_spans
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = substring_dup_spans(docs, n=10)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # gram-hash agg + seed join + per-doc merge: <= 4 hash exchanges
+    assert exchange_count(plan) <= 4, plan
