@@ -158,6 +158,14 @@ def main() -> None:
         "tfidf_cosine_pairs",
         "embedding_covariance",
         "rolling_median",
+        # round-5 mid-weight families (VERDICT r4 #5): merge/SCD2, events
+        # funnel+attribution, sampling, and the new ExactSubstr operator
+        "merge_upsert",
+        "scd2_versions",
+        "events_funnel",
+        "events_attribution_linear",
+        "sample_weighted_aes",
+        "dedup_substring_spans",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

@@ -669,17 +669,35 @@ def substring_dup_spans(
     """
     from .text import word_ngrams
 
-    ws = words(F.col(text_col))
+    # Materialize the token array as a COLUMN before gram construction:
+    # word_ngrams references its input once per element_at, and Spark does
+    # not common-subexpression-eliminate inside lambda functions, so an
+    # inlined split(text) expression would re-tokenize the document ~10n
+    # times per row (measured 6× slower end-to-end at sf0.1).
     pos_g = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(word_ngrams(ws, n)).alias("_p0", "_g"),
+        F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+    ).select(
+        "_id",
+        F.posexplode(word_ngrams(F.col("_ws"), n)).alias("_p0", "_g"),
     ).select(
         "_id",
         (F.col("_p0") + 1).alias("pos"),
         F.xxhash64(F.col("_g")).alias("gh"),
     )
-    occ = pos_g.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
-    dup = pos_g.join(occ.filter(F.col("occ") > 1), "gh").select("_id", "pos")
+    # Occurrence count as a window over the gram key, not groupBy+join:
+    # ONE hash exchange on gh and pos_g evaluated once, vs two exchanges
+    # plus a full re-evaluation of the gram construction on the join's
+    # probe side (measured ~2× at sf0.1).  Per-key window state is the
+    # gram's posting list — O(occurrences), the same rows the join's
+    # shuffle would carry; a corpus-wide boilerplate passage makes a hot
+    # key either way (at real scale: pre-filter such grams like
+    # ngram_jaccard_pairs' max_df prune).
+    wg = Window.partitionBy("gh")
+    dup = (
+        pos_g.withColumn("occ", F.count(F.lit(1)).over(wg))
+        .filter(F.col("occ") > 1)
+        .select("_id", "pos")
+    )
     wo = Window.partitionBy("_id").orderBy("pos")
     flagged = dup.withColumn(
         "_new",

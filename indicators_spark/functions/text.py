@@ -219,11 +219,16 @@ def decontaminate_flags(
     """
 
     def _ngrams(frame: DataFrame) -> DataFrame:
-        ws = words(F.col(text_col))
-        grams = word_ngrams(ws, n)
+        # token array materialized as a column first: no CSE inside
+        # lambda functions, so an inlined split() would re-tokenize the
+        # doc once per element_at (~10n times per row)
         return frame.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(grams)).alias("g"),
+            F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+        ).select(
+            "_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("_ws"), n))
+            ).alias("g"),
         )
 
     bench_g = _ngrams(bench).select("g").distinct()
@@ -265,15 +270,19 @@ def duplicate_passage_fraction(
     Returns (id, n_grams, dup_grams, dup_frac); docs shorter than ``n``
     words have no n-grams and are dropped (oracle mirrors).
     """
-    ws = words(F.col(text_col))
-    grams = word_ngrams(ws, n)
     # hash the gram BEFORE the shuffle: 8-byte keys instead of n-word
     # strings.  xxhash64 (not the portable md5 hash) — the key is internal
     # to this operator (the oracle groups raw gram strings), so the cheap
     # engine-native hash is fine; only collisions would matter (~2⁻⁶⁴).
+    # Tokens materialize as a column first (no CSE inside lambdas — an
+    # inlined split() re-tokenizes the doc once per element_at).
     doc_g = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(grams)).alias("g"),
+        F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+    ).select(
+        "_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("_ws"), n))
+        ).alias("g"),
     ).select("_id", F.xxhash64(F.col("g")).alias("gh"))
     gram_df = doc_g.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
     per_doc = (
@@ -575,10 +584,13 @@ def source_ngram_overlap(
     ubiquitous boilerplate gram contributes ≤ |sources|² pairs, a small
     constant.  Per-source sizes broadcast back.  No document-pair or
     doc×gram quadratic stage anywhere."""
-    ws = words(F.col(text_col))
-    grams = word_ngrams(ws, n)
+    # tokens as a column first (no CSE inside lambdas — see
+    # duplicate_passage_fraction)
     sg = (
-        df.select(F.col(source_col).alias("src"), F.explode(grams).alias("g"))
+        df.select(
+            F.col(source_col).alias("src"), words(F.col(text_col)).alias("_ws")
+        )
+        .select("src", F.explode(word_ngrams(F.col("_ws"), n)).alias("g"))
         .select("src", F.xxhash64(F.col("g")).alias("gh"))
         .distinct()
     )
