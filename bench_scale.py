@@ -516,6 +516,24 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- ExactSubstr substring dedup (round 5) --------------------------
+    # The same synthetic doc set (30 words/doc, 1000-word vocab → heavy
+    # repeated 10-grams).  Cost drivers at scale: one posexplode (~21
+    # positions/doc), ONE gram-hash window exchange, one doc-keyed merge —
+    # linear in corpus positions, quadratic in nothing.  docs_per_sec
+    # flat across corpus sizes = the 100 TB claim holds.
+    from indicators_spark.functions.dedup import substring_dup_spans
+
+    t0 = time.time()
+    substring_dup_spans(docs, n=10).agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["substring_dedup_spans"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

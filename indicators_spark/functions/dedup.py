@@ -113,11 +113,13 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     not unigrams: on small vocabularies unigram sets are near-identical
     across documents and LSH degenerates to all-pairs; bigrams restore
     selectivity (vocab² space)."""
-    ws = words(F.col(text_col))
     # Guard the <2-word case: sequence(1, 0) DESCENDS in Spark and the
     # element_at then indexes past the array (ANSI error).  Such docs
     # have no shingles and drop out — the semantics the oracle's
     # range(1, len(ws)) (empty for len<2) already has.
+    # The token array materializes as a column first: no CSE inside
+    # lambdas, so an inline split() would re-tokenize once per element_at.
+    ws = F.col("_ws")
     shingles = F.when(
         F.size(ws) >= 2,
         F.transform(
@@ -127,9 +129,12 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles)).alias("tok"),
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+        )
+        .select("_id", F.explode(F.array_distinct(shingles)).alias("tok"))
     )
 
 
@@ -630,6 +635,7 @@ def substring_dup_spans(
     n: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring (repeated-span) deduplication — the ExactSubstr
     operator family of Lee et al. 2021, "Deduplicating Training Data
@@ -646,6 +652,15 @@ def substring_dup_spans(
     word coverage overlaps or touches are merged (same-length intervals
     sorted by start merge while ``next_start ≤ prev_start + n``), so the
     output spans per doc are pairwise disjoint and non-adjacent.
+
+    ``keep_first=True`` switches to the paper's REMOVAL policy: the
+    globally first occurrence of each gram (min ``(doc_id, pos)``) is the
+    canonical copy and is NOT marked — only later occurrences seed spans,
+    so the returned spans are exactly the text ExactSubstr would cut
+    while one copy of every passage survives somewhere in the corpus.
+    The default (``False``) marks EVERY occurrence — the audit view
+    ("which text is duplicated at all"), which ``substring_dup_stats``
+    aggregates.
 
     Scale shape (suffix-array-free, shuffle-bounded):
 
@@ -684,7 +699,7 @@ def substring_dup_spans(
         (F.col("_p0") + 1).alias("pos"),
         F.xxhash64(F.col("_g")).alias("gh"),
     )
-    # Occurrence count as a window over the gram key, not groupBy+join:
+    # Occurrence analysis as a window over the gram key, not groupBy+join:
     # ONE hash exchange on gh and pos_g evaluated once, vs two exchanges
     # plus a full re-evaluation of the gram construction on the join's
     # probe side (measured ~2× at sf0.1).  Per-key window state is the
@@ -692,12 +707,22 @@ def substring_dup_spans(
     # shuffle would carry; a corpus-wide boilerplate passage makes a hot
     # key either way (at real scale: pre-filter such grams like
     # ngram_jaccard_pairs' max_df prune).
-    wg = Window.partitionBy("gh")
-    dup = (
-        pos_g.withColumn("occ", F.count(F.lit(1)).over(wg))
-        .filter(F.col("occ") > 1)
-        .select("_id", "pos")
-    )
+    if keep_first:
+        # removal policy: rank occurrences globally per gram; rank 1 is
+        # the surviving canonical copy, every later one seeds a cut span
+        wg = Window.partitionBy("gh").orderBy("_id", "pos")
+        dup = (
+            pos_g.withColumn("_rn", F.row_number().over(wg))
+            .filter(F.col("_rn") > 1)
+            .select("_id", "pos")
+        )
+    else:
+        wg = Window.partitionBy("gh")
+        dup = (
+            pos_g.withColumn("occ", F.count(F.lit(1)).over(wg))
+            .filter(F.col("occ") > 1)
+            .select("_id", "pos")
+        )
     wo = Window.partitionBy("_id").orderBy("pos")
     flagged = dup.withColumn(
         "_new",

@@ -179,12 +179,25 @@ def repetition_signals(
             / F.size(ws).cast("double")
         ).alias("dup_word_frac"),
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
-    bg = df.filter(F.size(ws) >= 2).select(
-        F.col(id_col), F.explode(bigrams).alias("bg")
+    # ws materialized as a column before the per-element lambda: element_at
+    # references the array once per bigram and Spark does no CSE inside
+    # lambdas, so the inline split() would re-tokenize per element
+    bg = (
+        df.filter(F.size(ws) >= 2)
+        .select(F.col(id_col), ws.alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("_ws")) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_ws"), i),
+                        F.element_at(F.col("_ws"), i + 1),
+                    ),
+                )
+            ).alias("bg"),
+        )
     )
     per_doc = (
         bg.groupBy(id_col, "bg")

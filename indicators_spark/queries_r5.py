@@ -33,7 +33,28 @@ def _gram_expr(n: int) -> str:
     return " || ' ' || ".join(parts)
 
 
-_SPANS_SQL = f"""
+#: Duplicated-seed CTEs: audit policy (every occurrence of a repeated
+#: gram) vs removal policy (all but the globally-first copy survive).
+_DUP_ALL = """
+occ AS (
+  SELECT g, count(*) AS occ FROM ng GROUP BY g
+),
+dup AS (
+  SELECT n2.doc_id, n2.pos FROM ng n2 JOIN occ o USING (g) WHERE o.occ > 1
+)"""
+
+_DUP_KEEP_FIRST = """
+ranked AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM ng
+),
+dup AS (
+  SELECT doc_id, pos FROM ranked WHERE rn > 1
+)"""
+
+#: Shared gram + interval-merge skeleton (parameterized on the seed CTEs).
+_NG_CTES = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -43,13 +64,9 @@ ng AS (
     unnest(list_transform(range(1, len(ws) - {SUBSTR_N - 2}),
       i -> {_gram_expr(SUBSTR_N)})) AS g
   FROM w WHERE len(ws) >= {SUBSTR_N}
-),
-occ AS (
-  SELECT g, count(*) AS occ FROM ng GROUP BY g
-),
-dup AS (
-  SELECT n2.doc_id, n2.pos FROM ng n2 JOIN occ o USING (g) WHERE o.occ > 1
-),
+),"""
+
+_MERGE_CTES = f"""
 lagged AS (
   SELECT doc_id, pos,
     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
@@ -66,54 +83,39 @@ spans AS (
     CAST(min(pos) AS BIGINT) AS span_start,
     CAST(max(pos) + {SUBSTR_N - 1} AS BIGINT) AS span_end
   FROM runs GROUP BY doc_id, rid
-)
+)"""
+
+_SPANS_SELECT = """
 SELECT doc_id, span_start, span_end,
   CAST(span_end - span_start + 1 AS BIGINT) AS span_words
 FROM spans"""
+
 
 _register(
     "dedup_substring_spans",
     Query(
         spark=lambda s, d: dedup.substring_dup_spans(_docs(s, d), n=SUBSTR_N),
-        sql=_SPANS_SQL,
+        sql=_NG_CTES + _DUP_ALL + "," + _MERGE_CTES + _SPANS_SELECT,
+    ),
+)
+
+_register(
+    "dedup_substring_keep_first",
+    Query(
+        spark=lambda s, d: dedup.substring_dup_spans(
+            _docs(s, d), n=SUBSTR_N, keep_first=True
+        ),
+        sql=_NG_CTES + _DUP_KEEP_FIRST + "," + _MERGE_CTES + _SPANS_SELECT,
     ),
 )
 
 
-_STATS_SQL = f"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-),
-ng AS (
-  SELECT doc_id,
-    unnest(range(1, len(ws) - {SUBSTR_N - 2})) AS pos,
-    unnest(list_transform(range(1, len(ws) - {SUBSTR_N - 2}),
-      i -> {_gram_expr(SUBSTR_N)})) AS g
-  FROM w WHERE len(ws) >= {SUBSTR_N}
-),
-occ AS (
-  SELECT g, count(*) AS occ FROM ng GROUP BY g
-),
-dup AS (
-  SELECT n2.doc_id, n2.pos FROM ng n2 JOIN occ o USING (g) WHERE o.occ > 1
-),
-lagged AS (
-  SELECT doc_id, pos,
-    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
-  FROM dup
-),
-runs AS (
-  SELECT doc_id, pos,
-    sum(CASE WHEN pos - prev_pos > {SUBSTR_N} THEN 1 ELSE 0 END)
-      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rid
-  FROM lagged
-),
-spans AS (
-  SELECT doc_id,
-    min(pos) AS span_start,
-    max(pos) + {SUBSTR_N - 1} AS span_end
-  FROM runs GROUP BY doc_id, rid
-),
+_STATS_SQL = (
+    _NG_CTES
+    + _DUP_ALL
+    + ","
+    + _MERGE_CTES
+    + f""",
 per_doc AS (
   SELECT doc_id, sum(span_end - span_start + 1) AS dw FROM spans GROUP BY doc_id
 )
@@ -123,6 +125,7 @@ SELECT w.doc_id,
   {_r('CAST(coalesce(p.dw, 0) AS DOUBLE) / len(w.ws)', 'dup_frac')}
 FROM w LEFT JOIN per_doc p USING (doc_id)
 WHERE len(w.ws) >= {SUBSTR_N}"""
+)
 
 _register(
     "dedup_substring_stats",

@@ -975,3 +975,26 @@ def test_substring_dup_spans_disjoint_and_bounded(spark):
             assert s2 > e1 + 1  # disjoint AND non-adjacent (maximal)
     for r in substring_dup_stats(docs, n=10).collect():
         assert 0 <= r["dup_words"] <= r["n_words"]
+
+
+def test_substring_dup_spans_keep_first_policy(spark):
+    """keep_first=True: the globally-first copy of each passage survives
+    (no span), only later occurrences are cut — the paper's removal
+    policy, vs the default audit view that marks every copy."""
+    from indicators_spark.functions.dedup import substring_dup_spans
+
+    shared = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (0, "a b c " + shared + " x y z"),  # first copy (doc 0 < doc 1)
+        (1, shared + " q r s t u v w"),     # later copy -> cut
+        (3, " ".join(f"w{i}" for i in range(10)) + " "
+            + " ".join(f"w{i}" for i in range(10))),  # self-repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in substring_dup_spans(docs, n=10, keep_first=True).collect()
+    }
+    assert 0 not in spans              # canonical copy untouched
+    assert spans[1] == (1, 12)         # later copy fully marked
+    assert spans[3] == (11, 20)        # second half of the self-repeat
