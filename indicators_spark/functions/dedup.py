@@ -775,3 +775,52 @@ def substring_dup_stats(
             / F.col("n_words")
         ).alias("dup_frac"),
     )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ExactSubstr TRANSFORM: rewrite every document with its
+    non-canonical duplicated spans (``substring_dup_spans`` with
+    ``keep_first=True``) cut out — the actual cleaned-corpus output of
+    Lee et al. 2021, where exactly one copy of every repeated ≥ ``n``-word
+    passage survives corpus-wide.
+
+    Returns ``(id, clean_text, n_removed)`` for EVERY input document
+    (docs without spans pass through verbatim, ``n_removed = 0``).
+
+    Scale shape: spans aggregate to one tiny per-doc array (few entries —
+    spans are maximal and disjoint), joined back on the doc key; the cut
+    itself is row-local JVM array work (position filter + exists over the
+    span list), so no token-level explode of the corpus and no extra
+    shuffle beyond the span pipeline + one doc-keyed join.
+    """
+    spans = substring_dup_spans(df, n, id_col, text_col, keep_first=True)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    base = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+        .join(sp, id_col, "left")
+    )
+    idx = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_ws"))),
+        lambda i: F.struct(
+            i.alias("i"), F.element_at(F.col("_ws"), i).alias("w")
+        ),
+    )
+    covered = lambda x: F.exists(  # noqa: E731
+        F.col("_sp"),
+        lambda s: (x["i"] >= s["span_start"]) & (x["i"] <= s["span_end"]),
+    )
+    kept = F.when(F.col("_sp").isNull(), F.col("_ws")).otherwise(
+        F.transform(F.filter(idx, lambda x: ~covered(x)), lambda x: x["w"])
+    )
+    return base.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(F.col("_ws")) - F.size(kept)).cast("long").alias("n_removed"),
+    )

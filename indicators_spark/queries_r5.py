@@ -127,6 +127,50 @@ FROM w LEFT JOIN per_doc p USING (doc_id)
 WHERE len(w.ws) >= {SUBSTR_N}"""
 )
 
+#: Cleaned-corpus transform: cut the keep-first spans out of every doc.
+#: Token-level replay in the oracle (zipped unnest + span anti join);
+#: spans are disjoint so the LEFT JOIN matches each token at most once.
+_CLEAN_SQL = (
+    _NG_CTES
+    + _DUP_KEEP_FIRST
+    + ","
+    + _MERGE_CTES
+    + """,
+alltok AS (
+  SELECT doc_id,
+    unnest(range(1, len(ws) + 1)) AS i,
+    unnest(ws) AS wd
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.wd
+  FROM alltok t
+  LEFT JOIN spans s
+    ON s.doc_id = t.doc_id AND t.i BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id,
+    string_agg(wd, ' ' ORDER BY i) AS ct,
+    count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.ct, '') AS clean_text,
+  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0) AS BIGINT)
+    AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+)
+
+_register(
+    "dedup_substring_clean",
+    Query(
+        spark=lambda s, d: dedup.substring_dedup_clean(_docs(s, d), n=SUBSTR_N),
+        sql=_CLEAN_SQL,
+    ),
+)
+
+
 _register(
     "dedup_substring_stats",
     Query(

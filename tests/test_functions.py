@@ -998,3 +998,32 @@ def test_substring_dup_spans_keep_first_policy(spark):
     assert 0 not in spans              # canonical copy untouched
     assert spans[1] == (1, 12)         # later copy fully marked
     assert spans[3] == (11, 20)        # second half of the self-repeat
+
+
+def test_substring_dedup_clean_transform(spark):
+    """The cleaned-corpus rewrite: canonical copies survive verbatim,
+    later copies lose exactly the duplicated span, untouched docs pass
+    through, and fully-duplicated docs clean to ''."""
+    from indicators_spark.functions.dedup import substring_dedup_clean
+
+    shared = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (0, "a b c " + shared + " x y z"),
+        (1, shared + " q r s t u v w"),
+        (2, "short unique document"),
+        (3, shared),  # whole doc = later copy of the passage -> ''? no:
+                      # doc 0 holds the canonical grams (doc 0 < doc 3),
+                      # so doc 3 is fully cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in substring_dedup_clean(docs, n=10).collect()
+    }
+    assert got[0] == ("a b c " + shared + " x y z", 0)
+    assert got[1] == ("q r s t u v w", 12)
+    assert got[2] == ("short unique document", 0)
+    assert got[3] == ("", 12)
+    # surviving corpus still contains the passage exactly once
+    survivors = [t for t, _ in got.values() if shared in t]
+    assert len(survivors) == 1
