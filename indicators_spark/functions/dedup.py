@@ -682,23 +682,7 @@ def substring_dup_spans(
     strings) — xxhash64 collisions ~2⁻⁶⁴, same accepted trade as
     ``text.duplicate_passage_fraction``.
     """
-    from .text import word_ngrams
-
-    # Materialize the token array as a COLUMN before gram construction:
-    # word_ngrams references its input once per element_at, and Spark does
-    # not common-subexpression-eliminate inside lambda functions, so an
-    # inlined split(text) expression would re-tokenize the document ~10n
-    # times per row (measured 6× slower end-to-end at sf0.1).
-    pos_g = df.select(
-        F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
-    ).select(
-        "_id",
-        F.posexplode(word_ngrams(F.col("_ws"), n)).alias("_p0", "_g"),
-    ).select(
-        "_id",
-        (F.col("_p0") + 1).alias("pos"),
-        F.xxhash64(F.col("_g")).alias("gh"),
-    )
+    pos_g = _pos_grams(df, n, id_col, text_col)
     # Occurrence analysis as a window over the gram key, not groupBy+join:
     # ONE hash exchange on gh and pos_g evaluated once, vs two exchanges
     # plus a full re-evaluation of the gram construction on the join's
@@ -723,6 +707,42 @@ def substring_dup_spans(
             .filter(F.col("occ") > 1)
             .select("_id", "pos")
         )
+    return _merge_spans(dup, n, id_col)
+
+
+def _pos_grams(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """``(_id, pos, gh)`` positioned word-``n``-gram hashes, 1-based.
+
+    The token array materializes as a COLUMN before gram construction:
+    word_ngrams references its input once per element_at, and Spark does
+    not common-subexpression-eliminate inside lambda functions, so an
+    inlined split(text) expression would re-tokenize the document ~10n
+    times per row (measured 6× slower end-to-end at sf0.1)."""
+    from .text import word_ngrams
+
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_ws")
+        )
+        .select(
+            "_id",
+            F.posexplode(word_ngrams(F.col("_ws"), n)).alias("_p0", "_g"),
+        )
+        .select(
+            "_id",
+            (F.col("_p0") + 1).alias("pos"),
+            F.xxhash64(F.col("_g")).alias("gh"),
+        )
+    )
+
+
+def _merge_spans(dup: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Maximal-span interval merge of duplicated seed positions
+    ``(_id, pos)``: same-length intervals sorted by start merge while
+    ``next_start ≤ prev_start + n`` (overlap-or-touch), yielding pairwise
+    disjoint, non-adjacent ``(id, span_start, span_end, span_words)``."""
     wo = Window.partitionBy("_id").orderBy("pos")
     flagged = dup.withColumn(
         "_new",
@@ -744,6 +764,39 @@ def substring_dup_spans(
             (F.col("_e") - F.col("_s") + 1).cast("long").alias("span_words"),
         )
     )
+
+
+def substring_dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ExactSubstr: spans of a NEW batch whose ≥ ``n``-word
+    passages already exist anywhere in the historical corpus — the
+    substring-granular sibling of :func:`dedup_against_corpus`, and the
+    shape incremental ingest actually runs at 100 TB (re-running
+    corpus-wide span dedup on every ingest does not survive; this touches
+    batch grams × the historical gram set only).
+
+    Returns ``(id, span_start, span_end, span_words)`` over batch docs —
+    the text a cleaner would cut because the corpus already contains it.
+    Batch-internal repeats are NOT flagged here (run
+    :func:`substring_dup_spans` ``keep_first=True`` on the batch for
+    that); the two compose into the full incremental policy.
+
+    Scale shape: batch positioned grams LEFT SEMI join the corpus's
+    distinct gram hashes on the 8-byte key — with the historical gram
+    store materialized and bucketed on ``gh`` (the production layout, as
+    for the fingerprint table), the history side is exchange-free and the
+    per-ingest cost is O(batch positions).  Merge is per-batch-doc, state
+    bounded by one document's positions.
+    """
+    batch_g = _pos_grams(batch, n, id_col, text_col)
+    corpus_g = _pos_grams(corpus, n, id_col, text_col).select("gh").distinct()
+    seeds = batch_g.join(corpus_g, "gh", "left_semi").select("_id", "pos")
+    return _merge_spans(seeds, n, id_col)
 
 
 def substring_dup_stats(

@@ -127,6 +127,44 @@ FROM w LEFT JOIN per_doc p USING (doc_id)
 WHERE len(w.ws) >= {SUBSTR_N}"""
 )
 
+#: Docs below this id play the "historical corpus"; the rest are the
+#: batch (same split convention as `dedup_incremental`).
+SUBSTR_SPLIT_ID = 250
+
+_INCR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT doc_id,
+    unnest(range(1, len(ws) - {SUBSTR_N - 2})) AS pos,
+    unnest(list_transform(range(1, len(ws) - {SUBSTR_N - 2}),
+      i -> {_gram_expr(SUBSTR_N)})) AS g
+  FROM w WHERE len(ws) >= {SUBSTR_N}
+),
+hist AS (
+  SELECT DISTINCT g FROM ng WHERE doc_id < {SUBSTR_SPLIT_ID}
+),
+dup AS (
+  SELECT n2.doc_id, n2.pos FROM ng n2
+  WHERE n2.doc_id >= {SUBSTR_SPLIT_ID}
+    AND EXISTS (SELECT 1 FROM hist h WHERE h.g = n2.g)
+),{_MERGE_CTES.lstrip()}{_SPANS_SELECT}"""
+
+
+def _substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") < SUBSTR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= SUBSTR_SPLIT_ID)
+    return dedup.substring_dedup_against_corpus(batch, hist, n=SUBSTR_N)
+
+
+_register(
+    "dedup_substring_incremental",
+    Query(spark=_substr_incremental, sql=_INCR_SQL),
+)
+
+
 #: Cleaned-corpus transform: cut the keep-first spans out of every doc.
 #: Token-level replay in the oracle (zipped unnest + span anti join);
 #: spans are disjoint so the LEFT JOIN matches each token at most once.

@@ -1027,3 +1027,29 @@ def test_substring_dedup_clean_transform(spark):
     # surviving corpus still contains the passage exactly once
     survivors = [t for t, _ in got.values() if shared in t]
     assert len(survivors) == 1
+
+
+def test_substring_dedup_against_corpus(spark):
+    """Incremental ExactSubstr: only batch passages already in the
+    HISTORICAL corpus are flagged; batch-internal repeats are not (they
+    belong to the keep-first pass), and historical docs never appear."""
+    from indicators_spark.functions.dedup import substring_dedup_against_corpus
+
+    shared = " ".join(f"p{i}" for i in range(12))
+    batch_rep = " ".join(f"b{i}" for i in range(10))
+    hist = spark.createDataFrame(
+        [(0, "intro " + shared + " outro")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "x y " + shared + " z"),           # passage from history
+            (11, batch_rep + " " + batch_rep),      # batch-internal only
+            (12, "totally novel content " + " ".join(f"n{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in substring_dedup_against_corpus(batch, hist, n=10).collect()
+    }
+    assert spans == {10: (3, 14)}
