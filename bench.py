@@ -166,6 +166,7 @@ def main() -> None:
         "events_attribution_linear",
         "sample_weighted_aes",
         "dedup_substring_spans",
+        "dedup_substring_clean",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

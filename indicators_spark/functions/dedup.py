@@ -872,8 +872,17 @@ def substring_dedup_clean(
     kept = F.when(F.col("_sp").isNull(), F.col("_ws")).otherwise(
         F.transform(F.filter(idx, lambda x: ~covered(x)), lambda x: x["w"])
     )
+    # NULL text (failed extraction) passes through as NULL, not "" —
+    # concat_ws would silently coerce the NULL token array to an empty
+    # string and erase the extraction-failure signal downstream filters
+    # key on (same contract as exact_dedup's NULL passthrough)
     return base.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        (F.size(F.col("_ws")) - F.size(kept)).cast("long").alias("n_removed"),
+        F.when(F.col("_ws").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+        F.when(F.col("_ws").isNull(), F.lit(0))
+        .otherwise(F.size(F.col("_ws")) - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
     )

@@ -1053,3 +1053,22 @@ def test_substring_dedup_against_corpus(spark):
         for r in substring_dedup_against_corpus(batch, hist, n=10).collect()
     }
     assert spans == {10: (3, 14)}
+
+
+def test_substring_dedup_clean_null_text_passthrough(spark):
+    """NULL text (failed extraction) must come back as NULL clean_text,
+    not be coerced to '' by concat_ws — the signal downstream filters
+    key on."""
+    from indicators_spark.functions.dedup import substring_dedup_clean
+
+    docs = spark.createDataFrame(
+        [(0, "some real words here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in substring_dedup_clean(docs, n=10).collect()
+    }
+    assert got[0] == ("some real words here", 0)
+    assert got[1] == (None, 0)
+    assert got[2] == ("", 0)
