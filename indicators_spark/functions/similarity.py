@@ -312,7 +312,13 @@ def knn_lsh(
         for m, row in enumerate(planes):
             proj = dot(F.col(vec), F.lit(row))
             sig = sig + F.when(proj > 0, F.lit(1 << m)).otherwise(F.lit(0))
-        return F.when(F.size(F.col(vec)) == dim, sig).otherwise(
+        # NULL vectors get a NULL bucket (the equi join then drops them —
+        # they can't be searched, and one bad row must not kill the job);
+        # a WRONG-length vector raises: silence there would collapse all
+        # buckets
+        return F.when(F.size(F.col(vec)) == dim, sig).when(
+            F.col(vec).isNull(), F.lit(None).cast("int")
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"knn_lsh: dim={dim} but {vec_col!r} vector has "

@@ -668,3 +668,20 @@ def test_load_table_reads_directory_shaped_nanos_events(spark, tmp_path):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     got = sorted(r["ts"].timestamp() for r in ev.collect())
     assert got == [1_700_000_000.0, 1_700_000_001.0]
+
+
+def test_knn_lsh_null_vector_dropped_not_fatal(spark):
+    """A NULL embedding can't be searched but must not kill the job (the
+    dim guard raises only on WRONG-length vectors): NULL rows get a NULL
+    bucket and fall out of the equi join."""
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.similarity import knn_lsh
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 8), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = knn_lsh(df, q, k=2, dim=8).collect()
+    assert {r["nid"] for r in out} == {1}  # NULL row absent, job alive
