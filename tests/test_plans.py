@@ -397,3 +397,32 @@ def test_substring_dedup_bounded_plan(spark):
     assert "CartesianProduct" not in plan, plan
     # gram-hash agg + seed join + per-doc merge: <= 4 hash exchanges
     assert exchange_count(plan) <= 4, plan
+
+
+def test_substring_clean_and_incremental_bounded_plans(spark):
+    """The cleaned-corpus rewrite and the batch-vs-corpus incremental
+    variant must stay hash-join shaped: no nested-loop/cartesian stage
+    anywhere (the span list joins back on the doc key; batch grams
+    semi-join the history gram set on the 8-byte hash)."""
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.dedup import (
+        substring_dedup_against_corpus,
+        substring_dedup_clean,
+    )
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    clean = substring_dedup_clean(docs, n=10)
+    clean.write.format("noop").mode("overwrite").save()
+    p1 = plan_string(clean)
+    assert "BroadcastNestedLoopJoin" not in p1 and "CartesianProduct" not in p1, p1
+
+    hist = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    incr = substring_dedup_against_corpus(batch, hist, n=10)
+    incr.write.format("noop").mode("overwrite").save()
+    p2 = plan_string(incr)
+    assert "BroadcastNestedLoopJoin" not in p2 and "CartesianProduct" not in p2, p2
+    # the history side reaches the semi join as bare distinct gram hashes
+    assert "LeftSemi" in p2, p2

@@ -433,3 +433,57 @@ def test_ewm_chunked_composes_with_halo_lag(spark, values, buckets, k, alpha):
         assert got[s] is not None and math.isclose(
             got[s], want[s], rel_tol=1e-9, abs_tol=1e-12
         ), (s, got[s], want[s])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),  # tiny vocab -> repeats
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    keep_first=st.booleans(),
+)
+@_settings
+def test_substring_spans_match_bruteforce(spark, docs, n, keep_first):
+    """Property: for any corpus over a tiny vocabulary (heavy repeats),
+    span length, and policy, the distributed ExactSubstr spans equal a
+    brute-force Python replay (gram dict -> seed marking -> interval
+    merge)."""
+    from indicators_spark.functions.dedup import substring_dup_spans
+
+    texts = [" ".join(f"t{w}" for w in ws) for ws in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"])
+        for r in substring_dup_spans(df, n=n, keep_first=keep_first).collect()
+    }
+
+    # brute force (split(' ') semantics: '' -> [''], matching words())
+    grams: dict[tuple, list[tuple[int, int]]] = {}
+    for did, t in rows:
+        ws = t.split(" ")
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[p : p + n]), []).append((did, p + 1))
+    seeds: dict[int, list[int]] = {}
+    for occs in grams.values():
+        occs.sort()
+        marked = occs[1:] if keep_first else (occs if len(occs) > 1 else [])
+        for did, p in marked:
+            seeds.setdefault(did, []).append(p)
+    want = set()
+    for did, ps in seeds.items():
+        ps = sorted(set(ps))
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > n:
+                want.add((did, start, prev + n - 1, prev + n - start))
+                start = p
+            prev = p
+        want.add((did, start, prev + n - 1, prev + n - start))
+    assert got == want
