@@ -395,8 +395,11 @@ def test_substring_dedup_bounded_plan(spark):
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # gram-hash agg + seed join + per-doc merge: <= 4 hash exchanges
-    assert exchange_count(plan) <= 4, plan
+    # exactly the two inherent shuffles: gram-hash window + doc-key merge
+    # (the (_id,_rid) agg and downstream doc-key windows reuse the _id
+    # exchange — hashpartitioning(_id) satisfies ClusteredDistribution
+    # over any superset key list)
+    assert exchange_count(plan) <= 2, plan
 
 
 def test_substring_clean_and_incremental_bounded_plans(spark):
