@@ -248,3 +248,39 @@ def temperature_mixture(
             ),
         )
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    group: str,
+    key: str,
+    k: int,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group document cap (the C4/GPT-style per-domain clip): keep at
+    most ``k`` rows per ``group`` value, chosen deterministically by
+    content hash of ``key``.
+
+    The complement of :func:`stratified_sample`: rate thinning keeps
+    overrepresented sources overrepresented (10% of 10⁹ is still 10⁸),
+    while a cap bounds every group's contribution outright — the standard
+    guard against a single scraped domain dominating the training mix.
+    Selection ranks rows by :func:`hash_unit` (48-bit, engine-portable)
+    with the key string as tie-break, so the SAME k rows survive across
+    runs, engines, and partitionings.
+
+    Scale shape: one hash exchange on the group key; the row_number
+    window's state is one group's rows.  For adversarial mega-groups
+    (one domain = half the corpus), pre-thin with
+    ``hash_sample(df, key, rate ≈ c·k/n_group)`` first so window state
+    stays bounded — the cap then applies exactly to the survivors.
+    """
+    u = hash_unit(F.col(key), seed)
+    w = Window.partitionBy(group).orderBy(
+        u.asc(), _key_str(F.col(key)).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

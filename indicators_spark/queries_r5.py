@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import dedup
+from .functions import dedup, sampling
 from .queries import Query, _r, _register, round4
 from .sources.prices import load_table
 
@@ -221,5 +221,31 @@ _register(
             round4(F.col("dup_frac")).alias("dup_frac"),
         ),
         sql=_STATS_SQL,
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Per-source document cap (C4/GPT-style per-domain clip)
+# --------------------------------------------------------------------- #
+
+CAP_K, CAP_SEED = 40, "cap42"
+
+_register(
+    "sample_cap_per_source",
+    Query(
+        spark=lambda s, d: sampling.cap_per_key(
+            _docs(s, d), group="source", key="doc_id", k=CAP_K, seed=CAP_SEED
+        ).select("doc_id", "source"),
+        sql=f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY {sampling.unit_sql('doc_id', CAP_SEED)},
+               COALESCE(CAST(doc_id AS VARCHAR), '{sampling.NULL_KEY}')
+    ) AS rn
+  FROM documents
+) WHERE rn <= {CAP_K}""",
     ),
 )

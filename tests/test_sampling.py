@@ -132,3 +132,28 @@ def test_weighted_sample_u_resolution(spark):
     out = weighted_sample(df, "k", "w", k=2000)
     scores = [r["aes_score"] for r in out.collect()]
     assert len(set(scores)) == len(scores)
+
+
+def test_cap_per_key_bounds_and_determinism(spark):
+    """cap_per_key keeps at most k rows per group, keeps small groups
+    whole, and survives repartitioning bit-for-bit (content-hash
+    selection, no partition luck)."""
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.sampling import cap_per_key
+
+    rows = [(i, "big" if i < 95 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, group="source", key="doc_id", k=10)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"big": 10, "small": 5}  # small group under cap: intact
+
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in cap_per_key(
+            df.repartition(13), group="source", key="doc_id", k=10
+        ).collect()
+    }
+    assert a == b
