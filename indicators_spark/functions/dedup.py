@@ -852,6 +852,21 @@ def substring_dedup_clean(
     shuffle beyond the span pipeline + one doc-keyed join.
     """
     spans = substring_dup_spans(df, n, id_col, text_col, keep_first=True)
+    return cut_spans(df, spans, id_col, text_col)
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite documents with the given ``(id, span_start, span_end)``
+    word spans cut out — the shared transform behind
+    :func:`substring_dedup_clean` and the streaming ingest sink (which
+    computes spans under the incremental policy first).  Spans must be
+    pairwise disjoint per doc (what ``_merge_spans`` guarantees).
+    Returns ``(id, clean_text, n_removed)`` for every input document."""
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
     )
@@ -886,3 +901,54 @@ def substring_dedup_clean(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def substring_dedup_incremental_policy(
+    batch: DataFrame,
+    corpus_grams: DataFrame | None,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The FULL incremental ExactSubstr policy for one ingest batch:
+    merged spans over the union of
+
+    * grams already present in the historical corpus gram store
+      (``corpus_grams``: a ``gh`` column of positioned-gram hashes, as
+      produced by :func:`batch_gram_hashes`), and
+    * non-canonical batch-internal repeats (keep-first within the batch).
+
+    One copy of every passage survives corpus-wide ACROSS ingests:
+    history always wins (its copy already exists), and within the batch
+    the globally-first occurrence wins.  ``corpus_grams=None`` (first
+    ingest) degrades to pure keep-first.  Single union of two seed
+    streams off ONE evaluation pipeline; merge once.
+    """
+    bg = _pos_grams(batch, n, id_col, text_col)
+    wg = Window.partitionBy("gh").orderBy("_id", "pos")
+    internal = (
+        bg.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") > 1)
+        .select("_id", "pos")
+    )
+    if corpus_grams is None:
+        seeds = internal
+    else:
+        in_store = bg.join(
+            corpus_grams.select("gh").distinct(), "gh", "left_semi"
+        ).select("_id", "pos")
+        # a position can be seeded by BOTH rules — dedup before the merge
+        seeds = in_store.unionByName(internal).distinct()
+    return _merge_spans(seeds, n, id_col)
+
+
+def batch_gram_hashes(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct positioned-gram hashes (``gh``) of a batch — the rows an
+    incremental ingest appends to its historical gram store after
+    processing the batch (the substring-granular fingerprint table)."""
+    return _pos_grams(df, n, id_col, text_col).select("gh").distinct()

@@ -2,7 +2,11 @@
 watermarks, sessionization, stateful custom operators, and exactly-once
 ``foreachBatch`` sinks."""
 
-from .sinks import ExactlyOnceParquetSink, UpsertParquetSink
+from .sinks import (
+    ExactlyOnceParquetSink,
+    SubstringDedupIngestSink,
+    UpsertParquetSink,
+)
 from .windows import (
     dedup_stream_against_corpus,
     enrich_stream,
@@ -22,5 +26,6 @@ __all__ = [
     "stateful_running_indicators",
     "stateful_running_indicators_tws",
     "ExactlyOnceParquetSink",
+    "SubstringDedupIngestSink",
     "UpsertParquetSink",
 ]

@@ -221,3 +221,102 @@ class UpsertParquetSink:
         if cur is None:
             raise ValueError("store is empty")
         return spark.read.parquet(os.path.join(self.store_dir, cur[0]))
+
+
+class SubstringDedupIngestSink:
+    """``foreachBatch`` target running the full incremental ExactSubstr
+    policy per micro-batch — the streaming twin of
+    ``dedup.substring_dedup_against_corpus`` composed with the keep-first
+    cut (``dedup.substring_dedup_incremental_policy`` + ``cut_spans``):
+
+    1. spans of the batch vs the historical gram STORE (passages any
+       earlier epoch already ingested) ∪ batch-internal keep-first,
+    2. documents rewritten with those spans cut
+       (``clean_text``/``n_removed``), landed exactly-once per epoch
+       (same data-dir + commit-ledger protocol as
+       :class:`ExactlyOnceParquetSink`),
+    3. the batch's distinct gram hashes appended to the store under the
+       SAME epoch identity — a replayed epoch overwrites its own gram
+       directory (idempotent) and is skipped entirely by the ledger.
+
+    One copy of every repeated ≥ n-word passage therefore survives
+    across the whole ingest history.  Readers of the store see only
+    committed epochs (the cleaned-doc ledger gates both: grams are
+    written BEFORE the commit mark, so an epoch's grams become visible
+    exactly when its cleaned docs do).
+
+    Scale notes: the store carries bare 8-byte hashes (distinct'd per
+    epoch); the per-epoch cost is O(batch positions) grams semi-joined
+    against the store scan — with the store bucketed on ``gh`` the
+    history side is exchange-free, the same layout story as the
+    fingerprint table in ``dedup_against_corpus``.
+    """
+
+    def __init__(
+        self, out_dir: str, n: int = 10, run_id: str | None = None
+    ) -> None:
+        self.n = n
+        self.run_ns = _run_ns(run_id)
+        self.data_dir = os.path.join(out_dir, "clean")
+        self.gram_dir = os.path.join(out_dir, "grams")
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.gram_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_path(self, epoch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
+
+    def _committed(self) -> list[str]:
+        return sorted(os.listdir(self.commit_dir))
+
+    def _store_paths(self) -> list[str]:
+        """Gram directories of every COMMITTED epoch (any run)."""
+        paths = []
+        for c in self._committed():
+            p = os.path.join(self.gram_dir, c)
+            if os.path.isdir(p):
+                paths.append(p)
+        return paths
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..functions.dedup import (
+            batch_gram_hashes,
+            cut_spans,
+            substring_dedup_incremental_policy,
+        )
+
+        if os.path.exists(self._commit_path(epoch_id)):
+            return  # replayed epoch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store_paths = self._store_paths()
+        store = spark.read.parquet(*store_paths) if store_paths else None
+        spans = substring_dedup_incremental_policy(batch_df, store, self.n)
+        cleaned = cut_spans(batch_df, spans)
+        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(self.data_dir, epoch_tag)
+        )
+        # grams land BEFORE the commit mark: a crash in between leaves an
+        # uncommitted gram dir that readers (ledger-trusting) never see
+        # and the replay overwrites wholesale
+        batch_gram_hashes(batch_df, self.n).write.mode("overwrite").parquet(
+            os.path.join(self.gram_dir, epoch_tag)
+        )
+        tmp = self._commit_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, self._commit_path(epoch_id))
+
+    def read_clean(self, spark: SparkSession) -> DataFrame:
+        """Cleaned documents of every committed epoch."""
+        paths = [
+            os.path.join(self.data_dir, c)
+            for c in self._committed()
+            if os.path.isdir(os.path.join(self.data_dir, c))
+        ]
+        if not paths:
+            raise ValueError("no committed epochs yet")
+        return spark.read.parquet(*paths)

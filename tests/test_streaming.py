@@ -515,3 +515,80 @@ def test_dedup_stream_rejects_fp_collision(spark):
     corpus = spark.createDataFrame([("aa",)], "fp string")
     with _pytest.raises(ValueError, match="already has"):
         dedup_stream_against_corpus(docs, corpus)
+
+
+def test_substring_ingest_sink_incremental_policy(spark, tmp_path):
+    """foreachBatch ExactSubstr ingest: epoch 0's passages are canonical;
+    a later epoch re-shipping the same passage gets it cut, one copy
+    survives across the whole ingest history, and a replayed epoch is an
+    exactly-once no-op (cleaned docs AND gram store unchanged)."""
+    from indicators_spark.streaming import SubstringDedupIngestSink
+
+    shared = " ".join(f"p{i}" for i in range(12))
+    sink = SubstringDedupIngestSink(str(tmp_path / "ingest"), n=10)
+
+    b0 = spark.createDataFrame(
+        [(0, "intro " + shared + " outro"),
+         (1, "novel first epoch words " + " ".join(f"a{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    # epoch 1: the shared passage again (cut), a batch-internal repeat
+    # (later copy cut), and fresh text (kept)
+    rep = " ".join(f"b{i}" for i in range(10))
+    b1 = spark.createDataFrame(
+        [(10, "x y " + shared + " z"),
+         (11, rep + " " + rep),
+         (12, "completely fresh " + " ".join(f"c{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in sink.read_clean(spark).collect()
+    }
+    assert got[0][1] == 0 and shared in got[0][0]      # canonical survives
+    assert got[10] == ("x y z", 12)                    # history wins
+    assert got[11] == (rep, 10)                        # keep-first in batch
+    assert got[12][1] == 0
+    survivors = [t for t, _ in got.values() if shared in t]
+    assert len(survivors) == 1
+
+    # replay epoch 1: ledger skip; nothing changes
+    before = {tuple(r) for r in sink.read_clean(spark).collect()}
+    n_grams_before = spark.read.parquet(
+        *sink._store_paths()
+    ).count()
+    sink(b1, 1)
+    assert {tuple(r) for r in sink.read_clean(spark).collect()} == before
+    assert spark.read.parquet(*sink._store_paths()).count() == n_grams_before
+
+
+def test_substring_ingest_sink_matches_batch_operator(spark, tmp_path):
+    """Epoch 1's spans equal the batch operator's incremental policy run
+    against epoch 0 as the corpus (stream/batch parity for the substring
+    family)."""
+    from indicators_spark.functions.dedup import (
+        batch_gram_hashes,
+        cut_spans,
+        substring_dedup_incremental_policy,
+    )
+    from indicators_spark.streaming import SubstringDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    e0 = docs.filter(F.col("doc_id") < 250)
+    e1 = docs.filter(F.col("doc_id") >= 250)
+
+    sink = SubstringDedupIngestSink(str(tmp_path / "ingest"), n=10)
+    sink(e0, 0)
+    sink(e1, 1)
+    got = {
+        tuple(r)
+        for r in sink.read_clean(spark)
+        .join(e1.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+
+    spans = substring_dedup_incremental_policy(e1, batch_gram_hashes(e0), n=10)
+    want = {tuple(r) for r in cut_spans(e1, spans).collect()}
+    assert got == want and len(got) > 0
