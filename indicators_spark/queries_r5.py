@@ -249,3 +249,50 @@ SELECT doc_id, source FROM (
 ) WHERE rn <= {CAP_K}""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Join-key skew profile (the pre-shuffle salting/AQE diagnostic)
+# --------------------------------------------------------------------- #
+
+SKEW_TOPK = 20
+
+def _skew_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import profile_key_skew
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = profile_key_skew(orders, key="o_custkey", top_k=SKEW_TOPK)
+    return p.select(
+        "key_value",
+        "n_rows",
+        round4(F.col("share")).alias("share"),
+        round4(F.col("skew_factor")).alias("skew_factor"),
+        "rank",
+    )
+
+
+_register(
+    "profile_key_skew_orders",
+    Query(
+        spark=_skew_spark,
+        sql=f"""
+WITH per_key AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key_value,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_rows) AS total, count(*) AS nkeys FROM per_key
+),
+top AS (
+  SELECT key_value, n_rows,
+    row_number() OVER (ORDER BY n_rows DESC, key_value) AS rank
+  FROM per_key ORDER BY n_rows DESC, key_value LIMIT {SKEW_TOPK}
+)
+SELECT t.key_value, t.n_rows,
+  {_r('CAST(t.n_rows AS DOUBLE) / tot.total', 'share')},
+  {_r('CAST(t.n_rows AS DOUBLE) * tot.nkeys / tot.total', 'skew_factor')},
+  CAST(t.rank AS BIGINT) AS rank
+FROM top t, tot""",
+    ),
+)

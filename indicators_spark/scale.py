@@ -708,3 +708,52 @@ def global_cum_sum(
         ).otherwise(F.coalesce(F.col(f"_off_{c}"), zero) + F.coalesce(local, zero))
         out = out.withColumn(f"{prefix}{c}", total)
     return out.drop("_bucket", *[f"_off_{c}" for c in cols])
+
+
+def profile_key_skew(
+    df: DataFrame,
+    key: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/groupBy key-skew profile: the ``top_k`` heaviest key values
+    with their row counts, corpus share, and the skew factor
+    (count / mean-rows-per-key) — the diagnostic that decides whether a
+    planned shuffle needs salting, AQE skew-join splitting, or a
+    broadcast rewrite BEFORE the job runs at 100 TB (a key with skew
+    factor 10⁴ means one reducer does 10⁴× the average work).
+
+    Scale shape: one map-side-combined groupBy on the key, then a
+    ``TakeOrdered`` top-k (never a full sort) against the broadcast
+    1-row total.  Ties order by key string so the profile is
+    deterministic across engines.  Output: (key_value, n_rows, share,
+    skew_factor, rank).
+    """
+    per_key = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows); rank attaches AFTER the limit so
+    # no global-sort or single-partition window ever runs over the full
+    # key table (same plan discipline as corpus_vocab_stats)
+    top = per_key.orderBy(
+        F.col("n_rows").desc(), F.col("key_value")
+    ).limit(top_k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+        ),
+    ).crossJoin(F.broadcast(totals))
+    return ranked.select(
+        "key_value",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") / F.col("_total")).alias("share"),
+        (F.col("n_rows") * F.col("_nkeys") / F.col("_total")).alias(
+            "skew_factor"
+        ),
+        F.col("rank").cast("long").alias("rank"),
+    )

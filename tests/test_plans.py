@@ -429,3 +429,17 @@ def test_substring_clean_and_incremental_bounded_plans(spark):
     assert "BroadcastNestedLoopJoin" not in p2 and "CartesianProduct" not in p2, p2
     # the history side reaches the semi join as bare distinct gram hashes
     assert "LeftSemi" in p2, p2
+
+
+def test_key_skew_profile_is_take_ordered(spark):
+    """The skew profiler's top-k must plan as TakeOrderedAndProject —
+    never a global sort or single-partition window over the full key
+    table (the tool that diagnoses skew must not itself be skew-shaped)."""
+    from indicators_spark.scale import profile_key_skew
+    from indicators_spark.sources.prices import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    df = profile_key_skew(orders, key="o_custkey", top_k=20)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
