@@ -952,3 +952,68 @@ def batch_gram_hashes(
     incremental ingest appends to its historical gram store after
     processing the batch (the substring-granular fingerprint table)."""
     return _pos_grams(df, n, id_col, text_col).select("gh").distinct()
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df_frac: float | None = 0.5,
+) -> DataFrame:
+    """Directed near-dup by token-set CONTAINMENT: pairs where either
+    doc's distinct-token set is ≥ ``threshold`` inside the other's
+    (|A∩B|/|A| — Broder's containment).  This is the asymmetric sibling
+    of :func:`ngram_jaccard_pairs`: a 50-word boilerplate block quoted
+    inside a 5 000-word page has tiny Jaccard (union is huge) but
+    containment ≈ 1, so quote/subset duplication is ONLY visible here.
+
+    Returns ``(ia < ib, cont_a, cont_b)`` where ``cont_a`` = fraction of
+    a's tokens inside b, filtered on ``greatest(cont_a, cont_b) ≥ t``.
+
+    No size-ratio prune exists for containment BY DESIGN — the size gap
+    is the signal (jaccard's t·|A| ≤ |B| ≤ |A|/t band would drop exactly
+    the subset pairs this op hunts).  The quadratic guard is therefore
+    the ``max_df_frac`` ubiquitous-token kill alone (anti-join against
+    the tiny df > cap set, as ngram_jaccard_pairs): a token in f·N docs
+    drives ~(f·N)²/2 candidate pairs at corpus scale, and tokens in half
+    the corpus carry no containment signal.  Containment is computed
+    over the SURVIVING token sets on both engines (oracle mirrors the
+    prune), so results stay exact.
+    """
+    toks = _doc_tokens(df, id_col, text_col)
+    if max_df_frac is not None:
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        toks = toks.join(
+            F.broadcast(
+                dfreq.filter(
+                    F.col("df") > F.col("n_docs") * F.lit(max_df_frac)
+                ).select("tok")
+            ),
+            "tok",
+            "left_anti",
+        )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("ia"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("_id").alias("ib"), F.col("sz").alias("szb"))
+    return (
+        shared.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn("cont_a", F.col("shared").cast("double") / F.col("sza"))
+        .withColumn("cont_b", F.col("shared").cast("double") / F.col("szb"))
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+        .select("ia", "ib", "cont_a", "cont_b")
+    )

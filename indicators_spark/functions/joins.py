@@ -184,3 +184,85 @@ def asof_join(
         + [F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in value_cols]
     )
     return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Semi join with an explicit Bloom-filter pre-pass: identical result
+    to ``left.join(right.select(on).distinct(), on, "left_semi")``, but
+    the left side is first cut down scan-side by a broadcast bitmap of
+    the right keys, so only probable matches reach the exact join's
+    shuffle.
+
+    This is the manual form of Spark's runtime row-level filtering
+    (InjectRuntimeFilter — which only fires under its own heuristics):
+    at 100 TB, semi-joining a fact table against a selective key set
+    shuffles the whole fact side unless something prunes it first.  A
+    Bloom bitmap of m_bits = 2²⁰ is 128 KiB broadcast regardless of key
+    count (vs broadcasting the key set itself, which OOMs past ~10⁷
+    keys) and kills ~(1−fpp) of non-matching rows before the exchange;
+    the exact semi join afterwards makes false positives harmless, so
+    results are EXACT for any (m_bits, n_hashes).
+
+    Build: each right key sets ``n_hashes`` bits (xxhash64(key, i) mod
+    m); bits aggregate into 64-bit words via one map-side-combined
+    bit_or groupBy — the bitmap relation is ≤ m/64 rows, collected
+    nowhere, broadcast as a join side.  Probe: each left row checks its
+    n_hashes (word, bit) pairs against the broadcast words; a missing
+    word or an unset bit rejects the row.  NULL keys hash arbitrarily
+    but can never pass the exact equi-join, so they drop out as SQL
+    semantics require.
+    """
+    m_words = m_bits >> 6
+
+    def positions(key: str):  # (word, mask) per hash seed
+        k = F.col(key)
+        out = []
+        for i in range(n_hashes):
+            pos = F.pmod(F.xxhash64(k, F.lit(i)), F.lit(m_bits))
+            out.append(
+                (
+                    F.shiftright(pos, 6).cast("int"),
+                    # python F.shiftleft only takes a literal shift; the
+                    # SQL builtin accepts a column
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        pos.bitwiseAND(F.lit(63)).cast("int"),
+                    ),
+                )
+            )
+        return out
+
+    keys = right.select(F.col(on).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct()
+    bit_rows = None
+    for word, mask in positions("_k"):
+        part = keys.select(word.alias("word"), mask.alias("mask"))
+        bit_rows = part if bit_rows is None else bit_rows.unionByName(part)
+    assert bit_rows is not None and m_words > 0
+    bitmap = bit_rows.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    probe = left
+    cond = F.lit(True)
+    for i, (word, mask) in enumerate(positions(on)):
+        bm = bitmap.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        probe = probe.join(
+            F.broadcast(bm), word == F.col(f"_w{i}"), "left"
+        )
+        cond = cond & (F.col(f"_b{i}").bitwiseAND(mask) != 0)
+    drop = [c for i in range(n_hashes) for c in (f"_w{i}", f"_b{i}")]
+    candidates = probe.filter(cond).drop(*drop)
+    # exact semi join WITHOUT a broadcast hint: the key set being too big
+    # to broadcast is the reason this operator exists — the bloom pass
+    # already cut the shuffled left volume, and AQE still picks broadcast
+    # when the key set happens to be small
+    return candidates.join(keys.select(F.col("_k").alias(on)), on, "left_semi")

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1426,3 +1427,171 @@ def covariance_matrix(
         F.col("sj") / F.col("n")
     )
     return agg.select("i", "j", cov.alias("cov"))
+
+
+# --------------------------------------------------------------------- #
+# Binary (sign-bit) embedding quantization + Hamming-distance ANN
+# --------------------------------------------------------------------- #
+
+
+def binary_code_words(
+    vec: Column, dim: int, word_bits: int = 32
+) -> list[Column]:
+    """Sign-bit binary code of a ``dim``-float vector, packed little-endian
+    into ``ceil(dim/word_bits)`` BIGINT words (bit j of word w ⇔ element
+    ``w·word_bits + j + 1`` is ≥ 0).
+
+    Binary quantization is the cheapest embedding compression that still
+    preserves angular neighborhoods (sign(x) is an unbiased 1-bit SimHash
+    of x against the coordinate axes): 32-bit floats → 1 bit each, a 32×
+    size cut, and distance becomes XOR+popcount — exactly the regime a
+    100 TB embedding corpus needs for a first-pass candidate scan.  The
+    default 32 bits per word keeps every packed value well inside a
+    positive BIGINT (no sign-bit edge cases on either engine).
+
+    NULL elements contribute a 0 bit (CASE semantics, mirrored by the SQL
+    oracle); a NULL vector yields NULL words.
+    """
+    n_words = (dim + word_bits - 1) // word_bits
+    words_: list[Column] = []
+    for w in range(n_words):
+        terms = None
+        for j in range(word_bits):
+            i = w * word_bits + j + 1
+            if i > dim:
+                break
+            bit = F.when(
+                F.element_at(vec, i).cast("double") >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            terms = bit if terms is None else terms + bit
+        words_.append(
+            F.when(vec.isNotNull(), terms.cast("long")).alias(f"code_{w}")
+        )
+    return words_
+
+
+def binary_quantize(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """``(id, code_0..code_{W-1})`` sign-bit codes per vector — the
+    materialized binary index an ANN scan reads instead of the float
+    corpus.  Pure JVM expression work (whole-stage codegen, no shuffle,
+    no Python): at scale this is a narrow map over the embedding scan,
+    and the output is what gets stored bucketed/sorted for reuse."""
+    codes = binary_code_words(F.col(vec_col), dim, word_bits)
+    return df.select(F.col(id_col), *codes)
+
+
+def knn_hamming(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """Top-k nearest neighbors under Hamming distance between sign-bit
+    binary codes — the brute-force scan of the binary-quantized regime
+    (compare :func:`knn_bruteforce` for float cosine).  Distance is
+    Σ_w popcount(xor(code_w)) — integer-exact, so the oracle hash-matches
+    with no float quantization at all.
+
+    Plan shape: quantize both sides (narrow maps), broadcast the query
+    codes (k·W longs per query — even 10⁶ queries broadcast in MBs),
+    stream the corpus once, one qid-keyed exchange for the rank window.
+    At 100 TB the same scan shape survives (binary codes are ~32× smaller
+    than the float corpus); to avoid even that scan, band the code words
+    like :func:`~.dedup.simhash` buckets and probe matching bands only.
+
+    Ties (common: 64-bit codes give ≤ 65 distinct distances) break by
+    neighbor id, making top-k fully deterministic.
+    """
+    base = binary_quantize(df, dim, id_col, vec_col, word_bits).select(
+        F.col(id_col).alias("nid"), "*"
+    ).drop(id_col)
+    q = binary_quantize(queries, dim, id_col, vec_col, word_bits)
+    n_words = (dim + word_bits - 1) // word_bits
+    q = q.select(
+        F.col(id_col).alias("qid"),
+        *[F.col(f"code_{w}").alias(f"q_{w}") for w in range(n_words)],
+    )
+    joined = base.crossJoin(F.broadcast(q)).filter(F.col("nid") != F.col("qid"))
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(f"code_{w}").bitwiseXOR(F.col(f"q_{w}"))
+        )
+        ham = term if ham is None else ham + term
+    wnd = Window.partitionBy("qid").orderBy(F.col("hamming"), F.col("nid"))
+    return (
+        joined.withColumn("hamming", ham.cast("long"))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "hamming")
+    )
+
+
+def matryoshka_distortion(
+    df: DataFrame,
+    dims: Sequence[int] = (8, 16, 32),
+    full_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-distortion profile of Matryoshka-style prefix truncation:
+    for each prefix length m, how far cos over the renormalized first m
+    dims drifts from full-dim cos — the measurement that decides how
+    small a prefix an ANN first pass can use (Kusupati et al. 2022,
+    "Matryoshka Representation Learning").
+
+    Probe pairs are (id, id+1) — a deterministic, corpus-linear pairing
+    (hash join on id+1, no quadratic stage, no RNG); at 100 TB you'd run
+    the same aggregation over any O(n) pair sample.  Returns one row per
+    m: ``(prefix_dim, n_pairs, mae, rmse)`` over pairs whose both norms
+    are non-zero at every evaluated prefix (zero-norm prefixes would make
+    cos undefined mid-profile; excluded pairs are excluded from every m
+    so the rows stay comparable).
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pairs = base.alias("a").join(
+        base.withColumn("_id", F.col("_id") - 1).alias("b"), "_id"
+    ).select(
+        F.col("_id"),
+        F.col("a._v").alias("va"),
+        F.col("b._v").alias("vb"),
+    )
+    dims = [int(m) for m in dims]
+
+    def _cos(a: Column, b: Column, m: int) -> Column:
+        sa, sb = F.slice(a, 1, m), F.slice(b, 1, m)
+        return dot(sa, sb) / F.nullif(norm(sa) * norm(sb), F.lit(0.0))
+
+    full = _cos(F.col("va"), F.col("vb"), full_dim)
+    per_m = [
+        F.struct(
+            F.lit(m).alias("m"), _cos(F.col("va"), F.col("vb"), m).alias("c")
+        )
+        for m in dims
+    ]
+    ok = full.isNotNull()
+    for m in dims:
+        ok = ok & _cos(F.col("va"), F.col("vb"), m).isNotNull()
+    exploded = (
+        pairs.filter(ok)
+        .withColumn("full", full)
+        .select("full", F.explode(F.array(*per_m)).alias("p"))
+        .select(
+            F.col("p.m").alias("prefix_dim"),
+            (F.col("p.c") - F.col("full")).alias("err"),
+        )
+    )
+    return exploded.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(F.abs(F.col("err"))).alias("mae"),
+        F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+    )

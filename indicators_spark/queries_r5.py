@@ -296,3 +296,355 @@ SELECT t.key_value, t.n_rows,
 FROM top t, tot""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Binary (sign-bit) embedding quantization + Hamming ANN
+# --------------------------------------------------------------------- #
+
+from .functions import joins, similarity  # noqa: E402
+from .queries import _r  # noqa: E402
+
+EMB_DIM, WORD_BITS = 64, 32
+_N_WORDS = EMB_DIM // WORD_BITS
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _bincode_sql(vec: str, w: int) -> str:
+    """One packed sign-bit word (SQL mirror of ``binary_code_words``)."""
+    terms = " + ".join(
+        f"CASE WHEN CAST({vec}[{w * WORD_BITS + j + 1}] AS DOUBLE) >= 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(WORD_BITS)
+    )
+    return f"CASE WHEN {vec} IS NOT NULL THEN CAST({terms} AS BIGINT) END"
+
+
+_register(
+    "embedding_binary_quantize",
+    Query(
+        spark=lambda s, d: similarity.binary_quantize(
+            _emb(s, d), dim=EMB_DIM, word_bits=WORD_BITS
+        ),
+        sql="SELECT vec_id, "
+        + ", ".join(
+            f"{_bincode_sql('embedding', w)} AS code_{w}"
+            for w in range(_N_WORDS)
+        )
+        + " FROM embeddings",
+    ),
+)
+
+_register(
+    "similarity_knn_hamming",
+    Query(
+        spark=lambda s, d: similarity.knn_hamming(
+            _emb(s, d),
+            _emb(s, d).filter(F.col("vec_id") < 10),
+            k=5,
+            dim=EMB_DIM,
+            word_bits=WORD_BITS,
+        ),
+        sql=f"""
+WITH c AS (
+  SELECT vec_id,
+    {', '.join(f"{_bincode_sql('embedding', w)} AS c{w}" for w in range(_N_WORDS))}
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid,
+    {', '.join(f'c{w} AS q{w}' for w in range(_N_WORDS))}
+  FROM c WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+    {' + '.join(f'bit_count(xor(c.c{w}, q.q{w}))' for w in range(_N_WORDS))}
+      AS hamming
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, nid, hamming,
+    row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, CAST(hamming AS BIGINT) AS hamming
+FROM ranked WHERE rank <= 5""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Matryoshka prefix-truncation distortion profile
+# --------------------------------------------------------------------- #
+
+MRL_DIMS = (8, 16, 32)
+
+
+def _dot_m(a: str, b: str, m: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, m + 1)
+    )
+
+
+def _norm_m(a: str, m: int) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(1, m + 1)
+        )
+        + ")"
+    )
+
+
+def _mrl_cos(m: int) -> str:
+    return (
+        f"({_dot_m('a.embedding', 'b.embedding', m)})"
+        f" / nullif(({_norm_m('a.embedding', m)})"
+        f" * ({_norm_m('b.embedding', m)}), 0)"
+    )
+
+
+_MRL_SQL = f"""
+WITH pairs AS (
+  SELECT {_mrl_cos(EMB_DIM)} AS full_cos,
+    {', '.join(f'{_mrl_cos(m)} AS c{m}' for m in MRL_DIMS)}
+  FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+),
+ok AS (
+  SELECT * FROM pairs
+  WHERE full_cos IS NOT NULL
+    AND {' AND '.join(f'c{m} IS NOT NULL' for m in MRL_DIMS)}
+),
+errs AS (
+  {' UNION ALL '.join(
+      f"SELECT CAST({m} AS INT) AS prefix_dim, c{m} - full_cos AS err FROM ok"
+      for m in MRL_DIMS
+  )}
+)
+SELECT prefix_dim, CAST(count(*) AS BIGINT) AS n_pairs,
+  {_r('avg(abs(err))', 'mae')},
+  {_r('sqrt(avg(err * err))', 'rmse')}
+FROM errs GROUP BY prefix_dim"""
+
+_register(
+    "embedding_matryoshka_distortion",
+    Query(
+        spark=lambda s, d: similarity.matryoshka_distortion(
+            _emb(s, d), dims=MRL_DIMS, full_dim=EMB_DIM
+        ).select(
+            "prefix_dim",
+            "n_pairs",
+            round4(F.col("mae")).alias("mae"),
+            round4(F.col("rmse")).alias("rmse"),
+        ),
+        sql=_MRL_SQL,
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Token-set containment (doc-in-doc / quote duplication)
+# --------------------------------------------------------------------- #
+
+CONT_T, CONT_MAXDF = 0.6, 0.5
+
+_register(
+    "dedup_containment_pairs",
+    Query(
+        spark=lambda s, d: dedup.containment_pairs(
+            _docs(s, d), threshold=CONT_T, max_df_frac=CONT_MAXDF
+        ).select(
+            "ia",
+            "ib",
+            round4(F.col("cont_a")).alias("cont_a"),
+            round4(F.col("cont_b")).alias("cont_b"),
+        ),
+        sql=f"""
+WITH toks0 AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM toks0 GROUP BY tok
+),
+ndocs AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+),
+toks AS (
+  SELECT t.id, t.tok
+  FROM toks0 t JOIN dfreq f ON f.tok = t.tok, ndocs
+  WHERE f.df <= n_docs * {CONT_MAXDF}
+),
+sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+),
+shared AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+cont AS (
+  SELECT s.ia, s.ib,
+    CAST(s.shared AS DOUBLE) / za.sz AS cont_a,
+    CAST(s.shared AS DOUBLE) / zb.sz AS cont_b
+  FROM shared s
+  JOIN sizes za ON za.id = s.ia
+  JOIN sizes zb ON zb.id = s.ib
+)
+SELECT ia, ib, {_r('cont_a', 'cont_a')}, {_r('cont_b', 'cont_b')}
+FROM cont WHERE greatest(cont_a, cont_b) >= {CONT_T}""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Bloom-prefiltered semi join
+# --------------------------------------------------------------------- #
+
+BLOOM_M, BLOOM_K = 1 << 16, 4
+
+
+def _bloom_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    j = joins.bloom_semi_join(
+        li, urgent, "l_orderkey", m_bits=BLOOM_M, n_hashes=BLOOM_K
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round4(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+_register(
+    "join_bloom_prefilter",
+    Query(
+        spark=_bloom_spark,
+        sql=f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  {_r('sum(l_quantity)', 'sum_qty')}
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Z-order (Morton) layout clustering
+# --------------------------------------------------------------------- #
+
+Z_BITS, Z_CELL_SHIFT = 8, 10  # 16-bit z-key → 64 cells
+
+
+def _zorder_sql_key(x: str, y: str) -> str:
+    terms = []
+    for j in range(Z_BITS):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    xb = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    yb = F.pmod(
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1, F.lit(256)
+    ).cast("long")
+    zk = zorder_key([xb, yb], bits=Z_BITS)
+    cells = o.select(
+        xb.alias("xb"), yb.alias("yb"), F.shiftright(zk, Z_CELL_SHIFT).alias("zcell")
+    )
+    return cells.groupBy("zcell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xb").alias("x_min"),
+        F.max("xb").alias("x_max"),
+        F.min("yb").alias("y_min"),
+        F.max("yb").alias("y_max"),
+    )
+
+
+_register(
+    "layout_zorder_orders",
+    Query(
+        spark=_zorder_spark,
+        sql=f"""
+WITH b AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS xb,
+    CAST((year(o_orderdate) * 12 + month(o_orderdate) - 1) % 256 AS BIGINT)
+      AS yb
+  FROM orders
+),
+z AS (
+  SELECT xb, yb,
+    CAST(({_zorder_sql_key('xb', 'yb')}) AS BIGINT) >> {Z_CELL_SHIFT} AS zcell
+  FROM b
+)
+SELECT zcell, CAST(count(*) AS BIGINT) AS n_rows,
+  min(xb) AS x_min, max(xb) AS x_max,
+  min(yb) AS y_min, max(yb) AS y_max
+FROM z GROUP BY zcell""",
+    ),
+)
+
+
+# --------------------------------------------------------------------- #
+# Distributed exact weighted quantiles (two-pass, no global sort)
+# --------------------------------------------------------------------- #
+
+WQ_QS = (0.25, 0.5, 0.75)
+
+
+def _wq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = weighted_quantiles(
+        li,
+        group="l_returnflag",
+        value="l_extendedprice",
+        weight="l_quantity",
+        qs=WQ_QS,
+    )
+    return wq.select(
+        "l_returnflag",
+        *[round4(F.col(f"wq{int(q * 100)}")).alias(f"wq{int(q * 100)}") for q in WQ_QS],
+    )
+
+
+_register(
+    "analytic_weighted_quantiles",
+    Query(
+        spark=_wq_spark,
+        sql=f"""
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+    sum(l_quantity) OVER (
+      PARTITION BY l_returnflag ORDER BY l_extendedprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cw,
+    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+  {', '.join(
+    _r(f'min(CASE WHEN cw >= {q} * tw THEN l_extendedprice END)', f'wq{int(q * 100)}')
+    for q in WQ_QS
+  )}
+FROM cum GROUP BY l_returnflag""",
+    ),
+)

@@ -757,3 +757,128 @@ def profile_key_skew(
         ),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def zorder_key(cols: list, bits: int = 8):
+    """Morton (Z-order) interleave of ``len(cols)`` bucketized dimensions,
+    ``bits`` low bits each — the multi-dimensional clustering sort key
+    for data LAYOUT at scale.
+
+    Sorting a 100 TB table by one column gives perfect min/max pruning on
+    that column and none on any other; writing files in Z-key order bounds
+    EVERY interleaved dimension's range per file (each file covers a
+    Z-curve segment ≈ a small hyper-rectangle), so parquet footer min/max
+    skips files for predicates on any of them — the Delta/Iceberg
+    OPTIMIZE ZORDER BY layout, computed here as a pure codegen expression
+    (no shuffle beyond the final range sort/partitioning that writes the
+    files).
+
+    ``cols`` are Columns already bucketized to ``[0, 2^bits)`` (caller
+    picks the bucketing: modulo, ntile, epoch-month…).  Bit j of
+    dimension d lands at interleaved position ``j·D + d`` — identical
+    integer arithmetic is expressible in any SQL dialect, so the key is
+    engine-portable and oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    ndim = len(cols)
+    key = None
+    for d, c in enumerate(cols):
+        for j in range(bits):
+            term = F.shiftleft(
+                F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1)),
+                j * ndim + d,
+            )
+            key = term if key is None else key + term
+    return key.cast("long")
+
+
+def weighted_quantiles(
+    df,
+    group: str,
+    value: str,
+    weight: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    bucket=None,
+):
+    """Exact weighted quantiles per group WITHOUT sorting the data.
+
+    The textbook form — a cumulative-weight window ordered by value — puts
+    each group's entire data through one sorted reducer: at 100 TB with a
+    handful of groups (the common case: quantiles per flag/status/source)
+    that is a single-task sort.  This two-pass form never materializes a
+    per-row global order:
+
+    1. **Histogram pass**: map-side-combined groupBy on (group, value
+       bucket) sums weights — massively parallel, output is one row per
+       occupied bucket (≤ distinct-bucket count, independent of n).
+    2. The tiny histogram gets per-group prefix sums (window over ~10³
+       bucket rows, not data rows); for each quantile q the BOUNDARY
+       bucket is the one whose cumulative weight first reaches
+       ``q · total`` (``cum_before < target ≤ cum_through``).
+    3. **Resolve pass**: only rows in boundary buckets (a ~1/buckets
+       fraction of the data) shuffle once more; a within-bucket
+       cumulative weight ordered by value, offset by the bucket's
+       ``cum_before``, yields the exact quantile value — the smallest v
+       with ``W(≤v) ≥ q·total``, identical to the sorted definition.
+
+    Ties on value are deterministic without a row tie-break: the crossing
+    row's value is unique regardless of intra-tie order.  NULL values or
+    weights are excluded (documented; mirror in any oracle).  ``bucket``
+    defaults to ``floor(value)`` — any coarser/finer monotone bucketing
+    works (correctness never depends on it, only the resolve-pass size).
+
+    Returns one row per group: ``(group, wq{int(q*100)}...)``.
+    """
+    from pyspark.sql import functions as F
+
+    vals = df.filter(
+        F.col(value).isNotNull() & F.col(weight).isNotNull()
+    ).select(
+        F.col(group).alias("_g"),
+        F.col(value).alias("_v"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    bexpr = bucket if bucket is not None else F.floor(F.col("_v"))
+    vals = vals.withColumn("_b", bexpr.cast("long"))
+
+    hist = vals.groupBy("_g", "_b").agg(F.sum("_w").alias("_bw"))
+    wb = Window.partitionBy("_g").orderBy("_b")
+    cum = (
+        hist.withColumn(
+            "_cum",
+            F.sum("_bw").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_tot", F.sum("_bw").over(Window.partitionBy("_g")))
+        .withColumn("_before", F.col("_cum") - F.col("_bw"))
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    bounds = (
+        cum.select("_g", "_b", "_before", "_tot", F.explode(qarr).alias("_q"))
+        .withColumn("_target", F.col("_q") * F.col("_tot"))
+        .filter(
+            (F.col("_before") < F.col("_target"))
+            & (F.col("_before") + F.col("_cum") - F.col("_before") >= F.col("_target"))
+        )
+        .select("_g", "_b", "_q", "_target", "_before")
+    )
+    # resolve: within-boundary-bucket running weight ordered by value
+    wv = Window.partitionBy("_g", "_q").orderBy("_v")
+    resolved = (
+        vals.join(bounds, ["_g", "_b"])
+        .withColumn(
+            "_run",
+            F.col("_before")
+            + F.sum("_w").over(wv.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("_run") >= F.col("_target"))
+        .groupBy("_g", "_q")
+        .agg(F.min("_v").alias("_val"))
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("_q") == float(q), F.col("_val"))
+        ).alias(f"wq{int(q * 100)}")
+        for q in qs
+    ]
+    return resolved.groupBy(F.col("_g").alias(group)).agg(*aggs)
