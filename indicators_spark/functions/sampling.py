@@ -256,6 +256,7 @@ def cap_per_key(
     key: str,
     k: int,
     seed: str = "s42",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Per-group document cap (the C4/GPT-style per-domain clip): keep at
     most ``k`` rows per ``group`` value, chosen deterministically by
@@ -267,7 +268,13 @@ def cap_per_key(
     guard against a single scraped domain dominating the training mix.
     Selection ranks rows by :func:`hash_unit` (48-bit, engine-portable)
     with the key string as tie-break, so the SAME k rows survive across
-    runs, engines, and partitionings.
+    runs, engines, and partitionings — **provided ``key`` is unique per
+    row within a group**.  Rows sharing a key value tie on both sort
+    terms (each is a function of ``key`` alone), leaving which of them
+    survives partition-order dependent; for non-unique keys pass
+    ``tiebreak=[cols...]`` to extend the order with a content hash over
+    those columns, making selection total again (mirror the same
+    ``hash(key || col...)`` term in any oracle).
 
     Scale shape: one hash exchange on the group key; the row_number
     window's state is one group's rows.  For adversarial mega-groups
@@ -276,9 +283,15 @@ def cap_per_key(
     stays bounded — the cap then applies exactly to the survivors.
     """
     u = hash_unit(F.col(key), seed)
-    w = Window.partitionBy(group).orderBy(
-        u.asc(), _key_str(F.col(key)).asc()
-    )
+    order = [u.asc(), _key_str(F.col(key)).asc()]
+    if tiebreak:
+        content = F.md5(
+            F.concat_ws(
+                "\x1f", *[_key_str(F.col(c)) for c in tiebreak]
+            )
+        )
+        order.append(content.asc())
+    w = Window.partitionBy(group).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

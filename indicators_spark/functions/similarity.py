@@ -1450,7 +1450,11 @@ def binary_code_words(
     positive BIGINT (no sign-bit edge cases on either engine).
 
     NULL elements contribute a 0 bit (CASE semantics, mirrored by the SQL
-    oracle); a NULL vector yields NULL words.
+    oracle); a NULL vector yields NULL words.  Vectors *shorter* than
+    ``dim`` also contribute 0 bits for the missing positions: lookups use
+    :func:`F.get` (NULL out of bounds) rather than ``element_at`` (which
+    raises ``INVALID_ARRAY_INDEX`` under Spark 4's ANSI mode), so both
+    engines agree — DuckDB's ``embedding[i]`` is likewise NULL → 0 bit.
     """
     n_words = (dim + word_bits - 1) // word_bits
     words_: list[Column] = []
@@ -1461,7 +1465,7 @@ def binary_code_words(
             if i > dim:
                 break
             bit = F.when(
-                F.element_at(vec, i).cast("double") >= 0, F.lit(1 << j)
+                F.get(vec, F.lit(i - 1)).cast("double") >= 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
             terms = bit if terms is None else terms + bit
         words_.append(
@@ -1510,11 +1514,20 @@ def knn_hamming(
 
     Ties (common: 64-bit codes give ≤ 65 distinct distances) break by
     neighbor id, making top-k fully deterministic.
+
+    NULL contract (same as :func:`knn_lsh` / :func:`semantic_dedup`): rows
+    with a NULL embedding have no binary code and cannot be ranked — they
+    are dropped from BOTH the corpus and the query side before the join.
+    Without this, a single NULL-code corpus row would sort first (Spark
+    orders NULLs first ascending) and displace a real rank-1 neighbor for
+    every query, diverging from the oracle's NULLS LAST.
     """
     base = binary_quantize(df, dim, id_col, vec_col, word_bits).select(
         F.col(id_col).alias("nid"), "*"
-    ).drop(id_col)
-    q = binary_quantize(queries, dim, id_col, vec_col, word_bits)
+    ).drop(id_col).filter(F.col("code_0").isNotNull())
+    q = binary_quantize(queries, dim, id_col, vec_col, word_bits).filter(
+        F.col("code_0").isNotNull()
+    )
     n_words = (dim + word_bits - 1) // word_bits
     q = q.select(
         F.col(id_col).alias("qid"),

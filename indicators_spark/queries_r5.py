@@ -194,9 +194,10 @@ agg AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id,
-  coalesce(a.ct, '') AS clean_text,
-  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0) AS BIGINT)
-    AS n_removed
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.ct, '') END
+    AS clean_text,
+  CAST(coalesce(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0), 0)
+    AS BIGINT) AS n_removed
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 )
 
@@ -349,10 +350,15 @@ _register(
             word_bits=WORD_BITS,
         ),
         sql=f"""
-WITH c AS (
+WITH craw AS (
   SELECT vec_id,
     {', '.join(f"{_bincode_sql('embedding', w)} AS c{w}" for w in range(_N_WORDS))}
   FROM embeddings
+),
+c AS (
+  -- NULL-embedding rows have no code and are dropped from both sides
+  -- (mirrors knn_hamming's NULL contract; Spark would sort NULLs first)
+  SELECT * FROM craw WHERE c0 IS NOT NULL
 ),
 q AS (
   SELECT vec_id AS qid,

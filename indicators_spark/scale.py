@@ -858,11 +858,17 @@ def weighted_quantiles(
         .withColumn("_target", F.col("_q") * F.col("_tot"))
         .filter(
             (F.col("_before") < F.col("_target"))
-            & (F.col("_before") + F.col("_cum") - F.col("_before") >= F.col("_target"))
+            & (F.col("_cum") >= F.col("_target"))
         )
         .select("_g", "_b", "_q", "_target", "_before")
     )
-    # resolve: within-boundary-bucket running weight ordered by value
+    # resolve: within-boundary-bucket running weight ordered by value.
+    # The histogram summed the bucket's weights in arbitrary combine
+    # order while _run re-sums them in value order — float rounding can
+    # leave max(_run) a ulp below _target when the crossing is the
+    # bucket's last row, so the hit is coalesced with the bucket max
+    # (the value the exact definition picks in that case) instead of
+    # silently yielding a NULL quantile.
     wv = Window.partitionBy("_g", "_q").orderBy("_v")
     resolved = (
         vals.join(bounds, ["_g", "_b"])
@@ -871,9 +877,16 @@ def weighted_quantiles(
             F.col("_before")
             + F.sum("_w").over(wv.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .filter(F.col("_run") >= F.col("_target"))
         .groupBy("_g", "_q")
-        .agg(F.min("_v").alias("_val"))
+        .agg(
+            F.min(
+                F.when(F.col("_run") >= F.col("_target"), F.col("_v"))
+            ).alias("_hit"),
+            F.max("_v").alias("_bmax"),
+        )
+        .select(
+            "_g", "_q", F.coalesce("_hit", "_bmax").alias("_val")
+        )
     )
     aggs = [
         F.max(
