@@ -41,18 +41,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return ind.collect()
 
 
-def _evidenced() -> set[str]:
-    """Query names with a green driver CORRECTNESS row from any prior round.
+#: Queries whose code or oracle semantics changed in the named round —
+#: they outrank ordinary green rotation until the driver re-verifies them
+#: (an entry self-clears once its latest green row is >= the listed round,
+#: so this map only ever grows stale-harmless).  Round 6 proved the hole
+#: this closes: five queries' semantics changed and the all-green catalog
+#: sent the driver's ~50-slot budget to registration slots 0-49, leaving
+#: the touched code with zero fresh driver evidence.
+_TOUCHED: dict[str, int] = {
+    "similarity_knn_hamming": 6,
+    "embedding_binary_quantize": 6,
+    "dedup_substring_clean": 6,
+    "sample_cap_per_source": 7,  # r6 tiebreak option; r7 tiebreak hash form
+    "analytic_weighted_quantiles": 7,  # r6 ulp fallback; r7 lag(_cum) _before
+}
 
-    The driver verifies queries in dict-insertion order under a budget
-    (round 1 covered the first 50 of 125), so ``queries()`` orders
-    never-green queries first — each round the budget then lands on the
-    least-evidenced part of the catalog instead of re-checking stable rows.
+
+def _evidenced() -> dict[str, int]:
+    """Latest round with a green driver CORRECTNESS row, per query name.
+
+    The driver verifies queries in dict-insertion order under a ~50-slot
+    budget (round 1 covered the first 50 of 125), so ``queries()`` orders
+    the catalog so the budget lands where evidence is weakest — see
+    :func:`_ordered_names`.
     """
     import json
 
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.split("_r")[1])
+        except (IndexError, ValueError):
+            rnd = 0
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -63,13 +83,22 @@ def _evidenced() -> set[str]:
             if r.get("rows_match") and r.get("schema_match") is not False and r.get(
                 "hash_match", True
             ):
-                green.add(name)
+                green[name] = max(rnd, green.get(name, 0))
     return green
 
 
-def _ordered_names(green: set[str] | None = None) -> list[str]:
-    """Driver-facing catalog order: never-green first, registration order
-    within each group.
+def _ordered_names(green: dict[str, int] | None = None) -> list[str]:
+    """Driver-facing catalog order, three tiers so the ~50-slot budget
+    tracks evidence weakness:
+
+    1. **never-green** (no green row in any ``CORRECTNESS_r*.json``) —
+       registration order;
+    2. **touched-since-green** (listed in :data:`_TOUCHED` with a round
+       newer than the query's latest green row) — code or oracle changed
+       after its last verification, so "green" is stale;
+    3. **green rotation** — ascending by latest-green round, registration
+       order within a round, so the budget continuously re-verifies the
+       stalest evidence (~full catalog re-check every 4-5 rounds).
 
     Only oracle-bearing queries are exposed: the driver has NO rows-only
     mode — a ``queries()`` entry without a matching ``oracle_sql()`` entry
@@ -84,9 +113,17 @@ def _ordered_names(green: set[str] | None = None) -> list[str]:
     if green is None:
         green = _evidenced()
     idx = {n: i for i, n in enumerate(QUERIES)}
+
+    def tier(n: str) -> tuple:
+        last = green.get(n, 0)
+        if last == 0:
+            return (0, 0, idx[n])
+        if _TOUCHED.get(n, 0) > last:
+            return (1, 0, idx[n])
+        return (2, last, idx[n])
+
     return sorted(
-        (n for n in QUERIES if QUERIES[n].sql is not None),
-        key=lambda n: (n in green, idx[n]),
+        (n for n in QUERIES if QUERIES[n].sql is not None), key=tier
     )
 
 

@@ -273,8 +273,12 @@ def cap_per_key(
     terms (each is a function of ``key`` alone), leaving which of them
     survives partition-order dependent; for non-unique keys pass
     ``tiebreak=[cols...]`` to extend the order with a content hash over
-    those columns, making selection total again (mirror the same
-    ``hash(key || col...)`` term in any oracle).
+    those columns, making selection total again.  The exact tie-break
+    expression (mirror it verbatim in any oracle) is
+    ``md5(concat(md5(str(col1)), md5(str(col2)), ...))`` — each column is
+    stringified via the same NULL-sentinel cast as the key, hashed
+    per-column, and the hex digests concatenated, so a separator byte
+    appearing in a value can never make distinct tuples collide.
 
     Scale shape: one hash exchange on the group key; the row_number
     window's state is one group's rows.  For adversarial mega-groups
@@ -285,10 +289,12 @@ def cap_per_key(
     u = hash_unit(F.col(key), seed)
     order = [u.asc(), _key_str(F.col(key)).asc()]
     if tiebreak:
+        # Per-column digests (fixed 32-hex each) before the outer hash:
+        # concat of fixed-width digests is injective on the tuple, unlike
+        # a separator join where a value containing the separator byte
+        # collides distinct tuples.
         content = F.md5(
-            F.concat_ws(
-                "\x1f", *[_key_str(F.col(c)) for c in tiebreak]
-            )
+            F.concat(*[F.md5(_key_str(F.col(c))) for c in tiebreak])
         )
         order.append(content.asc())
     w = Window.partitionBy(group).orderBy(*order)

@@ -149,7 +149,9 @@ def cosine_pairs(
     # genuinely covers every representable cos ≥ 1.0 pair (a 1e-12 floor
     # provably did not — pairs landed thousands of buckets apart).
     width = max(theta_t * 1.001, 1e-7)
-    ratio = F.element_at(F.col(vec_col), 1).cast("double") / F.nullif(
+    # F.get (not element_at): an empty non-NULL embedding yields NULL under
+    # ANSI instead of INVALID_ARRAY_INDEX, matching DuckDB embedding[1].
+    ratio = F.get(F.col(vec_col), 0).cast("double") / F.nullif(
         F.col("_norm"), F.lit(0.0)
     )
     theta = F.coalesce(

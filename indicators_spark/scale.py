@@ -850,7 +850,12 @@ def weighted_quantiles(
             F.sum("_bw").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
         )
         .withColumn("_tot", F.sum("_bw").over(Window.partitionBy("_g")))
-        .withColumn("_before", F.col("_cum") - F.col("_bw"))
+        # _before must equal the PREVIOUS bucket's _cum exactly, or float
+        # rounding opens a gap (prev._cum < target <= this._cum - _bw) that
+        # matches no boundary bucket and silently drops the quantile.
+        # lag(_cum) makes the (_before, _cum] intervals partition the weight
+        # axis bit-for-bit, so every target matches exactly one bucket.
+        .withColumn("_before", F.lag("_cum", 1, 0.0).over(wb))
     )
     qarr = F.array(*[F.lit(float(q)) for q in qs])
     bounds = (
