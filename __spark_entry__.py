@@ -54,6 +54,12 @@ _TOUCHED: dict[str, int] = {
     "dedup_substring_clean": 6,
     "sample_cap_per_source": 7,  # r6 tiebreak option; r7 tiebreak hash form
     "analytic_weighted_quantiles": 7,  # r6 ulp fallback; r7 lag(_cum) _before
+    # r7: rewired onto the size-dispatched approx/sketch module
+    "filter_quality_quantile": 7,
+    "analytic_winsorize": 7,
+    "analytic_histogram_equidepth": 7,
+    "rolling_median": 7,
+    "profile_lineitem": 7,
 }
 
 

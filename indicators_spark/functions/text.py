@@ -363,24 +363,56 @@ def chunk_documents(
 
 
 def filter_by_quality_quantile(
-    df: DataFrame, q: float = 0.2, text_col: str = "text"
+    df: DataFrame,
+    q: float = 0.2,
+    text_col: str = "text",
+    n_rows: int | None = None,
+    min_rows: int | None = None,
+    estimator: str = "tdigest",
+    key_col: str = "doc_id",
+    k: int = 256,
 ) -> DataFrame:
     """Drop the lowest-``q`` quality quantile of the corpus — the
     quantile-cut-off filter every curation pipeline applies after scoring
-    (keep rows with score ≥ the exact interpolated ``q``-quantile).
+    (keep rows with score ≥ the ``q``-quantile cutoff).
 
-    Scale shape: one scalar aggregate (exact percentile) broadcast back as
-    a 1-row cross join; the corpus itself never shuffles.  At 100 TB swap
-    the exact percentile for ``approx_percentile`` (t-digest) — same plan
-    shape, bounded memory.  Scores and cutoff are quantized to 4dp before
-    the comparison so the boundary is reproducible cross-engine.
+    Size-dispatched (:mod:`~indicators_spark.approx`): below ``min_rows``
+    the cutoff is the exact interpolated percentile; at scale it comes
+    from the chosen ``estimator`` — ``"tdigest"`` (``percentile_approx``:
+    bounded state, rank error ≤ n/accuracy) or ``"kmv"`` (a deterministic
+    bottom-k sample quantile via :func:`~.approx.kmv_percentile_cutoff`,
+    exactly replayable in SQL — the driver-verifiable sketch path).
+
+    Scale shape on EVERY path: one scalar aggregate broadcast back as a
+    1-row cross join; the corpus itself never shuffles.  Scores and
+    cutoff are quantized to 4dp before the comparison so the boundary is
+    reproducible cross-engine.
     """
+    from ..approx import (
+        APPROX_MIN_ROWS,
+        kmv_percentile_cutoff,
+        percentile_auto,
+    )
+
+    if min_rows is None:
+        min_rows = APPROX_MIN_ROWS
     scored = with_quality_score(df, text_col)
     r4 = lambda c: F.floor(c * 1e4 + F.lit(0.500000001)) / 1e4  # noqa: E731
     scored = scored.withColumn("quality_score", r4(F.col("quality_score")))
-    cutoff = scored.agg(
-        r4(F.percentile("quality_score", F.lit(q))).alias("_cut")
-    )
+    if n_rows is None:
+        # same dispatch contract as scale.rolling_multi_auto; the count
+        # pass is skipped when min_rows<=0 pins the branch anyway
+        n_rows = df.count() if min_rows > 0 else min_rows
+    if n_rows >= min_rows and estimator == "kmv":
+        cutoff = kmv_percentile_cutoff(
+            scored, value_col="quality_score", key_col=key_col, q=q, k=k
+        ).select(r4(F.col("_cut")).alias("_cut"))
+    else:
+        cutoff = scored.agg(
+            r4(percentile_auto("quality_score", q, n_rows, min_rows)).alias(
+                "_cut"
+            )
+        )
     return (
         scored.crossJoin(F.broadcast(cutoff))
         .filter(F.col("quality_score") >= F.col("_cut"))

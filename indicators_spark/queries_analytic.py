@@ -447,26 +447,19 @@ FROM events""",
 
 
 def _winsorize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clip n_chars to each language's exact [p05, p95] band — the
-    standard outlier-taming transform before statistics/training.
+    """Clip n_chars to each language's [p05, p95] band — the standard
+    outlier-taming transform before statistics/training.
 
-    Scale shape: one per-group exact-percentile agg (tiny output: one row
-    per group) broadcast-joined back; the data side never shuffles.  At
-    100 TB swap percentile → approx_percentile (t-digest), same plan."""
+    Size-dispatched via :func:`~indicators_spark.approx.winsorize_auto`:
+    exact per-group percentile bands below the threshold (what the oracle
+    replays), t-digest bands at 100 TB — either way one tiny per-group
+    agg broadcast-joined back; the data side never shuffles."""
+    from .approx import winsorize_auto
+
     docs = load_table(spark, sf_dir, "documents")
-    bands = docs.groupBy("lang").agg(
-        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
-        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
-    )
-    return (
-        docs.join(F.broadcast(bands), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            F.greatest(F.least(F.col("n_chars").cast("double"), F.col("hi")), F.col("lo"))
-            .alias("n_chars_winsor"),
-        )
-        .select("doc_id", "lang", round4(F.col("n_chars_winsor")).alias("n_chars_winsor"))
+    out = winsorize_auto(docs, value="n_chars", group="lang")
+    return out.select(
+        "doc_id", "lang", round4(F.col("n_chars_winsor")).alias("n_chars_winsor")
     )
 
 
@@ -575,33 +568,19 @@ FROM s""",
 
 
 def _histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram: buckets hold ~equal row counts, with exact
-    interpolated quartile breakpoints (the optimizer-statistics dual of
-    the equal-width `analytic_histogram`).  Breakpoints are 3 scalars —
-    broadcast back; bucket assignment is a codegen'd comparison sum, so
-    the fact table is scanned twice but never shuffled wide (the same
-    two-pass shape as the quantile quality filter; at 100 TB swap the
-    exact percentile for approx_percentile, same plan)."""
+    """Equi-DEPTH histogram: buckets hold ~equal row counts, with
+    quartile breakpoints (the optimizer-statistics dual of the
+    equal-width `analytic_histogram`).  Size-dispatched via
+    :func:`~indicators_spark.approx.histogram_equidepth_auto`: exact
+    interpolated breakpoints below the threshold (what the oracle
+    replays), t-digest at 100 TB — 3 scalars broadcast back either way;
+    bucket assignment is a codegen'd comparison sum, so the fact table is
+    scanned twice but never shuffled wide."""
+    from .approx import histogram_equidepth_auto
+
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    qs = li.agg(
-        F.percentile("l_extendedprice", 0.25).alias("q1"),
-        F.percentile("l_extendedprice", 0.5).alias("q2"),
-        F.percentile("l_extendedprice", 0.75).alias("q3"),
-    )
-    v = F.col("l_extendedprice")
-    bucket = (
-        (v > F.col("q1")).cast("int")
-        + (v > F.col("q2")).cast("int")
-        + (v > F.col("q3")).cast("int")
-    )
-    return (
-        li.crossJoin(F.broadcast(qs))
-        .groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            round4(F.avg(v)).alias("avg_price"),
-        )
-    )
+    out = histogram_equidepth_auto(li, "l_extendedprice")
+    return out.select("bucket", "n", round4(F.col("avg_v")).alias("avg_price"))
 
 
 _register(

@@ -476,6 +476,56 @@ _register(
 )
 
 
+#: Sketch-path twin of `filter_quality_quantile`: min_rows=0 forces the
+#: at-scale branch and estimator="kmv" picks the deterministic bottom-k
+#: sample cutoff (md5(doc_id) order), so the DISPATCHED path itself runs
+#: under the full value-hash oracle — percentile_approx couldn't (DuckDB
+#: has no replay of Spark's t-digest), the KMV sample replays exactly.
+_KMV_Q_K = 128
+_QSCORE_SKETCH_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, text, ws,
+    CAST(len(ws) AS DOUBLE) AS n,
+    len(list_distinct(ws)) AS dt,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+  FROM t
+),
+scored AS (
+  SELECT doc_id,
+    floor((least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3
+           + (1 - punct / length(text)) * 0.2
+           + least(stop / n * 4, 1.0) * 0.2) * 1e4 + 0.500000001) / 1e4
+      AS quality_score
+  FROM m
+),
+sk AS (
+  SELECT quality_score AS v,
+    row_number() OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), quality_score) AS rn
+  FROM scored
+),
+cut AS (
+  SELECT floor(quantile_cont(v, {q}) * 1e4 + 0.500000001) / 1e4 AS c
+  FROM sk WHERE rn <= {k}
+)
+SELECT s.doc_id, s.quality_score
+FROM scored s, cut WHERE s.quality_score >= cut.c"""
+
+_register(
+    "filter_quality_quantile_sketch",
+    Query(
+        spark=lambda s, d: text.filter_by_quality_quantile(
+            _docs(s, d), q=_QQ, min_rows=0, estimator="kmv", k=_KMV_Q_K
+        ).select("doc_id", "quality_score"),
+        sql=_QSCORE_SKETCH_SQL.format(q=_QQ, k=_KMV_Q_K),
+    ),
+)
+
+
 _register(
     "text_bpe_tokens",
     Query(

@@ -516,29 +516,24 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 def _profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass-per-column profile of lineitem's numeric columns: row /
-    null / exact-distinct counts, min/max/mean.  Each column's metrics are
-    ONE map-side-combined aggregate (count-distinct rewrites to a partial
-    agg under AQE); the union of per-column single-row results is
-    negligible.  At 100 TB swap exact `countDistinct` for
-    `approx_count_distinct` (same output schema) — the profiler is the
-    first thing a pipeline runs on an unknown drop."""
+    null / distinct counts, min/max/mean.  Size-dispatched via
+    :func:`~indicators_spark.approx.profile_numeric_auto`: exact
+    `countDistinct` below the threshold (what the oracle replays), HLL
+    `approx_count_distinct` at 100 TB — same output schema, and each
+    column's metrics stay ONE map-side-combined aggregate."""
+    from .approx import profile_numeric_auto
+
     li = load_table(spark, sf_dir, "lineitem")
-    parts = [
-        li.agg(
-            F.lit(c).alias("column"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
-            F.countDistinct(F.col(c)).alias("n_distinct"),
-            round4(F.min(F.col(c))).alias("min_v"),
-            round4(F.max(F.col(c))).alias("max_v"),
-            round4(F.avg(F.col(c))).alias("avg_v"),
-        )
-        for c in _PROFILE_COLS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    out = profile_numeric_auto(li, _PROFILE_COLS)
+    return out.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        round4(F.col("min_v")).alias("min_v"),
+        round4(F.col("max_v")).alias("max_v"),
+        round4(F.col("avg_v")).alias("avg_v"),
+    )
 
 
 _register(
@@ -982,25 +977,22 @@ FROM t GROUP BY 1""",
 
 
 def _rolling_median_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 21-row rolling median of close per symbol — the robust
-    smoother SMAs can't give you.  One symbol-hash exchange shared with
-    any co-partitioned chain; the per-frame percentile is O(frame log
-    frame) locally.  At extreme frame sizes switch to a t-digest-style
-    window or the KMV sample (`stats_kmv_quantile`)."""
+    """21-row rolling median of close per symbol — the robust smoother
+    SMAs can't give you.  Size-dispatched on the STATIC frame width via
+    :func:`~indicators_spark.approx.rolling_median_auto`: exact per-frame
+    percentile at 21 rows (what the oracle replays), t-digest window
+    aggregate for extreme frames.  One symbol-hash exchange shared with
+    any co-partitioned chain either way."""
+    from .approx import rolling_median_auto
     from .sources.prices import prices_from_events
 
     p = prices_from_events(spark, sf_dir)
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("timestamp", "seq")
-        .rowsBetween(-20, 0)
+    out = rolling_median_auto(
+        p, "close", 21, order_cols=("timestamp", "seq"),
+        partition_cols=("symbol",),
     )
-    return p.select(
-        "symbol",
-        "seq",
-        round4(F.percentile(F.col("close"), F.lit(0.5)).over(w)).alias(
-            "close_median_21"
-        ),
+    return out.select(
+        "symbol", "seq", round4(F.col("close_median_21")).alias("close_median_21")
     )
 
 
