@@ -534,6 +534,38 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- ExactSubstr on a SKEWED corpus: the max_df_frac guard ----------
+    # 30% of docs share one verbatim 14-word boilerplate block — its grams
+    # each put 0.3·n_docs rows on ONE window key (the posting-list hot key
+    # that stalls a 1000-executor stage).  max_df_frac=0.01 prunes those
+    # grams before the occurrence window via a broadcast anti-join; the
+    # guarded/unguarded pair quantifies what the guard buys under skew.
+    boiler = " ".join(f"bp{i}" for i in range(14))
+    skewed = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).cache()
+    skewed.count()
+    for label, frac in (
+        ("substring_spans_skewed_unguarded", None),
+        ("substring_spans_skewed_maxdf", 0.01),
+    ):
+        t0 = time.time()
+        substring_dup_spans(skewed, n=10, max_df_frac=frac).agg(
+            F.count(F.lit(1)).alias("c")
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+        }
+    skewed.unpersist()
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

@@ -630,12 +630,39 @@ def minhash_estimate_vs_true(
     )
 
 
+def _prune_hot_grams(
+    pos_g: DataFrame,
+    max_df_frac: float,
+    n_docs_df: DataFrame,
+) -> DataFrame:
+    """Drop positioned grams whose DOCUMENT frequency exceeds
+    ``max_df_frac`` of the corpus — the boilerplate-gram guard of the
+    ExactSubstr family (same role as ``containment_pairs``' ubiquitous-
+    token kill).  A gram in ``f·N`` documents makes one posting-list hot
+    key carrying ~``f·N`` rows through the occurrence window; grams in a
+    large corpus fraction are license headers / navigation chrome whose
+    spans a curation pipeline caps separately, not passages worth a
+    skew-stalled stage.  The banned set is tiny by construction (few
+    grams clear a corpus-fraction bar) — broadcast anti-join; the df
+    count itself is a map-side-combinable distinct aggregate, never a
+    per-key posting-list window.  ``n_docs_df`` is a 1-row (n_docs)
+    frame so callers control WHICH population defines the fraction."""
+    dfreq = pos_g.groupBy("gh").agg(F.count_distinct("_id").alias("_df"))
+    banned = (
+        dfreq.crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("_df") > F.col("n_docs") * F.lit(max_df_frac))
+        .select("gh")
+    )
+    return pos_g.join(F.broadcast(banned), "gh", "left_anti")
+
+
 def substring_dup_spans(
     df: DataFrame,
     n: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_first: bool = False,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact substring (repeated-span) deduplication — the ExactSubstr
     operator family of Lee et al. 2021, "Deduplicating Training Data
@@ -689,8 +716,16 @@ def substring_dup_spans(
     # probe side (measured ~2× at sf0.1).  Per-key window state is the
     # gram's posting list — O(occurrences), the same rows the join's
     # shuffle would carry; a corpus-wide boilerplate passage makes a hot
-    # key either way (at real scale: pre-filter such grams like
-    # ngram_jaccard_pairs' max_df prune).
+    # key either way, which is what max_df_frac kills: grams whose
+    # DOCUMENT frequency exceeds that corpus fraction are pruned before
+    # the window (broadcast anti-join against the tiny banned set), so no
+    # posting list longer than max_df_frac·N docs' occurrences ever
+    # becomes window state.  Spans then cover only sub-ubiquitous
+    # passages (mirror the prune in any oracle); default None keeps the
+    # exact corpus-wide semantics.
+    if max_df_frac is not None:
+        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        pos_g = _prune_hot_grams(pos_g, max_df_frac, n_docs)
     if keep_first:
         # removal policy: rank occurrences globally per gram; rank 1 is
         # the surviving canonical copy, every later one seeds a cut span
@@ -772,6 +807,7 @@ def substring_dedup_against_corpus(
     n: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Incremental ExactSubstr: spans of a NEW batch whose ≥ ``n``-word
     passages already exist anywhere in the historical corpus — the
@@ -794,7 +830,16 @@ def substring_dedup_against_corpus(
     bounded by one document's positions.
     """
     batch_g = _pos_grams(batch, n, id_col, text_col)
-    corpus_g = _pos_grams(corpus, n, id_col, text_col).select("gh").distinct()
+    corpus_pos = _pos_grams(corpus, n, id_col, text_col)
+    if max_df_frac is not None:
+        # the fraction is measured against the HISTORICAL corpus (the big
+        # side whose posting lists the guard protects); banned grams stop
+        # seeding batch spans
+        n_docs = corpus.select(
+            F.count_distinct(F.col(id_col)).alias("n_docs")
+        )
+        corpus_pos = _prune_hot_grams(corpus_pos, max_df_frac, n_docs)
+    corpus_g = corpus_pos.select("gh").distinct()
     seeds = batch_g.join(corpus_g, "gh", "left_semi").select("_id", "pos")
     return _merge_spans(seeds, n, id_col)
 
@@ -804,6 +849,7 @@ def substring_dup_stats(
     n: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Per-document repeated-span mass from :func:`substring_dup_spans`:
     ``(id, n_words, dup_words, dup_frac)`` — the "how much would
@@ -813,7 +859,7 @@ def substring_dup_stats(
     always.  Docs with ≥ ``n`` words and no duplicated span report 0;
     shorter docs have no ``n``-grams and drop out (mirrors
     ``duplicate_passage_fraction``)."""
-    spans = substring_dup_spans(df, n, id_col, text_col)
+    spans = substring_dup_spans(df, n, id_col, text_col, max_df_frac=max_df_frac)
     base = df.select(
         F.col(id_col),
         F.size(words(F.col(text_col))).alias("n_words"),
@@ -835,6 +881,7 @@ def substring_dedup_clean(
     n: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """The ExactSubstr TRANSFORM: rewrite every document with its
     non-canonical duplicated spans (``substring_dup_spans`` with
@@ -851,7 +898,9 @@ def substring_dedup_clean(
     span list), so no token-level explode of the corpus and no extra
     shuffle beyond the span pipeline + one doc-keyed join.
     """
-    spans = substring_dup_spans(df, n, id_col, text_col, keep_first=True)
+    spans = substring_dup_spans(
+        df, n, id_col, text_col, keep_first=True, max_df_frac=max_df_frac
+    )
     return cut_spans(df, spans, id_col, text_col)
 
 

@@ -110,6 +110,47 @@ _register(
 )
 
 
+#: Boilerplate-gram guard variant: grams in > max_df_frac of the corpus'
+#: documents are pruned BEFORE occurrence analysis (the ExactSubstr
+#: skew kill — no posting list hotter than that fraction ever becomes
+#: window state).  0.004 of 500 sf0.01 docs = ban df ≥ 3 grams, so the
+#: prune demonstrably fires (max synthetic gram df is 3) while df=2
+#: passages still produce spans.  Oracle mirrors the prune on raw grams.
+SUBSTR_MAX_DF = 0.004
+
+_PRUNED_SQL = (
+    _NG_CTES
+    + f"""
+banned AS (
+  SELECT g FROM ng GROUP BY g
+  HAVING count(DISTINCT doc_id) >
+    (SELECT count(DISTINCT doc_id) FROM documents) * {SUBSTR_MAX_DF}
+),
+ngp AS (
+  SELECT n0.doc_id, n0.pos, n0.g FROM ng n0
+  WHERE NOT EXISTS (SELECT 1 FROM banned b WHERE b.g = n0.g)
+),
+occ AS (
+  SELECT g, count(*) AS occ FROM ngp GROUP BY g
+),
+dup AS (
+  SELECT n2.doc_id, n2.pos FROM ngp n2 JOIN occ o USING (g) WHERE o.occ > 1
+),"""
+    + _MERGE_CTES.lstrip()
+    + _SPANS_SELECT
+)
+
+_register(
+    "dedup_substring_spans_pruned",
+    Query(
+        spark=lambda s, d: dedup.substring_dup_spans(
+            _docs(s, d), n=SUBSTR_N, max_df_frac=SUBSTR_MAX_DF
+        ),
+        sql=_PRUNED_SQL,
+    ),
+)
+
+
 _STATS_SQL = (
     _NG_CTES
     + _DUP_ALL

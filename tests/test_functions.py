@@ -977,6 +977,55 @@ def test_substring_dup_spans_disjoint_and_bounded(spark):
         assert 0 <= r["dup_words"] <= r["n_words"]
 
 
+def test_substring_dup_spans_max_df_frac_prunes_boilerplate(spark):
+    """max_df_frac bans grams present in more than that fraction of
+    documents BEFORE occurrence analysis: a boilerplate block shared by
+    8/10 docs stops seeding spans, while a 2-doc passage still does.
+    Incremental + clean callers thread the guard through."""
+    from indicators_spark.functions.dedup import (
+        substring_dedup_against_corpus,
+        substring_dedup_clean,
+        substring_dup_spans,
+    )
+
+    boiler = " ".join(f"bp{i}" for i in range(12))
+    pair = " ".join(f"pp{i}" for i in range(12))
+    rows = [(i, boiler + f" filler{i} " + " ".join(f"u{i}_{j}" for j in range(8)))
+            for i in range(8)]
+    rows += [(8, pair + " tail8 " + " ".join(f"v8_{j}" for j in range(8))),
+             (9, pair + " tail9 " + " ".join(f"v9_{j}" for j in range(8)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {r["doc_id"] for r in substring_dup_spans(docs, n=10).collect()}
+    assert full == set(range(10))  # unguarded: boilerplate spans everywhere
+    pruned = {
+        r["doc_id"]
+        for r in substring_dup_spans(docs, n=10, max_df_frac=0.5).collect()
+    }
+    assert pruned == {8, 9}  # df=8/10 grams banned, df=2/10 passage kept
+
+    # clean caller: boilerplate docs pass through verbatim under the guard
+    cleaned = {
+        r["doc_id"]: r["n_removed"]
+        for r in substring_dedup_clean(docs, n=10, max_df_frac=0.5).collect()
+    }
+    assert all(cleaned[i] == 0 for i in range(8))
+    assert cleaned[9] == 12 and cleaned[8] == 0  # keep-first: doc 8 survives
+
+    # incremental caller: corpus-side hot grams stop flagging the batch
+    hist = docs.filter(F.col("doc_id") < 8)
+    batch = spark.createDataFrame(
+        [(100, boiler + " new tail words here for batch doc")],
+        "doc_id long, text string",
+    )
+    hit = substring_dedup_against_corpus(batch, hist, n=10).count()
+    assert hit == 1
+    guarded = substring_dedup_against_corpus(
+        batch, hist, n=10, max_df_frac=0.5
+    ).count()
+    assert guarded == 0
+
+
 def test_substring_dup_spans_keep_first_policy(spark):
     """keep_first=True: the globally-first copy of each passage survives
     (no span), only later occurrences are cut — the paper's removal
