@@ -303,3 +303,158 @@ def cap_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _dsir_features(
+    df: DataFrame, id_col: str, text_col: str, buckets: int, seed: str
+) -> DataFrame:
+    """``(id, bkt)`` hashed unigram features, one row per TOKEN
+    occurrence.  The hash is the engine-portable md5 bucket (not Spark's
+    murmur3), so an oracle replays the identical feature space.  Pure
+    explode + projection — zero shuffle; hashing happens scan-side."""
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), tok
+    )
+    return base.select(
+        "_id", hash_bucket(F.col("_tok"), seed, buckets).alias("bkt")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed n-gram distribution is —
+    ``log w(d) = Σ_f c_d(f) · (log p_target(f) − log q_raw(f))`` over
+    add-``alpha``-smoothed hashed unigram bag distributions with
+    ``buckets`` features.
+
+    Returns ``(id, n_tokens, dsir_logw)`` for every raw doc with text.
+    Pure relational arithmetic end-to-end (portable md5 feature hash +
+    ln) — fully value-hash oracle-checkable.
+
+    Scale shape: feature hashing is a scan-side explode (zero shuffle);
+    each distribution is ONE map-side-combined groupBy on the bucket key
+    (output ≤ ``buckets`` rows — independent of corpus size); the
+    log-ratio table is ≤ ``buckets`` rows and broadcast onto the feature
+    stream; the per-doc reduce is one doc-keyed groupBy.  Nothing is
+    quadratic, no driver-side state beyond two scalar totals."""
+    raw_f = _dsir_features(df, id_col, text_col, buckets, seed)
+    tgt_f = _dsir_features(target, id_col, text_col, buckets, seed)
+
+    tgt_c = tgt_f.groupBy("bkt").agg(F.count(F.lit(1)).alias("tc"))
+    raw_c = raw_f.groupBy("bkt").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_tot = tgt_f.agg(F.count(F.lit(1)).alias("tt"))
+    raw_tot = raw_f.agg(F.count(F.lit(1)).alias("rt"))
+
+    a, b = float(alpha), float(buckets)
+    ratio = (
+        raw_c.join(tgt_c, "bkt", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + a)
+                    / (F.col("tt") + a * b)
+                )
+                - F.log((F.col("rc") + a) / (F.col("rt") + a * b))
+            ).alias("lr"),
+        )
+    )
+    per_doc = raw_f.groupBy("_id", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(F.broadcast(ratio), "bkt")
+        .groupBy("_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr")).alias("dsir_logw"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "dsir_logw")
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir",
+    alpha: float = 1.0,
+    u_seed: str = "dsir-u",
+) -> DataFrame:
+    """DSIR resampling: top-``k`` docs under A-ES weighted sampling with
+    weight ``w = exp(dsir_logw)``, computed entirely in the LOG domain —
+    the A-ES key ``ln(u)/w`` orders identically to the Gumbel form
+    ``ln(−ln u) − log w`` ascending, so corpus-scale log-weights (±500
+    is normal for a 50-token doc) never overflow ``exp``.
+
+    Deterministic (``u`` is the 48-bit content hash of the doc id, as
+    :func:`weighted_sample`) and engine-portable; the top-k plans as
+    TakeOrderedAndProject — per-partition heaps, never a global sort."""
+    lw = dsir_log_weights(df, target, id_col, text_col, buckets, seed, alpha)
+    u = hash_unit(F.col(id_col), u_seed)
+    score = F.log(-F.log(u)) - F.col("dsir_logw")
+    # rank on the 4dp-quantized score (doc id tie-break): dsir_logw
+    # carries float-summation noise whose ORDER differs per engine /
+    # partitioning, and an unquantized rank boundary would make row k
+    # nondeterministic.  Same quantization convention as queries.round4.
+    qscore = F.floor(score * 1e4 + F.lit(0.500000001)) / 1e4
+    return (
+        lw.withColumn("dsir_score", qscore)
+        .orderBy(F.asc("dsir_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    epoch: int,
+    seed: str = "ep",
+    buckets: int = 32,
+    out: str = "epoch_pos",
+) -> DataFrame:
+    """Deterministic pseudo-random training-epoch permutation: every row
+    gets a contiguous position ``1..N`` for epoch ``e``, defined purely by
+    the data — position = global rank of ``md5('{seed}{e}|' || key)``.
+    Each epoch's hash reshuffles the corpus; the same epoch always yields
+    the same order on any engine, cluster, or partitioning (the property
+    RNG ``.orderBy(rand())`` loses on every retry/restart).
+
+    NO global sort materializes: the md5 prefix (first 8 hex = uniform
+    32-bit int) is a monotone numeric proxy for the hash order, so
+    :func:`~indicators_spark.scale.global_row_number` range-buckets on it
+    arithmetically (bounds are KNOWN — ``[0, 2³²)`` — so not even a
+    min/max scan runs), ranks per bucket in parallel, and composes bucket
+    offsets from a ≤ ``buckets``-row prefix sum.  Hash uniformity makes
+    the buckets balanced by construction — no skew dispatch needed.
+
+    ``key`` should be unique and non-null (the usual doc-id contract);
+    rows sharing a key value get adjacent positions in engine order."""
+    from ..scale import global_row_number
+
+    h = F.md5(F.concat(F.lit(f"{seed}{epoch}|"), _key_str(F.col(key))))
+    # lowercase same-length hex: lexicographic order == numeric order, so
+    # the 32-bit prefix is monotone in the full hash string
+    pre = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    ranked = global_row_number(
+        df.withColumn("_eh", h).withColumn("_ehb", pre),
+        order_cols=("_eh", key),
+        buckets=buckets,
+        bucket_by="_ehb",
+        bounds=(0.0, float(2**32 - 1)),
+        out=out,
+    )
+    return ranked.drop("_eh", "_ehb")

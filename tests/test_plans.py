@@ -443,3 +443,31 @@ def test_key_skew_profile_is_take_ordered(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = plan_string(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_plan_broadcast_ratio_topk_heap(spark):
+    """DSIR: the <=buckets-row log-ratio table must broadcast onto the
+    feature stream (never shuffle the features against it), the final
+    top-k must heap-merge (TakeOrderedAndProject, no global sort), and
+    the only single-partition stages may be the two 1-row scalar totals
+    (tt / rt) feeding their broadcasts — never one over data."""
+    from indicators_spark.queries import QUERIES
+
+    df = QUERIES["sample_dsir"].spark(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert broadcast_join_count(plan) >= 1, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_epoch_shuffle_single_partition_budget(spark):
+    """The epoch permutation may use at most ONE SinglePartition exchange
+    (the <=buckets-row offset prefix sum) — never a global sort of the
+    data (the whole point vs Window.orderBy row_number)."""
+    from indicators_spark.queries import QUERIES
+
+    df = QUERIES["sample_epoch_shuffle"].spark(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_string(df)
+    assert plan.count("Exchange SinglePartition") <= 1, plan

@@ -157,3 +157,88 @@ def test_cap_per_key_bounds_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+# --------------------------------------------------------------------- #
+# DSIR importance resampling
+# --------------------------------------------------------------------- #
+
+
+def _dsir_corpus(spark):
+    """Two-vocabulary corpus: 'good' docs draw tokens the target uses,
+    'junk' docs draw from a disjoint vocabulary."""
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(f"t{j % 17}" for j in range(i % 7, i % 7 + 20)), "good"))
+    for i in range(40, 80):
+        rows.append((i, " ".join(f"z{j % 23}" for j in range(i % 5, i % 5 + 20)), "junk"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_dsir_log_weights_separate_target_like_docs(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("kind") == "good").limit(20)
+    lw = sampling.dsir_log_weights(docs, target, buckets=256)
+    got = {r["doc_id"]: r["dsir_logw"] for r in lw.collect()}
+    good = [got[i] for i in range(40)]
+    junk = [got[i] for i in range(40, 80)]
+    # every target-vocabulary doc outweighs every junk doc
+    assert min(good) > max(junk)
+
+
+def test_dsir_sample_prefers_target_and_is_stable(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("kind") == "good").limit(20)
+    pick = sampling.dsir_sample(docs, target, k=30, buckets=256)
+    ids = {r["doc_id"] for r in pick.collect()}
+    assert len(ids) == 30
+    # weights dominate the Gumbel noise for this corpus: mostly good docs
+    assert sum(1 for i in ids if i < 40) >= 25
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.dsir_sample(
+            docs.repartition(11), target.repartition(3), k=30, buckets=256
+        ).collect()
+    }
+    assert ids == ids2  # partitioning-independent selection
+
+
+def test_dsir_null_text_docs_drop_out(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    got = {r["doc_id"] for r in sampling.dsir_log_weights(docs, target).collect()}
+    assert got == {1}
+
+
+# --------------------------------------------------------------------- #
+# Deterministic epoch shuffle
+# --------------------------------------------------------------------- #
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    out = sampling.epoch_shuffle(df, key="doc_id", epoch=1)
+    pos = {r["doc_id"]: r["epoch_pos"] for r in out.collect()}
+    assert sorted(pos.values()) == list(range(1, 301))  # contiguous permutation
+    pos2 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in sampling.epoch_shuffle(
+            df.repartition(17), key="doc_id", epoch=1
+        ).collect()
+    }
+    assert pos == pos2  # partitioning-independent
+
+
+def test_epoch_shuffle_epochs_differ_and_look_shuffled(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    p1 = {r["doc_id"]: r["epoch_pos"] for r in sampling.epoch_shuffle(df, "doc_id", 1).collect()}
+    p2 = {r["doc_id"]: r["epoch_pos"] for r in sampling.epoch_shuffle(df, "doc_id", 2).collect()}
+    moved = sum(1 for i in p1 if p1[i] != p2[i])
+    assert moved > 270  # epochs are (near-)disjoint permutations
+    # not the identity / sorted order either
+    same_as_id = sum(1 for i in p1 if p1[i] == i + 1)
+    assert same_as_id < 30
