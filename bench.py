@@ -26,6 +26,30 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: 1-min loadavg per core above this before the run starts ⇒ the box is
+#: already busy and the cold-run timings will embed ambient noise (the
+#: r5→r6 history shows ±17% suite swings from load alone).
+BUSY_LOAD_PER_CORE = 0.25
+
+
+def _run_conditions(cores: int) -> dict:
+    """Machine-state stamp recorded into the BENCH json so a reader can
+    tell a code regression from a noisy box (r5's +8.6% 'regression' was
+    ambient load — this makes that diagnosis data, not archaeology)."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:  # pragma: no cover
+        la1 = la5 = la15 = -1.0
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "cpus": os.cpu_count(),
+        "bench_cores": cores,
+        "load_ok": la1 <= BUSY_LOAD_PER_CORE * (os.cpu_count() or 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -33,6 +57,17 @@ def main() -> None:
     from indicators_spark import Indicators, get_spark
     from indicators_spark.queries import QUERIES
     from indicators_spark.sources import prices_from_events
+
+    pre = _run_conditions(cores)
+    if not pre["load_ok"]:
+        msg = (
+            f"bench: box is busy before start (1m loadavg {pre['loadavg_1m']} "
+            f"on {pre['cpus']} cpus) — timings will embed ambient noise"
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            print(msg + "; refusing under SPARK_GRAFT_BENCH_STRICT", file=sys.stderr)
+            sys.exit(3)
+        print(msg + " (conditions stamped in the output)", file=sys.stderr)
 
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -167,6 +202,12 @@ def main() -> None:
         "sample_weighted_aes",
         "dedup_substring_spans",
         "dedup_substring_clean",
+        # round-7 additions (VERDICT r5 #6 / r6 #7): the r5-era operators
+        # that had no bench coverage, plus the guarded substring policy
+        "dedup_containment_pairs",
+        "join_bloom_prefilter",
+        "analytic_weighted_quantiles",
+        "dedup_substring_spans_pruned",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark
@@ -196,6 +237,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "conditions": {"pre": pre, "post": _run_conditions(cores)},
             }
         )
     )

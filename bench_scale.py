@@ -538,8 +538,15 @@ def main() -> None:
     # 30% of docs share one verbatim 14-word boilerplate block — its grams
     # each put 0.3·n_docs rows on ONE window key (the posting-list hot key
     # that stalls a 1000-executor stage).  max_df_frac=0.01 prunes those
-    # grams before the occurrence window via a broadcast anti-join; the
-    # guarded/unguarded pair quantifies what the guard buys under skew.
+    # grams before the occurrence window via a broadcast anti-join.
+    # READ THE PAIR HONESTLY: the guard costs one extra pass over the
+    # positioned grams (the df aggregate re-derives them — skew-free by
+    # construction: its partial state is HLL-style (gh,_id) dedup, never
+    # a posting list).  At local scale the hot key holds ~0.3·n_docs rows
+    # — far below any task's stall point — so the guarded run shows pure
+    # overhead; the guard wins when frac·N posting-list rows exceed what
+    # one task can sort/hold (≈10⁷+), where the unguarded window stalls
+    # or spills and the guarded one simply doesn't contain the key.
     boiler = " ".join(f"bp{i}" for i in range(14))
     skewed = docs.select(
         "doc_id",
