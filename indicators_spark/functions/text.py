@@ -420,6 +420,71 @@ def filter_by_quality_quantile(
     )
 
 
+#: Gopher rule thresholds (Rae et al. 2021 §A1.1, as adopted by
+#: RedPajama/Dolma): hard per-document filters, the cheap complement to
+#: the soft :func:`with_quality_score` ranking.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style hard quality rules: one boolean per rule plus the
+    conjunction ``keep`` — the standard pre-training hard filter bundle
+    (word-count band, mean word length band, symbol-to-word ratio,
+    bullet-/ellipsis-line fractions, alphabetic-word fraction, minimum
+    stopword hits).
+
+    Everything is row-local codegen'd expression work over one scan —
+    zero shuffles at any corpus size — and every ratio is a division of
+    integer counts, so the threshold comparisons are bit-identical on
+    any IEEE engine (fully value-hash oracle-checkable).  NULL text
+    fails every rule (``keep = false``), mirroring how a curation
+    pipeline treats an unreadable document."""
+    t = F.col(text_col)
+    ws = words(t)
+    n = F.size(ws).cast("double")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    ).cast("double")
+    ell_lines = F.size(F.filter(lines, lambda x: x.endswith("..."))).cast(
+        "double"
+    )
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+    flags = {
+        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "ok_avg_word_len": (
+            ((F.length(t) - (n - 1)) / n >= GOPHER_MIN_AVG_LEN)
+            & ((F.length(t) - (n - 1)) / n <= GOPHER_MAX_AVG_LEN)
+        ),
+        "ok_symbol_ratio": (hash_cnt + ell_cnt) / n <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullet_lines": bullet / n_lines <= GOPHER_MAX_BULLET_FRAC,
+        "ok_ellipsis_lines": ell_lines / n_lines <= GOPHER_MAX_ELLIPSIS_FRAC,
+        "ok_alpha_words": alpha / n >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": _count_in(ws, STOPWORDS) >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    out = df.withColumn("n_words", F.size(ws).cast("long"))
+    keep = F.lit(True)
+    for name, c in flags.items():
+        c = F.coalesce(c, F.lit(False))
+        out = out.withColumn(name, c)
+        keep = keep & c
+    return out.withColumn("keep", keep)
+
+
 #: GPT-2-style pre-tokenizer, reduced to constructs with identical
 #: semantics in Java regex (Spark) and RE2 (DuckDB): runs of letters,
 #: runs of digits, runs of other non-space symbols — each optionally

@@ -111,6 +111,125 @@ def _epoch_shuffle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "epoch_pos")
 
 
+# --------------------------------------------------------------------- #
+# Gopher hard quality rules (Rae et al. 2021 §A1.1)
+# --------------------------------------------------------------------- #
+
+_GFLAGS = (
+    "ok_word_count",
+    "ok_avg_word_len",
+    "ok_symbol_ratio",
+    "ok_bullet_lines",
+    "ok_ellipsis_lines",
+    "ok_alpha_words",
+    "ok_stopwords",
+    "keep",
+)
+
+
+def _gopher_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import gopher_rules
+
+    out = gopher_rules(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_words",
+        *[F.col(f).cast("long").alias(f) for f in _GFLAGS],
+    )
+
+
+def _gopher_sql() -> str:
+    from .functions import text as T
+
+    stop = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    n = "CAST(len(ws) AS DOUBLE)"
+    nl = "CAST(len(ls) AS DOUBLE)"
+    flags = {
+        "ok_word_count": f"({n} >= {T.GOPHER_MIN_WORDS} AND {n} <= {T.GOPHER_MAX_WORDS})",
+        "ok_avg_word_len": (
+            f"((length(text) - ({n} - 1)) / {n} >= {T.GOPHER_MIN_AVG_LEN}"
+            f" AND (length(text) - ({n} - 1)) / {n} <= {T.GOPHER_MAX_AVG_LEN})"
+        ),
+        "ok_symbol_ratio": (
+            "((length(text) - length(replace(text, '#', ''))"
+            " + (length(text) - length(replace(text, '...', ''))) / 3)"
+            f" / {n} <= {T.GOPHER_MAX_SYMBOL_RATIO})"
+        ),
+        "ok_bullet_lines": (
+            "(CAST(len(list_filter(ls, x -> starts_with(x, '-')"
+            " OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE)"
+            f" / {nl} <= {T.GOPHER_MAX_BULLET_FRAC})"
+        ),
+        "ok_ellipsis_lines": (
+            "(CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS DOUBLE)"
+            f" / {nl} <= {T.GOPHER_MAX_ELLIPSIS_FRAC})"
+        ),
+        "ok_alpha_words": (
+            "(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))"
+            f" AS DOUBLE) / {n} >= {T.GOPHER_MIN_ALPHA_WORD_FRAC})"
+        ),
+        "ok_stopwords": (
+            f"(len(list_filter(ws, x -> x IN ({stop})))"
+            f" >= {T.GOPHER_MIN_STOPWORD_HITS})"
+        ),
+    }
+    cols = [
+        f"CAST(COALESCE({expr}, false) AS BIGINT) AS {name}"
+        for name, expr in flags.items()
+    ]
+    keep = " AND ".join(f"COALESCE({expr}, false)" for expr in flags.values())
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    string_split(text, ' ') AS ws,
+    string_split(text, chr(10)) AS ls
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  {", ".join(cols)},
+  CAST(({keep}) AS BIGINT) AS keep
+FROM t"""
+
+
+_register("filter_gopher_rules", Query(spark=_gopher_spark, sql=_gopher_sql()))
+
+
+# --------------------------------------------------------------------- #
+# DSIR full-corpus weights (the audit view of sample_dsir)
+# --------------------------------------------------------------------- #
+
+
+def _dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == DSIR_TARGET_LANG)
+    lw = sampling.dsir_log_weights(
+        docs, target, buckets=DSIR_B, seed=DSIR_SEED, alpha=DSIR_ALPHA
+    )
+    return lw.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("dsir_logw") * 1e4 + F.lit(0.500000001)) / 1e4).alias(
+            "dsir_logw"
+        ),
+    )
+
+
+#: Same CTE chain as _DSIR_SQL, stopping at the per-doc weights (every
+#: raw doc, not the resampled top-k) — broader value-hash evidence for
+#: the feature/ratio arithmetic itself.
+_DSIR_W_SQL = (
+    _DSIR_SQL.split(",\nscored AS")[0]
+    + f"""
+SELECT doc_id, n_tokens, {_r('dsir_logw', 'dsir_logw')}
+FROM lw"""
+)
+
+_register(
+    "sample_dsir_weights", Query(spark=_dsir_weights_spark, sql=_DSIR_W_SQL)
+)
+
+
 _register(
     "sample_epoch_shuffle",
     Query(

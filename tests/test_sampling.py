@@ -242,3 +242,37 @@ def test_epoch_shuffle_epochs_differ_and_look_shuffled(spark):
     # not the identity / sorted order either
     same_as_id = sum(1 for i in p1 if p1[i] == i + 1)
     assert same_as_id < 30
+
+
+# --------------------------------------------------------------------- #
+# Gopher hard rules
+# --------------------------------------------------------------------- #
+
+
+def test_gopher_rules_flags_and_null_text(spark):
+    good = " ".join(
+        ("the quick brown fox jumps over a lazy dog and runs to it in style "
+         * 5).split()
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text"),                           # fails word count
+        (3, None),                                   # NULL -> all false
+        (4, "### " * 30 + good),                     # fails symbol ratio
+        (5, "\n".join("- bullet line here" for _ in range(5))),  # bullets
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.gopher_rules(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["ok_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["keep"] is False and got[3]["ok_stopwords"] is False
+    assert got[4]["ok_symbol_ratio"] is False
+    assert got[5]["ok_bullet_lines"] is False
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    from indicators_spark.plans import exchange_count, plan_string
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = plan_string(text.gopher_rules(df))
+    assert exchange_count(plan) == 0, plan
