@@ -516,6 +516,26 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- approx dispatch payoff: exact vs HLL distinct, exact vs t-digest
+    # percentile, on the full synthetic series (high-cardinality `seq`,
+    # continuous `close`).  The exact forms pay a distinct-expand shuffle /
+    # a sort-based percentile buffer; the sketches are one map-side pass —
+    # this pair is the measured basis for approx.py's APPROX_MIN_ROWS.
+    from indicators_spark.approx import count_distinct_auto, percentile_auto
+
+    for label, min_rows in (
+        ("profile_exact_distinct_pctl", 10**12),  # force exact branch
+        ("profile_hll_tdigest", 0),               # force sketch branch
+    ):
+        t0 = time.time()
+        df.agg(
+            count_distinct_auto("seq", n_rows=n, min_rows=min_rows).alias("d"),
+            percentile_auto("close", 0.5, n_rows=n, min_rows=min_rows).alias("m"),
+            percentile_auto("close", 0.99, n_rows=n, min_rows=min_rows).alias("p"),
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+
     # ---- ExactSubstr substring dedup (round 5) --------------------------
     # The same synthetic doc set (30 words/doc, 1000-word vocab → heavy
     # repeated 10-grams).  Cost drivers at scale: one posexplode (~21
