@@ -663,6 +663,7 @@ def substring_dup_spans(
     text_col: str = "text",
     keep_first: bool = False,
     max_df_frac: float | None = None,
+    materialize_grams: bool | None = None,
 ) -> DataFrame:
     """Exact substring (repeated-span) deduplication — the ExactSubstr
     operator family of Lee et al. 2021, "Deduplicating Training Data
@@ -724,6 +725,18 @@ def substring_dup_spans(
     # passages (mirror the prune in any oracle); default None keeps the
     # exact corpus-wide semantics.
     if max_df_frac is not None:
+        # The guard makes pos_g dual-consumed (df aggregate + main path);
+        # without materialization the tokenize+hash scan runs twice —
+        # measured 2.2× end-to-end at sf0.1.  localCheckpoint blocks are
+        # reclaimed when the frame is GC'd (same idiom as ewm_chunked).
+        # At true corpus scale prefer materialize_grams=False plus an
+        # explicitly persisted gram table (the incremental store layout):
+        # checkpointing tokens×16 bytes to executor storage is the
+        # space/time trade a 100 TB run makes deliberately, not by default.
+        if materialize_grams is None:
+            materialize_grams = True
+        if materialize_grams:
+            pos_g = pos_g.localCheckpoint(eager=True)
         n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
         pos_g = _prune_hot_grams(pos_g, max_df_frac, n_docs)
     if keep_first:
@@ -834,7 +847,9 @@ def substring_dedup_against_corpus(
     if max_df_frac is not None:
         # the fraction is measured against the HISTORICAL corpus (the big
         # side whose posting lists the guard protects); banned grams stop
-        # seeding batch spans
+        # seeding batch spans.  Materialized for the same dual-consumption
+        # reason as substring_dup_spans (df aggregate + distinct).
+        corpus_pos = corpus_pos.localCheckpoint(eager=True)
         n_docs = corpus.select(
             F.count_distinct(F.col(id_col)).alias("n_docs")
         )
