@@ -554,6 +554,24 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- DSIR importance weights over the synthetic corpus --------------
+    # Feature hashing is scan-side; each distribution is one groupBy with
+    # <=1024 output rows whatever the corpus size; the ratio broadcast +
+    # ONE doc-keyed reduce produce the weights.  docs_per_sec ~flat with
+    # corpus growth = the 100 TB claim.
+    from indicators_spark.functions.sampling import dsir_log_weights
+
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    t0 = time.time()
+    dsir_log_weights(docs, target).agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["dsir_log_weights"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     # ---- ExactSubstr on a SKEWED corpus: the max_df_frac guard ----------
     # 30% of docs share one verbatim 14-word boilerplate block — its grams
     # each put 0.3·n_docs rows on ONE window key (the posting-list hot key

@@ -371,13 +371,17 @@ def dsir_log_weights(
             ).alias("lr"),
         )
     )
-    per_doc = raw_f.groupBy("_id", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    # ONE doc-keyed exchange: each token row picks its bucket's log-ratio
+    # from the broadcast and the groupBy's map-side partials collapse a
+    # partition's token rows to per-doc sums before the shuffle — a
+    # per-(doc,bucket) pre-aggregation would add a second exchange while
+    # shuffling MORE rows (distinct (doc,bucket) pairs > docs).
     return (
-        per_doc.join(F.broadcast(ratio), "bkt")
+        raw_f.join(F.broadcast(ratio), "bkt")
         .groupBy("_id")
         .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.col("c") * F.col("lr")).alias("dsir_logw"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr").alias("dsir_logw"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "dsir_logw")
     )

@@ -76,11 +76,10 @@ ratio AS (
     - ln((r.rc + {DSIR_ALPHA}) / (rt.rt + {DSIR_ALPHA} * {DSIR_B})) AS lr
   FROM rc r LEFT JOIN tc t USING (bkt), tt, rt
 ),
-perdoc AS (SELECT doc_id, bkt, count(*) AS c FROM rawf GROUP BY 1, 2),
 lw AS (
-  SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_tokens,
-    sum(p.c * r.lr) AS dsir_logw
-  FROM perdoc p JOIN ratio r USING (bkt) GROUP BY 1
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    sum(r.lr) AS dsir_logw
+  FROM rawf f JOIN ratio r USING (bkt) GROUP BY 1
 ),
 scored AS (
   SELECT doc_id, n_tokens, dsir_logw,
