@@ -1081,3 +1081,75 @@ def containment_pairs(
         .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
         .select("ia", "ib", "cont_a", "cont_b")
     )
+
+
+def line_dedup_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the CCNet/RefinedWeb boilerplate
+    pass): every line whose exact content occurs at least ``min_df``
+    times across the whole corpus is removed from EVERY document —
+    navigation chrome, cookie banners and footer boilerplate repeat
+    verbatim across pages, so removing all copies of any repeated line
+    is the standard first transform before document-level dedup.
+    Reference parity: the reference engine exposes no line-granular
+    dedup; this extends its dedup family (SURVEY §2 extension set)
+    with the line-granular sibling of :func:`exact_dedup`.
+
+    Returns ``(id, clean_text, n_lines, n_removed)`` for every input
+    document.  NULL text passes through as ``(NULL, 0, 0)`` (same
+    extraction-failure contract as :func:`cut_spans`); a document whose
+    every line is boilerplate rebuilds as ``''``.
+
+    Scale shape: lines are hashed SCAN-SIDE (md5, portable to the
+    oracle) and the line text is pruned immediately — the exploded
+    stream that shuffles is ``(id, pos, 16-byte hash)`` regardless of
+    line length.  One hash-keyed groupBy (map-side partials) finds the
+    duplicated hashes; that output is filtered to ``count >= min_df``
+    BEFORE the semi-join back, so the build side is only the
+    boilerplate set (small — AQE broadcasts it).  Removed positions
+    collapse to one tiny per-doc array, and the rebuild is a row-local
+    indexed ``F.filter`` over the split array — full document text
+    never shuffles unless the per-doc position join falls back from
+    broadcast to sort-merge.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(lines).alias("pos", "line")
+    ).select("_id", "pos", F.md5(F.col("line")).alias("lh"))
+    dup = (
+        ex.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_df)
+        .select("lh")
+    )
+    dup_pos = (
+        ex.join(dup, "lh", "left_semi")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
+        .withColumnRenamed("_id", id_col)
+    )
+    base = df.select(F.col(id_col), lines.alias("_ls")).join(
+        dup_pos, id_col, "left"
+    )
+    kept = F.when(F.col("_dp").isNull(), F.col("_ls")).otherwise(
+        F.filter(
+            F.col("_ls"), lambda x, i: ~F.array_contains(F.col("_dp"), i)
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(F.col("_ls").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias("clean_text"),
+        F.coalesce(F.size(F.col("_ls")), F.lit(0))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(F.col("_ls").isNull(), F.lit(0))
+        .otherwise(F.size(F.col("_ls")) - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+    )

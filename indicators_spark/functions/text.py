@@ -843,3 +843,65 @@ def bpe_pair_counts(
     return top.withColumn("rank", F.row_number().over(win)).select(
         "rank", "pair", "cnt"
     )
+
+
+#: C4 heuristics (Raffel et al. 2020 §2.2): line keep-rules + page
+#: drop-rules.  The badword list is a tiny neutral placeholder for the
+#: blocklist C4 uses; matching is whole-word, as C4 specifies ("any word
+#: on the list"), so e.g. "Essex" never trips a "sex" entry.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_BADWORDS = ("fuck", "shit", "bitch", "porn", "xxx")
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2): the line-level keep rules
+    (ends in terminal punctuation ``.!?"``; at least
+    ``C4_MIN_LINE_WORDS`` words; no "javascript") rebuild the page from
+    surviving lines, and the page-level drop rules flag it — at least
+    ``C4_MIN_SENTENCES`` sentences in the retained text, no
+    "lorem ipsum", no curly brace, no blocklisted word.  The hard
+    complement to :func:`gopher_rules` (Gopher measures the page;
+    C4 rewrites it).
+
+    Returns every input row with ``clean_text`` (NULL text passes
+    through as NULL, the extraction-failure contract), ``n_lines`` /
+    ``n_kept`` line accounting, one boolean per page rule, and the
+    conjunction ``keep``.  All row-local codegen'd expression work —
+    zero shuffles at any corpus size; ratios never divide, so flags are
+    bit-identical on any engine (fully value-hash oracle-checkable).
+    """
+    t = F.col(text_col)
+    ls = F.split(t, "\n")
+    line_ok = lambda x: (  # noqa: E731
+        F.rtrim(x).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(ls, line_ok)
+    clean = F.when(t.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("\n", kept)
+    )
+    out = df.withColumn("clean_text", clean).withColumn(
+        "n_lines",
+        F.coalesce(F.size(ls), F.lit(0)).cast("long"),
+    )
+    out = out.withColumn(
+        "n_kept",
+        F.when(t.isNull(), F.lit(0)).otherwise(F.size(kept)).cast("long"),
+    )
+    flags = {
+        "ok_sentences": F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]"))
+        >= C4_MIN_SENTENCES,
+        "ok_no_lorem": ~F.lower(t).contains("lorem ipsum"),
+        "ok_no_brace": ~t.contains("{"),
+        "ok_no_badwords": ~F.exists(
+            words(t), lambda w: F.lower(w).isin(*C4_BADWORDS)
+        ),
+    }
+    keep = F.lit(True)
+    for name, c in flags.items():
+        c = F.coalesce(c, F.lit(False))
+        out = out.withColumn(name, c)
+        keep = keep & c
+    return out.withColumn("keep", keep)

@@ -242,3 +242,173 @@ SELECT doc_id,
 FROM documents""",
     ),
 )
+
+
+# --------------------------------------------------------------------- #
+# Corpus-wide line dedup (CCNet/RefinedWeb boilerplate pass) and C4
+# rule cleaning (Raffel et al. 2020 §2.2).  The synthetic documents are
+# single-line and unpunctuated, so both queries first derive a
+# deterministic multi-line corpus (fixed-k word chunks as "lines"; C4
+# additionally flips an md5 coin per line for terminal punctuation) —
+# identical derivation on both engines, so the value hash covers the
+# REMOVAL paths, not just passthrough.
+# --------------------------------------------------------------------- #
+
+LINE_K, LINE_MIN_DF = 3, 2
+C4_K = 5
+_PUNCT_HEX = tuple("01234567")
+
+
+def _lineify(docs: DataFrame, k: int, punct: bool = False) -> DataFrame:
+    from .functions.text import words
+
+    ws = words(F.col("text"))
+    nch = F.floor((F.size(ws) + (k - 1)) / k).cast("long")
+
+    def mk(i):  # noqa: ANN001, ANN202
+        line = F.concat_ws(" ", F.slice(ws, (i * k + 1).cast("int"), k))
+        if punct:
+            line = F.when(
+                F.substring(F.md5(line), 1, 1).isin(*_PUNCT_HEX),
+                F.concat(line, F.lit(".")),
+            ).otherwise(line)
+        return line
+
+    chunks = F.transform(F.sequence(F.lit(0).cast("long"), nch - 1), mk)
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+
+
+def _lineify_sql(k: int, punct: bool = False) -> str:
+    line = f"array_to_string(list_slice(ws, i*{k}+1, i*{k}+{k}), ' ')"
+    hexes = ", ".join(f"'{h}'" for h in _PUNCT_HEX)
+    if punct:
+        line = (
+            f"CASE WHEN substr(md5({line}), 1, 1) IN ({hexes})"
+            f" THEN {line} || '.' ELSE {line} END"
+        )
+    return f"""
+lnd AS (
+  SELECT doc_id, i, {line} AS line
+  FROM (SELECT doc_id, ws,
+          unnest(generate_series(0,
+            CAST(ceil(len(ws) / {k}.0) AS BIGINT) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL))
+),
+lineified AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+  FROM lnd GROUP BY 1
+)"""
+
+
+def _line_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import line_dedup_global
+
+    derived = _lineify(_docs(spark, sf_dir), LINE_K)
+    return line_dedup_global(derived, min_df=LINE_MIN_DF).select(
+        "doc_id", "clean_text", "n_lines", "n_removed"
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH {_lineify_sql(LINE_K)[1:]},
+t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lineified),
+ex AS (
+  SELECT doc_id, i, ls[i] AS line, md5(ls[i]) AS h
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM t)
+),
+dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= {LINE_MIN_DF}),
+keep AS (
+  SELECT e.doc_id, e.i, e.line
+  FROM ex e LEFT JOIN dup d USING (h) WHERE d.h IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(line, chr(10) ORDER BY i) AS txt
+  FROM keep GROUP BY 1
+)
+SELECT t.doc_id,
+  CASE WHEN t.text IS NULL THEN NULL ELSE COALESCE(r.txt, '') END
+    AS clean_text,
+  CAST(COALESCE(len(t.ls), 0) AS BIGINT) AS n_lines,
+  CAST(COALESCE(len(t.ls), 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM t LEFT JOIN reb r USING (doc_id)"""
+
+
+_register(
+    "dedup_lines_global",
+    Query(spark=_line_dedup_spark, sql=_LINE_DEDUP_SQL),
+)
+
+
+_C4FLAGS = ("ok_sentences", "ok_no_lorem", "ok_no_brace", "ok_no_badwords", "keep")
+
+
+def _c4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import c4_rules
+
+    derived = _lineify(_docs(spark, sf_dir), C4_K, punct=True)
+    out = c4_rules(derived)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        "n_lines",
+        "n_kept",
+        *[F.col(f).cast("long").alias(f) for f in _C4FLAGS],
+    )
+
+
+def _c4_sql() -> str:
+    from .functions import text as T
+
+    bad = ", ".join(f"'{w}'" for w in T.C4_BADWORDS)
+    line_ok = (
+        "x -> regexp_matches(rtrim(x), '[.!?\"]$')"
+        f" AND len(string_split_regex(trim(x), '\\s+')) >= {T.C4_MIN_LINE_WORDS}"
+        " AND NOT contains(lower(x), 'javascript')"
+    )
+    flags = {
+        "ok_sentences": (
+            "(len(regexp_extract_all(clean_text, '[.!?]'))"
+            f" >= {T.C4_MIN_SENTENCES})"
+        ),
+        "ok_no_lorem": "(NOT contains(lower(text), 'lorem ipsum'))",
+        "ok_no_brace": "(NOT contains(text, '{'))",
+        "ok_no_badwords": (
+            "(len(list_filter(string_split(text, ' '),"
+            f" w -> lower(w) IN ({bad}))) = 0)"
+        ),
+    }
+    cols = [
+        f"CAST(COALESCE({expr}, false) AS BIGINT) AS {name}"
+        for name, expr in flags.items()
+    ]
+    keep = " AND ".join(f"COALESCE({expr}, false)" for expr in flags.values())
+    return f"""
+WITH {_lineify_sql(C4_K, punct=True)[1:]},
+t AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS ls,
+    list_filter(string_split(text, chr(10)), {line_ok}) AS kept
+  FROM lineified
+),
+c AS (
+  SELECT doc_id, text, ls, kept,
+    CASE WHEN text IS NULL THEN NULL
+         -- array_to_string([]) is NULL in DuckDB; Spark concat_ws
+         -- of an empty array is '' — coalesce to match
+         ELSE COALESCE(array_to_string(kept, chr(10)), '') END AS clean_text
+  FROM t
+)
+SELECT doc_id, clean_text,
+  CAST(COALESCE(len(ls), 0) AS BIGINT) AS n_lines,
+  CAST(CASE WHEN text IS NULL THEN 0 ELSE len(kept) END AS BIGINT) AS n_kept,
+  {", ".join(cols)},
+  CAST(({keep}) AS BIGINT) AS keep
+FROM c"""
+
+
+_register("filter_c4_rules", Query(spark=_c4_spark, sql=_c4_sql()))

@@ -471,3 +471,17 @@ def test_epoch_shuffle_single_partition_budget(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = plan_string(df)
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_line_dedup_text_never_shuffles(spark):
+    """Corpus-wide line dedup shuffles HASHES, not text: the two
+    hash-keyed groupBys are the only shuffles, the boilerplate set and
+    the per-doc removed-position arrays come back via broadcast joins,
+    and no Exchange row carries the text/line column."""
+    df = QUERIES["dedup_lines_global"].spark(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert exchange_count(plan) <= 4, plan
+    assert broadcast_join_count(plan) >= 2, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "line#" not in ln and "text#" not in ln, ln
