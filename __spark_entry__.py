@@ -60,6 +60,9 @@ _TOUCHED: dict[str, int] = {
     "analytic_histogram_equidepth": 7,
     "rolling_median": 7,
     "profile_lineitem": 7,
+    # r7: kmeans_lloyd/_assign_arrow gained the emit="dist" path (default
+    # behavior unchanged, but the assign kernel's code was touched)
+    "kmeans_train_assign": 7,
 }
 
 

@@ -373,6 +373,12 @@ def _quant_vec(v: Column, q: float = 1e6) -> Column:
     )
 
 
+def _q4(c: Column) -> Column:
+    """Scalar 4dp quantizer (same op sequence as ``queries.round4``,
+    local copy to keep functions/ import-free of the query layer)."""
+    return F.floor(c.cast("double") * 1e4 + 0.500000001) / 1e4
+
+
 def _sq_dist(a: Column, b: Column) -> Column:
     """Squared L2 as a left-to-right double fold (bit-identical to the
     oracle's generated ``0.0 + (a[1]-b[1])^2 + …`` chain)."""
@@ -415,18 +421,21 @@ def _assign_arrow(
     ``_argmin_cluster`` and to the SQL oracle's distance chain, ~an order
     of magnitude faster at 64d×8 centroids than interpreted HOF folds).
 
-    ``emit="assign"`` yields (id, cluster); ``emit="explode"`` yields the
+    ``emit="assign"`` yields (id, cluster); ``emit="dist"`` additionally
+    carries the winning squared distance (id, cluster, d) — the
+    prototypicality signal :func:`ssl_prototypes` ranks on, bit-identical
+    to the oracle's fold chain; ``emit="explode"`` yields the
     update-step input (cluster, pos, val) directly — same rows the
     ``posexplode`` projection produced, skipping a second pass."""
     import pandas as pd
 
     cid_list = [int(c) for c, _ in cents]
     vec_list = [list(map(float, v)) for _, v in cents]
-    schema = (
-        f"{id_col} long, cluster int"
-        if emit == "assign"
-        else "cluster int, pos int, val double"
-    )
+    schema = {
+        "assign": f"{id_col} long, cluster int",
+        "dist": f"{id_col} long, cluster int, d double",
+        "explode": "cluster int, pos int, val double",
+    }[emit]
 
     def run(batches):
         import numpy as np
@@ -437,10 +446,20 @@ def _assign_arrow(
             if not len(pdf):
                 continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            assigned = cids[np.argmin(_np_fold_sq_dists(x, cv), axis=1)]
+            dists = _np_fold_sq_dists(x, cv)
+            best = np.argmin(dists, axis=1)
+            assigned = cids[best]
             if emit == "assign":
                 yield pd.DataFrame(
                     {id_col: pdf[id_col].to_numpy(), "cluster": assigned}
+                )
+            elif emit == "dist":
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "cluster": assigned,
+                        "d": dists[np.arange(len(best)), best],
+                    }
                 )
             else:
                 n, dim = x.shape
@@ -462,6 +481,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = True,
+    emit: str = "assign",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column, fully
     deterministic and cross-engine reproducible:
@@ -480,7 +500,8 @@ def kmeans_lloyd(
     * centroids re-quantized each round (see ``_quant_vec``; quantized
       doubles round-trip exactly through the driver).
 
-    Returns (id, cluster) after ``iters`` update rounds + a final assign.
+    Returns (id, cluster) after ``iters`` update rounds + a final assign
+    (``emit="dist"`` adds the winning squared distance column ``d``).
     The reference has no clustering; this trains the coarse quantizer its
     IVF stand-in (``knn_ivf``) assumes given.
 
@@ -525,13 +546,66 @@ def kmeans_lloyd(
             .select("cluster", _quant_vec(F.col("_raw")))
             .collect()
         )
-    out = _assign_arrow(base, cents, id_col, vec_col, emit="assign")
+    out = _assign_arrow(base, cents, id_col, vec_col, emit=emit)
     if persist:
         # training collects consumed the cache; drop it so repeated calls
         # (k sweeps) don't leak storage memory.  The returned (lazy)
         # assignment recomputes one scan of the projection — cheap.
         base.unpersist(blocking=False)
     return out
+
+
+def ssl_prototypes(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    prune_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): cluster the embedding space with k-means, score each
+    example's PROTOTYPICALITY as its squared distance to the assigned
+    centroid, and mark the most prototypical ``prune_frac`` of every
+    cluster for removal — easy/redundant examples near cluster centers
+    teach a model least, so pruning them beats random subsampling at any
+    kept fraction.  The reference has no data-pruning surface; this
+    extends its corpus-selection family (SURVEY §2 extension set)
+    alongside DSIR (:func:`sampling.dsir_sample`) and SemDeDup.
+
+    Returns (id, cluster, ``sq_dist`` 4dp-quantized, ``keep``) for every
+    input vector: ``keep`` is false iff the example's distance is at or
+    below its cluster's ``prune_frac`` distance quantile.
+
+    Scale shape: training + assignment inherit :func:`kmeans_lloyd`'s
+    structure (skinny per-dimension update shuffle, zero-shuffle Arrow
+    assign, O(k·dim) driver state); the per-cluster cutoffs are one
+    k-row aggregate broadcast back, and the keep flag is a row-local
+    comparison — NO per-cluster sort or window, so a cluster holding a
+    third of a 100 TB corpus never serializes through one task.  Pass
+    ``n_rows`` at scale to dispatch the cutoff aggregate to the t-digest
+    sketch (:func:`indicators_spark.approx.percentile_auto`); the
+    default exact interpolated percentile is what the DuckDB oracle
+    replays bit-for-bit (distances are fold-exact on both engines)."""
+    from .. import approx
+
+    assigned = kmeans_lloyd(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, emit="dist"
+    )
+    pct = approx.percentile_auto(
+        F.col("d"), prune_frac, n_rows if n_rows is not None else 0
+    )
+    thr = assigned.groupBy("cluster").agg(_q4(pct).alias("_t"))
+    return (
+        assigned.join(F.broadcast(thr), "cluster")
+        .select(
+            id_col,
+            "cluster",
+            _q4(F.col("d")).alias("sq_dist"),
+            (_q4(F.col("d")) > F.col("_t")).alias("keep"),
+        )
+    )
 
 
 def quantize_embeddings_int8(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import queries_pipeline as _PIPE
 from .functions import sampling
 from .queries import Query, _r, _register
 from .sources.prices import load_table
@@ -412,3 +413,138 @@ FROM c"""
 
 
 _register("filter_c4_rules", Query(spark=_c4_spark, sql=_c4_sql()))
+
+
+# --------------------------------------------------------------------- #
+# SSL-prototypes pruning (Sorscher et al. 2022) and CCNet perplexity
+# buckets (Wenzek et al. 2020) — the two canonical model-light data-
+# selection passes: prune what k-means finds redundant, tier what the
+# corpus LM finds (un)surprising.
+# --------------------------------------------------------------------- #
+
+SSL_PRUNE_FRAC = 0.25
+
+
+def _ssl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import similarity
+
+    out = similarity.ssl_prototypes(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_PIPE._KM_K,
+        iters=_PIPE._KM_ITERS,
+        prune_frac=SSL_PRUNE_FRAC,
+    )
+    return out.select(
+        "vec_id",
+        "cluster",
+        "sq_dist",
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def _ssl_sql() -> str:
+    rounds = ",".join(
+        _PIPE._km_round(f"c{i - 1}" if i > 1 else "c0", i)
+        for i in range(1, _PIPE._KM_ITERS + 1)
+    )
+    fin = _PIPE._KM_ITERS + 1
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    return f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, {_PIPE._km_qv('embedding')} AS cvec
+  FROM embeddings WHERE vec_id < {_PIPE._KM_K}
+),{rounds},
+s{fin} AS (
+  SELECT e.vec_id, c.cid, {_PIPE._km_sqd('e.embedding', 'c.cvec')} AS d
+  FROM embeddings e CROSS JOIN c{_PIPE._KM_ITERS} c
+),
+a AS (
+  SELECT vec_id, cid AS cluster, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM s{fin}
+  ) WHERE rn = 1
+),
+thr AS (
+  SELECT cluster,
+    {q4(f'quantile_cont(d, {SSL_PRUNE_FRAC})')} AS t
+  FROM a GROUP BY cluster
+)
+SELECT a.vec_id, a.cluster, {q4('a.d')} AS sq_dist,
+  CAST({q4('a.d')} > t.t AS BIGINT) AS keep
+FROM a JOIN thr t USING (cluster)"""
+
+
+_register(
+    "filter_ssl_prototypes", Query(spark=_ssl_spark, sql=_ssl_sql())
+)
+
+
+#: CCNet tertile boundaries — Python/DuckDB double division produce the
+#: same IEEE value, so both engines interpolate at identical positions.
+CCNET_T1, CCNET_T2 = 1.0 / 3.0, 2.0 / 3.0
+
+
+def _ccnet_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity buckets (Wenzek et al. 2020 §4.4): score every
+    document under the corpus-trained bigram LM
+    (:func:`queries_corpus.lm_perplexity` — skinny count-table train,
+    broadcast-join score), then tier each SOURCE's documents into
+    head/middle/tail at its own 1/3 and 2/3 cross-entropy quantiles —
+    CCNet keeps head+middle per language; per-source is the same cut on
+    this corpus.  The thresholds are one tiny per-source aggregate
+    broadcast back (NO per-source sort/ntile — a source holding half the
+    corpus never serializes through one task), and the bucket label is a
+    row-local comparison of 4dp-quantized values on both engines.  <2-token
+    docs have no bigrams and drop out upstream, exactly as in
+    ``lm_perplexity``.  At 100 TB, swap the exact percentile for
+    ``approx.percentile_auto`` (same aggregate position in the plan)."""
+    from .queries import round4
+    from .queries_corpus import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    thr = j.groupBy("source").agg(
+        round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T1))).alias("t1"),
+        round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("cross_entropy") <= F.col("t1"), F.lit("head"))
+        .when(F.col("cross_entropy") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        j.join(F.broadcast(thr), "source")
+        .select("doc_id", "source", "cross_entropy", bucket.alias("bucket"))
+    )
+
+
+def _ccnet_sql() -> str:
+    from .queries_corpus import _LM_SQL
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    return f"""
+WITH scored AS ({_LM_SQL}),
+j AS (
+  SELECT s.doc_id, d.source, s.cross_entropy
+  FROM scored s JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT source,
+    {q4(f'quantile_cont(cross_entropy, {CCNET_T1!r})')} AS t1,
+    {q4(f'quantile_cont(cross_entropy, {CCNET_T2!r})')} AS t2
+  FROM j GROUP BY source
+)
+SELECT j.doc_id, j.source, j.cross_entropy,
+  CASE WHEN j.cross_entropy <= t.t1 THEN 'head'
+       WHEN j.cross_entropy <= t.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM j JOIN thr t USING (source)"""
+
+
+_register("filter_ccnet_buckets", Query(spark=_ccnet_spark, sql=_ccnet_sql()))

@@ -1,0 +1,90 @@
+"""Tests for SSL-prototypes pruning (Sorscher et al. 2022) and CCNet
+perplexity buckets (Wenzek et al. 2020)."""
+
+from __future__ import annotations
+
+from indicators_spark.functions import similarity
+from indicators_spark.queries import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _two_cluster_df(spark):
+    # vec_id 0/1 seed the two true centers (init = lowest-k ids), the
+    # rest sit strictly around them; per cluster one point is nearest
+    # its centroid mean (the "prototype").
+    a = [(0, [0.0, 0.0]), (2, [0.0, 1.0]), (4, [1.0, 0.0]), (6, [2.0, 0.0])]
+    b = [(1, [10.0, 10.0]), (3, [10.0, 11.0]), (5, [11.0, 10.0]), (7, [12.0, 10.0])]
+    return spark.createDataFrame(
+        a + b, "vec_id long, embedding array<float>"
+    )
+
+
+def test_ssl_prototypes_prunes_most_prototypical(spark):
+    out = similarity.ssl_prototypes(
+        _two_cluster_df(spark), k=2, iters=2, prune_frac=0.25
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster) == 2
+    clusters = {tuple(sorted(r.vec_id for r in v)) for v in by_cluster.values()}
+    assert clusters == {(0, 2, 4, 6), (1, 3, 5, 7)}
+    for members in by_cluster.values():
+        kept = [r for r in members if r.keep]
+        dropped = [r for r in members if not r.keep]
+        # 0.25-quantile of 4 distances falls between the 1st and 2nd
+        # order statistics: exactly the most-prototypical point drops
+        assert len(dropped) == 1 and len(kept) == 3
+        assert dropped[0].sq_dist <= min(r.sq_dist for r in kept)
+
+
+def test_ssl_prototypes_dist_matches_assignment(spark):
+    # emit="dist" carries the same argmin the plain assign produces
+    df = _two_cluster_df(spark)
+    plain = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    with_d = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_lloyd(df, k=2, iters=2, emit="dist").collect()
+    }
+    assert plain == with_d
+
+
+def test_ccnet_buckets_are_perplexity_ordered_per_source(spark):
+    rows = QUERIES["filter_ccnet_buckets"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    by_src: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, {}).setdefault(r.bucket, []).append(
+            r.cross_entropy
+        )
+    for src, buckets in by_src.items():
+        # tertiles: every bucket non-empty and ordered head<=middle<=tail
+        assert set(buckets) == {"head", "middle", "tail"}, (src, set(buckets))
+        assert max(buckets["head"]) <= min(buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["tail"])
+        n = sum(len(v) for v in buckets.values())
+        # quantile cut: no bucket grossly over/under a tertile
+        for v in buckets.values():
+            assert n / 3 - 2 <= len(v) <= n / 3 + 2, (src, n, len(v))
+
+
+def test_ssl_ccnet_plans(spark):
+    from indicators_spark.plans import plan_string
+
+    ssl = plan_string(QUERIES["filter_ssl_prototypes"].spark(spark, SF_SMOKE))
+    # cutoffs come back via broadcast; no per-cluster sort/window, no
+    # single-partition stage anywhere
+    assert "BroadcastHashJoin" in ssl, ssl
+    assert "Window" not in ssl and "Exchange SinglePartition" not in ssl, ssl
+
+    ccn = plan_string(QUERIES["filter_ccnet_buckets"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in ccn, ccn
+    # no ntile/window anywhere; the only SinglePartition stages are the
+    # inherited lm_perplexity scalar vocab counts (1 row after partials,
+    # once per LM replay — the threshold branch recomputes the skinny LM)
+    assert "Window" not in ccn, ccn
+    assert ccn.count("Exchange SinglePartition") <= 2, ccn
