@@ -548,3 +548,46 @@ FROM j JOIN thr t USING (source)"""
 
 
 _register("filter_ccnet_buckets", Query(spark=_ccnet_spark, sql=_ccnet_sql()))
+
+
+# --------------------------------------------------------------------- #
+# fastText-style trainable quality classifier (the DCLM / FineWeb-Edu
+# selection pattern): hashed bag-of-words + full-batch logistic steps,
+# quantized per-iteration so DuckDB replays the whole training run.
+# Pseudo-label: lang='en' (the "curated reference" role) — the bigram
+# distributions actually differ per language, so the 3-step model beats
+# the base rate, making the value hash sensitive to the LEARNING, not
+# just the plumbing.
+# --------------------------------------------------------------------- #
+
+QLR_B, QLR_ITERS, QLR_LR, QLR_SEED = 256, 3, 50.0, "qlr"
+
+
+def _qlr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import classifier
+
+    return classifier.logreg_quality(
+        _docs(spark, sf_dir),
+        label=(F.col("lang") == "en"),
+        buckets=QLR_B,
+        iters=QLR_ITERS,
+        lr=QLR_LR,
+        seed=QLR_SEED,
+    )
+
+
+def _qlr_sql() -> str:
+    from .functions import classifier
+
+    return classifier.logreg_sql(
+        "lang = 'en'",
+        buckets=QLR_B,
+        iters=QLR_ITERS,
+        lr=QLR_LR,
+        seed=QLR_SEED,
+    )
+
+
+_register(
+    "classifier_quality_logreg", Query(spark=_qlr_spark, sql=_qlr_sql())
+)
