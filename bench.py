@@ -208,6 +208,10 @@ def main() -> None:
         "join_bloom_prefilter",
         "analytic_weighted_quantiles",
         "dedup_substring_spans_pruned",
+        # round-7b: the two new operator families (corpus-rewrite line
+        # dedup; iterative trainable classifier — job-latency sensitive)
+        "dedup_lines_global",
+        "classifier_quality_logreg",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

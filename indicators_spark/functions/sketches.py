@@ -118,3 +118,96 @@ def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
         .limit(k)
         .select("h", "v")
     )
+
+
+# --------------------------------------------------------------------- #
+# Count-min sketch (Cormode & Muthukrishnan 2005) heavy hitters
+# --------------------------------------------------------------------- #
+
+CMS_D, CMS_W = 4, 512
+
+
+def _cms_bucket(j, v, w: int, seed: str):
+    """Row-j counter bucket: md5('{seed}{j}|{value}') first 8 hex % w —
+    the same engine-portable integer hash family as sampling.hash_bucket,
+    salted per row so the d estimates are independent."""
+    h = F.md5(F.concat(F.lit(seed), j.cast("string"), F.lit("|"), v))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % w
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = "cms",
+) -> DataFrame:
+    """Build the d×w count-min counter matrix over ``value_col``: the
+    fixed-size frequency sketch for streams/corpora whose exact
+    per-value counts don't fit anywhere.  Deterministic (hashing only,
+    integer counts) — unlike HLL, the whole sketch replays exactly on
+    any engine.
+
+    Returns (j, b, cnt), at most d·w rows REGARDLESS of corpus size —
+    one groupBy with map-side partials whose shuffle carries ≤ d·w rows
+    per task; the sketch then broadcasts anywhere (point estimates,
+    merges by cell-wise +, cross-corpus comparison)."""
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+        F.col(value_col).alias("_v"),
+    )
+    return (
+        rows.groupBy(
+            "j", _cms_bucket(F.col("j"), F.col("_v"), w, seed).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = "cms",
+) -> DataFrame:
+    """Heavy hitters by count-min estimate: probe each candidate value's
+    d counters and take the min (the classic upward-biased estimator —
+    ``est >= true`` always, inflated only by collisions).  Returns the
+    top-``k`` (rank, token, est, true_cnt): the exact count rides along
+    as the audit column, so the value hash certifies the collision
+    arithmetic itself, not just the ranking.
+
+    Scale shape: the counter matrix is ≤ d·w rows and BROADCASTS to the
+    probe; candidates here are the corpus's distinct values (fine at
+    test scale, and the exact audit column needs that pass anyway) — at
+    100 TB you probe a WATCHLIST (trending slice, sampled candidates)
+    against the same broadcast sketch and drop the audit column; the
+    sketch build itself never changes shape.  Top-k is sort+limit
+    (TakeOrdered — no single-partition global sort)."""
+    vals = df.select(F.col(value_col).alias("_v"))
+    counters = cms_counters(vals, "_v", d, w, seed)
+    cand = vals.groupBy(F.col("_v")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    probe = cand.select(
+        "_v",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    ).withColumn("b", _cms_bucket(F.col("j"), F.col("_v"), w, seed))
+    est = (
+        probe.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("_v", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    top = est.orderBy(F.col("est").desc(), F.col("_v")).limit(k)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("est").desc(), F.col("_v"))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("_v").alias("token"),
+        F.col("est").cast("long").alias("est"),
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+    )

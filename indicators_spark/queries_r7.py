@@ -591,3 +591,57 @@ def _qlr_sql() -> str:
 _register(
     "classifier_quality_logreg", Query(spark=_qlr_spark, sql=_qlr_sql())
 )
+
+
+# --------------------------------------------------------------------- #
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------- #
+
+CMS_K, CMS_SEED = 20, "cms"
+
+
+def _cms_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sketches
+
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    )
+    return sketches.cms_topk(toks, "tok", k=CMS_K, seed=CMS_SEED)
+
+
+def _cms_sql() -> str:
+    from .functions import sketches as S
+
+    def bkt(j: str, v: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{CMS_SEED}', "
+            f"CAST({j} AS VARCHAR), '|', {v})), 1, 8)) AS UBIGINT)"
+            f" % {S.CMS_W}"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS v
+  FROM documents WHERE text IS NOT NULL
+),
+jj AS (SELECT unnest(generate_series(0, {S.CMS_D - 1})) AS j),
+counters AS (
+  SELECT j, {bkt('j', 'v')} AS b, count(*) AS cnt
+  FROM tok, jj GROUP BY 1, 2
+),
+cand AS (SELECT v, count(*) AS true_cnt FROM tok GROUP BY v),
+probe AS (
+  SELECT cand.v, cand.true_cnt, min(c.cnt) AS est
+  FROM cand, jj
+  JOIN counters c ON c.j = jj.j AND c.b = {bkt('jj.j', 'cand.v')}
+  GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY est DESC, v) AS BIGINT) AS rank,
+  v AS token, CAST(est AS BIGINT) AS est,
+  CAST(true_cnt AS BIGINT) AS true_cnt
+FROM probe ORDER BY est DESC, v LIMIT {CMS_K}"""
+
+
+_register("stats_cms_topk", Query(spark=_cms_spark, sql=_cms_sql()))
