@@ -905,3 +905,77 @@ def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(name, c)
         keep = keep & c
     return out.withColumn("keep", keep)
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    word bigrams: ``pmi = ln(c12·N / (c1·c2))`` with N the total bigram
+    count — the standard phrase detector (word2vec's phrase pass,
+    Gensim's Phrases) that surfaces multiword units worth treating as
+    single tokens before tokenizer training.  ``min_count`` kills the
+    rare-pair noise PMI famously inflates.
+
+    Returns the top-``top_k`` (rank, w1, w2, c12, pmi 4dp-quantized),
+    PMI desc / pair asc — exact integer counts plus one log, so fully
+    value-hash portable.
+
+    Scale shape: one row-local bigram explode, three count aggregations
+    with map-side partials (pair, left-unigram, right-unigram), the two
+    unigram tables broadcast back onto the min_count-PRUNED pair table,
+    and top-k by sort+limit (TakeOrdered, no global sort).  Unigram
+    tables are vocab-sized — at 100 TB bucket the join if the vocab
+    outgrows broadcast; every other stage is count-shaped."""
+    ws = words(F.col(text_col))
+    wsc = F.col("_ws")
+    bg = F.when(
+        F.size(wsc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wsc) - 1),
+            lambda i: F.struct(
+                F.element_at(wsc, i).alias("w1"),
+                F.element_at(wsc, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(ws.alias("_ws"))
+        .select(F.explode(bg).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    scored = (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            (F.floor(pmi * 1e4 + 0.500000001) / 1e4).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)
+    win = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return top.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).select("rank", "w1", "w2", "c12", "pmi")

@@ -645,3 +645,171 @@ FROM probe ORDER BY est DESC, v LIMIT {CMS_K}"""
 
 
 _register("stats_cms_topk", Query(spark=_cms_spark, sql=_cms_sql()))
+
+
+# --------------------------------------------------------------------- #
+# PMI collocations (word2vec/Gensim phrase-detection pass)
+# --------------------------------------------------------------------- #
+
+PMI_K, PMI_MIN = 30, 5
+
+
+def _pmi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), top_k=PMI_K, min_count=PMI_MIN)
+
+
+_PMI_SQL = f"""
+WITH pairs AS (
+  SELECT string_split(text, ' ')[i] AS w1,
+    string_split(text, ' ')[i + 1] AS w2
+  FROM documents,
+    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')))) AS i) s
+  WHERE text IS NOT NULL
+),
+c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN}
+),
+c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+c2 AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY w2),
+nn AS (SELECT count(*) AS n FROM pairs),
+scored AS (
+  SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+    floor(ln(CAST(p.c12 AS DOUBLE) * CAST(nn.n AS DOUBLE)
+             / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE)))
+          * 1e4 + 0.500000001) / 1e4 AS pmi
+  FROM c12 p JOIN c1 USING (w1) JOIN c2 USING (w2), nn
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT)
+    AS rank,
+  w1, w2, c12, pmi
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {PMI_K}"""
+
+
+_register("text_pmi_bigrams", Query(spark=_pmi_spark, sql=_PMI_SQL))
+
+
+# --------------------------------------------------------------------- #
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi") — the
+# multiplicative-weights loop over per-domain excess loss, with the
+# corpus bigram LM standing in for the proxy/reference pair: domains
+# whose documents the corpus LM finds hardest (positive excess
+# cross-entropy) get upweighted, and the published estimator — the
+# AVERAGE of the per-step weight vectors — is what ships.
+# --------------------------------------------------------------------- #
+
+DOREMI_T, DOREMI_ETA, DOREMI_C = 5, 0.5, 0.1
+
+
+def _doremi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed part: LM scoring + per-source loss aggregation (the
+    same skinny count-table / broadcast-score shape as lm_perplexity).
+    The multiplicative-weights loop then runs on DRIVER state — one
+    float per domain, the k-means-centroid budget — with the same
+    quantization points the oracle replays; the K-row result is
+    parallelized back.  At 100 TB nothing changes: the only thing that
+    grows is the scoring pass."""
+    import math
+
+    from .queries import round4
+    from .queries_corpus import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        round4(F.avg("cross_entropy")).alias("avg_ce"),
+    )
+    g = j.agg(round4(F.avg("cross_entropy")).alias("g")).collect()[0]["g"]
+    rows = sorted(per.collect(), key=lambda r: r.source)
+    srcs = [r.source for r in rows]
+    k = len(srcs)
+    ex = {r.source: max(0.0, r.avg_ce - g) for r in rows}
+
+    def q6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.500000001) / 1e6
+
+    def q4(v: float) -> float:
+        return math.floor(v * 1e4 + 0.500000001) / 1e4
+
+    a = {s: 1.0 / k for s in srcs}
+    hist = []
+    for _ in range(DOREMI_T):
+        raw = {s: a[s] * math.exp(DOREMI_ETA * ex[s]) for s in srcs}
+        tot = 0.0
+        for s in srcs:
+            tot += raw[s]
+        a = {
+            s: q6((1.0 - DOREMI_C) * (raw[s] / tot) + DOREMI_C / k)
+            for s in srcs
+        }
+        hist.append(dict(a))
+    out = []
+    for r in rows:
+        acc = 0.0
+        for h in hist:
+            acc = acc + h[r.source]
+        out.append(
+            (r.source, r.n_docs, r.avg_ce, q4(ex[r.source]), q4(acc / DOREMI_T))
+        )
+    return spark.createDataFrame(
+        out, "source string, n_docs long, avg_ce double, excess double, weight double"
+    )
+
+
+def _doremi_sql() -> str:
+    from .queries_corpus import _LM_SQL
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    one_minus_c = repr(1.0 - DOREMI_C)
+    steps = []
+    for t in range(1, DOREMI_T + 1):
+        steps.append(
+            f""",
+r{t} AS (
+  SELECT a.source, a.a * exp({DOREMI_ETA!r} * e.ex) AS raw
+  FROM a{t - 1} a JOIN ex e USING (source)
+),
+t{t} AS (SELECT sum(raw) AS tot FROM r{t}),
+a{t} AS (
+  SELECT r.source,
+    floor(({one_minus_c} * (r.raw / t.tot) + {DOREMI_C!r} / kk.k)
+          * 1e6 + 0.500000001) / 1e6 AS a
+  FROM r{t} r, t{t} t, kk
+)"""
+        )
+    avg_terms = " + ".join(f"a{t}.a" for t in range(1, DOREMI_T + 1))
+    joins = " ".join(
+        f"JOIN a{t} USING (source)" for t in range(1, DOREMI_T + 1)
+    )
+    return f"""
+WITH scored AS ({_LM_SQL}),
+j AS (
+  SELECT s.doc_id, d.source, s.cross_entropy
+  FROM scored s JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    {q4('avg(cross_entropy)')} AS avg_ce
+  FROM j GROUP BY source
+),
+gg AS (SELECT {q4('avg(cross_entropy)')} AS g FROM j),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM per),
+ex AS (
+  SELECT source, n_docs, avg_ce, greatest(avg_ce - gg.g, 0.0) AS ex
+  FROM per, gg
+),
+a0 AS (SELECT source, 1.0 / kk.k AS a FROM ex, kk){"".join(steps)}
+SELECT e.source, e.n_docs, e.avg_ce, {q4('e.ex')} AS excess,
+  {q4(f'({avg_terms}) / {DOREMI_T}')} AS weight
+FROM ex e {joins}"""
+
+
+_register(
+    "mixture_doremi_weights", Query(spark=_doremi_spark, sql=_doremi_sql())
+)

@@ -1,0 +1,52 @@
+"""Tests for PMI collocations and DoReMi-style domain reweighting."""
+
+from __future__ import annotations
+
+from indicators_spark.functions.text import pmi_bigrams
+from indicators_spark.queries import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_pmi_surfaces_exclusive_collocation(spark):
+    # "san francisco" co-occur only with each other (c1=c2=c12=10);
+    # every other word pairs with several neighbors, inflating its
+    # marginals → strictly lower PMI
+    docs = [(i, "san francisco the cat the mat") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_bigrams(df, top_k=5, min_count=5).collect()
+    assert out[0].w1 == "san" and out[0].w2 == "francisco"
+    assert out[0].rank == 1
+    # exclusive pair beats every shared-word pair
+    assert all(out[0].pmi > r.pmi for r in out[1:])
+
+
+def test_pmi_min_count_prunes_rare_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "rare pair only once"), (2, "common words common words common words common words common words")],
+        "doc_id long, text string",
+    )
+    out = pmi_bigrams(df, top_k=10, min_count=5).collect()
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("rare", "pair") not in pairs
+    assert ("words", "common") in pairs or ("common", "words") in pairs
+
+
+def test_doremi_weights_are_a_distribution_ordered_by_excess(spark):
+    rows = QUERIES["mixture_doremi_weights"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.weight for r in rows)
+    assert abs(total - 1.0) < 1e-2, total  # 4dp-quantized per-domain
+    # smoothing floor: every domain keeps at least ~c/K
+    k = len(rows)
+    assert all(r.weight >= 0.1 / k - 1e-4 for r in rows)
+    # monotone in excess: the max-excess domain is the max-weight domain
+    by_ex = max(rows, key=lambda r: (r.excess, r.source))
+    by_w = max(rows, key=lambda r: (r.weight, r.source))
+    assert by_ex.source == by_w.source
+    # zero-excess domains sit at the uniform/smoothing baseline, below
+    # any positive-excess domain
+    zero = [r.weight for r in rows if r.excess == 0.0]
+    pos = [r.weight for r in rows if r.excess > 0.0]
+    if zero and pos:
+        assert max(zero) <= min(pos)
