@@ -1116,16 +1116,78 @@ def line_dedup_global(
     never shuffles unless the per-doc position join falls back from
     broadcast to sort-merge.
     """
-    lines = F.split(F.col(text_col), "\n")
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(lines).alias("pos", "line")
-    ).select("_id", "pos", F.md5(F.col("line")).alias("lh"))
+    ex = _line_hashes(df, id_col, text_col)
     dup = (
         ex.groupBy("lh")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_df)
         .select("lh")
     )
+    return _rebuild_without_lines(df, ex, dup, id_col, text_col)
+
+
+def _line_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, 16-byte line hash) — the text column is pruned before
+    anything shuffles."""
+    lines = F.split(F.col(text_col), "\n")
+    return df.select(
+        F.col(id_col).alias("_id"), F.posexplode(lines).alias("pos", "line")
+    ).select("_id", "pos", F.md5(F.col("line")).alias("lh"))
+
+
+def batch_line_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-line-hash occurrence counts of a batch — the mergeable unit
+    the streaming ingest store accumulates (counts add cell-wise, so a
+    historical store is just the union of epoch count files re-summed)."""
+    return (
+        _line_hashes(df, id_col, text_col)
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def line_dedup_incremental(
+    batch: DataFrame,
+    store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Incremental line dedup for append-only ingest: a line is
+    boilerplate when its occurrence count across HISTORY (``store``:
+    (lh, c) from :func:`batch_line_counts`) plus this batch reaches
+    ``min_df``; every occurrence in the BATCH is removed.  History is
+    never rewritten — the same append-only contract as
+    :func:`substring_dedup_incremental` (a line that only later turns
+    out to repeat keeps its already-landed copies).
+
+    Same scale shape as :func:`line_dedup_global`; the store side is
+    pre-aggregated counts, so merging history costs one count-keyed
+    groupBy over (history cells + batch cells), never history rows."""
+    ex = _line_hashes(batch, id_col, text_col)
+    bc = ex.groupBy("lh").agg(F.count(F.lit(1)).alias("c"))
+    total = (
+        bc
+        if store is None
+        else bc.unionByName(store).groupBy("lh").agg(F.sum("c").alias("c"))
+    )
+    dup = total.filter(F.col("c") >= min_df).select("lh")
+    return _rebuild_without_lines(batch, ex, dup, id_col, text_col)
+
+
+def _rebuild_without_lines(
+    df: DataFrame,
+    ex: DataFrame,
+    dup: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Rebuild every document without its positions whose line hash is
+    in ``dup``: removed positions collapse to one tiny per-doc array
+    (broadcast-joinable), the rebuild is a row-local indexed filter."""
+    lines = F.split(F.col(text_col), "\n")
     dup_pos = (
         ex.join(dup, "lh", "left_semi")
         .groupBy("_id")

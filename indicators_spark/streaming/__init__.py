@@ -4,6 +4,7 @@ watermarks, sessionization, stateful custom operators, and exactly-once
 
 from .sinks import (
     ExactlyOnceParquetSink,
+    LineDedupIngestSink,
     SubstringDedupIngestSink,
     UpsertParquetSink,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "stateful_running_indicators",
     "stateful_running_indicators_tws",
     "ExactlyOnceParquetSink",
+    "LineDedupIngestSink",
     "SubstringDedupIngestSink",
     "UpsertParquetSink",
 ]

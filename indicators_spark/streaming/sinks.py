@@ -320,3 +320,94 @@ class SubstringDedupIngestSink:
         if not paths:
             raise ValueError("no committed epochs yet")
         return spark.read.parquet(*paths)
+
+
+class LineDedupIngestSink:
+    """``foreachBatch`` target running incremental corpus-wide LINE dedup
+    per micro-batch — the streaming twin of
+    ``dedup.line_dedup_incremental`` (the CCNet/RefinedWeb boilerplate
+    pass as an ingest policy):
+
+    1. the batch's lines are counted and merged with the historical
+       count STORE; any line whose combined occurrence count reaches
+       ``min_df`` is removed from every batch document,
+    2. cleaned documents land exactly-once per epoch (same data-dir +
+       commit-ledger protocol as :class:`ExactlyOnceParquetSink`),
+    3. the batch's per-line-hash counts are appended to the store under
+       the same epoch identity — a replayed epoch overwrites its own
+       count directory (idempotent) and is skipped by the ledger.
+
+    History is append-only: already-landed copies of a line that only
+    later turns out to repeat are NOT rewritten (the same contract as
+    :class:`SubstringDedupIngestSink`); every future occurrence is
+    removed once the count crosses ``min_df``.
+
+    Scale notes: the store carries pre-aggregated (16-byte hash, count)
+    cells — per-epoch size is the batch's DISTINCT line count, and
+    merging history is one count-keyed groupBy over cells, never
+    history rows.  Bucket the store on ``lh`` to make the history side
+    exchange-free, as with the gram store."""
+
+    def __init__(
+        self, out_dir: str, min_df: int = 2, run_id: str | None = None
+    ) -> None:
+        self.min_df = min_df
+        self.run_ns = _run_ns(run_id)
+        self.data_dir = os.path.join(out_dir, "clean")
+        self.count_dir = os.path.join(out_dir, "line_counts")
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.count_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_path(self, epoch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
+
+    def _committed(self) -> list[str]:
+        return sorted(os.listdir(self.commit_dir))
+
+    def _store_paths(self) -> list[str]:
+        """Count directories of every COMMITTED epoch (any run)."""
+        paths = []
+        for c in self._committed():
+            p = os.path.join(self.count_dir, c)
+            if os.path.isdir(p):
+                paths.append(p)
+        return paths
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..functions.dedup import batch_line_counts, line_dedup_incremental
+
+        if os.path.exists(self._commit_path(epoch_id)):
+            return  # replayed epoch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store_paths = self._store_paths()
+        store = spark.read.parquet(*store_paths) if store_paths else None
+        cleaned = line_dedup_incremental(
+            batch_df, store, min_df=self.min_df
+        )
+        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(self.data_dir, epoch_tag)
+        )
+        # counts land BEFORE the commit mark (see SubstringDedupIngestSink)
+        batch_line_counts(batch_df).write.mode("overwrite").parquet(
+            os.path.join(self.count_dir, epoch_tag)
+        )
+        tmp = self._commit_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, self._commit_path(epoch_id))
+
+    def read_clean(self, spark: SparkSession) -> DataFrame:
+        """Cleaned documents of every committed epoch."""
+        paths = [
+            os.path.join(self.data_dir, c)
+            for c in self._committed()
+            if os.path.isdir(os.path.join(self.data_dir, c))
+        ]
+        if not paths:
+            raise ValueError("no committed epochs yet")
+        return spark.read.parquet(*paths)

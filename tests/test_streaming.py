@@ -592,3 +592,71 @@ def test_substring_ingest_sink_matches_batch_operator(spark, tmp_path):
     spans = substring_dedup_incremental_policy(e1, batch_gram_hashes(e0), n=10)
     want = {tuple(r) for r in cut_spans(e1, spans).collect()}
     assert got == want and len(got) > 0
+
+
+def test_line_dedup_ingest_sink_incremental(spark, tmp_path):
+    """foreachBatch line-dedup ingest: history is append-only (epoch 0's
+    copy of a line survives), later occurrences are removed once the
+    combined count reaches min_df, batch-internal repeats count too, and
+    a replayed epoch is an exactly-once no-op."""
+    from indicators_spark.streaming import LineDedupIngestSink
+
+    sink = LineDedupIngestSink(str(tmp_path / "ingest"), min_df=2)
+    b0 = spark.createDataFrame(
+        [(0, "accept cookies\nunique zero"), (1, "only here")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "accept cookies\nfresh text"),       # history copy → removed
+         (11, "twice in batch\nmid\ntwice in batch"),  # batch-internal
+         (12, None)],                                  # NULL passthrough
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in sink.read_clean(spark).collect()
+    }
+    assert got[0] == ("accept cookies\nunique zero", 0)  # landed copy kept
+    assert got[10] == ("fresh text", 1)                  # history wins
+    assert got[11] == ("mid", 2)                         # min_df within batch
+    assert got[12] == (None, 0)
+
+    # replay epoch 1: ledger skip; cleaned docs and count store unchanged
+    before = {tuple(r) for r in sink.read_clean(spark).collect()}
+    n_cells = spark.read.parquet(*sink._store_paths()).count()
+    sink(b1, 1)
+    assert {tuple(r) for r in sink.read_clean(spark).collect()} == before
+    assert spark.read.parquet(*sink._store_paths()).count() == n_cells
+
+
+def test_line_dedup_ingest_sink_matches_batch_operator(spark, tmp_path):
+    """Epoch 1's cleaned docs equal the batch incremental operator run
+    against epoch 0's counts (stream/batch parity for the line family)."""
+    from indicators_spark.functions.dedup import (
+        batch_line_counts,
+        line_dedup_incremental,
+    )
+    from indicators_spark.streaming import LineDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    e0 = docs.filter(F.col("doc_id") < 250)
+    e1 = docs.filter(F.col("doc_id") >= 250)
+
+    sink = LineDedupIngestSink(str(tmp_path / "ingest"), min_df=2)
+    sink(e0, 0)
+    sink(e1, 1)
+    got = {
+        tuple(r)
+        for r in sink.read_clean(spark)
+        .join(e1.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in line_dedup_incremental(e1, batch_line_counts(e0)).collect()
+    }
+    assert got == want and len(got) > 0
