@@ -611,6 +611,49 @@ def main() -> None:
         }
     skewed.unpersist()
 
+    # ---- corpus-wide line dedup (round 7b) -------------------------------
+    # Docs re-lineified to ~6 lines each; vocab repetition makes ~every
+    # line a duplicate somewhere, so the dup set / rebuild paths carry
+    # real weight.  Only (id, pos, 16-byte hash) shuffles — docs_per_sec
+    # flat with corpus growth = the 100 TB claim.  The hot-key question
+    # doesn't arise: the line-hash groupBy aggregates COUNTS (map-side
+    # partials), never a posting list, so a corpus-wide boilerplate line
+    # is just one cell.
+    from indicators_spark.functions.dedup import line_dedup_global
+
+    lined = docs.select(
+        "doc_id", F.regexp_replace("text", r"((\S+\s+){4}\S+)\s+", "$1\n").alias("text")
+    ).cache()
+    lined.count()
+    t0 = time.time()
+    line_dedup_global(lined).agg(
+        F.sum("n_removed").alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["line_dedup_global"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+    lined.unpersist()
+
+    # ---- hashed-feature logistic classifier (round 7b) ------------------
+    # 3 full-batch GD steps: per step one doc-keyed margin agg + one
+    # 257-row gradient collect.  Cost is ~7 passes over the persisted
+    # feature table — linear in corpus tokens, driver state O(buckets).
+    from indicators_spark.functions.classifier import logreg_quality
+
+    t0 = time.time()
+    logreg_quality(
+        docs, label=(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    ).agg(F.sum("pred").alias("s")).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    dt = time.time() - t0
+    results["classifier_logreg_3step"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 
