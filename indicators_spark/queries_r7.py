@@ -362,16 +362,24 @@ def _c4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _c4_sql() -> str:
+def _c4_line_ok() -> str:
+    """DuckDB lambda for the C4 line keep-rule (shared by the standalone
+    query and the r7 pipeline)."""
     from .functions import text as T
 
-    bad = ", ".join(f"'{w}'" for w in T.C4_BADWORDS)
-    line_ok = (
+    return (
         "x -> regexp_matches(rtrim(x), '[.!?\"]$')"
         f" AND len(string_split_regex(trim(x), '\\s+')) >= {T.C4_MIN_LINE_WORDS}"
         " AND NOT contains(lower(x), 'javascript')"
     )
-    flags = {
+
+
+def _c4_flag_exprs() -> dict[str, str]:
+    """DuckDB page-rule flags over columns ``clean_text`` / ``text``."""
+    from .functions import text as T
+
+    bad = ", ".join(f"'{w}'" for w in T.C4_BADWORDS)
+    return {
         "ok_sentences": (
             "(len(regexp_extract_all(clean_text, '[.!?]'))"
             f" >= {T.C4_MIN_SENTENCES})"
@@ -383,6 +391,11 @@ def _c4_sql() -> str:
             f" w -> lower(w) IN ({bad}))) = 0)"
         ),
     }
+
+
+def _c4_sql() -> str:
+    line_ok = _c4_line_ok()
+    flags = _c4_flag_exprs()
     cols = [
         f"CAST(COALESCE({expr}, false) AS BIGINT) AS {name}"
         for name, expr in flags.items()
@@ -812,4 +825,109 @@ FROM ex e {joins}"""
 
 _register(
     "mixture_doremi_weights", Query(spark=_doremi_spark, sql=_doremi_sql())
+)
+
+
+# --------------------------------------------------------------------- #
+# Round-7 corpus pipeline: the new cleaning family chained end-to-end —
+# lineify → corpus-wide line dedup → C4 page rules → per-source
+# accounting.  One declarative plan; the integration twin of
+# doc_pipeline_corpus for the r7 operators.
+# --------------------------------------------------------------------- #
+
+
+def _r7_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: lineify is row-local; line dedup shuffles only
+    (id, pos, hash) and broadcasts its dup set back; the C4 pass is
+    zero-shuffle page rewriting; the source join + final agg are the
+    only remaining exchanges (the agg is partial-agg friendly).  The
+    full text column crosses an exchange at most once (the per-doc
+    position join, when it falls back from broadcast)."""
+    from .functions.dedup import line_dedup_global
+    from .functions.text import c4_rules, words
+
+    docs = _docs(spark, sf_dir)
+    lined = _lineify(docs, C4_K, punct=True)
+    ld = line_dedup_global(lined, min_df=LINE_MIN_DF).select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        F.col("n_removed").alias("lines_deduped"),
+    )
+    c4 = c4_rules(ld, "text")
+    j = c4.join(docs.select("doc_id", "source"), "doc_id")
+    toks_kept = F.when(
+        F.col("keep") & (F.length("clean_text") > 0),
+        F.size(words(F.col("clean_text"))),
+    ).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_pages_kept"),
+        F.sum("lines_deduped").cast("long").alias("lines_deduped"),
+        F.sum(F.col("n_lines") - F.col("n_kept"))
+        .cast("long")
+        .alias("lines_dropped_c4"),
+        F.sum(toks_kept).cast("long").alias("tokens_kept"),
+    )
+
+
+def _r7_pipeline_sql() -> str:
+    line_ok = _c4_line_ok()
+    flags = _c4_flag_exprs()
+    keep = " AND ".join(f"COALESCE({e}, false)" for e in flags.values())
+    return f"""
+WITH {_lineify_sql(C4_K, punct=True)[1:]},
+t0 AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lineified
+),
+ex AS (
+  SELECT doc_id, i, ls[i] AS line, md5(ls[i]) AS h
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM t0)
+),
+dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= {LINE_MIN_DF}),
+keep_l AS (
+  SELECT e.doc_id, e.i, e.line
+  FROM ex e LEFT JOIN dup d USING (h) WHERE d.h IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept_l,
+    string_agg(line, chr(10) ORDER BY i) AS txt
+  FROM keep_l GROUP BY 1
+),
+ld AS (
+  SELECT t0.doc_id, COALESCE(r.txt, '') AS text,
+    CAST(COALESCE(len(t0.ls), 0) - COALESCE(r.n_kept_l, 0) AS BIGINT)
+      AS lines_deduped
+  FROM t0 LEFT JOIN reb r USING (doc_id)
+),
+cc AS (
+  SELECT doc_id, lines_deduped, text,
+    string_split(text, chr(10)) AS ls,
+    list_filter(string_split(text, chr(10)), {line_ok}) AS kept,
+    COALESCE(array_to_string(
+      list_filter(string_split(text, chr(10)), {line_ok}), chr(10)), '')
+      AS clean_text
+  FROM ld
+),
+fl AS (
+  SELECT doc_id, lines_deduped,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept,
+    clean_text, ({keep}) AS keep
+  FROM cc
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pages_kept,
+  CAST(sum(f.lines_deduped) AS BIGINT) AS lines_deduped,
+  CAST(sum(f.n_lines - f.n_kept) AS BIGINT) AS lines_dropped_c4,
+  CAST(sum(CASE WHEN f.keep AND length(f.clean_text) > 0
+           THEN len(string_split(f.clean_text, ' ')) ELSE 0 END) AS BIGINT)
+    AS tokens_kept
+FROM fl f JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+_register(
+    "pipeline_corpus_r7",
+    Query(spark=_r7_pipeline_spark, sql=_r7_pipeline_sql()),
 )

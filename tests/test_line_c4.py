@@ -127,3 +127,34 @@ def test_c4_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = plan_string(text.c4_rules(df))
     assert exchange_count(plan) == 0, plan
+
+
+def test_r7_pipeline_end_to_end(spark):
+    """Integration: lineify → line dedup → C4 → per-source accounting is
+    internally consistent at smoke scale."""
+    from indicators_spark.queries import QUERIES
+
+    rows = QUERIES["pipeline_corpus_r7"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_pages_kept <= r.n_docs
+        assert r.lines_deduped >= 0 and r.lines_dropped_c4 >= 0
+        assert (r.tokens_kept > 0) == (r.n_pages_kept > 0)
+
+
+def test_r7_pipeline_plan_text_shuffle_budget(spark):
+    """The chained plan keeps the line-dedup guarantees: hash-keyed
+    exchanges never carry the text/line columns, and the dup set comes
+    back via broadcast."""
+    from indicators_spark.plans import plan_string
+    from indicators_spark.queries import QUERIES
+
+    plan = plan_string(
+        QUERIES["pipeline_corpus_r7"].spark(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "line#" not in ln, ln
