@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import H31, word_hash31, words
+from .text import H31, word_hash31, word_ngrams, words
 
 #: Deterministic MinHash permutation constants (a*h + b mod 2^31-1).
 MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
@@ -1214,4 +1214,123 @@ def _rebuild_without_lines(
         .otherwise(F.size(F.col("_ls")) - F.size(kept))
         .cast("long")
         .alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# --------------------------------------------------------------------- #
+
+#: position field width inside the packed winnowing key: gh (31-bit)
+#: * 2^20 + (2^20 - pos) stays < 2^51, exact in BIGINT and DOUBLE on
+#: both engines.  Caps documents at ~1M k-grams per doc.
+WINNOW_POS_SPACE = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    local fingerprinting scheme): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive gram positions, and select each window's
+    minimum hash with the RIGHTMOST-position tie rule.  Guarantees every
+    shared run of ≥ ``w + k − 1`` words contributes at least one shared
+    fingerprint, at ~2/(w+1) sampling density — position-robust local
+    dedup where MinHash is global and ExactSubstr is exact-span.
+    Complements the dedup family (the reference has no fingerprinting;
+    SURVEY §2 extension set).
+
+    Returns distinct ``(id, pos, gh)`` selected fingerprints.  The
+    argmin-with-tie is ONE portable integer: ``key = gh·2^20 +
+    (2^20 − pos)`` makes ``min(key)`` over the window pick the smallest
+    hash and, among equals, the largest position — no struct ordering,
+    no arg_min semantics to align across engines.
+
+    Scale shape: gram hashing is row-local (text pruned before anything
+    moves); the sliding min is one bounded-frame window per document
+    (the per-doc exchange — never global); docs shorter than ``w``
+    grams winnow to their single overall minimum (the pos=1 truncated
+    window), matching the reference algorithm."""
+    ws = words(F.col(text_col))
+    grams = word_ngrams(F.col("_ws"), k)
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), ws.alias("_ws"))
+        .select("_id", F.posexplode(grams).alias("pos0", "g"))
+        .select(
+            "_id",
+            (F.col("pos0") + 1).alias("pos"),
+            word_hash31(F.col("g")).alias("gh"),
+        )
+    )
+    key = F.col("gh") * WINNOW_POS_SPACE + (WINNOW_POS_SPACE - F.col("pos"))
+    win = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    cnt = Window.partitionBy("_id")
+    sel = (
+        base.withColumn("_k", key)
+        .withColumn("_m", F.min("_k").over(win))
+        .withColumn("_g", F.count(F.lit(1)).over(cnt))
+        # full windows only, except the single truncated window of a
+        # short doc (G < w) at pos 1
+        .filter(
+            (F.col("pos") <= F.col("_g") - (w - 1))
+            | ((F.col("_g") < w) & (F.col("pos") == 1))
+        )
+        .select("_id", "_m")
+        .distinct()
+    )
+    return sel.select(
+        F.col("_id").alias(id_col),
+        (WINNOW_POS_SPACE - F.col("_m") % WINNOW_POS_SPACE)
+        .cast("long")
+        .alias("pos"),
+        (F.col("_m") / WINNOW_POS_SPACE).cast("long").alias("gh"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: join
+    the fingerprint posting lists on the hash, count distinct shared
+    fingerprints per pair, keep pairs sharing ≥ ``min_shared``.
+
+    ``max_df_frac`` prunes fingerprint hashes present in more than that
+    fraction of documents before the self-join (the same quadratic
+    posting-list guard as :func:`ngram_jaccard_pairs` — a boilerplate
+    fingerprint in f·N docs contributes ~(f·N)²/2 pairs and carries no
+    signal).  Returns (ia, ib, n_shared), ia < ib."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("_fid"), "gh"
+    ).distinct()
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    dfreq = fps.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    ubiquitous = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * F.lit(max_df_frac))
+        .select("gh")
+    )
+    pruned = fps.join(F.broadcast(ubiquitous), "gh", "left_anti")
+    a = pruned.select(F.col("_fid").alias("ia"), "gh")
+    b = pruned.select(F.col("_fid").alias("ib"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -931,3 +931,77 @@ _register(
     "pipeline_corpus_r7",
     Query(spark=_r7_pipeline_spark, sql=_r7_pipeline_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# --------------------------------------------------------------------- #
+
+WIN_K, WIN_W, WIN_MIN_SHARED, WIN_MAX_DF = 4, 5, 2, 0.5
+
+
+def _winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir),
+        k=WIN_K,
+        w=WIN_W,
+        min_shared=WIN_MIN_SHARED,
+        max_df_frac=WIN_MAX_DF,
+    ).select(
+        "ia", "ib", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+def _winnow_sql() -> str:
+    from .functions.dedup import WINNOW_POS_SPACE
+
+    gram = f"array_to_string(list_slice(ws, i, i + {WIN_K - 1}), ' ')"
+    gh = (
+        f"CAST(('0x' || substr(md5({gram}), 1, 15)) AS BIGINT)"
+        f" % 2147483647"
+    )
+    ps = WINNOW_POS_SPACE
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i AS pos, {gh} AS gh
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {WIN_K - 1})) AS i
+    FROM w WHERE len(ws) >= {WIN_K}
+  )
+),
+keyed AS (
+  SELECT doc_id, pos, gh * {ps} + ({ps} - pos) AS k,
+    count(*) OVER (PARTITION BY doc_id) AS gcnt,
+    min(gh * {ps} + ({ps} - pos)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS m
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, CAST(m / {ps} AS BIGINT) AS gh
+  FROM keyed
+  WHERE pos <= gcnt - {WIN_W - 1} OR (gcnt < {WIN_W} AND pos = 1)
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+ubi AS (
+  SELECT gh FROM sel, nd GROUP BY gh, nd.n_docs
+  HAVING count(*) > nd.n_docs * {WIN_MAX_DF}
+),
+pruned AS (
+  SELECT s.doc_id, s.gh FROM sel s LEFT JOIN ubi u USING (gh)
+  WHERE u.gh IS NULL
+)
+SELECT a.doc_id AS ia, b.doc_id AS ib,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM pruned a JOIN pruned b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WIN_MIN_SHARED}"""
+
+
+_register("dedup_winnowing_pairs", Query(spark=_winnow_spark, sql=_winnow_sql()))

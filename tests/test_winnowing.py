@@ -1,0 +1,90 @@
+"""Tests for winnowing fingerprints (Schleimer et al. 2003)."""
+
+from __future__ import annotations
+
+from indicators_spark.functions.dedup import winnow_fingerprints, winnow_pairs
+
+
+def _winnow_reference(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Literal reference implementation: hash k-grams, slide w-windows,
+    select the rightmost minimum per window."""
+    import hashlib
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2147483647
+
+    grams = [
+        (i + 1, h31(" ".join(tokens[i : i + k])))
+        for i in range(len(tokens) - k + 1)
+    ]
+    if not grams:
+        return set()
+    sel = set()
+    if len(grams) < w:
+        windows = [grams]
+    else:
+        windows = [grams[i : i + w] for i in range(len(grams) - w + 1)]
+    for win in windows:
+        m = min(g for _, g in win)
+        pos = max(p for p, g in win if g == m)  # rightmost tie rule
+        sel.add((pos, m))
+    return sel
+
+
+def test_winnow_matches_reference_implementation(spark):
+    texts = [
+        "a b c d e f g h i j k l m n",
+        "z y x w v u t s r q p o",
+        "a b c d",          # exactly one gram (G=1 < w): its min selected
+        "a b c",            # shorter than k: no grams, no fingerprints
+        None,               # NULL text: excluded
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=4, w=5).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gh))
+    for i, t in enumerate(texts):
+        want = _winnow_reference(t.split(" "), 4, 5) if t else set()
+        assert got.get(i, set()) == want, (i, got.get(i), want)
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    # the winnowing guarantee: any shared run of >= w + k - 1 words
+    # contributes at least one shared fingerprint
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 >= 5 + 4 - 1
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, shared + " epsilon zeta eta theta"),
+            (3, "totally different words here now ok fine yes"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df_frac off: with 3 docs the 0.5 default would prune the very
+    # fingerprint the two sharers have in common (df=2 > 1.5)
+    pairs = {
+        (r.ia, r.ib): r.n_shared
+        for r in winnow_pairs(
+            df, k=4, w=5, min_shared=1, max_df_frac=1.1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_pairs_max_df_prunes_boilerplate(spark):
+    # a fingerprint present in EVERY doc is pruned before the self-join
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [(i, boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        winnow_pairs(df, k=4, w=5, min_shared=1, max_df_frac=0.5).count()
+        == 0
+    )
+    # without the prune the same corpus is all-pairs
+    assert (
+        winnow_pairs(df, k=4, w=5, min_shared=1, max_df_frac=1.1).count()
+        == 15
+    )
