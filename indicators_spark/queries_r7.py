@@ -1005,3 +1005,127 @@ HAVING count(*) >= {WIN_MIN_SHARED}"""
 
 
 _register("dedup_winnowing_pairs", Query(spark=_winnow_spark, sql=_winnow_sql()))
+
+
+# --------------------------------------------------------------------- #
+# IVF recall audit: exact top-k vs the IVF scale path — the ANN sibling
+# of dedup_lsh_recall (the approximation's QUALITY, not just its output,
+# under the value hash).
+# --------------------------------------------------------------------- #
+
+IVF_AUDIT_K, IVF_AUDIT_NC, IVF_AUDIT_NPROBE = 5, 16, 4
+
+
+def _ivf_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of `knn_ivf` against brute force on the same
+    deterministic config the standalone queries use.  Both sides are
+    existing operators; the audit is two semi-join counts — at 100 TB
+    you run it on a sampled query set, the shape is unchanged."""
+    from .functions import similarity
+    from .queries_ext import _emb
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, q, k=IVF_AUDIT_K).select(
+        "qid", "nid"
+    )
+    ivf = similarity.knn_ivf(
+        emb, q, k=IVF_AUDIT_K, n_centroids=IVF_AUDIT_NC, nprobe=IVF_AUDIT_NPROBE
+    ).select("qid", "nid")
+    hits = (
+        exact.join(ivf, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("k").cast("double")
+                    * 1e4
+                    + F.lit(0.500000001)
+                )
+                / 1e4
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_sql() -> str:
+    from .queries_ext import _dot_sql, _norm_sql
+
+    k, nc, npr = IVF_AUDIT_K, IVF_AUDIT_NC, IVF_AUDIT_NPROBE
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, nn AS qn FROM n WHERE vec_id < 10
+),
+es AS (
+  SELECT q.qid, n.vec_id AS nid,
+    ({_dot_sql('q.qv', 'n.embedding')}) / (q.qn * n.nn) AS cos
+  FROM n CROSS JOIN q WHERE n.vec_id != q.qid
+),
+er AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+    FROM es
+  ) WHERE rank <= {k}
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS cv, nn AS cn FROM n
+  WHERE vec_id < {nc}
+),
+assign AS (
+  SELECT n.vec_id AS nid, n.embedding AS nv, n.nn, c.cid,
+    row_number() OVER (
+      PARTITION BY n.vec_id
+      ORDER BY ({_dot_sql('n.embedding', 'c.cv')}) / (n.nn * c.cn) DESC, c.cid
+    ) AS rk
+  FROM n CROSS JOIN c
+),
+a AS (SELECT nid, nv, nn, cid FROM assign WHERE rk = 1),
+probe AS (
+  SELECT q.qid, q.qv, q.qn, c.cid,
+    row_number() OVER (
+      PARTITION BY q.qid
+      ORDER BY ({_dot_sql('q.qv', 'c.cv')}) / (q.qn * c.cn) DESC, c.cid
+    ) AS rk
+  FROM q CROSS JOIN c
+),
+p AS (SELECT qid, qv, qn, cid FROM probe WHERE rk <= {npr}),
+ivs AS (
+  SELECT p.qid, a.nid,
+    ({_dot_sql('p.qv', 'a.nv')}) / (p.qn * a.nn) AS cos
+  FROM a JOIN p USING (cid) WHERE a.nid != p.qid
+),
+ir AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+    FROM ivs
+  ) WHERE rank <= {k}
+),
+kk AS (SELECT qid, count(*) AS k FROM er GROUP BY qid),
+hits AS (
+  SELECT er.qid, count(*) AS n_hit
+  FROM er JOIN ir ON er.qid = ir.qid AND er.nid = ir.nid
+  GROUP BY er.qid
+)
+SELECT kk.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / kk.k * 1e4 + 0.500000001)
+    / 1e4 AS recall
+FROM kk LEFT JOIN hits h USING (qid)"""
+
+
+_register(
+    "similarity_ivf_recall",
+    Query(spark=_ivf_recall_spark, sql=_ivf_recall_sql()),
+)

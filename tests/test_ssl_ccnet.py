@@ -88,3 +88,14 @@ def test_ssl_ccnet_plans(spark):
     # once per LM replay — the threshold branch recomputes the skinny LM)
     assert "Window" not in ccn, ccn
     assert ccn.count("Exchange SinglePartition") <= 2, ccn
+
+
+def test_ivf_recall_audit_bounds(spark):
+    rows = QUERIES["similarity_ivf_recall"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hit <= 5
+        assert abs(r.recall - r.n_hit / 5.0) < 1e-9
+    # nprobe=4/16 on smooth synthetic embeddings should find most
+    # true neighbors — the audit would catch a broken assignment
+    assert sum(r.n_hit for r in rows) >= 30
