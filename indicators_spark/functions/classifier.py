@@ -62,7 +62,9 @@ def logreg_features(
     seed: str = "qlr",
 ) -> tuple[DataFrame, DataFrame]:
     """(features, labels): hashed unigram buckets with x = count/n_tokens
-    plus a constant bias feature at bucket index ``buckets``."""
+    plus a constant bias feature at bucket index ``buckets``.  The label
+    rides along on every feature row so the per-step margin aggregation
+    recovers it with ``any_value`` — no per-iteration label join."""
     ws = _text.words(F.col(text_col))
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
@@ -71,27 +73,35 @@ def logreg_features(
     )
     lab = base.select("_id", "y")
     tok = base.select(
-        "_id", F.size("_ws").alias("_n"), F.explode("_ws").alias("_tok")
+        "_id", "y", F.size("_ws").alias("_n"), F.explode("_ws").alias("_tok")
     )
     feat = (
         tok.groupBy("_id", hash_bucket(F.col("_tok"), seed, buckets).alias("bkt"))
         .agg(
-            (F.count(F.lit(1)).cast("double") / F.any_value("_n")).alias("x")
+            (F.count(F.lit(1)).cast("double") / F.any_value("_n")).alias("x"),
+            F.any_value("y").alias("y"),
         )
     )
     bias = lab.select(
-        "_id", F.lit(buckets).cast("bigint").alias("bkt"), F.lit(1.0).alias("x")
+        "_id",
+        F.lit(buckets).cast("bigint").alias("bkt"),
+        F.lit(1.0).alias("x"),
+        "y",
     )
     return feat.unionAll(bias), lab
 
 
 def _margins(feat: DataFrame, w: list[float]) -> DataFrame:
-    """Per-doc quantized margin m = Σ x·w[bkt] under literal weights."""
+    """Per-doc quantized margin m = Σ x·w[bkt] under literal weights;
+    carries y so the residual needs no join back to the labels."""
     warr = F.array(*[F.lit(float(v)) for v in w])
     return (
         feat.withColumn("_w", F.element_at(warr, (F.col("bkt") + 1).cast("int")))
         .groupBy("_id")
-        .agg(_qw(F.sum(F.col("x") * F.col("_w"))).alias("m"))
+        .agg(
+            _qw(F.sum(F.col("x") * F.col("_w"))).alias("m"),
+            F.any_value("y").alias("y"),
+        )
     )
 
 
@@ -117,9 +127,7 @@ def logreg_quality(
     for _ in range(iters):
         m = _margins(feat, w)
         sig = 1.0 / (1.0 + F.exp(-F.col("m")))
-        resid = m.join(lab, "_id").select(
-            "_id", (sig - F.col("y")).alias("r")
-        )
+        resid = m.select("_id", (sig - F.col("y")).alias("r"))
         g = (
             feat.join(resid, "_id")
             .groupBy("bkt")
@@ -132,7 +140,7 @@ def logreg_quality(
             _pyq(w[j] - lr * grad.get(j, 0.0) / n)
             for j in range(buckets + 1)
         ]
-    out = _margins(feat, w).join(lab, "_id")
+    out = _margins(feat, w)
     feat.unpersist(blocking=False)
     prob = 1.0 / (1.0 + F.exp(-F.col("m")))
     return out.select(
