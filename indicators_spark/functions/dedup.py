@@ -1334,3 +1334,97 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------- #
+# Incremental MinHash dedup against a historical signature store
+# --------------------------------------------------------------------- #
+
+
+def batch_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) LSH band rows of a batch — the mergeable unit an
+    ingest store accumulates for NEAR-dup incremental dedup (the MinHash
+    sibling of :func:`batch_line_counts` / the gram store).  Band keys
+    are 2-hash structs; the store never holds text or full signatures."""
+    return _banded_signatures(df, id_col, text_col, bands).select(
+        F.col("_id").alias(id_col), "band", "key"
+    )
+
+
+def minhash_dedup_against_corpus(
+    batch: DataFrame,
+    store_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    min_bands: int = 1,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup for append-only ingest: a batch
+    document is flagged when ≥ ``min_bands`` of its LSH bands collide
+    with the historical store (:func:`batch_band_keys` rows of every
+    earlier epoch), or with a LOWER-id batch sibling (earlier-wins, no
+    chaining — the same deterministic contract as the exact/substring
+    incrementals; near-dup is not transitive, so chained keep-first
+    would be partition-order dependent).
+
+    Returns every batch row with ``n_store_bands`` (distinct colliding
+    bands vs history), ``dup_in_batch``, and ``keep``.  Docs with <2
+    words have no shingles → no bands → always kept (same dropout as
+    :func:`minhash_signatures`, mirrored by the oracle).
+
+    Scale shape: the store side is pre-banded skinny int rows (one
+    (band, key-struct) row per doc per band, distinct'd before the
+    probe join); the batch joins it on (band, key) — bucket the store
+    on the key to make the history side exchange-free.  No stage ever
+    touches text after the one scan-side shingle pass."""
+    bb = _banded_signatures(batch, id_col, text_col, bands)
+    if store_bands is not None:
+        skeys = store_bands.select("band", "key").distinct()
+        store_hits = (
+            bb.join(skeys, ["band", "key"], "left_semi")
+            .groupBy("_id")
+            .agg(F.count_distinct("band").alias("n_store_bands"))
+        )
+    else:
+        store_hits = bb.select(
+            "_id", F.lit(0).cast("bigint").alias("n_store_bands")
+        ).limit(0)
+    a, b = bb.alias("a").hint("shuffle_hash"), bb.alias("b")
+    ip = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= min_bands)
+        .select(F.col("ib").alias(id_col))
+        .distinct()
+        .withColumn("_dup_in_batch", F.lit(True))
+    )
+    out = (
+        batch.join(
+            store_hits.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        .join(ip, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_store_bands"), F.lit(0))
+            .cast("long")
+            .alias("n_store_bands"),
+            F.coalesce(F.col("_dup_in_batch"), F.lit(False)).alias(
+                "dup_in_batch"
+            ),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_store_bands") < min_bands) & ~F.col("dup_in_batch"),
+    )

@@ -1129,3 +1129,68 @@ _register(
     "similarity_ivf_recall",
     Query(spark=_ivf_recall_spark, sql=_ivf_recall_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Incremental MinHash dedup: the NEAR-dup sibling of dedup_incremental
+# (history = docs with doc_id < MH_SPLIT, batch = the rest)
+# --------------------------------------------------------------------- #
+
+MH_SPLIT, MH_MIN_BANDS = 250, 1
+
+
+def _mh_inc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import batch_band_keys, minhash_dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    store = batch_band_keys(docs.filter(F.col("doc_id") < MH_SPLIT))
+    batch = docs.filter(F.col("doc_id") >= MH_SPLIT)
+    out = minhash_dedup_against_corpus(
+        batch, store, min_bands=MH_MIN_BANDS
+    )
+    return out.select(
+        "doc_id",
+        "n_store_bands",
+        F.col("dup_in_batch").cast("long").alias("dup_in_batch"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def _mh_inc_sql() -> str:
+    from .queries_ext import _minhash_sig_ctes
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, h{bi * 2 + 1} AS k1, h{bi * 2 + 2} AS k2 FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+WITH {_minhash_sig_ctes()},
+allb AS ({band_rows}),
+sb AS (SELECT DISTINCT band, k1, k2 FROM allb WHERE doc_id < {MH_SPLIT}),
+bb AS (SELECT * FROM allb WHERE doc_id >= {MH_SPLIT}),
+store_hits AS (
+  SELECT b.doc_id, count(DISTINCT b.band) AS nsb
+  FROM bb b JOIN sb USING (band, k1, k2) GROUP BY 1
+),
+ip AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS nb
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+    AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (SELECT DISTINCT ib AS doc_id FROM ip WHERE nb >= {MH_MIN_BANDS})
+SELECT d.doc_id,
+  CAST(COALESCE(s.nsb, 0) AS BIGINT) AS n_store_bands,
+  CAST(dr.doc_id IS NOT NULL AS BIGINT) AS dup_in_batch,
+  CAST(COALESCE(s.nsb, 0) < {MH_MIN_BANDS} AND dr.doc_id IS NULL AS BIGINT)
+    AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {MH_SPLIT}) d
+LEFT JOIN store_hits s USING (doc_id)
+LEFT JOIN dropped dr USING (doc_id)"""
+
+
+_register(
+    "dedup_minhash_incremental",
+    Query(spark=_mh_inc_spark, sql=_mh_inc_sql()),
+)

@@ -88,3 +88,44 @@ def test_winnow_pairs_max_df_prunes_boilerplate(spark):
         winnow_pairs(df, k=4, w=5, min_shared=1, max_df_frac=1.1).count()
         == 15
     )
+
+
+# --------------------------------------------------------------------- #
+# incremental MinHash dedup
+# --------------------------------------------------------------------- #
+
+
+def test_minhash_incremental_contract(spark):
+    from indicators_spark.functions.dedup import (
+        batch_band_keys,
+        minhash_dedup_against_corpus,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    store_docs = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                 # near-identical to history → dropped
+            (11, "x1 x2 x3 x4 x5 x6"),  # fresh → kept
+            (12, "x1 x2 x3 x4 x5 x6"),  # batch-internal copy of 11 → dropped
+            (13, "solo"),               # <2 words: no shingles → kept
+        ],
+        "doc_id long, text string",
+    )
+    store = batch_band_keys(store_docs)
+    got = {
+        r.doc_id: (r.n_store_bands, r.dup_in_batch, r.keep)
+        for r in minhash_dedup_against_corpus(batch, store).collect()
+    }
+    assert got[10][0] >= 1 and got[10][2] is False
+    assert got[11] == (0, False, True)
+    assert got[12][1] is True and got[12][2] is False
+    assert got[13] == (0, False, True)
+    # no store: only the batch-internal rule applies
+    got2 = {
+        r.doc_id: r.keep
+        for r in minhash_dedup_against_corpus(batch, None).collect()
+    }
+    assert got2[10] is True and got2[12] is False
