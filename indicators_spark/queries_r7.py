@@ -138,13 +138,15 @@ def _gopher_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_sql() -> str:
+def _gopher_flag_exprs() -> dict[str, str]:
+    """DuckDB Gopher rule flags over columns ``text`` / ``ws`` / ``ls``
+    (shared by the standalone query and the ensemble vote)."""
     from .functions import text as T
 
     stop = ", ".join(f"'{s}'" for s in T.STOPWORDS)
     n = "CAST(len(ws) AS DOUBLE)"
     nl = "CAST(len(ls) AS DOUBLE)"
-    flags = {
+    return {
         "ok_word_count": f"({n} >= {T.GOPHER_MIN_WORDS} AND {n} <= {T.GOPHER_MAX_WORDS})",
         "ok_avg_word_len": (
             f"((length(text) - ({n} - 1)) / {n} >= {T.GOPHER_MIN_AVG_LEN}"
@@ -173,6 +175,10 @@ def _gopher_sql() -> str:
             f" >= {T.GOPHER_MIN_STOPWORD_HITS})"
         ),
     }
+
+
+def _gopher_sql() -> str:
+    flags = _gopher_flag_exprs()
     cols = [
         f"CAST(COALESCE({expr}, false) AS BIGINT) AS {name}"
         for name, expr in flags.items()
@@ -1193,4 +1199,162 @@ LEFT JOIN dropped dr USING (doc_id)"""
 _register(
     "dedup_minhash_incremental",
     Query(spark=_mh_inc_spark, sql=_mh_inc_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Quality ensemble vote: Gopher hard rules + heuristic quality quantile
+# + corpus-LM perplexity band + repetition signals, majority-kept.  The
+# "one call" a curation pipeline actually makes — any single filter
+# over-prunes; the vote is the standard composition.
+# --------------------------------------------------------------------- #
+
+ENS_Q, ENS_TOPBG, ENS_DUPW, ENS_MIN_VOTES = 0.2, 0.2, 0.6, 3
+
+
+def _ensemble_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: gopher/quality/repetition votes are row-local or
+    count-shaped; the two global inputs (quality cutoff, per-source
+    perplexity tertile) are tiny aggregates broadcast back; the final
+    combine is four left joins on the id followed by row-local vote
+    arithmetic."""
+    from .functions.text import (
+        gopher_rules,
+        repetition_signals,
+        with_quality_score,
+    )
+    from .queries import round4
+    from .queries_corpus import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    g = gopher_rules(docs).select("doc_id", F.col("keep").alias("v_gopher"))
+    qs = with_quality_score(docs).select(
+        "doc_id", round4(F.col("quality_score")).alias("_qsc")
+    )
+    cut = qs.agg(
+        round4(F.percentile(F.col("_qsc"), F.lit(ENS_Q))).alias("_cut")
+    )
+    vq = qs.crossJoin(F.broadcast(cut)).select(
+        "doc_id", (F.col("_qsc") >= F.col("_cut")).alias("v_quality")
+    )
+    scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    thr = j.groupBy("source").agg(
+        round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias(
+            "_t2"
+        )
+    )
+    vp = j.join(F.broadcast(thr), "source").select(
+        "doc_id", (F.col("cross_entropy") <= F.col("_t2")).alias("v_ppl")
+    )
+    vr = repetition_signals(docs).select(
+        "doc_id",
+        (
+            (F.col("top_bigram_frac") <= ENS_TOPBG)
+            & (F.col("dup_word_frac") <= ENS_DUPW)
+        ).alias("v_rep"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(vq, "doc_id", "left")
+        .join(vp, "doc_id", "left")
+        .join(vr, "doc_id", "left")
+    )
+    votes = [
+        F.coalesce(F.col(c), F.lit(False)).cast("long").alias(c)
+        for c in ("v_gopher", "v_quality", "v_ppl", "v_rep")
+    ]
+    out = out.select("doc_id", *votes)
+    n_votes = sum(F.col(c) for c in ("v_gopher", "v_quality", "v_ppl", "v_rep"))
+    return out.withColumn("n_votes", n_votes.cast("long")).withColumn(
+        "keep", (F.col("n_votes") >= ENS_MIN_VOTES).cast("long")
+    )
+
+
+def _ensemble_sql() -> str:
+    from .queries_corpus import _LM_SQL
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    gflags = _gopher_flag_exprs()
+    gkeep = " AND ".join(f"COALESCE({e}, false)" for e in gflags.values())
+    qscore = q4(
+        "least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
+        " + (1 - punct / length(text)) * 0.2"
+        " + least(stop / n * 4, 1.0) * 0.2"
+    )
+    votes = ["v_gopher", "v_quality", "v_ppl", "v_rep"]
+    vcols = ", ".join(
+        f"CAST(COALESCE({v}, false) AS BIGINT) AS {v}" for v in votes
+    )
+    nv = " + ".join(f"CAST(COALESCE({v}, false) AS BIGINT)" for v in votes)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+    string_split(text, ' ') AS ws,
+    string_split(text, chr(10)) AS ls
+  FROM documents
+),
+gv AS (SELECT doc_id, ({gkeep}) AS v_gopher FROM w),
+m AS (
+  SELECT doc_id, text, ws,
+    CAST(len(ws) AS DOUBLE) AS n,
+    len(list_distinct(ws)) AS dt,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+  FROM w
+),
+scoredq AS (SELECT doc_id, {qscore} AS qsc FROM m),
+cutq AS (SELECT {q4(f'quantile_cont(qsc, {ENS_Q})')} AS c FROM scoredq),
+qv AS (SELECT doc_id, qsc >= cutq.c AS v_quality FROM scoredq, cutq),
+lmscored AS ({_LM_SQL}),
+jj AS (
+  SELECT s.doc_id, d.source, s.cross_entropy
+  FROM lmscored s JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT source, {q4(f'quantile_cont(cross_entropy, {CCNET_T2!r})')} AS t2
+  FROM jj GROUP BY source
+),
+pv AS (
+  SELECT jj.doc_id, jj.cross_entropy <= t.t2 AS v_ppl
+  FROM jj JOIN thr t USING (source)
+),
+rowstats AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac
+  FROM w
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM w WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+ba AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS tot_bg FROM bc GROUP BY doc_id),
+rv AS (
+  SELECT r.doc_id,
+    (CAST(a.top_bg AS DOUBLE) / a.tot_bg <= {ENS_TOPBG}
+     AND r.dup_word_frac <= {ENS_DUPW}) AS v_rep
+  FROM rowstats r JOIN ba a USING (doc_id)
+),
+alls AS (
+  SELECT w.doc_id, gv.v_gopher, qv.v_quality, pv.v_ppl, rv.v_rep
+  FROM w
+  LEFT JOIN gv USING (doc_id)
+  LEFT JOIN qv USING (doc_id)
+  LEFT JOIN pv USING (doc_id)
+  LEFT JOIN rv USING (doc_id)
+)
+SELECT doc_id, {vcols},
+  CAST({nv} AS BIGINT) AS n_votes,
+  CAST(({nv}) >= {ENS_MIN_VOTES} AS BIGINT) AS keep
+FROM alls"""
+
+
+_register(
+    "filter_quality_ensemble",
+    Query(spark=_ensemble_spark, sql=_ensemble_sql()),
 )

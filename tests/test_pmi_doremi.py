@@ -50,3 +50,14 @@ def test_doremi_weights_are_a_distribution_ordered_by_excess(spark):
     pos = [r.weight for r in rows if r.excess > 0.0]
     if zero and pos:
         assert max(zero) <= min(pos)
+
+
+def test_quality_ensemble_votes(spark):
+    rows = QUERIES["filter_quality_ensemble"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_votes == r.v_gopher + r.v_quality + r.v_ppl + r.v_rep
+        assert r.keep == (1 if r.n_votes >= 3 else 0)
+    # the vote must actually discriminate: some kept, some dropped
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
