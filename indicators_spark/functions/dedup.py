@@ -1428,3 +1428,104 @@ def minhash_dedup_against_corpus(
         "keep",
         (F.col("n_store_bands") < min_bands) & ~F.col("dup_in_batch"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Content-defined chunking (CDC) dedup
+# --------------------------------------------------------------------- #
+
+#: boundary rule: a word ENDS a chunk when hash(word) % CDC_MOD == 0 —
+#: expected chunk length = CDC_MOD words, boundaries move with content.
+CDC_MOD = 8
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = CDC_MOD,
+) -> DataFrame:
+    """Content-defined chunking at word granularity: chunk boundaries
+    fall where the word's content hash satisfies ``h % mod == 0``, so an
+    insertion or deletion only perturbs chunks up to the next boundary —
+    the property that makes CDC the storage/backup dedup standard
+    (fixed-size chunks shift EVERY downstream chunk; compare
+    :func:`text.chunk_documents`).
+
+    Returns (id, chunk_id, chunk_text, n_words).  Scale shape: one
+    posexplode, one per-doc bounded window (the running boundary count),
+    one (doc, chunk) groupBy whose rows are words — the text that
+    shuffles is word-level, already the explode's granularity."""
+    ws = words(F.col(text_col))
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.posexplode(ws).alias("pos", "w"))
+        .withColumn("_b", (word_hash31(F.col("w")) % mod == 0).cast("int"))
+    )
+    # chunk id = boundaries strictly BEFORE this word (the boundary word
+    # closes its own chunk): running sum of _b over preceding rows
+    win = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ex = ex.withColumn(
+        "chunk_id", F.coalesce(F.sum("_b").over(win), F.lit(0)).cast("long")
+    )
+    return (
+        ex.groupBy("_id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = CDC_MOD,
+) -> DataFrame:
+    """Per-document CDC dedup accounting: how many of the document's
+    content-defined chunks also occur elsewhere in the corpus (by exact
+    chunk-text hash), and the duplicated word mass.  Returns
+    (id, n_chunks, n_dup_chunks, dup_words, total_words).
+
+    Scale shape: chunk hashes are 16 bytes scan-side; the corpus-wide
+    occurrence count is one hash-keyed groupBy (counts, never posting
+    lists — a boilerplate chunk is one cell); the dup set is
+    count-filtered BEFORE the broadcast semi-join back."""
+    ch = cdc_chunks(df, id_col, text_col, mod).select(
+        id_col, F.md5(F.col("chunk_text")).alias("ch"), "n_words"
+    )
+    dup = (
+        ch.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("ch")
+    )
+    flagged = ch.join(F.broadcast(dup), "ch", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_chunks"),
+        F.sum("n_words").alias("dup_words"),
+    )
+    base = ch.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_words").alias("total_words"),
+    )
+    return base.join(flagged, id_col, "left").select(
+        id_col,
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+        F.col("total_words").cast("long").alias("total_words"),
+    )

@@ -1358,3 +1358,61 @@ _register(
     "filter_quality_ensemble",
     Query(spark=_ensemble_spark, sql=_ensemble_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Content-defined chunking dedup (the storage-dedup classic; boundaries
+# move with content, so edits only perturb one chunk)
+# --------------------------------------------------------------------- #
+
+
+def _cdc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(spark, sf_dir))
+
+
+def _cdc_sql() -> str:
+    from .functions.dedup import CDC_MOD
+
+    h31 = "CAST(('0x' || substr(md5(ws[i]), 1, 15)) AS BIGINT) % 2147483647"
+    return f"""
+WITH ex AS (
+  SELECT doc_id, i AS pos, ws[i] AS w,
+    CAST(({h31}) % {CDC_MOD} = 0 AS INT) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE text IS NOT NULL),
+    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) s
+),
+cid AS (
+  SELECT doc_id, pos, w,
+    CAST(COALESCE(sum(b) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS chunk_id
+  FROM ex
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+    md5(string_agg(w, ' ' ORDER BY pos)) AS chash,
+    count(*) AS n_words
+  FROM cid GROUP BY 1, 2
+),
+dup AS (SELECT chash FROM ch GROUP BY chash HAVING count(*) >= 2),
+flagged AS (
+  SELECT c.doc_id, count(*) AS n_dup_chunks, sum(c.n_words) AS dup_words
+  FROM ch c JOIN dup d USING (chash) GROUP BY 1
+),
+base AS (
+  SELECT doc_id, count(*) AS n_chunks, sum(n_words) AS total_words
+  FROM ch GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(b.n_chunks AS BIGINT) AS n_chunks,
+  CAST(COALESCE(f.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+  CAST(COALESCE(f.dup_words, 0) AS BIGINT) AS dup_words,
+  CAST(b.total_words AS BIGINT) AS total_words
+FROM base b LEFT JOIN flagged f USING (doc_id)"""
+
+
+_register("chunk_cdc_dedup", Query(spark=_cdc_spark, sql=_cdc_sql()))

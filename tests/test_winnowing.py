@@ -129,3 +129,42 @@ def test_minhash_incremental_contract(spark):
         for r in minhash_dedup_against_corpus(batch, None).collect()
     }
     assert got2[10] is True and got2[12] is False
+
+
+# --------------------------------------------------------------------- #
+# content-defined chunking
+# --------------------------------------------------------------------- #
+
+
+def test_cdc_shift_robustness(spark):
+    """The CDC property fixed-size chunking lacks: prepending one word
+    leaves every chunk after the first boundary identical."""
+    from indicators_spark.functions.dedup import cdc_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, ("prefixword " + base).strip())],
+        "doc_id long, text string",
+    )
+    chunks = {1: set(), 2: set()}
+    for r in cdc_chunks(df).collect():
+        chunks[r.doc_id].add(r.chunk_text)
+    shared = chunks[1] & chunks[2]
+    # everything beyond the perturbed head chunk re-aligns
+    assert len(shared) >= max(len(chunks[1]), len(chunks[2])) - 2, chunks
+
+
+def test_cdc_dedup_stats_contract(spark):
+    from indicators_spark.functions.dedup import cdc_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z q w")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cdc_dedup_stats(df).collect()}
+    # docs 1/2 identical → every chunk duplicated; doc 3 unique
+    assert got[1].n_dup_chunks == got[1].n_chunks
+    assert got[1].dup_words == got[1].total_words == 5
+    assert got[3].n_dup_chunks == 0 and got[3].dup_words == 0
+    # word mass is conserved into chunks
+    assert got[3].total_words == 5
