@@ -590,9 +590,12 @@ def ssl_prototypes(
     replays bit-for-bit (distances are fold-exact on both engines)."""
     from .. import approx
 
+    # the skinny (id, cluster, d) assignment feeds BOTH the cutoff agg
+    # and the output join — persist it so the Arrow assign pass (and the
+    # input scan under it) runs once, not once per branch
     assigned = kmeans_lloyd(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, emit="dist"
-    )
+    ).persist()
     pct = approx.percentile_auto(
         F.col("d"), prune_frac, n_rows if n_rows is not None else 0
     )
