@@ -462,3 +462,82 @@ def epoch_shuffle(
         out=out,
     )
     return ranked.drop("_eh", "_ehb")
+
+
+# --------------------------------------------------------------------- #
+# Token-budget water-filling (mixture weights → concrete sampling plan)
+# --------------------------------------------------------------------- #
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    budget: float,
+    key_col: str = "source",
+    supply_col: str = "supply",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Turn target mixture weights into an executable per-source token
+    plan: allocate ``alloc = min(c·w, supply)`` with the single scalar
+    ``c`` chosen so allocations sum to ``budget`` — the water-filling
+    solution every pretraining run needs once DoReMi/temperature weights
+    meet finite per-source corpora (a weight can demand more tokens than
+    a source has; its shortfall redistributes proportionally among the
+    uncapped sources rather than silently shrinking the run).
+
+    Input rows: one per source with its token ``supply`` and target
+    ``weight`` (weights need not be normalized — they are renormalized
+    here).  Returns (key, supply, weight, alloc, capped, sample_rate):
+    capped sources contribute everything they have; uncapped sources
+    contribute ``c·w`` and ``sample_rate = alloc/supply`` is the hash-
+    sample rate to run (:func:`hash_sample`).
+
+    Closed form, no iteration: sort sources by ``r = supply/w``
+    ascending; the capped set is the maximal prefix where each source's
+    ``r`` is at most the water level computed AFTER capping everything
+    before it (``c_j = (budget − ΣT_prefix) / (W − Σw_prefix)``), found
+    with one cumulative window over the K-source rows and one scalar
+    first-failure aggregate.  K rows total — the SinglePartition window
+    is over the per-source summary, never the corpus; at 100 TB this
+    runs on the output of one groupBy.
+
+    If ``budget ≥ total supply`` every source is capped (alloc =
+    supply) — the plan just says "take everything"."""
+    w_norm = F.col(weight_col) / F.sum(weight_col).over(Window.partitionBy())
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(supply_col).cast("double").alias("_t"),
+        w_norm.alias("_w"),
+    ).withColumn("_r", F.col("_t") / F.col("_w"))
+    ordw = Window.orderBy("_r", "_k")
+    cum = (
+        base.withColumn("_rn", F.row_number().over(ordw))
+        .withColumn(
+            "_cumt", F.coalesce(F.lag(F.sum("_t").over(ordw)).over(ordw), F.lit(0.0))
+        )
+        .withColumn(
+            "_cumw", F.coalesce(F.lag(F.sum("_w").over(ordw)).over(ordw), F.lit(0.0))
+        )
+    )
+    # water level if everything strictly before this row is capped
+    c_prev = (F.lit(float(budget)) - F.col("_cumt")) / (1.0 - F.col("_cumw"))
+    cum = cum.withColumn("_cprev", c_prev)
+    first = F.min(F.struct("_rn", "_cprev"))
+    fail = cum.filter(F.col("_r") > F.col("_cprev")).agg(
+        first["_rn"].alias("_ff"), first["_cprev"].alias("_c")
+    )
+    out = cum.crossJoin(F.broadcast(fail)).withColumn(
+        "capped",
+        F.col("_ff").isNull() | (F.col("_rn") < F.col("_ff")),
+    )
+    alloc = F.when(F.col("capped"), F.col("_t")).otherwise(
+        F.col("_c") * F.col("_w")
+    )
+    q4 = lambda c: F.floor(c * 1e4 + 0.500000001) / 1e4  # noqa: E731
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").cast("long").alias(supply_col),
+        q4(F.col("_w")).alias("weight"),
+        q4(alloc).alias("alloc"),
+        F.col("capped").cast("long").alias("capped"),
+        q4(alloc / F.col("_t")).alias("sample_rate"),
+    )

@@ -1416,3 +1416,70 @@ FROM base b LEFT JOIN flagged f USING (doc_id)"""
 
 
 _register("chunk_cdc_dedup", Query(spark=_cdc_spark, sql=_cdc_sql()))
+
+
+# --------------------------------------------------------------------- #
+# Token-budget water-filling: temperature mixture weights + finite
+# per-source supplies → the executable sampling plan (alloc, rate).
+# --------------------------------------------------------------------- #
+
+WF_BUDGET_FRAC = 0.5  # plan for half the corpus' tokens
+
+
+def _wf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import token_budget_waterfill
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sup = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("supply")
+    )
+    total = sup.agg(F.sum("supply").alias("t")).collect()[0]["t"]
+    w = sup.withColumn("w", F.sqrt(F.col("supply").cast("double")))
+    return token_budget_waterfill(
+        w, budget=WF_BUDGET_FRAC * total, key_col="source"
+    )
+
+
+def _wf_sql() -> str:
+    return f"""
+WITH sup AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS t
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+tot AS (SELECT sum(t) AS tt, sum(sqrt(t)) AS sw FROM sup),
+base AS (
+  SELECT source, t, sqrt(t) / tot.sw AS w,
+    t / (sqrt(t) / tot.sw) AS r
+  FROM sup, tot
+),
+bb AS (SELECT {WF_BUDGET_FRAC} * tt AS b FROM tot),
+cum AS (
+  SELECT *, row_number() OVER (ORDER BY r, source) AS rn,
+    COALESCE(sum(t) OVER (ORDER BY r, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumt,
+    COALESCE(sum(w) OVER (ORDER BY r, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw
+  FROM base
+),
+cp AS (SELECT cum.*, (bb.b - cumt) / (1.0 - cumw) AS cprev FROM cum, bb),
+fail AS (
+  SELECT rn AS ff, cprev AS c FROM cp WHERE r > cprev ORDER BY rn LIMIT 1
+),
+fin AS (
+  SELECT cp.*, f.ff, f.c,
+    (f.ff IS NULL OR cp.rn < f.ff) AS capped
+  FROM cp LEFT JOIN fail f ON true
+)
+SELECT source, CAST(t AS BIGINT) AS supply,
+  floor(w * 1e4 + 0.500000001) / 1e4 AS weight,
+  floor((CASE WHEN capped THEN t ELSE c * w END) * 1e4 + 0.500000001) / 1e4
+    AS alloc,
+  CAST(capped AS BIGINT) AS capped,
+  floor((CASE WHEN capped THEN t ELSE c * w END) / t * 1e4 + 0.500000001)
+    / 1e4 AS sample_rate
+FROM fin"""
+
+
+_register(
+    "mixture_token_budget", Query(spark=_wf_spark, sql=_wf_sql())
+)

@@ -61,3 +61,33 @@ def test_quality_ensemble_votes(spark):
     # the vote must actually discriminate: some kept, some dropped
     kept = sum(r.keep for r in rows)
     assert 0 < kept < len(rows)
+
+
+def test_waterfill_caps_and_conserves_budget(spark):
+    from indicators_spark.functions.sampling import token_budget_waterfill
+
+    rows = [("tiny", 10.0, 1.0), ("mid", 100.0, 1.0), ("big", 10000.0, 1.0)]
+    df = spark.createDataFrame(rows, "source string, supply double, w double")
+    out = {r.source: r for r in
+           token_budget_waterfill(df, budget=300.0).collect()}
+    # equal weights want 100 each; 'tiny' caps at 10, shortfall
+    # redistributes to the uncapped pair: (300-10)/2 = 145 each,
+    # 'mid' then caps at 100 → big gets 190
+    assert out["tiny"].capped == 1 and out["tiny"].alloc == 10.0
+    assert out["mid"].capped == 1 and out["mid"].alloc == 100.0
+    assert out["big"].capped == 0 and abs(out["big"].alloc - 190.0) < 0.01
+    assert abs(sum(r.alloc for r in out.values()) - 300.0) < 0.01
+    assert abs(out["big"].sample_rate - 0.019) < 0.001
+
+
+def test_waterfill_budget_exceeds_supply(spark):
+    from indicators_spark.functions.sampling import token_budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 50.0, 2.0), ("b", 70.0, 1.0)],
+        "source string, supply double, w double",
+    )
+    out = {r.source: r for r in
+           token_budget_waterfill(df, budget=1000.0).collect()}
+    assert all(r.capped == 1 and r.alloc == r.supply for r in out.values())
+    assert all(r.sample_rate == 1.0 for r in out.values())
