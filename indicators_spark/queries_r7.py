@@ -525,7 +525,10 @@ def _ccnet_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
-    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    # the per-source threshold branch and the output branch both read
+    # this join — persist so the LM scoring pipeline under it runs once
+    # (stage reuse within the one consuming action)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
     thr = j.groupBy("source").agg(
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T1))).alias("t1"),
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias("t2"),
@@ -737,7 +740,10 @@ def _doremi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
-    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    # the per-source threshold branch and the output branch both read
+    # this join — persist so the LM scoring pipeline under it runs once
+    # (stage reuse within the one consuming action)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
     per = j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         round4(F.avg("cross_entropy")).alias("avg_ce"),
@@ -1238,7 +1244,10 @@ def _ensemble_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("_qsc") >= F.col("_cut")).alias("v_quality")
     )
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
-    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    # the per-source threshold branch and the output branch both read
+    # this join — persist so the LM scoring pipeline under it runs once
+    # (stage reuse within the one consuming action)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
     thr = j.groupBy("source").agg(
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias(
             "_t2"

@@ -84,10 +84,12 @@ def test_ssl_ccnet_plans(spark):
     ccn = plan_string(QUERIES["filter_ccnet_buckets"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in ccn, ccn
     # no ntile/window anywhere; the only SinglePartition stages are the
-    # inherited lm_perplexity scalar vocab counts (1 row after partials,
-    # once per LM replay — the threshold branch recomputes the skinny LM)
+    # inherited lm_perplexity scalar vocab counts (1 row after partials).
+    # The LM join is persisted, so at RUNTIME that subtree executes once;
+    # the plan STRING still prints the cached subtree under each branch
+    # reference, hence <= 4 textual occurrences (2 per print).
     assert "Window" not in ccn, ccn
-    assert ccn.count("Exchange SinglePartition") <= 2, ccn
+    assert ccn.count("Exchange SinglePartition") <= 4, ccn
 
 
 def test_ivf_recall_audit_bounds(spark):
