@@ -1687,3 +1687,112 @@ def matryoshka_distortion(
         F.avg(F.abs(F.col("err"))).alias("mae"),
         F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of the top-``n_candidates`` per query,
+    each step maximizing ``λ·relevance − (1−λ)·max-sim-to-already-
+    selected`` — the standard diversified retrieval pass (RAG context
+    selection, dedup-aware search) that plain top-k cannot express.
+
+    Returns (qid, nid, mmr_rank, score) with score 4dp-quantized; step
+    1's score is the raw relevance (nothing selected yet).
+
+    Scale shape: candidate generation is whatever ANN/brute pass you
+    already run (here :func:`knn_bruteforce` — swap in ``knn_ivf`` at
+    scale); the greedy itself touches only the C candidates per query
+    (C² pairwise sims, k unrolled selection steps over those tiny
+    per-query sets — window argmax, no global sort).  Candidates and
+    sims persist across the k steps, so the candidate pass runs once.
+    Every arithmetic step is the fold-exact cosine chain, so the greedy
+    trajectory — not just its output — replays bit-identically on the
+    oracle."""
+    cand = knn_bruteforce(df, queries, k=n_candidates, id_col=id_col, vec_col=vec_col)
+    rel = cand.select("qid", "nid", F.col("cos").alias("rel")).persist()
+    vecs = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_nn"),
+    )
+    cv = rel.join(vecs, "nid")
+    a = cv.select(
+        "qid",
+        F.col("nid").alias("na"),
+        F.col("_v").alias("_va"),
+        F.col("_nn").alias("_nna"),
+    )
+    b = cv.select(
+        "qid",
+        F.col("nid").alias("nb"),
+        F.col("_v").alias("_vb"),
+        F.col("_nn").alias("_nnb"),
+    )
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            "qid",
+            "na",
+            "nb",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_nna") * F.col("_nnb"))
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
+    selected = (
+        rel.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") == 1)
+        .select(
+            "qid",
+            "nid",
+            F.lit(1).alias("mmr_rank"),
+            F.col("rel").alias("score"),
+        )
+    )
+    for t in range(2, k + 1):
+        picked = selected.select("qid", "nid")
+        rem = rel.join(picked, ["qid", "nid"], "left_anti")
+        ms = (
+            sims.join(
+                picked.withColumnRenamed("nid", "nb"), ["qid", "nb"], "left_semi"
+            )
+            .groupBy("qid", F.col("na").alias("nid"))
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = rem.join(ms, ["qid", "nid"]).select(
+            "qid",
+            "nid",
+            (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_ms")).alias(
+                "_sc"
+            ),
+        )
+        wt = Window.partitionBy("qid").orderBy(F.col("_sc").desc(), "nid")
+        pick = (
+            scored.withColumn("_r", F.row_number().over(wt))
+            .filter(F.col("_r") == 1)
+            .select(
+                "qid",
+                "nid",
+                F.lit(t).alias("mmr_rank"),
+                F.col("_sc").alias("score"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "qid",
+        "nid",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        _q4(F.col("score")).alias("score"),
+    )

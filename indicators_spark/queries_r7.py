@@ -1492,3 +1492,100 @@ FROM fin"""
 _register(
     "mixture_token_budget", Query(spark=_wf_spark, sql=_wf_sql())
 )
+
+
+# --------------------------------------------------------------------- #
+# MMR diversified top-k (Carbonell & Goldstein 1998)
+# --------------------------------------------------------------------- #
+
+MMR_K, MMR_C, MMR_LAM = 5, 10, 0.7
+
+
+def _mmr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import similarity
+    from .queries_ext import _emb
+
+    emb = _emb(spark, sf_dir)
+    return similarity.mmr_rerank(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=MMR_K,
+        n_candidates=MMR_C,
+        lam=MMR_LAM,
+    )
+
+
+def _mmr_sql() -> str:
+    from .queries_ext import _dot_sql, _norm_sql
+
+    lam, oml = repr(MMR_LAM), repr(1.0 - MMR_LAM)
+    steps, picks = [], ["s1"]
+    for t in range(2, MMR_K + 1):
+        prev = f"sel{t - 1}"
+        sc = f"{lam} * r.rel - {oml} * m.ms"
+        steps.append(
+            f""",
+rem{t} AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN {prev} s ON c.qid = s.qid AND c.nid = s.nid
+  WHERE s.nid IS NULL
+),
+ms{t} AS (
+  SELECT m.qid, m.na AS nid, max(m.sim) AS ms
+  FROM sims m JOIN {prev} s ON m.qid = s.qid AND m.nb = s.nid
+  GROUP BY 1, 2
+),
+p{t} AS (
+  SELECT qid, nid, {t} AS mmr_rank, sc AS score FROM (
+    SELECT r.qid, r.nid, {sc} AS sc,
+      row_number() OVER (
+        PARTITION BY r.qid ORDER BY ({sc}) DESC, r.nid) AS rn
+    FROM rem{t} r JOIN ms{t} m ON r.qid = m.qid AND r.nid = m.nid
+  ) WHERE rn = 1
+),
+sel{t} AS (SELECT qid, nid FROM {prev} UNION ALL SELECT qid, nid FROM p{t})"""
+        )
+        picks.append(f"p{t}")
+    allp = " UNION ALL ".join(f"SELECT * FROM {p}" for p in picks)
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, nn AS qn FROM n WHERE vec_id < 10
+),
+es AS (
+  SELECT q.qid, n.vec_id AS nid,
+    ({_dot_sql('q.qv', 'n.embedding')}) / (q.qn * n.nn) AS cos
+  FROM n CROSS JOIN q WHERE n.vec_id != q.qid
+),
+cand AS (
+  SELECT qid, nid, cos AS rel FROM (
+    SELECT qid, nid, cos,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+    FROM es
+  ) WHERE rank <= {MMR_C}
+),
+cv AS (
+  SELECT c.qid, c.nid, c.rel, n.embedding AS v, n.nn
+  FROM cand c JOIN n ON n.vec_id = c.nid
+),
+sims AS (
+  SELECT a.qid, a.nid AS na, b.nid AS nb,
+    ({_dot_sql('a.v', 'b.v')}) / (a.nn * b.nn) AS sim
+  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid != b.nid
+),
+s1 AS (
+  SELECT qid, nid, 1 AS mmr_rank, rel AS score FROM (
+    SELECT qid, nid, rel,
+      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT qid, nid FROM s1){"".join(steps)}
+SELECT qid, nid, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+  floor(score * 1e4 + 0.500000001) / 1e4 AS score
+FROM ({allp})"""
+
+
+_register("similarity_mmr_topk", Query(spark=_mmr_spark, sql=_mmr_sql()))

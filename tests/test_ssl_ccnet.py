@@ -101,3 +101,53 @@ def test_ivf_recall_audit_bounds(spark):
     # nprobe=4/16 on smooth synthetic embeddings should find most
     # true neighbors — the audit would catch a broken assignment
     assert sum(r.n_hit for r in rows) >= 30
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR's defining property: a redundant near-duplicate of the top
+    hit is displaced by a more diverse candidate."""
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),      # best hit
+        (2, [0.985, 0.17, 0.0]),     # near-clone of 1 (redundant)
+        (3, [0.8, 0.0, 0.6]),        # diverse, decent relevance
+        (4, [0.75, 0.66, 0.0]),      # diverse other direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.mmr_rerank(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        k=3,
+        n_candidates=4,
+        lam=0.5,
+    ).collect()
+    order = [r.nid for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert order[0] == 1            # rank 1 = plain relevance
+    assert order[1] != 2            # the clone is NOT picked second
+    assert 2 not in order[:2]
+    # ranks are 1..k once per query
+    assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
+
+
+def test_mmr_rank1_equals_bruteforce_top1(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions import similarity
+    from indicators_spark.queries_ext import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    q = emb.filter(F.col("vec_id") < 10)
+    top1 = {
+        r.qid: r.nid
+        for r in similarity.knn_bruteforce(emb, q, k=1).collect()
+    }
+    mmr1 = {
+        r.qid: r.nid
+        for r in similarity.mmr_rerank(emb, q, k=3).collect()
+        if r.mmr_rank == 1
+    }
+    assert mmr1 == top1
