@@ -1529,3 +1529,51 @@ def cdc_dedup_stats(
         F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
         F.col("total_words").cast("long").alias("total_words"),
     )
+
+
+def lsh_dedup_keep_best(
+    df: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection for near-dup clusters: instead
+    of :func:`lsh_dedup_clusters`' min-id rule, keep each connected
+    component's HIGHEST-``quality`` member (ties → lowest id) — the
+    production refinement (e.g. keep the most-starred file, the
+    longest extraction, the highest classifier score) that min-id
+    cannot express.  ``quality`` is any (id, quality) table.
+
+    Returns (id, component, cluster_size, quality, is_canonical).
+    Scale shape adds exactly one component-keyed argmax (a max_by
+    aggregate with map-side partials) to the cluster pipeline — no
+    window, no per-cluster sort."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col)
+    comp = connected_components(pairs)
+    full = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("v", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("component")
+        )
+        .join(quality.select(id_col, quality_col), id_col, "left")
+    )
+    # argmax via an orderable struct: max quality, ties to LOWEST id
+    # (negate the id inside the max, recover after).  NULL quality
+    # (e.g. unscoreable NULL-text doc) sorts below every real score via
+    # an explicit floor — engine-portable, unlike native NULL ordering.
+    q = F.coalesce(F.col(quality_col).cast("double"), F.lit(-1e9))
+    best = full.groupBy("component").agg(
+        F.max(F.struct(q.alias("q"), (-F.col(id_col)).alias("ni")))[
+            "ni"
+        ].alias("_nbest"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return full.join(best, "component").select(
+        id_col,
+        "component",
+        "cluster_size",
+        quality_col,
+        (F.col(id_col) == -F.col("_nbest")).alias("is_canonical"),
+    )

@@ -1589,3 +1589,175 @@ FROM ({allp})"""
 
 
 _register("similarity_mmr_topk", Query(spark=_mmr_spark, sql=_mmr_sql()))
+
+
+# --------------------------------------------------------------------- #
+# Quality curriculum order: tertile tiers by heuristic quality, a
+# deterministic hash order within tiers — consumers sort by
+# (tier, order_key) for easy→hard (here best→worst) scheduling without
+# any global rank materialization.
+# --------------------------------------------------------------------- #
+
+CUR_SEED = "cur"
+
+
+def _curriculum_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import hash_unit
+    from .functions.text import with_quality_score
+    from .queries import round4
+
+    docs = _docs(spark, sf_dir)
+    qs = with_quality_score(docs).select(
+        "doc_id", round4(F.col("quality_score")).alias("qsc")
+    )
+    thr = qs.agg(
+        round4(F.percentile(F.col("qsc"), F.lit(CCNET_T1))).alias("t1"),
+        round4(F.percentile(F.col("qsc"), F.lit(CCNET_T2))).alias("t2"),
+    )
+    tier = (
+        F.when(F.col("qsc") > F.col("t2"), F.lit(1))
+        .when(F.col("qsc") > F.col("t1"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return qs.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "qsc",
+        tier.cast("long").alias("tier"),
+        hash_unit(F.col("doc_id"), CUR_SEED).alias("order_key"),
+    )
+
+
+def _curriculum_sql() -> str:
+    from .functions.sampling import unit_sql
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, text, ws,
+    CAST(len(ws) AS DOUBLE) AS n,
+    len(list_distinct(ws)) AS dt,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+  FROM t
+),
+scored AS (
+  SELECT doc_id,
+    {q4("least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
+        " + (1 - punct / length(text)) * 0.2"
+        " + least(stop / n * 4, 1.0) * 0.2")} AS qsc
+  FROM m
+),
+thr AS (
+  SELECT {q4(f'quantile_cont(qsc, {CCNET_T1!r})')} AS t1,
+    {q4(f'quantile_cont(qsc, {CCNET_T2!r})')} AS t2
+  FROM scored
+)
+SELECT s.doc_id, s.qsc,
+  CAST(CASE WHEN s.qsc > t.t2 THEN 1
+            WHEN s.qsc > t.t1 THEN 2 ELSE 3 END AS BIGINT) AS tier,
+  {unit_sql('s.doc_id', CUR_SEED)} AS order_key
+FROM scored s, thr t"""
+
+
+_register(
+    "sample_quality_curriculum",
+    Query(spark=_curriculum_spark, sql=_curriculum_sql()),
+)
+
+
+# --------------------------------------------------------------------- #
+# Quality-aware near-dup canonical: keep each cluster's best-quality
+# member instead of the min id (the production refinement).
+# --------------------------------------------------------------------- #
+
+
+def _keep_best_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import lsh_dedup_keep_best
+    from .functions.text import with_quality_score
+    from .queries import round4
+
+    docs = _docs(spark, sf_dir)
+    q = with_quality_score(docs).select(
+        "doc_id", round4(F.col("quality_score")).alias("quality")
+    )
+    out = lsh_dedup_keep_best(docs, q, quality_col="quality")
+    return out.select(
+        "doc_id",
+        "component",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "quality",
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )
+
+
+def _keep_best_sql() -> str:
+    from .queries_ext import _minhash_ctes
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT ia, ib FROM cand GROUP BY ia, ib),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION ALL
+  SELECT ib AS a, ia AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS DOUBLE) AS n,
+    len(list_distinct(ws)) AS dt,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop,
+    text
+  FROM w
+),
+qsc AS (
+  SELECT doc_id,
+    {q4("least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
+        " + (1 - punct / length(text)) * 0.2"
+        " + least(stop / n * 4, 1.0) * 0.2")} AS quality
+  FROM m
+),
+fullq AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, q.quality
+  FROM documents d
+  LEFT JOIN comp c ON c.id = d.doc_id
+  LEFT JOIN qsc q USING (doc_id)
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM fullq GROUP BY component
+),
+rk AS (
+  SELECT doc_id,
+    row_number() OVER (
+      PARTITION BY component
+      ORDER BY COALESCE(quality, -1e9) DESC, doc_id) AS rn
+  FROM fullq
+)
+SELECT f.doc_id, f.component,
+  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  f.quality,
+  CAST(r.rn = 1 AS BIGINT) AS is_canonical
+FROM fullq f
+JOIN sizes s USING (component)
+JOIN rk r USING (doc_id)"""
+
+
+_register(
+    "dedup_cc_keep_best",
+    Query(spark=_keep_best_spark, sql=_keep_best_sql()),
+)

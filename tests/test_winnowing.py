@@ -168,3 +168,48 @@ def test_cdc_dedup_stats_contract(spark):
     assert got[3].n_dup_chunks == 0 and got[3].dup_words == 0
     # word mass is conserved into chunks
     assert got[3].total_words == 5
+
+
+def test_lsh_keep_best_prefers_quality_over_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions.dedup import lsh_dedup_keep_best
+
+    # docs 1 and 2 are near-identical; doc 2 has higher quality, so it
+    # (not the min id) is canonical.  doc 3 is a singleton.
+    t = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t + " m"), (3, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.5)], "doc_id long, quality double"
+    )
+    got = {r.doc_id: r for r in lsh_dedup_keep_best(docs, q).collect()}
+    assert got[1].component == got[2].component
+    assert got[2].is_canonical is True and got[1].is_canonical is False
+    assert got[3].is_canonical is True and got[3].cluster_size == 1
+    # quality tie → lowest id wins
+    q2 = spark.createDataFrame(
+        [(1, 0.7), (2, 0.7), (3, 0.5)], "doc_id long, quality double"
+    )
+    got2 = {r.doc_id: r for r in lsh_dedup_keep_best(docs, q2).collect()}
+    assert got2[1].is_canonical is True and got2[2].is_canonical is False
+
+
+def test_curriculum_tiers(spark):
+    from indicators_spark.queries import QUERIES
+
+    rows = QUERIES["sample_quality_curriculum"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    tiers = {}
+    for r in rows:
+        tiers.setdefault(r.tier, []).append(r)
+        assert 0.0 < r.order_key < 1.0
+    assert set(tiers) == {1, 2, 3}
+    # tier 1 holds the highest scores
+    assert min(r.qsc for r in tiers[1]) >= max(
+        r.qsc for r in tiers[2] if r.qsc is not None
+    )
