@@ -535,7 +535,7 @@ def token_budget_waterfill(
     q4 = lambda c: F.floor(c * 1e4 + 0.500000001) / 1e4  # noqa: E731
     return out.select(
         F.col("_k").alias(key_col),
-        F.col("_t").cast("long").alias(supply_col),
+        q4(F.col("_t")).alias(supply_col),
         q4(F.col("_w")).alias("weight"),
         q4(alloc).alias("alloc"),
         F.col("capped").cast("long").alias("capped"),

@@ -1479,7 +1479,7 @@ fin AS (
     (f.ff IS NULL OR cp.rn < f.ff) AS capped
   FROM cp LEFT JOIN fail f ON true
 )
-SELECT source, CAST(t AS BIGINT) AS supply,
+SELECT source, floor(t * 1e4 + 0.500000001) / 1e4 AS supply,
   floor(w * 1e4 + 0.500000001) / 1e4 AS weight,
   floor((CASE WHEN capped THEN t ELSE c * w END) * 1e4 + 0.500000001) / 1e4
     AS alloc,
