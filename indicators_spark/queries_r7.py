@@ -1761,3 +1761,69 @@ _register(
     "dedup_cc_keep_best",
     Query(spark=_keep_best_spark, sql=_keep_best_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Leakage-safe split: near-dup CLUSTERS are the split unit, so a
+# train/test boundary can never separate two near-duplicates (the
+# failure mode plain per-doc hash splits cannot prevent).
+# --------------------------------------------------------------------- #
+
+LS_SEED, LS_VAL, LS_TEST = "lsafe", 0.1, 0.1
+
+
+def _leakage_safe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import lsh_dedup_clusters
+    from .functions.sampling import HASH_DEN, hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    cl = lsh_dedup_clusters(docs).select("doc_id", "component")
+    b = hash_bucket(F.col("component"), LS_SEED)
+    val_cut = round(LS_VAL * HASH_DEN)
+    test_cut = val_cut + round(LS_TEST * HASH_DEN)
+    return cl.select(
+        "doc_id",
+        "component",
+        F.when(b < val_cut, F.lit("val"))
+        .when(b < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def _leakage_safe_sql() -> str:
+    from .functions.sampling import HASH_DEN, bucket_sql
+    from .queries_ext import _minhash_ctes
+
+    b = bucket_sql("component", LS_SEED)
+    val_cut = round(LS_VAL * HASH_DEN)
+    test_cut = val_cut + round(LS_TEST * HASH_DEN)
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT ia, ib FROM cand GROUP BY ia, ib),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION ALL
+  SELECT ib AS a, ia AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, component,
+  CASE WHEN {b} < {val_cut} THEN 'val'
+       WHEN {b} < {test_cut} THEN 'test'
+       ELSE 'train' END AS split
+FROM alldocs"""
+
+
+_register(
+    "split_leakage_safe",
+    Query(spark=_leakage_safe_spark, sql=_leakage_safe_sql()),
+)

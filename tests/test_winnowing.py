@@ -213,3 +213,20 @@ def test_curriculum_tiers(spark):
     assert min(r.qsc for r in tiers[1]) >= max(
         r.qsc for r in tiers[2] if r.qsc is not None
     )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from indicators_spark.queries import QUERIES
+
+    rows = QUERIES["split_leakage_safe"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    # the invariant the per-doc hash split cannot give: one split per
+    # near-dup cluster
+    assert all(len(s) == 1 for s in by_comp.values())
+    splits = {r.split for r in rows}
+    assert "train" in splits and len(splits) >= 2
