@@ -1314,9 +1314,15 @@ def winnow_pairs(
     posting-list guard as :func:`ngram_jaccard_pairs` — a boilerplate
     fingerprint in f·N docs contributes ~(f·N)²/2 pairs and carries no
     signal).  Returns (ia, ib, n_shared), ia < ib."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        F.col(id_col).alias("_fid"), "gh"
-    ).distinct()
+    # the fingerprint set feeds the df-frequency branch AND both sides
+    # of the self-join — persist it (16-byte hashes + id) so the window
+    # pipeline under it runs once, not once per branch
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select(F.col(id_col).alias("_fid"), "gh")
+        .distinct()
+        .persist()
+    )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     dfreq = fps.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     ubiquitous = (
