@@ -151,3 +151,25 @@ def test_mmr_rank1_equals_bruteforce_top1(spark):
         if r.mmr_rank == 1
     }
     assert mmr1 == top1
+
+
+def test_mmr_lambda_one_equals_plain_topk(spark):
+    # λ=1 removes the diversity term: MMR order must equal relevance order
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions import similarity
+    from indicators_spark.queries_ext import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    q = emb.filter(F.col("vec_id") < 5)
+    plain = {
+        (r.qid, r.rank): r.nid
+        for r in similarity.knn_bruteforce(emb, q, k=4).collect()
+    }
+    mmr = {
+        (r.qid, r.mmr_rank): r.nid
+        for r in similarity.mmr_rerank(
+            emb, q, k=4, n_candidates=8, lam=1.0
+        ).collect()
+    }
+    assert mmr == plain
