@@ -660,3 +660,41 @@ def test_line_dedup_ingest_sink_matches_batch_operator(spark, tmp_path):
         for r in line_dedup_incremental(e1, batch_line_counts(e0)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_quality_filters_stream_matches_batch(spark, tmp_path):
+    """The r7 quality filters (Gopher rules, C4 cleaning) are row-local
+    projections, so the SAME operator code runs unchanged on a stream —
+    stream output must equal the batch twin row-for-row."""
+    from indicators_spark.functions.text import c4_rules, gopher_rules
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        c4_rules(gopher_rules(stream).select("doc_id", "text", F.col("keep").alias("gopher_keep")))
+        .select("doc_id", "gopher_keep", "n_kept", "keep")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in c4_rules(
+            gopher_rules(docs).select(
+                "doc_id", "text", F.col("keep").alias("gopher_keep")
+            )
+        )
+        .select("doc_id", "gopher_keep", "n_kept", "keep")
+        .collect()
+    }
+    assert got == want and len(got) > 0
