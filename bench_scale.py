@@ -636,6 +636,21 @@ def main() -> None:
     }
     lined.unpersist()
 
+    # ---- winnowing fingerprints + pair join (round 7b) -------------------
+    # Fingerprinting is one bounded-frame window per doc; the pair join is
+    # the posting-list shape with the max_df_frac boilerplate guard.
+    from indicators_spark.functions.dedup import winnow_pairs
+
+    t0 = time.time()
+    winnow_pairs(docs, min_shared=2).agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["winnow_pairs"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     # ---- hashed-feature logistic classifier (round 7b) ------------------
     # 3 full-batch GD steps: per step one doc-keyed margin agg + one
     # 257-row gradient collect.  Cost is ~7 passes over the persisted
