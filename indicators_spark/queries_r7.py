@@ -1827,3 +1827,98 @@ _register(
     "split_leakage_safe",
     Query(spark=_leakage_safe_spark, sql=_leakage_safe_sql()),
 )
+
+
+# --------------------------------------------------------------------- #
+# Market-basket part pairs (a-priori 2-itemset pass over orders):
+# support + lift for parts bought together — the classic co-occurrence
+# mining shape on the relational side.
+# --------------------------------------------------------------------- #
+
+BK_MIN_SUPP, BK_TOPK = 3, 30
+
+
+def _basket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one distinct (order, part) projection; the pair
+    self-join is keyed on the ORDER (baskets are small — ≤7 lineitems in
+    TPC-H — so per-basket pair fan-out is bounded, the opposite regime
+    from the token posting lists); item supports broadcast onto the
+    min-support-pruned pair table; top-k by TakeOrdered."""
+    from pyspark.sql import Window
+
+    from .queries import round4
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = li.select(F.count_distinct("ok").alias("n"))
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= BK_MIN_SUPP)
+    )
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("isupp"))
+    lift = (
+        F.col("supp").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("sa").cast("double") * F.col("sb").cast("double"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item.select(F.col("pk").alias("pa"), F.col("isupp").alias("sa"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(item.select(F.col("pk").alias("pb"), F.col("isupp").alias("sb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("supp").cast("long").alias("supp"),
+            round4(lift).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("supp").desc(), F.col("pa"), F.col("pb")
+    ).limit(BK_TOPK)
+    win = Window.orderBy(F.col("supp").desc(), F.col("pa"), F.col("pb"))
+    return top.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).select("rank", "pa", "pb", "supp", "lift")
+
+
+_BASKET_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+nn AS (SELECT count(DISTINCT ok) AS n FROM li),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {BK_MIN_SUPP}
+),
+item AS (SELECT pk, count(*) AS isupp FROM li GROUP BY pk),
+scored AS (
+  SELECT p.pa, p.pb, CAST(p.supp AS BIGINT) AS supp,
+    floor(CAST(p.supp AS DOUBLE) * CAST(nn.n AS DOUBLE)
+          / (CAST(ia.isupp AS DOUBLE) * CAST(ib.isupp AS DOUBLE))
+          * 1e4 + 0.500000001) / 1e4 AS lift
+  FROM pairs p
+  JOIN item ia ON ia.pk = p.pa
+  JOIN item ib ON ib.pk = p.pb, nn
+)
+SELECT CAST(row_number() OVER (ORDER BY supp DESC, pa, pb) AS BIGINT)
+    AS rank,
+  pa, pb, supp, lift
+FROM scored ORDER BY supp DESC, pa, pb LIMIT {BK_TOPK}"""
+
+
+_register(
+    "basket_part_pairs",
+    Query(spark=_basket_spark, sql=_BASKET_SQL),
+)
