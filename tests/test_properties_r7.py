@@ -107,3 +107,79 @@ def test_cms_never_undercounts_random_streams(spark, words):
     for r in out:
         assert r.true_cnt == true[r.token]
         assert r.est >= r.true_cnt
+
+
+VEC = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=64),
+    min_size=3,
+    max_size=3,
+)
+
+
+@given(vecs=st.lists(VEC, min_size=4, max_size=9), lam=st.sampled_from([0.3, 0.7]))
+@_settings
+def test_mmr_matches_python_greedy(spark, vecs, lam):
+    """The whole greedy trajectory matches a literal Python MMR with the
+    same left-to-right IEEE arithmetic and the same (score desc, id)
+    tie-break."""
+    import math
+
+    from hypothesis import assume
+
+    from indicators_spark.functions.similarity import mmr_rerank
+
+    # non-degenerate norms so cosine is defined
+    assume(all(any(abs(x) > 1e-6 for x in v) for v in vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k, c = 3, 6
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def cos(a, b):
+        return dot(a, b) / (norm(a) * norm(b))
+
+    q = vecs[0]
+    rel = sorted(
+        ((cos(q, v), i) for i, v in enumerate(vecs) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:c]
+    relmap = dict((i, r) for r, i in rel)
+    sel = [min(relmap, key=lambda i: (-relmap[i], i))]
+    want = {(0, 1): sel[0]}
+    for t in range(2, k + 1):
+        best = None
+        for i in relmap:
+            if i in sel:
+                continue
+            ms = max(cos(vecs[i], vecs[j]) for j in sel)
+            sc = lam * relmap[i] - (1.0 - lam) * ms
+            key = (-sc, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+        want[(0, t)] = best[1]
+
+    got = {
+        (r.qid, r.mmr_rank): r.nid
+        for r in mmr_rerank(
+            df,
+            df.filter("vec_id = 0"),
+            k=k,
+            n_candidates=c,
+            lam=lam,
+        ).collect()
+    }
+    assert got == want, (got, want)
