@@ -183,3 +183,46 @@ def test_mmr_matches_python_greedy(spark, vecs, lam):
         ).collect()
     }
     assert got == want, (got, want)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from([f"t{i}" for i in range(12)]),
+             min_size=1, max_size=25).map(" ".join),
+    min_size=1, max_size=6,
+))
+@_settings
+def test_cdc_matches_python_model(spark, docs):
+    """Chunk boundaries and per-doc dedup accounting match a literal
+    Python model of the hash-boundary rule."""
+    import hashlib
+    from collections import Counter
+
+    from indicators_spark.functions.dedup import CDC_MOD, cdc_dedup_stats
+
+    def h31(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 2147483647
+
+    def chunks(words: list[str]) -> list[str]:
+        out, cur = [], []
+        for w in words:
+            cur.append(w)
+            if h31(w) % CDC_MOD == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    per_doc = [chunks(d.split(" ")) for d in docs]
+    counts = Counter(c for cs in per_doc for c in cs)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cdc_dedup_stats(df).collect()}
+    for i, cs in enumerate(per_doc):
+        dup = [c for c in cs if counts[c] >= 2]
+        r = got[i]
+        assert r.n_chunks == len(cs), (i, cs)
+        assert r.n_dup_chunks == len(dup)
+        assert r.dup_words == sum(len(c.split(" ")) for c in dup)
+        assert r.total_words == len(docs[i].split(" "))
