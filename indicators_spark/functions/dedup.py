@@ -1292,7 +1292,7 @@ def winnow_fingerprints(
         (WINNOW_POS_SPACE - F.col("_m") % WINNOW_POS_SPACE)
         .cast("long")
         .alias("pos"),
-        (F.col("_m") / WINNOW_POS_SPACE).cast("long").alias("gh"),
+        F.floor(F.col("_m") / WINNOW_POS_SPACE).cast("long").alias("gh"),
     )
 
 

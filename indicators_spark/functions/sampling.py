@@ -501,12 +501,21 @@ def token_budget_waterfill(
     runs on the output of one groupBy.
 
     If ``budget ≥ total supply`` every source is capped (alloc =
-    supply) — the plan just says "take everything"."""
-    w_norm = F.col(weight_col) / F.sum(weight_col).over(Window.partitionBy())
-    base = df.select(
+    supply) — the plan just says "take everything".  Sources with
+    weight ≤ 0 are allocated 0 (capped=0, rate=0) and excluded from the
+    water-fill math entirely — supply/weight would divide by zero under
+    ANSI, and a NULL ratio would sort them FIRST in Spark but LAST in
+    DuckDB, silently handing a zero-weight source its full supply."""
+    keyed = df.select(
         F.col(key_col).alias("_k"),
         F.col(supply_col).cast("double").alias("_t"),
-        w_norm.alias("_w"),
+        F.col(weight_col).cast("double").alias("_rw"),
+    )
+    zero = keyed.filter(F.col("_rw") <= 0.0)
+    pos = keyed.filter(F.col("_rw") > 0.0)
+    w_norm = F.col("_rw") / F.sum("_rw").over(Window.partitionBy())
+    base = pos.select(
+        "_k", "_t", w_norm.alias("_w")
     ).withColumn("_r", F.col("_t") / F.col("_w"))
     ordw = Window.orderBy("_r", "_k")
     cum = (
@@ -533,7 +542,7 @@ def token_budget_waterfill(
         F.col("_c") * F.col("_w")
     )
     q4 = lambda c: F.floor(c * 1e4 + 0.500000001) / 1e4  # noqa: E731
-    return out.select(
+    filled = out.select(
         F.col("_k").alias(key_col),
         q4(F.col("_t")).alias(supply_col),
         q4(F.col("_w")).alias("weight"),
@@ -541,3 +550,12 @@ def token_budget_waterfill(
         F.col("capped").cast("long").alias("capped"),
         q4(alloc / F.col("_t")).alias("sample_rate"),
     )
+    zeroed = zero.select(
+        F.col("_k").alias(key_col),
+        q4(F.col("_t")).alias(supply_col),
+        F.lit(0.0).alias("weight"),
+        F.lit(0.0).alias("alloc"),
+        F.lit(0).cast("long").alias("capped"),
+        F.lit(0.0).alias("sample_rate"),
+    )
+    return filled.unionByName(zeroed)

@@ -750,6 +750,9 @@ def _doremi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = j.agg(round4(F.avg("cross_entropy")).alias("g")).collect()[0]["g"]
     rows = sorted(per.collect(), key=lambda r: r.source)
+    # both consumers of j collected above; the returned frame is built
+    # from driver rows — release the cache (kmeans_lloyd precedent)
+    j.unpersist(blocking=False)
     srcs = [r.source for r in rows]
     k = len(srcs)
     ex = {r.source: max(0.0, r.avg_ce - g) for r in rows}
@@ -996,7 +999,10 @@ keyed AS (
   FROM g
 ),
 sel AS (
-  SELECT DISTINCT doc_id, CAST(m / {ps} AS BIGINT) AS gh
+  -- integer division: CAST(m / ps AS BIGINT) ROUNDS in DuckDB while
+  -- Spark's .cast('long') truncates — any position <= 2^19 would decode
+  -- to gh+1 and silently break cross-doc fingerprint matches
+  SELECT DISTINCT doc_id, m // {ps} AS gh
   FROM keyed
   WHERE pos <= gcnt - {WIN_W - 1} OR (gcnt < {WIN_W} AND pos = 1)
 ),

@@ -91,3 +91,25 @@ def test_waterfill_budget_exceeds_supply(spark):
            token_budget_waterfill(df, budget=1000.0).collect()}
     assert all(r.capped == 1 and r.alloc == r.supply for r in out.values())
     assert all(r.sample_rate == 1.0 for r in out.values())
+
+
+def test_waterfill_zero_weight_gets_nothing(spark):
+    from indicators_spark.functions.sampling import token_budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 100.0, 0.0), ("b", 100.0, 1.0), ("c", 50.0, 1.0)],
+        "source string, supply double, w double",
+    )
+    out = {r.source: r for r in
+           token_budget_waterfill(df, budget=120.0).collect()}
+    # zero weight: no allocation, no crash (ANSI ÷0), no full-supply grab
+    assert out["a"].alloc == 0.0 and out["a"].sample_rate == 0.0
+    assert out["a"].capped == 0
+    # budget distributes among the positive-weight sources only
+    assert abs(out["b"].alloc + out["c"].alloc - 120.0) < 0.01
+    # all-zero weights: plan allocates nothing, never divides
+    allz = spark.createDataFrame(
+        [("x", 10.0, 0.0)], "source string, supply double, w double"
+    )
+    got = token_budget_waterfill(allz, budget=5.0).collect()
+    assert len(got) == 1 and got[0].alloc == 0.0
