@@ -66,6 +66,24 @@ def word_ngrams(ws: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_bigram_structs(ws: Column) -> Column:
+    """Adjacent word bigrams of a MATERIALIZED token-array column as
+    (w1, w2) structs; empty for <2-word docs (the ``sequence(1, 0)``
+    descends-and-overindexes guard lives here once).  Pass a column the
+    array was already projected onto — Spark does no CSE inside lambdas,
+    so an inline ``split()`` would re-tokenize per element."""
+    return F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
     """Token hits (with multiplicity) against a small vocabulary."""
 
@@ -931,21 +949,10 @@ def pmi_bigrams(
     tables are vocab-sized — at 100 TB bucket the join if the vocab
     outgrows broadcast; every other stage is count-shaped."""
     ws = words(F.col(text_col))
-    wsc = F.col("_ws")
-    bg = F.when(
-        F.size(wsc) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(wsc) - 1),
-            lambda i: F.struct(
-                F.element_at(wsc, i).alias("w1"),
-                F.element_at(wsc, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = (
         df.filter(F.col(text_col).isNotNull())
         .select(ws.alias("_ws"))
-        .select(F.explode(bg).alias("bg"))
+        .select(F.explode(word_bigram_structs(F.col("_ws"))).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     c12 = (

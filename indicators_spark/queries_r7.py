@@ -380,6 +380,28 @@ def _c4_line_ok() -> str:
     )
 
 
+def _qscore_m_fields() -> str:
+    """Quality-score intermediate fields over (doc_id, text, ws) — one
+    definition for every r7 oracle that embeds the heuristic score; keep
+    in sync with text.with_quality_score (the Spark side) and
+    queries_corpus._QSCORE_SQL (the pre-existing standalone oracles)."""
+    return (
+        "CAST(len(ws) AS DOUBLE) AS n,\n"
+        "    len(list_distinct(ws)) AS dt,\n"
+        "    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,\n"
+        "    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop"
+    )
+
+
+def _qscore_expr() -> str:
+    """The 4dp-quantized heuristic quality score over the m fields."""
+    return (
+        "floor((least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
+        " + (1 - punct / length(text)) * 0.2"
+        " + least(stop / n * 4, 1.0) * 0.2) * 1e4 + 0.500000001) / 1e4"
+    )
+
+
 def _c4_flag_exprs() -> dict[str, str]:
     """DuckDB page-rule flags over columns ``clean_text`` / ``text``."""
     from .functions import text as T
@@ -1295,11 +1317,6 @@ def _ensemble_sql() -> str:
 
     gflags = _gopher_flag_exprs()
     gkeep = " AND ".join(f"COALESCE({e}, false)" for e in gflags.values())
-    qscore = q4(
-        "least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
-        " + (1 - punct / length(text)) * 0.2"
-        " + least(stop / n * 4, 1.0) * 0.2"
-    )
     votes = ["v_gopher", "v_quality", "v_ppl", "v_rep"]
     vcols = ", ".join(
         f"CAST(COALESCE({v}, false) AS BIGINT) AS {v}" for v in votes
@@ -1315,13 +1332,10 @@ WITH w AS (
 gv AS (SELECT doc_id, ({gkeep}) AS v_gopher FROM w),
 m AS (
   SELECT doc_id, text, ws,
-    CAST(len(ws) AS DOUBLE) AS n,
-    len(list_distinct(ws)) AS dt,
-    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
-    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+    {_qscore_m_fields()}
   FROM w
 ),
-scoredq AS (SELECT doc_id, {qscore} AS qsc FROM m),
+scoredq AS (SELECT doc_id, {_qscore_expr()} AS qsc FROM m),
 cutq AS (SELECT {q4(f'quantile_cont(qsc, {ENS_Q})')} AS c FROM scoredq),
 qv AS (SELECT doc_id, qsc >= cutq.c AS v_quality FROM scoredq, cutq),
 lmscored AS ({_LM_SQL}),
@@ -1645,18 +1659,11 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id, text, ws,
-    CAST(len(ws) AS DOUBLE) AS n,
-    len(list_distinct(ws)) AS dt,
-    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
-    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop
+    {_qscore_m_fields()}
   FROM t
 ),
 scored AS (
-  SELECT doc_id,
-    {q4("least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
-        " + (1 - punct / length(text)) * 0.2"
-        " + least(stop / n * 4, 1.0) * 0.2")} AS qsc
-  FROM m
+  SELECT doc_id, {_qscore_expr()} AS qsc FROM m
 ),
 thr AS (
   SELECT {q4(f'quantile_cont(qsc, {CCNET_T1!r})')} AS t1,
@@ -1723,20 +1730,12 @@ reach AS (
 comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
 w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
 m AS (
-  SELECT doc_id,
-    CAST(len(ws) AS DOUBLE) AS n,
-    len(list_distinct(ws)) AS dt,
-    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
-    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop,
-    text
+  SELECT doc_id, text, ws,
+    {_qscore_m_fields()}
   FROM w
 ),
 qsc AS (
-  SELECT doc_id,
-    {q4("least(n / 50, 1.0) * 0.3 + (dt / n) * 0.3"
-        " + (1 - punct / length(text)) * 0.2"
-        " + least(stop / n * 4, 1.0) * 0.2")} AS quality
-  FROM m
+  SELECT doc_id, {_qscore_expr()} AS quality FROM m
 ),
 fullq AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, q.quality
