@@ -1927,3 +1927,100 @@ _register(
     "basket_part_pairs",
     Query(spark=_basket_spark, sql=_BASKET_SQL),
 )
+
+
+# --------------------------------------------------------------------- #
+# Mixture plan EXECUTION: the water-fill rates actually run as a
+# per-source hash sample, with achieved-vs-planned accounting — closing
+# the loop from "weights" to "rows on disk".
+# --------------------------------------------------------------------- #
+
+
+def _plan_execute_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The waterfill output is K rows — collected to the driver (same
+    budget as k-means centroids) and turned into per-source hash-sample
+    thresholds; the corpus-side filter is then row-local (pushes into
+    the scan), and the audit agg is one groupBy.  Rates quantize to the
+    10⁴ hash-bucket grid, so planned and achievable rates agree exactly
+    and the hash filter is engine-portable."""
+    from .functions.sampling import HASH_DEN, hash_bucket
+    from .queries import round4
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    plan = _wf_spark(spark, sf_dir)
+    rates = {
+        r["source"]: round(r["sample_rate"] * HASH_DEN)
+        for r in plan.collect()
+    }
+    spark_rates = spark.createDataFrame(
+        sorted(rates.items()), "source string, _thresh long"
+    )
+    sampled = (
+        docs.join(F.broadcast(spark_rates), "source")
+        .filter(hash_bucket(F.col("doc_id"), "mixexec") < F.col("_thresh"))
+    )
+    per = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "sampled_tokens"
+        ),
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs")
+    )
+    return (
+        base.join(F.broadcast(spark_rates), "source")
+        .join(per, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            round4(F.col("_thresh").cast("double") / HASH_DEN).alias(
+                "planned_rate"
+            ),
+            F.coalesce(F.col("sampled_docs"), F.lit(0))
+            .cast("long")
+            .alias("sampled_docs"),
+            F.coalesce(F.col("sampled_tokens"), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+    )
+
+
+def _plan_execute_sql() -> str:
+    from .functions.sampling import HASH_DEN, bucket_sql
+
+    wf = _wf_sql().strip()
+    b = bucket_sql("d.doc_id", "mixexec")
+    return f"""
+WITH plan AS ({wf}),
+rates AS (
+  SELECT source,
+    CAST(round(sample_rate * {HASH_DEN}) AS BIGINT) AS thresh
+  FROM plan
+),
+sampled AS (
+  SELECT d.source, count(*) AS sampled_docs,
+    sum(len(string_split(d.text, ' '))) AS sampled_tokens
+  FROM documents d JOIN rates r USING (source)
+  WHERE d.text IS NOT NULL AND {b} < r.thresh
+  GROUP BY d.source
+),
+base AS (
+  SELECT source, count(*) AS total_docs FROM documents
+  WHERE text IS NOT NULL GROUP BY source
+)
+SELECT b.source, CAST(b.total_docs AS BIGINT) AS total_docs,
+  floor(CAST(r.thresh AS DOUBLE) / {HASH_DEN} * 1e4 + 0.500000001) / 1e4
+    AS planned_rate,
+  CAST(COALESCE(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+  CAST(COALESCE(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+FROM base b
+JOIN rates r USING (source)
+LEFT JOIN sampled s USING (source)"""
+
+
+_register(
+    "mixture_plan_execute",
+    Query(spark=_plan_execute_spark, sql=_plan_execute_sql()),
+)

@@ -113,3 +113,15 @@ def test_waterfill_zero_weight_gets_nothing(spark):
     )
     got = token_budget_waterfill(allz, budget=5.0).collect()
     assert len(got) == 1 and got[0].alloc == 0.0
+
+
+def test_mixture_plan_execute_contract(spark):
+    rows = QUERIES["mixture_plan_execute"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.sampled_docs <= r.total_docs
+        assert 0.0 <= r.planned_rate <= 1.0
+        # a fully-planned source (rate 1.0) keeps every document
+        if r.planned_rate == 1.0:
+            assert r.sampled_docs == r.total_docs
+        assert (r.sampled_tokens > 0) == (r.sampled_docs > 0)

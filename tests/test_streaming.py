@@ -698,3 +698,32 @@ def test_quality_filters_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cms_counters_stream_matches_batch(spark, tmp_path):
+    """The CMS counter matrix is a plain groupBy-count, so it streams in
+    complete mode unchanged — final counters equal the batch sketch
+    cell-for-cell (the mergeability the sketch is built on)."""
+    from indicators_spark.functions.sketches import cms_counters
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), " ")).alias("v"))
+    )
+    tok_dir = str(tmp_path / "toks")
+    toks.write.parquet(tok_dir)
+
+    stream = spark.readStream.schema(toks.schema).parquet(tok_dir)
+    q = (
+        cms_counters(stream, "v")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.j, r.b): r.cnt for r in spark.sql("SELECT * FROM cms_stream").collect()}
+    want = {(r.j, r.b): r.cnt for r in cms_counters(toks, "v").collect()}
+    assert got == want and len(got) > 0
