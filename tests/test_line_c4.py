@@ -158,3 +158,21 @@ def test_r7_pipeline_plan_text_shuffle_budget(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "line#" not in ln, ln
+
+
+def test_line_dedup_incremental_no_store_equals_global(spark):
+    from indicators_spark.functions.dedup import (
+        line_dedup_global,
+        line_dedup_incremental,
+    )
+
+    rows = [
+        (1, "dup line\nunique a"),
+        (2, "dup line\nunique b"),
+        (3, None),
+        (4, "dup line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {tuple(r) for r in line_dedup_global(df, min_df=2).collect()}
+    i = {tuple(r) for r in line_dedup_incremental(df, None, min_df=2).collect()}
+    assert g == i

@@ -230,3 +230,20 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_comp.values())
     splits = {r.split for r in rows}
     assert "train" in splits and len(splits) >= 2
+
+
+def test_winnow_decode_truncates_on_both_engines():
+    """Regression pin for the decode-rounding bug: DuckDB CAST(x/y AS
+    BIGINT) ROUNDS, so the oracle must use integer division; Spark's
+    floor() truncates.  A packed key whose position part is in the upper
+    half (pos <= 2^19) must decode to the SAME gh on both engines."""
+    import duckdb
+
+    from indicators_spark.functions.dedup import WINNOW_POS_SPACE as PS
+
+    gh, pos = 5, 3  # position part PS - 3 is in the rounding-up half
+    m = gh * PS + (PS - pos)
+    assert int(duckdb.sql(f"SELECT {m} // {PS}").fetchone()[0]) == gh
+    # the buggy form rounds up — keep this assertion as documentation
+    assert int(duckdb.sql(f"SELECT CAST({m} / {PS} AS BIGINT)").fetchone()[0]) == gh + 1
+    assert m // PS == gh  # python/Spark floor semantics
