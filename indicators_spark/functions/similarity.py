@@ -1796,3 +1796,84 @@ def mmr_rerank(
         F.col("mmr_rank").cast("long").alias("mmr_rank"),
         _q4(F.col("score")).alias("score"),
     )
+
+
+def mmr_rerank_grouped(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grouped fast path for :func:`mmr_rerank`: the per-query greedy
+    runs inside ONE ``applyInPandas`` over the candidate groups instead
+    of ``k`` unrolled relational steps — same candidate pass, then a
+    single shuffle keyed by qid and a per-group Python loop over the
+    ≤ ``n_candidates`` rows.  The loop's arithmetic is the identical
+    left-to-right IEEE fold the relational form (and the oracle)
+    computes, so outputs are BIT-EQUAL (pinned in tests), while the
+    k-proportional stage latency of the unrolled plan collapses to one
+    stage.  Use this form when k·stage-latency dominates (interactive
+    reranking); the relational twin remains the oracle-checked spec."""
+    import pandas as pd
+
+    cand = knn_bruteforce(
+        df, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    )
+    # plain column names: pandas itertuples renames underscore-prefixed
+    # fields positionally, which would silently break the greedy
+    vecs = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    )
+    grouped = cand.select("qid", "nid", F.col("cos").alias("rel")).join(
+        vecs, "nid"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            pdf.itertuples(index=False), key=lambda r: (-r.rel, r.nid)
+        )
+        vec = {r.nid: [float(x) for x in r.v] for r in rows}
+        rel = {r.nid: float(r.rel) for r in rows}
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        def nrm(a):
+            acc = 0.0
+            for x in a:
+                acc = acc + float(x) * float(x)
+            return acc ** 0.5
+
+        def cos(a, b):
+            return dot(a, b) / (nrm(a) * nrm(b))
+
+        qid = int(pdf["qid"].iloc[0])
+        sel = [rows[0].nid]
+        out = [(qid, int(rows[0].nid), 1, rel[rows[0].nid])]
+        for t in range(2, min(k, len(rows)) + 1):
+            best = None
+            for r in rows:
+                i = r.nid
+                if i in sel:
+                    continue
+                ms = max(cos(vec[i], vec[j]) for j in sel)
+                sc = lam * rel[i] - (1.0 - lam) * ms
+                key = (-sc, i)
+                if best is None or key < best[0]:
+                    best = (key, i, sc)
+            sel.append(best[1])
+            out.append((qid, int(best[1]), t, best[2]))
+        return pd.DataFrame(
+            out, columns=["qid", "nid", "mmr_rank", "score"]
+        )
+
+    res = grouped.groupBy("qid").applyInPandas(
+        greedy, "qid long, nid long, mmr_rank long, score double"
+    )
+    return res.select("qid", "nid", "mmr_rank", _q4(F.col("score")).alias("score"))

@@ -1526,7 +1526,10 @@ def _mmr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_ext import _emb
 
     emb = _emb(spark, sf_dir)
-    return similarity.mmr_rerank(
+    # grouped fast path (one applyInPandas stage); bit-equal to the
+    # relational mmr_rerank the oracle replays — pinned in
+    # tests/test_ssl_ccnet.py::test_mmr_grouped_bit_equals_relational
+    return similarity.mmr_rerank_grouped(
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=MMR_K,

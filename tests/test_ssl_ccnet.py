@@ -173,3 +173,24 @@ def test_mmr_lambda_one_equals_plain_topk(spark):
         ).collect()
     }
     assert mmr == plain
+
+
+def test_mmr_grouped_bit_equals_relational(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions import similarity
+    from indicators_spark.queries_ext import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    q = emb.filter(F.col("vec_id") < 10)
+    rel = {
+        (r.qid, r.mmr_rank): (r.nid, r.score)
+        for r in similarity.mmr_rerank(emb, q, k=5, n_candidates=10).collect()
+    }
+    grp = {
+        (r.qid, r.mmr_rank): (r.nid, r.score)
+        for r in similarity.mmr_rerank_grouped(
+            emb, q, k=5, n_candidates=10
+        ).collect()
+    }
+    assert rel == grp and len(rel) == 50
