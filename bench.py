@@ -212,6 +212,8 @@ def main() -> None:
         # dedup; iterative trainable classifier — job-latency sensitive)
         "dedup_lines_global",
         "classifier_quality_logreg",
+        # diversified reranking via the grouped applyInPandas fast path
+        "similarity_mmr_topk",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark
