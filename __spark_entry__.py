@@ -63,6 +63,9 @@ _TOUCHED: dict[str, int] = {
     # r7: kmeans_lloyd/_assign_arrow gained the emit="dist" path (default
     # behavior unchanged, but the assign kernel's code was touched)
     "kmeans_train_assign": 7,
+    # r7: bigram construction swapped to the shared word_bigram_structs
+    # helper (plan-identical, but the code was touched)
+    "lm_perplexity": 7,
 }
 
 

@@ -511,7 +511,10 @@ def token_budget_waterfill(
         F.col(supply_col).cast("double").alias("_t"),
         F.col(weight_col).cast("double").alias("_rw"),
     )
-    zero = keyed.filter(F.col("_rw") <= 0.0)
+    # NULL weights (e.g. a left-joined weight table with a missing
+    # source) route to the zero-alloc branch too — NULL is false in both
+    # filters, which would silently DROP the row from the plan
+    zero = keyed.filter(F.col("_rw").isNull() | (F.col("_rw") <= 0.0))
     pos = keyed.filter(F.col("_rw") > 0.0)
     w_norm = F.col("_rw") / F.sum("_rw").over(Window.partitionBy())
     base = pos.select(

@@ -1813,10 +1813,16 @@ def mmr_rerank_grouped(
     single shuffle keyed by qid and a per-group Python loop over the
     ≤ ``n_candidates`` rows.  The loop's arithmetic is the identical
     left-to-right IEEE fold the relational form (and the oracle)
-    computes, so outputs are BIT-EQUAL (pinned in tests), while the
-    k-proportional stage latency of the unrolled plan collapses to one
-    stage.  Use this form when k·stage-latency dominates (interactive
-    reranking); the relational twin remains the oracle-checked spec."""
+    computes — ``math.sqrt``, never ``** 0.5`` (libm pow differs from
+    correctly-rounded sqrt by 1 ulp on ~0.08% of doubles) — so outputs
+    are BIT-EQUAL (pinned in tests), while the k-proportional stage
+    latency of the unrolled plan collapses to one stage.  Use this form
+    when k·stage-latency dominates; the relational twin remains the
+    oracle-checked spec.  Constraints vs the twin: ids must be integral
+    (the applyInPandas schema is long), and zero-norm / NULL-relevance
+    candidates are EXCLUDED from the greedy (the relational form ranks
+    them last with NULL scores) — degenerate vectors should be filtered
+    upstream either way."""
     import pandas as pd
 
     cand = knn_bruteforce(
@@ -1832,9 +1838,21 @@ def mmr_rerank_grouped(
     )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(
-            pdf.itertuples(index=False), key=lambda r: (-r.rel, r.nid)
-        )
+        import math
+
+        rows = [
+            r
+            for r in pdf.itertuples(index=False)
+            if r.rel is not None
+            and not (isinstance(r.rel, float) and math.isnan(r.rel))
+            and any(float(x) != 0.0 for x in r.v)
+        ]
+        rows.sort(key=lambda r: (-r.rel, r.nid))
+        if not rows:
+            return pd.DataFrame(
+                columns=["qid", "nid", "mmr_rank", "score"]
+            ).astype({"qid": "int64", "nid": "int64", "mmr_rank": "int64",
+                      "score": "float64"})
         vec = {r.nid: [float(x) for x in r.v] for r in rows}
         rel = {r.nid: float(r.rel) for r in rows}
 
@@ -1848,7 +1866,7 @@ def mmr_rerank_grouped(
             acc = 0.0
             for x in a:
                 acc = acc + float(x) * float(x)
-            return acc ** 0.5
+            return math.sqrt(acc)
 
         def cos(a, b):
             return dot(a, b) / (nrm(a) * nrm(b))

@@ -217,20 +217,12 @@ def lm_perplexity(
     # DESCEND and index past the array under ANSI — same guard as
     # text.word_ngrams).  Tokens materialize as a column first (no CSE
     # inside lambdas — an inline split() re-tokenizes per element_at).
-    wsc = F.col("_ws")
-    bigrams = F.when(
-        F.size(wsc) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(wsc) - 1),
-            lambda i: F.struct(
-                F.element_at(wsc, i).alias("w1"),
-                F.element_at(wsc, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     doc_bg = (
         df.select(F.col(id_col), ws.alias("_ws"))
-        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(
+            F.col(id_col),
+            F.explode(text.word_bigram_structs(F.col("_ws"))).alias("bg"),
+        )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

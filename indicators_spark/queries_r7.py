@@ -1856,9 +1856,12 @@ def _basket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .queries import round4
 
+    # four consumers (n_orders, both self-join sides, item supports)
+    # read this distinct projection — persist so the scan+shuffle under
+    # it runs once (winnow_pairs / mmr_rerank precedent)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().persist()
     n_orders = li.select(F.count_distinct("ok").alias("n"))
     pairs = (
         li.alias("a")

@@ -125,3 +125,18 @@ def test_mixture_plan_execute_contract(spark):
         if r.planned_rate == 1.0:
             assert r.sampled_docs == r.total_docs
         assert (r.sampled_tokens > 0) == (r.sampled_docs > 0)
+
+
+def test_waterfill_null_weight_routes_to_zero_branch(spark):
+    from indicators_spark.functions.sampling import token_budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 100.0, None), ("b", 100.0, 1.0)],
+        "source string, supply double, w double",
+    )
+    out = {r.source: r for r in
+           token_budget_waterfill(df, budget=50.0).collect()}
+    # NULL weight: present in the plan with zero allocation, not dropped
+    assert set(out) == {"a", "b"}
+    assert out["a"].alloc == 0.0 and out["a"].sample_rate == 0.0
+    assert abs(out["b"].alloc - 50.0) < 0.01

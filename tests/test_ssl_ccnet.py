@@ -194,3 +194,22 @@ def test_mmr_grouped_bit_equals_relational(spark):
         ).collect()
     }
     assert rel == grp and len(rel) == 50
+
+
+def test_mmr_grouped_survives_zero_norm_candidate(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.functions import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero-norm: excluded, never crashes the job
+        (3, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mmr_rerank_grouped(
+        df, df.filter(F.col("vec_id") == 0), k=2, n_candidates=4
+    ).collect()
+    picked = {r.nid for r in out}
+    assert 2 not in picked and len(out) == 2
