@@ -1714,9 +1714,6 @@ def _keep_best_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keep_best_sql() -> str:
     from .queries_ext import _minhash_ctes
 
-    def q4(e: str) -> str:
-        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
-
     return f"""
 WITH RECURSIVE {_minhash_ctes()},
 pairs AS (SELECT ia, ib FROM cand GROUP BY ia, ib),
