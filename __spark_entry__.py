@@ -54,18 +54,32 @@ _TOUCHED: dict[str, int] = {
     "dedup_substring_clean": 6,
     "sample_cap_per_source": 7,  # r6 tiebreak option; r7 tiebreak hash form
     "analytic_weighted_quantiles": 7,  # r6 ulp fallback; r7 lag(_cum) _before
-    # r7: rewired onto the size-dispatched approx/sketch module
-    "filter_quality_quantile": 7,
-    "analytic_winsorize": 7,
-    "analytic_histogram_equidepth": 7,
     "rolling_median": 7,
-    "profile_lineitem": 7,
     # r7: kmeans_lloyd/_assign_arrow gained the emit="dist" path (default
     # behavior unchanged, but the assign kernel's code was touched)
     "kmeans_train_assign": 7,
     # r7: bigram construction swapped to the shared word_bigram_structs
     # helper (plan-identical, but the code was touched)
     "lm_perplexity": 7,
+    # r8 ADVICE fixes — no-free-count dispatch (_dispatch_rows) in the
+    # approx module + filter_by_quality_quantile:
+    "filter_quality_quantile": 8,
+    "filter_quality_quantile_sketch": 8,
+    "analytic_winsorize": 8,
+    "analytic_histogram_equidepth": 8,
+    "profile_lineitem": 8,
+    # r8: zero-norm exclusion unified across mmr_rerank / grouped fast
+    # path / oracle, plus persist→localCheckpoint materialization:
+    "similarity_mmr_topk": 8,
+    # r8: winnowing pos-cap enforcement (raise_error in the packed key)
+    # + fps persist→localCheckpoint:
+    "dedup_winnowing_pairs": 8,
+    # r8: eager numeric-id guard in lsh_dedup_keep_best:
+    "dedup_cc_keep_best": 8,
+    # r8: persist→localCheckpoint in the query bodies:
+    "filter_ccnet_buckets": 8,
+    "filter_quality_ensemble": 8,
+    "basket_part_pairs": 8,
 }
 
 

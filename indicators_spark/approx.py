@@ -50,6 +50,30 @@ DISTINCT_RSD = 0.01
 MAX_EXACT_FRAME = 4_096
 
 
+def _dispatch_rows(
+    df: DataFrame, n_rows: int | None, min_rows: int | None
+) -> tuple[int, int]:
+    """Resolve the (n_rows, min_rows) pair the size dispatch compares.
+
+    Counting the frame purely to pick a branch costs a full scan the
+    caller never asked for (ADVICE r7), so the contract is: a known
+    ``n_rows`` (catalog stats, an ingest ledger, a count an earlier
+    stage already paid for) dispatches for free; an EXPLICIT
+    ``min_rows`` is an opt-in to one ``df.count()`` pass (or, when
+    ``min_rows <= 0``, pins the sketch branch — still no count); with
+    neither, the exact branch runs and nothing is scanned to decide.
+    """
+    explicit = min_rows is not None
+    if min_rows is None:
+        min_rows = APPROX_MIN_ROWS
+    if n_rows is None:
+        if explicit:
+            n_rows = df.count() if min_rows > 0 else min_rows
+        else:
+            n_rows = 0
+    return n_rows, min_rows
+
+
 def percentile_auto(
     col: Column | str,
     q: float,
@@ -141,15 +165,17 @@ def winsorize_auto(
     hi: float = 0.95,
     out: str | None = None,
     n_rows: int | None = None,
-    min_rows: int = APPROX_MIN_ROWS,
+    min_rows: int | None = None,
     accuracy: int = PERCENTILE_ACCURACY,
 ) -> DataFrame:
     """Clip ``value`` to each group's ``[lo, hi]`` percentile band —
     exact bands below ``min_rows``, t-digest bands at scale.  Either way
     the bands are one tiny per-group aggregate broadcast back; the data
-    side never shuffles."""
-    if n_rows is None:
-        n_rows = df.count()
+    side never shuffles.  Dispatch contract (see :func:`_dispatch_rows`):
+    thread a known ``n_rows`` (catalog stats, an ingest ledger) or pass
+    ``min_rows`` explicitly to buy a counting pass — with neither, the
+    exact branch runs without spending a scan on the decision."""
+    n_rows, min_rows = _dispatch_rows(df, n_rows, min_rows)
     bands = df.groupBy(group).agg(
         percentile_auto(value, lo, n_rows, min_rows, accuracy).alias("_lo"),
         percentile_auto(value, hi, n_rows, min_rows, accuracy).alias("_hi"),
@@ -169,16 +195,16 @@ def histogram_equidepth_auto(
     col: str,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
     n_rows: int | None = None,
-    min_rows: int = APPROX_MIN_ROWS,
+    min_rows: int | None = None,
     accuracy: int = PERCENTILE_ACCURACY,
 ) -> DataFrame:
     """Equi-depth histogram of ``col``: breakpoints at ``probs`` (exact
     below ``min_rows``, t-digest at scale — |probs| scalars either way,
     broadcast back), bucket = codegen'd comparison sum.  Returns
     ``(bucket, n, avg_v)``; two scans of the fact table, zero wide
-    shuffles."""
-    if n_rows is None:
-        n_rows = df.count()
+    shuffles.  Same no-free-count dispatch contract as
+    :func:`winsorize_auto` (:func:`_dispatch_rows`)."""
+    n_rows, min_rows = _dispatch_rows(df, n_rows, min_rows)
     qs = df.agg(
         *[
             percentile_auto(col, p, n_rows, min_rows, accuracy).alias(f"_q{i}")
@@ -226,16 +252,17 @@ def profile_numeric_auto(
     df: DataFrame,
     cols: Sequence[str],
     n_rows: int | None = None,
-    min_rows: int = APPROX_MIN_ROWS,
+    min_rows: int | None = None,
     rsd: float = DISTINCT_RSD,
 ) -> DataFrame:
     """Per-column profile (rows / nulls / distincts / min / max / mean)
     with the distinct count size-dispatched: exact ``count_distinct``
     below ``min_rows``, HLL above — the profiler is the first thing run
     on an unknown 100 TB drop, where an exact distinct per column is a
-    full shuffle each.  Output schema identical on both paths."""
-    if n_rows is None:
-        n_rows = df.count()
+    full shuffle each.  Output schema identical on both paths.  Same
+    no-free-count dispatch contract as :func:`winsorize_auto`
+    (:func:`_dispatch_rows`)."""
+    n_rows, min_rows = _dispatch_rows(df, n_rows, min_rows)
     parts = [
         df.agg(
             F.lit(c).alias("column"),

@@ -1254,7 +1254,13 @@ def winnow_fingerprints(
     moves); the sliding min is one bounded-frame window per document
     (the per-doc exchange — never global); docs shorter than ``w``
     grams winnow to their single overall minimum (the pos=1 truncated
-    window), matching the reference algorithm."""
+    window), matching the reference algorithm.
+
+    The ~1M-grams-per-doc packing cap is ENFORCED, not just documented:
+    a position at or beyond ``WINNOW_POS_SPACE`` would make the
+    ``2^20 − pos`` term non-positive and silently corrupt both the
+    window argmin and the decoded ``(pos, gh)`` (ADVICE r7), so such a
+    row raises with the offending doc id instead."""
     ws = words(F.col(text_col))
     grams = word_ngrams(F.col("_ws"), k)
     base = (
@@ -1267,7 +1273,20 @@ def winnow_fingerprints(
             word_hash31(F.col("g")).alias("gh"),
         )
     )
-    key = F.col("gh") * WINNOW_POS_SPACE + (WINNOW_POS_SPACE - F.col("pos"))
+    checked_pos = F.when(
+        F.col("pos") >= WINNOW_POS_SPACE,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "winnow_fingerprints: document exceeds the "
+                    f"{WINNOW_POS_SPACE - 1}-gram packing cap "
+                    "(WINNOW_POS_SPACE) — chunk it first; doc id "
+                ),
+                F.col("_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("pos"))
+    key = F.col("gh") * WINNOW_POS_SPACE + (WINNOW_POS_SPACE - checked_pos)
     win = (
         Window.partitionBy("_id")
         .orderBy("pos")
@@ -1315,13 +1334,16 @@ def winnow_pairs(
     fingerprint in f·N docs contributes ~(f·N)²/2 pairs and carries no
     signal).  Returns (ia, ib, n_shared), ia < ib."""
     # the fingerprint set feeds the df-frequency branch AND both sides
-    # of the self-join — persist it (16-byte hashes + id) so the window
-    # pipeline under it runs once, not once per branch
+    # of the self-join — materialize it once (16-byte hashes + id) so
+    # the window pipeline under it runs once, not once per branch.
+    # Eager localCheckpoint, not persist: a returned-lazy function has
+    # no clean unpersist point, and SQL-cache entries accumulate for
+    # the session (ADVICE r7); checkpoint blocks free with the result.
     fps = (
         winnow_fingerprints(df, id_col, text_col, k, w)
         .select(F.col(id_col).alias("_fid"), "gh")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     dfreq = fps.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
@@ -1554,7 +1576,25 @@ def lsh_dedup_keep_best(
     Returns (id, component, cluster_size, quality, is_canonical).
     Scale shape adds exactly one component-keyed argmax (a max_by
     aggregate with map-side partials) to the cluster pipeline — no
-    window, no per-cluster sort."""
+    window, no per-cluster sort.
+
+    ``id_col`` must be NUMERIC: the ties-to-lowest-id rule rides
+    ``max(struct(q, -id))``, whose negation has no string analogue —
+    the same integral-id constraint as the applyInPandas fast paths
+    (hash string ids to a long upstream, as
+    :func:`~.sampling.cap_per_key` does).  Checked eagerly: Spark's
+    implicit string→double cast would otherwise turn ``-id`` into
+    silent NULLs (ADVICE r7), so a non-numeric id raises here
+    instead."""
+    from pyspark.sql.types import NumericType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"lsh_dedup_keep_best: id_col {id_col!r} must be numeric for "
+            f"the max(struct(q, -id)) tie-break, got {id_type.simpleString()};"
+            " hash string ids to a long upstream (e.g. xxhash64)"
+        )
     pairs = minhash_lsh_candidates(df, id_col, text_col)
     comp = connected_components(pairs)
     full = (

@@ -1712,12 +1712,25 @@ def mmr_rerank(
     scale); the greedy itself touches only the C candidates per query
     (C² pairwise sims, k unrolled selection steps over those tiny
     per-query sets — window argmax, no global sort).  Candidates and
-    sims persist across the k steps, so the candidate pass runs once.
+    sims are materialized once across the k steps via eager
+    ``localCheckpoint`` (not ``persist`` — a returned-lazy function has
+    no clean unpersist point, and SQL-cache entries outlive the call;
+    checkpoint blocks are GC-freed with the result, same rationale as
+    scale.rolling_multi_auto).  Zero-norm vectors are excluded from
+    BOTH sides before the candidate pass — the same degenerate-input
+    contract as :func:`mmr_rerank_grouped` and the SQL oracle, so all
+    three paths stay bit-equal on dirty inputs too.
     Every arithmetic step is the fold-exact cosine chain, so the greedy
     trajectory — not just its output — replays bit-identically on the
     oracle."""
+    df = with_norm(df, vec_col).filter(F.col("_norm") > 0).drop("_norm")
+    queries = (
+        with_norm(queries, vec_col).filter(F.col("_norm") > 0).drop("_norm")
+    )
     cand = knn_bruteforce(df, queries, k=n_candidates, id_col=id_col, vec_col=vec_col)
-    rel = cand.select("qid", "nid", F.col("cos").alias("rel")).persist()
+    rel = cand.select("qid", "nid", F.col("cos").alias("rel")).localCheckpoint(
+        eager=True
+    )
     vecs = with_norm(df, vec_col).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("_v"),
@@ -1748,7 +1761,7 @@ def mmr_rerank(
                 / (F.col("_nna") * F.col("_nnb"))
             ).alias("sim"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
     selected = (
@@ -1818,13 +1831,19 @@ def mmr_rerank_grouped(
     are BIT-EQUAL (pinned in tests), while the k-proportional stage
     latency of the unrolled plan collapses to one stage.  Use this form
     when k·stage-latency dominates; the relational twin remains the
-    oracle-checked spec.  Constraints vs the twin: ids must be integral
-    (the applyInPandas schema is long), and zero-norm / NULL-relevance
-    candidates are EXCLUDED from the greedy (the relational form ranks
-    them last with NULL scores) — degenerate vectors should be filtered
-    upstream either way."""
+    oracle-checked spec.  One constraint vs the twin: ids must be
+    integral (the applyInPandas schema is long).  Zero-norm vectors are
+    excluded from both sides BEFORE the candidate pass — the identical
+    filter :func:`mmr_rerank` and the SQL oracle apply (``norm > 0``),
+    so degenerate embeddings cannot diverge the three paths; the
+    in-group NULL/NaN-relevance guard below is defense in depth, not a
+    semantic difference."""
     import pandas as pd
 
+    df = with_norm(df, vec_col).filter(F.col("_norm") > 0).drop("_norm")
+    queries = (
+        with_norm(queries, vec_col).filter(F.col("_norm") > 0).drop("_norm")
+    )
     cand = knn_bruteforce(
         df, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
     )

@@ -548,9 +548,13 @@ def _ccnet_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
     # the per-source threshold branch and the output branch both read
-    # this join — persist so the LM scoring pipeline under it runs once
-    # (stage reuse within the one consuming action)
-    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
+    # this join — materialize it once (eager localCheckpoint, not
+    # persist: no clean unpersist point in a returned-lazy query, and
+    # SQL-cache entries accumulate across the ~250-query bench session;
+    # checkpoint blocks free with the result — ADVICE r7)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=True
+    )
     thr = j.groupBy("source").agg(
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T1))).alias("t1"),
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias("t2"),
@@ -763,9 +767,13 @@ def _doremi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
     # the per-source threshold branch and the output branch both read
-    # this join — persist so the LM scoring pipeline under it runs once
-    # (stage reuse within the one consuming action)
-    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
+    # this join — materialize it once (eager localCheckpoint, not
+    # persist: no clean unpersist point in a returned-lazy query, and
+    # SQL-cache entries accumulate across the ~250-query bench session;
+    # checkpoint blocks free with the result — ADVICE r7)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=True
+    )
     per = j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         round4(F.avg("cross_entropy")).alias("avg_ce"),
@@ -1273,9 +1281,13 @@ def _ensemble_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
     # the per-source threshold branch and the output branch both read
-    # this join — persist so the LM scoring pipeline under it runs once
-    # (stage reuse within the one consuming action)
-    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
+    # this join — materialize it once (eager localCheckpoint, not
+    # persist: no clean unpersist point in a returned-lazy query, and
+    # SQL-cache entries accumulate across the ~250-query bench session;
+    # checkpoint blocks free with the result — ADVICE r7)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=True
+    )
     thr = j.groupBy("source").agg(
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias(
             "_t2"
@@ -1570,9 +1582,13 @@ sel{t} AS (SELECT qid, nid FROM {prev} UNION ALL SELECT qid, nid FROM p{t})"""
         )
         picks.append(f"p{t}")
     allp = " UNION ALL ".join(f"SELECT * FROM {p}" for p in picks)
+    # norm > 0 mirrors the zero-norm exclusion both Spark paths apply
+    # upstream of the candidate pass (ADVICE r7: degenerate embeddings
+    # must not diverge the grouped fast path from this oracle)
     return f"""
 WITH n AS (
-  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn FROM embeddings
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nn
+  FROM embeddings WHERE ({_norm_sql('embedding')}) > 0
 ),
 q AS (
   SELECT vec_id AS qid, embedding AS qv, nn AS qn FROM n WHERE vec_id < 10
@@ -1854,11 +1870,13 @@ def _basket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import round4
 
     # four consumers (n_orders, both self-join sides, item supports)
-    # read this distinct projection — persist so the scan+shuffle under
-    # it runs once (winnow_pairs / mmr_rerank precedent)
+    # read this distinct projection — materialize it once (eager
+    # localCheckpoint, not persist: no clean unpersist point in a
+    # returned-lazy query and SQL-cache entries accumulate across a
+    # long session; checkpoint blocks free with the result — ADVICE r7)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     n_orders = li.select(F.count_distinct("ok").alias("n"))
     pairs = (
         li.alias("a")
