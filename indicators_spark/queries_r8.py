@@ -1,0 +1,156 @@
+"""Round-8 catalog additions: driver-visible error audits for the two
+NON-replayable sketch estimators behind :mod:`~indicators_spark.approx`
+(VERDICT r7 §missing 3).
+
+``percentile_approx`` (t-digest) and ``approx_count_distinct`` (HLL)
+cannot hash-match a DuckDB oracle directly — DuckDB has no replay of
+Spark's digests — so their at-scale branches had only local
+threshold-equivalence tests.  These two queries close that gap with the
+``similarity_ivf_recall`` shape: each engine computes BOTH its own
+sketch estimate and the exact value in the same query and emits a
+tolerance-band VERDICT it derives independently; the verdicts (and the
+exact values) hash-match even though the raw estimates differ.  The
+bands are deliberately generous multiples of each estimator's error
+guarantee, so a verdict flip means the estimator is broken, not noisy.
+
+Scale note shared by both: the exact side is what makes this an AUDIT —
+at 100 TB you run it periodically or on a sampled slice (the shape is
+unchanged), while production queries run the sketch branch alone; this
+is the identical contract as the IVF recall audit (queries_r7.py:1059).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import Query, _r, _register, round4
+from .sources.prices import load_table
+
+# --------------------------------------------------------------------- #
+# HLL audit: approx_count_distinct vs exact, per group
+# --------------------------------------------------------------------- #
+
+#: relative tolerance of the HLL verdict.  Spark runs the sketch at
+#: rsd = DISTINCT_RSD = 0.01 (→ 0.10 is a 10σ band); DuckDB's
+#: approx_count_distinct standard error is ~1.6% at default precision
+#: (→ ≥6σ).  Either estimator drifting outside the band is a defect,
+#: not sampling noise.
+HLL_AUDIT_TOL = 0.10
+
+
+def _hll_audit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives approx.py's AT-SCALE HLL branch (``count_distinct_auto``
+    with the branch pinned via ``min_rows=0``) under the full driver
+    gate: per ``l_returnflag``, the exact distinct ``l_partkey`` count
+    (hash-compared) plus the band verdict ``|hll − exact| ≤ tol·exact``
+    (hash-compared; the raw HLL estimate itself never leaves the
+    query).  One grouped aggregate — the exact distinct costs the usual
+    expand, the HLL rides the same exchange with O(KB) state."""
+    from .approx import DISTINCT_RSD, count_distinct_auto
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct(F.col("l_partkey"))
+    apx = count_distinct_auto("l_partkey", n_rows=1, min_rows=0, rsd=DISTINCT_RSD)
+    return li.groupBy("l_returnflag").agg(
+        exact.cast("long").alias("n_exact"),
+        (
+            F.abs(apx.cast("double") - exact.cast("double"))
+            <= F.lit(HLL_AUDIT_TOL) * exact.cast("double")
+        ).alias("hll_ok"),
+    )
+
+
+_HLL_AUDIT_SQL = f"""
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+  (abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+       - CAST(count(DISTINCT l_partkey) AS DOUBLE))
+     <= {HLL_AUDIT_TOL} * CAST(count(DISTINCT l_partkey) AS DOUBLE)) AS hll_ok
+FROM lineitem GROUP BY l_returnflag"""
+
+
+_register(
+    "stats_hll_audit", Query(spark=_hll_audit_spark, sql=_HLL_AUDIT_SQL)
+)
+
+
+# --------------------------------------------------------------------- #
+# t-digest audit: percentile_approx vs an exact rank band
+# --------------------------------------------------------------------- #
+
+TD_AUDIT_QS = (0.25, 0.5, 0.75, 0.95)
+#: rank half-width of the acceptance band: the sketch value must land
+#: inside [P(q−δ), P(q+δ)].  Spark's percentile_approx guarantees rank
+#: error ≤ 1/accuracy = 1e-4 (δ is 100× that); DuckDB's t-digest
+#: approx_quantile is comparably tight.  Outside the band = broken.
+TD_AUDIT_DELTA = 0.01
+TD_AUDIT_COL = "l_extendedprice"
+
+
+def _td_audit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives approx.py's AT-SCALE t-digest branch (``percentile_auto``
+    pinned via ``min_rows=0``): one global aggregate computes, per
+    audited quantile, the exact percentile (hash-compared at 4dp) and
+    the exact band edges P(q±δ), plus the sketch estimate — emitted
+    only as the verdict ``lo ≤ sketch ≤ hi``.  All 4·|qs| aggregates
+    ride ONE pass (partial-agg + 1-row merge); the explode at the end
+    reshapes the single row to (q, exact, within_band) rows."""
+    from .approx import percentile_auto
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = TD_AUDIT_COL
+    aggs = []
+    for i, q in enumerate(TD_AUDIT_QS):
+        lo_q = max(q - TD_AUDIT_DELTA, 0.0)
+        hi_q = min(q + TD_AUDIT_DELTA, 1.0)
+        aggs += [
+            F.percentile(F.col(c), F.lit(float(q))).alias(f"_e{i}"),
+            F.percentile(F.col(c), F.lit(lo_q)).alias(f"_lo{i}"),
+            F.percentile(F.col(c), F.lit(hi_q)).alias(f"_hi{i}"),
+            percentile_auto(c, q, n_rows=1, min_rows=0).alias(f"_a{i}"),
+        ]
+    one = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(float(q)).alias("q"),
+            round4(F.col(f"_e{i}")).alias("exact"),
+            (
+                (F.col(f"_lo{i}") <= F.col(f"_a{i}"))
+                & (F.col(f"_a{i}") <= F.col(f"_hi{i}"))
+            ).alias("within_band"),
+        )
+        for i, q in enumerate(TD_AUDIT_QS)
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.q", "r.exact", "r.within_band"
+    )
+
+
+def _td_audit_sql() -> str:
+    c = TD_AUDIT_COL
+    cols, rows = [], []
+    for i, q in enumerate(TD_AUDIT_QS):
+        lo_q = max(q - TD_AUDIT_DELTA, 0.0)
+        hi_q = min(q + TD_AUDIT_DELTA, 1.0)
+        cols += [
+            f"quantile_cont({c}, {q!r}) AS e{i}",
+            f"quantile_cont({c}, {lo_q!r}) AS lo{i}",
+            f"quantile_cont({c}, {hi_q!r}) AS hi{i}",
+            f"approx_quantile({c}, {q!r}) AS a{i}",
+        ]
+        rows.append(
+            f"SELECT CAST({q!r} AS DOUBLE) AS q, {_r(f'e{i}', 'exact')},"
+            f" (lo{i} <= a{i} AND a{i} <= hi{i}) AS within_band FROM a"
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(cols)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+_register(
+    "stats_tdigest_audit", Query(spark=_td_audit_spark, sql=_td_audit_sql())
+)
