@@ -669,6 +669,65 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- cluster-keyed selection ops (round 7b / VERDICT r7 #5) ----------
+    # dedup_cc_keep_best and split_leakage_safe both RIDE the CC output;
+    # the claim is "one extra component-keyed aggregate / one row-local
+    # hash over the cluster table" — so measure the shared LSH+CC base
+    # first, then each rider end-to-end: rider_sec − base_sec is the
+    # marginal cost the claim is about.
+    from indicators_spark.functions.dedup import (
+        lsh_dedup_clusters,
+        lsh_dedup_keep_best,
+    )
+    from indicators_spark.functions.sampling import HASH_DEN, hash_bucket
+
+    t0 = time.time()
+    lsh_dedup_clusters(docs).agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["lsh_cc_clusters_base"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
+    quality = docs.select(
+        "doc_id",
+        (F.pmod(F.hash("doc_id"), F.lit(1000)).cast("double") / 1000).alias(
+            "quality"
+        ),
+    )
+    t0 = time.time()
+    lsh_dedup_keep_best(docs, quality).agg(
+        F.sum(F.col("is_canonical").cast("long")).alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["cc_keep_best"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
+    def leakage_split():
+        cl = lsh_dedup_clusters(docs).select("doc_id", "component")
+        b = hash_bucket(F.col("component"), "ls-bench")
+        val_cut = HASH_DEN // 10
+        test_cut = val_cut + HASH_DEN // 10
+        return cl.select(
+            "doc_id",
+            F.when(b < val_cut, F.lit("val"))
+            .when(b < test_cut, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        ).groupBy("split").agg(F.count(F.lit(1)).alias("c"))
+
+    t0 = time.time()
+    leakage_split().write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["cc_leakage_split"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 
