@@ -5,6 +5,7 @@ watermarks, sessionization, stateful custom operators, and exactly-once
 from .sinks import (
     ExactlyOnceParquetSink,
     LineDedupIngestSink,
+    MixturePlanSink,
     SubstringDedupIngestSink,
     UpsertParquetSink,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "stateful_running_indicators_tws",
     "ExactlyOnceParquetSink",
     "LineDedupIngestSink",
+    "MixturePlanSink",
     "SubstringDedupIngestSink",
     "UpsertParquetSink",
 ]

@@ -322,6 +322,195 @@ class SubstringDedupIngestSink:
         return spark.read.parquet(*paths)
 
 
+class MixturePlanSink:
+    """``foreachBatch`` target EXECUTING a water-fill mixture plan on an
+    arriving corpus — the streaming twin of the ``mixture_plan_execute``
+    batch query (queries_r7.py): per-source sample rates become hash
+    thresholds on the 1/HASH_DEN grid, each micro-batch is filtered by
+    the row-local deterministic ``hash_bucket(id) < thresh`` rule,
+    sampled documents land exactly-once per epoch, and a per-epoch
+    accounting table keeps the achieved-vs-planned audit running across
+    the whole ingest history.
+
+    The plan is FROZEN at sink construction (rates from
+    ``token_budget_waterfill`` on a prior corpus snapshot or supply
+    ledger — K driver floats, the same budget as the batch query's
+    collect).  Because membership is a pure function of the document id
+    — not of epoch boundaries, arrival order, or partitioning — the
+    union of per-epoch samples is IDENTICAL to running the batch filter
+    over the concatenated corpus: stream/batch parity holds by
+    construction and is pinned in tests/test_streaming.py.
+
+    Documents from sources absent from the plan are NOT sampled (their
+    planned rate is 0 — the water-filler saw no supply for them) but are
+    counted in the accounting's ``total_docs`` so the audit surfaces
+    them instead of silently ignoring them.
+
+    Scale notes: the rate table is K rows broadcast onto the batch; the
+    filter is row-local (pushes to the scan); accounting is one K-row
+    groupBy per epoch.  Nothing in the sink holds per-document state —
+    the ledger stores K rows per epoch, whatever the corpus size.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        rates: dict[str, float],
+        id_col: str = "doc_id",
+        source_col: str = "source",
+        text_col: str = "text",
+        seed: str = "mixexec",
+        run_id: str | None = None,
+    ) -> None:
+        from ..functions.sampling import HASH_DEN
+
+        self.id_col = id_col
+        self.source_col = source_col
+        self.text_col = text_col
+        self.seed = seed
+        # quantize to the hash grid exactly as the batch query does, so
+        # planned and achievable rates agree and replay cross-engine
+        self.thresholds = {
+            src: int(round(float(rate) * HASH_DEN))
+            for src, rate in rates.items()
+        }
+        self.run_ns = _run_ns(run_id)
+        self.data_dir = os.path.join(out_dir, "sampled")
+        self.acct_dir = os.path.join(out_dir, "accounting")
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.acct_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_path(self, epoch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
+
+    def _committed(self) -> list[str]:
+        return sorted(os.listdir(self.commit_dir))
+
+    def _rate_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            sorted(self.thresholds.items()),
+            f"`{self.source_col}` string, _thresh long",
+        )
+
+    def sample(self, df: DataFrame) -> DataFrame:
+        """The pure sampling rule (shared by every epoch AND usable on a
+        batch frame directly — this is what makes parity testable)."""
+        from ..functions.sampling import hash_bucket
+
+        spark = df.sparkSession
+        return df.join(
+            F.broadcast(self._rate_df(spark)), self.source_col
+        ).filter(
+            hash_bucket(F.col(self.id_col), self.seed) < F.col("_thresh")
+        ).drop("_thresh")
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(self._commit_path(epoch_id)):
+            return  # replayed epoch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        sampled = self.sample(batch_df)
+        sampled.write.mode("overwrite").parquet(
+            os.path.join(self.data_dir, epoch_tag)
+        )
+        # accounting: totals come from the UNFILTERED batch (so unplanned
+        # sources and never-sampled sources still show up), sampled
+        # counts re-read the just-written parquet — never recomputing the
+        # filter, so the ledger describes exactly the rows on disk
+        spark = batch_df.sparkSession
+        toks = F.when(
+            F.col(self.text_col).isNull(), F.lit(0)
+        ).otherwise(F.size(F.split(F.col(self.text_col), " ")))
+        base = batch_df.groupBy(
+            F.col(self.source_col).alias("source")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("total_docs"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+        )
+        per = (
+            spark.read.parquet(os.path.join(self.data_dir, epoch_tag))
+            .groupBy(F.col(self.source_col).alias("source"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+                F.sum(toks).cast("long").alias("sampled_tokens"),
+            )
+        )
+        acct = (
+            base.join(per, "source", "left")
+            .select(
+                F.lit(epoch_id).cast("long").alias("epoch"),
+                "source",
+                "total_docs",
+                "total_tokens",
+                F.coalesce(F.col("sampled_docs"), F.lit(0))
+                .cast("long")
+                .alias("sampled_docs"),
+                F.coalesce(F.col("sampled_tokens"), F.lit(0))
+                .cast("long")
+                .alias("sampled_tokens"),
+            )
+        )
+        acct.write.mode("overwrite").parquet(
+            os.path.join(self.acct_dir, epoch_tag)
+        )
+        tmp = self._commit_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, self._commit_path(epoch_id))
+
+    def _epoch_paths(self, root: str) -> list[str]:
+        paths = [
+            os.path.join(root, c)
+            for c in self._committed()
+            if os.path.isdir(os.path.join(root, c))
+        ]
+        if not paths:
+            raise ValueError("no committed epochs yet")
+        return paths
+
+    def read_sampled(self, spark: SparkSession) -> DataFrame:
+        """Sampled documents of every committed epoch."""
+        return spark.read.parquet(*self._epoch_paths(self.data_dir))
+
+    def read_accounting(self, spark: SparkSession) -> DataFrame:
+        """Per-epoch (source, totals, sampled) accounting rows."""
+        return spark.read.parquet(*self._epoch_paths(self.acct_dir))
+
+    def achieved_vs_planned(self, spark: SparkSession) -> DataFrame:
+        """The running audit: per source, cumulative sampled/total doc
+        counts across all committed epochs, the achieved rate, and the
+        planned rate — the streaming continuation of the batch query's
+        achieved-vs-planned columns."""
+        from ..functions.sampling import HASH_DEN
+
+        planned = spark.createDataFrame(
+            sorted(self.thresholds.items()), "source string, _thresh long"
+        )
+        cum = self.read_accounting(spark).groupBy("source").agg(
+            F.sum("total_docs").cast("long").alias("total_docs"),
+            F.sum("sampled_docs").cast("long").alias("sampled_docs"),
+            F.sum("sampled_tokens").cast("long").alias("sampled_tokens"),
+        )
+        q4 = lambda c: F.floor(c * 1e4 + F.lit(0.500000001)) / 1e4  # noqa: E731
+        return cum.join(planned, "source", "left").select(
+            "source",
+            "total_docs",
+            "sampled_docs",
+            "sampled_tokens",
+            q4(
+                F.coalesce(F.col("_thresh"), F.lit(0)).cast("double")
+                / F.lit(float(HASH_DEN))
+            ).alias("planned_rate"),
+            q4(
+                F.col("sampled_docs").cast("double")
+                / F.col("total_docs").cast("double")
+            ).alias("achieved_rate"),
+        )
+
+
 class LineDedupIngestSink:
     """``foreachBatch`` target running incremental corpus-wide LINE dedup
     per micro-batch — the streaming twin of

@@ -727,3 +727,85 @@ def test_cms_counters_stream_matches_batch(spark, tmp_path):
     got = {(r.j, r.b): r.cnt for r in spark.sql("SELECT * FROM cms_stream").collect()}
     want = {(r.j, r.b): r.cnt for r in cms_counters(toks, "v").collect()}
     assert got == want and len(got) > 0
+
+
+def test_mixture_plan_sink_stream_matches_batch(spark, tmp_path):
+    """MixturePlanSink executing the r7 water-fill plan over 3 arriving
+    epochs samples EXACTLY the documents the batch filter picks over the
+    concatenated corpus (membership is a pure function of doc id), and
+    the cumulative achieved-vs-planned audit matches the batch
+    mixture_plan_execute accounting."""
+    from indicators_spark.queries import QUERIES
+    from indicators_spark.streaming import MixturePlanSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).filter(F.col("text").isNotNull())
+    plan = QUERIES["mixture_token_budget"].spark(spark, SF_SMOKE)
+    rates = {r["source"]: r["sample_rate"] for r in plan.collect()}
+
+    sink = MixturePlanSink(str(tmp_path / "mix"), rates)
+    # epoch split deliberately slices WITHIN sources (doc_id stripes) so
+    # parity can only hold if membership ignores epoch boundaries
+    sink(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    sink(docs.filter(F.col("doc_id") % 3 == 2), 2)
+
+    got = {r["doc_id"] for r in sink.read_sampled(spark).collect()}
+    want = {r["doc_id"] for r in sink.sample(docs).collect()}
+    assert got == want and len(got) > 0
+    assert got != {r["doc_id"] for r in docs.collect()}  # rates actually cut
+
+    audit = {
+        r["source"]: r
+        for r in sink.achieved_vs_planned(spark).collect()
+    }
+    base = {
+        r["source"]: r["total"]
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("total")
+        ).collect()
+    }
+    samp = {
+        r["source"]: r["s"]
+        for r in sink.read_sampled(spark)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()
+    }
+    for src, row in audit.items():
+        assert row["total_docs"] == base[src]
+        assert row["sampled_docs"] == samp.get(src, 0)
+        # a capped source samples everything; the audit must say so
+        if rates[src] >= 1.0:
+            assert row["sampled_docs"] == row["total_docs"]
+
+
+def test_mixture_plan_sink_replay_idempotent(spark, tmp_path):
+    """A replayed epoch is an exactly-once no-op for BOTH the sampled
+    data and the accounting ledger; unplanned sources are counted in
+    totals with planned_rate 0 and zero samples."""
+    from indicators_spark.streaming import MixturePlanSink
+
+    sink = MixturePlanSink(str(tmp_path / "mix"), {"web": 0.5, "books": 1.0})
+    b0 = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books", f"doc {i} words here")
+         for i in range(40)]
+        + [(100, "unplanned", "stray source doc")],
+        "doc_id long, source string, text string",
+    )
+    sink(b0, 0)
+    sampled0 = {tuple(r) for r in sink.read_sampled(spark).collect()}
+    acct0 = {tuple(r) for r in sink.read_accounting(spark).collect()}
+    sink(b0, 0)  # replay
+    assert {tuple(r) for r in sink.read_sampled(spark).collect()} == sampled0
+    assert {tuple(r) for r in sink.read_accounting(spark).collect()} == acct0
+
+    audit = {r["source"]: r for r in sink.achieved_vs_planned(spark).collect()}
+    assert audit["books"]["sampled_docs"] == audit["books"]["total_docs"] == 20
+    assert audit["unplanned"]["total_docs"] == 1
+    assert audit["unplanned"]["sampled_docs"] == 0
+    assert audit["unplanned"]["planned_rate"] == 0.0
+    # empty epoch: skipped entirely (no commit, no footer-less dirs)
+    sink(b0.filter(F.lit(False)), 1)
+    assert len(sink._committed()) == 1
