@@ -31,3 +31,27 @@ def test_hll_audit_single_scan(spark):
 def test_tdigest_audit_single_scan(spark):
     plan = plan_string(QUERIES["stats_tdigest_audit"].spark(spark, SF_SMOKE))
     assert plan.count("Scan parquet") == 1, plan
+
+
+@pytest.mark.parametrize("name", R8)
+def test_audit_invariant_under_partitioning(spark, name):
+    """The audits' hash-compared columns (exact values at 4dp, band
+    verdicts) must not depend on partial-agg merge order or AQE: the
+    sketches themselves may vary by an ulp across partitionings, but the
+    generous bands absorb that by construction — pin it."""
+
+    def snap():
+        return sorted(
+            tuple(r) for r in QUERIES[name].spark(spark, SF_SMOKE).collect()
+        )
+
+    base = snap()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert snap() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
