@@ -59,6 +59,21 @@ def _git_sha() -> str:
         return "unknown"
 
 
+def _calib_worker(seconds: float) -> float:
+    """Single sha256 worker for the parallel calibration probe
+    (module-level so ProcessPoolExecutor can pickle it)."""
+    import hashlib
+    import time as _t
+
+    buf = b"x" * (1 << 20)
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < seconds:
+        hashlib.sha256(buf).digest()
+        n += 1
+    return n / (_t.perf_counter() - t0)
+
+
 def _cpu_calibration() -> dict:
     """~1 s host-speed probe stamped next to the timings.
 
@@ -66,21 +81,32 @@ def _cpu_calibration() -> dict:
     the r8 investigation hit: an idle-looking box running ~15% slower
     across the board (memory-bandwidth / hypervisor neighbors show up
     as a multiplicative slope on every query, zero load, zero steal).
-    Two fixed workloads make that attributable: single-thread sha256
-    throughput (core speed) and a 200 MB array copy (memory
-    bandwidth).  A BENCH_rN whose calibration matches BENCH_rM but
-    whose queries drift is a code problem; matching drift in both is
-    the host."""
-    import hashlib
+    Three fixed workloads make that attributable: single-thread sha256
+    throughput (core speed), a 200 MB array copy (memory bandwidth),
+    and an ALL-CORES parallel sha256 sweep — the r8 investigation found
+    the single-thread rate steady while the 32-way suite drifted 15-30%:
+    per-worker rates spread 1.55× across cores (contended vCPUs), and a
+    Spark stage runs at its SLOWEST task's speed, so ``par_min_mb_s``
+    is the number that predicts suite time.  A BENCH_rN whose
+    calibration matches BENCH_rM but whose queries drift is a code
+    problem; matching drift in both is the host."""
     import time as _t
 
-    buf = b"x" * (1 << 20)
-    t0 = _t.perf_counter()
-    n = 0
-    while _t.perf_counter() - t0 < 0.3:
-        hashlib.sha256(buf).digest()
-        n += 1
-    sha_mbs = n / (_t.perf_counter() - t0)
+    sha_mbs = _calib_worker(0.3)
+    par = {}
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+
+        ncpu = os.cpu_count() or 1
+        with ProcessPoolExecutor(ncpu) as ex:
+            rates = list(ex.map(_calib_worker, [0.3] * ncpu))
+        par = {
+            "par_agg_mb_s": round(sum(rates), 1),
+            "par_min_mb_s": round(min(rates), 1),
+            "par_scaling_pct": round(sum(rates) / (sha_mbs * ncpu) * 100, 1),
+        }
+    except Exception:  # pragma: no cover
+        pass
     copy_gbs = -1.0
     try:
         import numpy as np
@@ -99,6 +125,7 @@ def _cpu_calibration() -> dict:
     return {
         "sha256_st_mb_s": round(sha_mbs, 1),
         "memcopy_gb_s": round(copy_gbs, 2),
+        **par,
     }
 
 
