@@ -562,3 +562,101 @@ def token_budget_waterfill(
         F.lit(0.0).alias("sample_rate"),
     )
     return filled.unionByName(zeroed)
+
+
+# --------------------------------------------------------------------- #
+# Training-sequence packing (concat-and-chunk sample packing)
+# --------------------------------------------------------------------- #
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    seed: str = "pack",
+    buckets: int = 32,
+    explode: bool = False,
+) -> DataFrame:
+    """Pack documents into fixed-``seq_len`` training sequences by the
+    standard concat-and-chunk rule (GPT/T5 pretraining sample packing):
+    documents are concatenated in a deterministic pseudo-random order
+    and the token stream is cut every ``seq_len`` tokens, so every
+    sequence except the last is exactly full (zero padding) and a
+    document may span adjacent sequences.
+
+    Token counts come from ``token_col`` if given (an upstream
+    tokenizer's output), else whitespace words of ``text_col``.  Docs
+    with NULL text / zero tokens are excluded (they contribute nothing
+    to the stream; the standard extraction-failure dropout).
+
+    ``explode=False`` (default) returns one row per document:
+    ``(id, n_tokens, start_tok, first_seq, last_seq, offset_in_first)``
+    with ``start_tok`` the 0-based global stream offset and sequence
+    ids 0-based.  ``explode=True`` returns one row per (document,
+    sequence) intersection: ``(seq_id, id, seq_tok_start,
+    n_tokens_in_seq)`` — the shard manifest a loader consumes; fan-out
+    per doc is ``≤ n_tokens/seq_len + 1`` (bounded, never corpus-wide).
+
+    Scale shape: the order key is ``md5(seed|id)`` whose 32-bit prefix
+    range-buckets ARITHMETICALLY (known [0, 2³²) bounds — the
+    :func:`epoch_shuffle` trick), the global token prefix-sum is
+    :func:`~indicators_spark.scale.global_cum_sum` (two skinny
+    exchanges + a ≤ ``buckets``-row broadcast, NO global sort, no
+    single-task stage), and the span math is row-local integer
+    arithmetic.  Everything is engine-portable (md5 + integer div), so
+    the whole layout replays exactly in ANSI SQL — deterministic across
+    engines, partitionings, and restarts, which is what makes the
+    resulting shard manifest safely resumable."""
+    from ..scale import global_cum_sum
+
+    if token_col is None:
+        toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        base = df.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        ).select(F.col(id_col), toks.cast("long").alias("_nt"))
+    else:
+        base = df.filter(
+            F.col(token_col).isNotNull() & (F.col(token_col) > 0)
+        ).select(F.col(id_col), F.col(token_col).cast("long").alias("_nt"))
+    h = F.md5(F.concat(F.lit(f"{seed}|"), _key_str(F.col(id_col))))
+    pre = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    ordered = base.withColumn("_h", h).withColumn("_hb", pre)
+    cum = global_cum_sum(
+        ordered,
+        ["_nt"],
+        order_cols=("_h", id_col),
+        buckets=buckets,
+        bucket_by="_hb",
+        bounds=(0.0, float(2**32 - 1)),
+    )
+    L = F.lit(int(seq_len))
+    start = (F.col("_cum__nt") - F.col("_nt")).alias("start_tok")
+    per_doc = cum.select(
+        F.col(id_col),
+        F.col("_nt").alias("n_tokens"),
+        start,
+        F.floor((F.col("_cum__nt") - F.col("_nt")) / L)
+        .cast("long")
+        .alias("first_seq"),
+        F.floor((F.col("_cum__nt") - 1) / L).cast("long").alias("last_seq"),
+        ((F.col("_cum__nt") - F.col("_nt")) % L)
+        .cast("long")
+        .alias("offset_in_first"),
+    )
+    if not explode:
+        return per_doc
+    seq = F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+        "seq_id"
+    )
+    ex = per_doc.select(id_col, "n_tokens", "start_tok", seq)
+    end_tok = F.col("start_tok") + F.col("n_tokens")  # exclusive
+    lo = F.greatest(F.col("start_tok"), F.col("seq_id") * L)
+    hi = F.least(end_tok, (F.col("seq_id") + 1) * L)
+    return ex.select(
+        "seq_id",
+        F.col(id_col),
+        (lo - F.col("seq_id") * L).cast("long").alias("seq_tok_start"),
+        (hi - lo).cast("long").alias("n_tokens_in_seq"),
+    )
