@@ -569,7 +569,7 @@ def token_budget_waterfill(
 # --------------------------------------------------------------------- #
 
 
-def pack_sequences(
+def pack_token_stream(
     df: DataFrame,
     seq_len: int,
     id_col: str = "doc_id",
@@ -585,6 +585,12 @@ def pack_sequences(
     and the token stream is cut every ``seq_len`` tokens, so every
     sequence except the last is exactly full (zero padding) and a
     document may span adjacent sequences.
+
+    The GLOBAL-STREAM complement of :func:`pack_sequences` (the no-split
+    per-shard bin packer the ``pack_sequences_512`` query runs): that
+    form never splits a document and wastes the per-bin remainder; this
+    form wastes zero tokens and splits at boundaries — the two standard
+    trade-offs (SFT packing vs pretraining packing).
 
     Token counts come from ``token_col`` if given (an upstream
     tokenizer's output), else whitespace words of ``text_col``.  Docs

@@ -1,4 +1,4 @@
-"""Training-sequence packing (`sampling.pack_sequences`): the layout
+"""Training-sequence packing (`sampling.pack_token_stream`): the layout
 must be the exact concat-and-chunk of documents in md5 order —
 brute-force-replayable, token-conserving, full-to-the-brim, and
 invariant under partitioning (the shard-manifest resumability
@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from indicators_spark.functions.sampling import pack_sequences
+from indicators_spark.functions.sampling import pack_token_stream
 
 L = 16
 
@@ -51,7 +51,7 @@ def test_per_doc_layout_matches_bruteforce(spark, docs):
             r["n_tokens"], r["start_tok"], r["first_seq"],
             r["last_seq"], r["offset_in_first"],
         )
-        for r in pack_sequences(docs, L).collect()
+        for r in pack_token_stream(docs, L).collect()
     }
     assert got == want
     assert 100 not in got and 101 not in got
@@ -59,7 +59,7 @@ def test_per_doc_layout_matches_bruteforce(spark, docs):
 
 def test_exploded_manifest_conserves_and_fills(spark, docs):
     _, total = _brute(docs.collect())
-    man = pack_sequences(docs, L, explode=True).collect()
+    man = pack_token_stream(docs, L, explode=True).collect()
     assert sum(r["n_tokens_in_seq"] for r in man) == total
     per_seq = {}
     for r in man:
@@ -78,7 +78,7 @@ def test_token_col_variant_and_spanning(spark):
         [(1, 10), (2, 10), (3, 10), (4, 0), (5, None)],
         "doc_id long, n_tok long",
     )
-    per = pack_sequences(df, 8, token_col="n_tok").collect()
+    per = pack_token_stream(df, 8, token_col="n_tok").collect()
     assert {r["doc_id"] for r in per} == {1, 2, 3}
     # 30 tokens into len-8 seqs: ceil(30/8)=4 seqs; at least one doc spans
     assert max(r["last_seq"] for r in per) == 3
@@ -87,7 +87,7 @@ def test_token_col_variant_and_spanning(spark):
 
 def test_layout_invariant_under_partitioning(spark, docs):
     def snap(d):
-        return sorted(tuple(r) for r in pack_sequences(d, L).collect())
+        return sorted(tuple(r) for r in pack_token_stream(d, L).collect())
 
     base = snap(docs)
     assert snap(docs.repartition(7)) == base
@@ -95,5 +95,5 @@ def test_layout_invariant_under_partitioning(spark, docs):
 
 
 def test_single_sequence_when_budget_exceeds_corpus(spark, docs):
-    per = pack_sequences(docs, 10**6).collect()
+    per = pack_token_stream(docs, 10**6).collect()
     assert all(r["first_seq"] == 0 and r["last_seq"] == 0 for r in per)
