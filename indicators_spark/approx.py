@@ -257,11 +257,16 @@ def profile_numeric_auto(
 ) -> DataFrame:
     """Per-column profile (rows / nulls / distincts / min / max / mean)
     with the distinct count size-dispatched: exact ``count_distinct``
-    below ``min_rows``, HLL above — the profiler is the first thing run
-    on an unknown 100 TB drop, where an exact distinct per column is a
-    full shuffle each.  Output schema identical on both paths.  Same
-    no-free-count dispatch contract as :func:`winsorize_auto`
-    (:func:`_dispatch_rows`)."""
+    below ``min_rows``, HLL above.  Output schema identical on both
+    paths.  Same no-free-count dispatch contract as
+    :func:`winsorize_auto` (:func:`_dispatch_rows`) — which for a
+    profiler has one consequence worth stating: on a genuinely UNKNOWN
+    drop (no catalog stats, no ledger) pass ``min_rows=0`` to pin the
+    HLL branch outright, or an explicit ``min_rows`` to buy the one
+    counting pass; the bare default runs the exact distinct per column
+    (a full expand+shuffle each at 100 TB), because silently spending a
+    corpus scan to decide otherwise is the failure mode ADVICE r7
+    flagged."""
     n_rows, min_rows = _dispatch_rows(df, n_rows, min_rows)
     parts = [
         df.agg(

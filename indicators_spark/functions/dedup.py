@@ -1335,15 +1335,15 @@ def winnow_pairs(
     signal).  Returns (ia, ib, n_shared), ia < ib."""
     # the fingerprint set feeds the df-frequency branch AND both sides
     # of the self-join — materialize it once (16-byte hashes + id) so
-    # the window pipeline under it runs once, not once per branch.
-    # Eager localCheckpoint, not persist: a returned-lazy function has
-    # no clean unpersist point, and SQL-cache entries accumulate for
-    # the session (ADVICE r7); checkpoint blocks free with the result.
-    fps = (
+    # the window pipeline under it runs once, not once per branch
+    # (materialize.shared: checkpoint blocks free with the result,
+    # no session-lifetime cache entry — ADVICE r7)
+    from .materialize import shared
+
+    fps = shared(
         winnow_fingerprints(df, id_col, text_col, k, w)
         .select(F.col(id_col).alias("_fid"), "gh")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     dfreq = fps.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))

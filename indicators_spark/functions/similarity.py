@@ -1723,15 +1723,18 @@ def mmr_rerank(
     Every arithmetic step is the fold-exact cosine chain, so the greedy
     trajectory — not just its output — replays bit-identically on the
     oracle."""
-    df = with_norm(df, vec_col).filter(F.col("_norm") > 0).drop("_norm")
+    from .materialize import shared
+
+    normed = with_norm(df, vec_col).filter(F.col("_norm") > 0)
+    df = normed.drop("_norm")
     queries = (
         with_norm(queries, vec_col).filter(F.col("_norm") > 0).drop("_norm")
     )
     cand = knn_bruteforce(df, queries, k=n_candidates, id_col=id_col, vec_col=vec_col)
-    rel = cand.select("qid", "nid", F.col("cos").alias("rel")).localCheckpoint(
-        eager=True
-    )
-    vecs = with_norm(df, vec_col).select(
+    rel = shared(cand.select("qid", "nid", F.col("cos").alias("rel")))
+    # reuse the norm already computed for the zero-norm filter — no
+    # second per-vector fold over the corpus
+    vecs = normed.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("_v"),
         F.col("_norm").alias("_nn"),
@@ -1761,8 +1764,8 @@ def mmr_rerank(
                 / (F.col("_nna") * F.col("_nnb"))
             ).alias("sim"),
         )
-        .localCheckpoint(eager=True)
     )
+    sims = shared(sims)
     w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
     selected = (
         rel.withColumn("_r", F.row_number().over(w1))

@@ -407,28 +407,18 @@ def filter_by_quality_quantile(
     reproducible cross-engine.
     """
     from ..approx import (
-        APPROX_MIN_ROWS,
+        _dispatch_rows,
         kmv_percentile_cutoff,
         percentile_auto,
     )
 
-    explicit_min_rows = min_rows is not None
-    if min_rows is None:
-        min_rows = APPROX_MIN_ROWS
     scored = with_quality_score(df, text_col)
     r4 = lambda c: F.floor(c * 1e4 + F.lit(0.500000001)) / 1e4  # noqa: E731
     scored = scored.withColumn("quality_score", r4(F.col("quality_score")))
-    if n_rows is None:
-        # counting purely to pick the branch would cost a full extra
-        # scan (ADVICE r7): without a known row count or an explicit
-        # ``min_rows`` opt-in, the exact branch runs for free — at-scale
-        # callers thread ``n_rows`` from catalog stats / an ingest
-        # ledger, or pass ``min_rows`` to buy the counted dispatch.
-        # min_rows<=0 pins the sketch branch without counting either.
-        if explicit_min_rows:
-            n_rows = df.count() if min_rows > 0 else min_rows
-        else:
-            n_rows = 0
+    # one dispatch contract for the whole approx family (no-free-count:
+    # known n_rows dispatches free, explicit min_rows buys one counting
+    # pass, neither → exact branch with zero extra scans — ADVICE r7)
+    n_rows, min_rows = _dispatch_rows(df, n_rows, min_rows)
     if n_rows >= min_rows and estimator == "kmv":
         cutoff = kmv_percentile_cutoff(
             scored, value_col="quality_score", key_col=key_col, q=q, k=k

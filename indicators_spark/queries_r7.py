@@ -548,13 +548,12 @@ def _ccnet_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
     # the per-source threshold branch and the output branch both read
-    # this join — materialize it once (eager localCheckpoint, not
-    # persist: no clean unpersist point in a returned-lazy query, and
-    # SQL-cache entries accumulate across the ~250-query bench session;
-    # checkpoint blocks free with the result — ADVICE r7)
-    j = scored.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
-        eager=True
-    )
+    # this join — materialize it once (materialize.shared: checkpoint
+    # blocks free with the result, no session-lifetime cache entry —
+    # ADVICE r7)
+    from .functions.materialize import shared
+
+    j = shared(scored.join(docs.select("doc_id", "source"), "doc_id"))
     thr = j.groupBy("source").agg(
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T1))).alias("t1"),
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias("t2"),
@@ -767,13 +766,12 @@ def _doremi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
     # the per-source threshold branch and the output branch both read
-    # this join — materialize it once (eager localCheckpoint, not
-    # persist: no clean unpersist point in a returned-lazy query, and
-    # SQL-cache entries accumulate across the ~250-query bench session;
-    # checkpoint blocks free with the result — ADVICE r7)
-    j = scored.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
-        eager=True
-    )
+    # this join — persist so the LM scoring pipeline under it runs once
+    # (stage reuse within the one consuming action).  Unlike the
+    # returned-lazy queries this function CONSUMES j itself (both
+    # collects below), so persist + explicit unpersist is the right
+    # lifetime here — the r8 localCheckpoint sweep deliberately skips it.
+    j = scored.join(docs.select("doc_id", "source"), "doc_id").persist()
     per = j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         round4(F.avg("cross_entropy")).alias("avg_ce"),
@@ -1281,13 +1279,12 @@ def _ensemble_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = lm_perplexity(docs).select("doc_id", "cross_entropy")
     # the per-source threshold branch and the output branch both read
-    # this join — materialize it once (eager localCheckpoint, not
-    # persist: no clean unpersist point in a returned-lazy query, and
-    # SQL-cache entries accumulate across the ~250-query bench session;
-    # checkpoint blocks free with the result — ADVICE r7)
-    j = scored.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
-        eager=True
-    )
+    # this join — materialize it once (materialize.shared: checkpoint
+    # blocks free with the result, no session-lifetime cache entry —
+    # ADVICE r7)
+    from .functions.materialize import shared
+
+    j = shared(scored.join(docs.select("doc_id", "source"), "doc_id"))
     thr = j.groupBy("source").agg(
         round4(F.percentile(F.col("cross_entropy"), F.lit(CCNET_T2))).alias(
             "_t2"
@@ -1870,13 +1867,16 @@ def _basket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import round4
 
     # four consumers (n_orders, both self-join sides, item supports)
-    # read this distinct projection — materialize it once (eager
-    # localCheckpoint, not persist: no clean unpersist point in a
-    # returned-lazy query and SQL-cache entries accumulate across a
-    # long session; checkpoint blocks free with the result — ADVICE r7)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=True)
+    # read this distinct projection — materialize it once
+    # (materialize.shared: checkpoint blocks free with the result, no
+    # session-lifetime cache entry — ADVICE r7)
+    from .functions.materialize import shared
+
+    li = shared(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
     n_orders = li.select(F.count_distinct("ok").alias("n"))
     pairs = (
         li.alias("a")

@@ -344,7 +344,12 @@ class MixturePlanSink:
     Documents from sources absent from the plan are NOT sampled (their
     planned rate is 0 — the water-filler saw no supply for them) but are
     counted in the accounting's ``total_docs`` so the audit surfaces
-    them instead of silently ignoring them.
+    them instead of silently ignoring them.  NULL-text documents are
+    excluded before sampling by default (``drop_null_text=True``) —
+    the identical upstream filter the batch ``mixture_plan_execute``
+    query applies, so the parity claim above holds on dirty corpora
+    too; pass ``False`` only when the plan was built over a corpus that
+    kept them.
 
     Scale notes: the rate table is K rows broadcast onto the batch; the
     filter is row-local (pushes to the scan); accounting is one K-row
@@ -360,6 +365,7 @@ class MixturePlanSink:
         source_col: str = "source",
         text_col: str = "text",
         seed: str = "mixexec",
+        drop_null_text: bool = True,
         run_id: str | None = None,
     ) -> None:
         from ..functions.sampling import HASH_DEN
@@ -368,6 +374,7 @@ class MixturePlanSink:
         self.source_col = source_col
         self.text_col = text_col
         self.seed = seed
+        self.drop_null_text = drop_null_text
         # quantize to the hash grid exactly as the batch query does, so
         # planned and achievable rates agree and replay cross-engine
         self.thresholds = {
@@ -400,6 +407,8 @@ class MixturePlanSink:
         from ..functions.sampling import hash_bucket
 
         spark = df.sparkSession
+        if self.drop_null_text:
+            df = df.filter(F.col(self.text_col).isNotNull())
         return df.join(
             F.broadcast(self._rate_df(spark)), self.source_col
         ).filter(
@@ -424,7 +433,12 @@ class MixturePlanSink:
         toks = F.when(
             F.col(self.text_col).isNull(), F.lit(0)
         ).otherwise(F.size(F.split(F.col(self.text_col), " ")))
-        base = batch_df.groupBy(
+        acct_base = (
+            batch_df.filter(F.col(self.text_col).isNotNull())
+            if self.drop_null_text
+            else batch_df
+        )
+        base = acct_base.groupBy(
             F.col(self.source_col).alias("source")
         ).agg(
             F.count(F.lit(1)).cast("long").alias("total_docs"),

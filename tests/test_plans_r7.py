@@ -1,15 +1,28 @@
 """Plan sweep over the round-7b catalog additions: no cartesian
 products anywhere, and BroadcastNestedLoopJoin only as the 1-row scalar
-broadcast pattern (vocab counts, cutoffs) — never a data×data cross."""
+broadcast pattern (vocab counts, cutoffs) — never a data×data cross.
+
+The sweep runs with ``materialize.EAGER`` off: the r8 shared-subtree
+checkpoints would otherwise truncate the inspected plans to an opaque
+LogicalRDD (hiding everything beneath the cut from the cartesian check)
+AND execute the subtree at plan-construction time.  With EAGER off the
+sweep sees the FULL lazy plan — strictly more surface than production,
+where the cut can only hide operators this sweep already approved."""
 
 from __future__ import annotations
 
 import pytest
 
+from indicators_spark.functions import materialize
 from indicators_spark.plans import plan_string
 from indicators_spark.queries import QUERIES
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _see_through_checkpoints(monkeypatch):
+    monkeypatch.setattr(materialize, "EAGER", False)
 
 R7B = [
     "dedup_lines_global",

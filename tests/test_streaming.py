@@ -809,3 +809,21 @@ def test_mixture_plan_sink_replay_idempotent(spark, tmp_path):
     # empty epoch: skipped entirely (no commit, no footer-less dirs)
     sink(b0.filter(F.lit(False)), 1)
     assert len(sink._committed()) == 1
+
+
+def test_mixture_plan_sink_null_text_matches_batch_contract(spark, tmp_path):
+    """NULL-text docs are excluded before sampling AND from accounting
+    totals by default — the identical upstream filter the batch
+    mixture_plan_execute query applies, so stream/batch parity holds on
+    dirty corpora too."""
+    from indicators_spark.streaming import MixturePlanSink
+
+    sink = MixturePlanSink(str(tmp_path / "mix"), {"web": 1.0})
+    b0 = spark.createDataFrame(
+        [(1, "web", "real doc"), (2, "web", None), (3, "web", "another")],
+        "doc_id long, source string, text string",
+    )
+    sink(b0, 0)
+    assert {r["doc_id"] for r in sink.read_sampled(spark).collect()} == {1, 3}
+    audit = sink.achieved_vs_planned(spark).collect()[0]
+    assert audit["total_docs"] == 2 and audit["sampled_docs"] == 2
