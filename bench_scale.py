@@ -728,6 +728,23 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- training-sequence packing (round 8) -----------------------------
+    # concat-and-chunk layout over the synthetic corpus: md5-order hash
+    # bucketing + global_cum_sum (two skinny exchanges, no global sort),
+    # exploded to the (doc, seq) shard manifest.  docs_per_sec ~flat or
+    # rising with corpus growth = the 100 TB claim.
+    from indicators_spark.functions.sampling import pack_token_stream
+
+    t0 = time.time()
+    pack_token_stream(docs, 2048, explode=True).agg(
+        F.sum("n_tokens_in_seq").alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["pack_token_stream"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

@@ -97,3 +97,41 @@ def test_layout_invariant_under_partitioning(spark, docs):
 def test_single_sequence_when_budget_exceeds_corpus(spark, docs):
     per = pack_token_stream(docs, 10**6).collect()
     assert all(r["first_seq"] == 0 and r["last_seq"] == 0 for r in per)
+
+
+def test_layout_matches_duckdb_oracle(spark):
+    """The full layout replays exactly in ANSI SQL (md5 order + window
+    cumsum + integer division) — this is the oracle the r9 driver
+    registration will ship; pinned locally now on the sf0.001 documents
+    table."""
+    import duckdb
+
+    from indicators_spark.sources.prices import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    got = sorted(tuple(r) for r in pack_token_stream(docs, 128).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(r"""
+WITH live AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+    md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+cum AS (
+  SELECT doc_id, n, sum(n) OVER (ORDER BY h, doc_id) AS c FROM live
+)
+SELECT doc_id, n AS n_tokens, c - n AS start_tok,
+  (c - n) // 128 AS first_seq, (c - 1) // 128 AS last_seq,
+  (c - n) % 128 AS offset_in_first
+FROM cum""").fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
