@@ -617,6 +617,14 @@ def pack_token_stream(
     resulting shard manifest safely resumable."""
     from ..scale import global_cum_sum
 
+    if int(seq_len) < 1:
+        # eager, like the module's other contract guards: seq_len=0 would
+        # die mid-job as an opaque ANSI DIVIDE_BY_ZERO deep in the span
+        # math; negative values would silently emit garbage seq ids
+        raise ValueError(
+            f"pack_token_stream: seq_len must be >= 1, got {seq_len!r}"
+        )
+    seq_len = int(seq_len)
     if token_col is None:
         toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
         base = df.filter(

@@ -505,6 +505,7 @@ class MixturePlanSink:
         )
         cum = self.read_accounting(spark).groupBy("source").agg(
             F.sum("total_docs").cast("long").alias("total_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
             F.sum("sampled_docs").cast("long").alias("sampled_docs"),
             F.sum("sampled_tokens").cast("long").alias("sampled_tokens"),
         )
@@ -512,6 +513,7 @@ class MixturePlanSink:
         return cum.join(planned, "source", "left").select(
             "source",
             "total_docs",
+            "total_tokens",
             "sampled_docs",
             "sampled_tokens",
             q4(
@@ -522,6 +524,12 @@ class MixturePlanSink:
                 F.col("sampled_docs").cast("double")
                 / F.col("total_docs").cast("double")
             ).alias("achieved_rate"),
+            # the plan IS a token budget: the share of each source's
+            # tokens that landed is the number the water-filler promised
+            q4(
+                F.col("sampled_tokens").cast("double")
+                / F.nullif(F.col("total_tokens").cast("double"), F.lit(0.0))
+            ).alias("achieved_token_rate"),
         )
 
 

@@ -827,3 +827,39 @@ def test_mixture_plan_sink_null_text_matches_batch_contract(spark, tmp_path):
     assert {r["doc_id"] for r in sink.read_sampled(spark).collect()} == {1, 3}
     audit = sink.achieved_vs_planned(spark).collect()[0]
     assert audit["total_docs"] == 2 and audit["sampled_docs"] == 2
+
+
+def test_mixture_plan_sink_audit_matches_batch_query(spark, tmp_path):
+    """CROSS-IMPLEMENTATION pin: the sink's cumulative audit must equal
+    the independently-written batch mixture_plan_execute query on the
+    same corpus and plan — this is what actually enforces the bit-parity
+    claim (seed, threshold rounding, token split, NULL-text filter all
+    have two copies; a drift in either one fails here, where a
+    sink-vs-its-own-sample compare cannot)."""
+    from indicators_spark.queries import QUERIES
+    from indicators_spark.streaming import MixturePlanSink
+
+    sf = SF_SMOKE
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    plan = QUERIES["mixture_token_budget"].spark(spark, sf)
+    rates = {r["source"]: r["sample_rate"] for r in plan.collect()}
+
+    sink = MixturePlanSink(str(tmp_path / "mix"), rates)
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    got = {
+        r["source"]: (
+            r["total_docs"], r["planned_rate"],
+            r["sampled_docs"], r["sampled_tokens"],
+        )
+        for r in sink.achieved_vs_planned(spark).collect()
+    }
+    want = {
+        r["source"]: (
+            r["total_docs"], r["planned_rate"],
+            r["sampled_docs"], r["sampled_tokens"],
+        )
+        for r in QUERIES["mixture_plan_execute"].spark(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
