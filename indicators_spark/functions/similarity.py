@@ -1917,3 +1917,79 @@ def mmr_rerank_grouped(
         greedy, "qid long, nid long, mmr_rank long, score double"
     )
     return res.select("qid", "nid", "mmr_rank", _q4(F.col("score")).alias("score"))
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Gonzalez greedy k-center selection (2-approximation of the metric
+    k-center optimum): start from the minimum-id vector, then ``k − 1``
+    times pick the point FARTHEST from every center chosen so far — the
+    classic diversity-coreset / data-pruning primitive (k-center greedy
+    in active learning & dataset distillation), the corpus-level
+    complement of :func:`mmr_rerank`'s per-query diversification.
+
+    Returns the ``k`` selected centers as ``(rank, id, radius)`` with
+    ``radius`` the selected point's (4dp-quantized) squared L2 distance
+    to the previously chosen centers — a non-increasing sequence that IS
+    the coverage guarantee: every corpus point is within ``radius[k]``
+    of some center.  Rank 1's radius is NULL (nothing to be far from).
+
+    Determinism/replayability: distances are the fold-exact
+    :func:`_sq_dist` chain, the argmax key is the 4dp-quantized distance
+    with ties to the LOWEST id, and each chosen vector re-enters the
+    next step as plan literals (k·dim driver floats — the k-means
+    budget), so the whole greedy trajectory replays bit-identically in
+    unrolled SQL CTEs (the MMR/Lloyd recipe).
+
+    Scale shape: step t is ONE codegen'd projection+aggregate scan —
+    ``least`` over t literal-center distance chains, ``max(struct)``
+    with map-side partials; no join, no shuffle wider than a 1-row agg.
+    Total cost is k scans (the greedy's inherent superstep count, the
+    same regime as k-means iterations); at extreme scale run it on a
+    uniform/KMV sample — the selection shape is unchanged.  ``id_col``
+    must be numeric (the ``-id`` tie-break; checked eagerly like
+    :func:`~.dedup.lsh_dedup_keep_best`)."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"kcenter_select: id_col {id_col!r} must be numeric for the "
+            f"max(struct(q, -id)) tie-break, got "
+            f"{df.schema[id_col].dataType.simpleString()}"
+        )
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k!r}")
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    first = base.orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_select: no non-null vectors")
+    centers = [(int(first[0][id_col]), list(first[0][vec_col]), None)]
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.500000001)) / 1e4  # noqa: E731
+    for _ in range(1, k):
+        dists = [
+            _sq_dist(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+            )
+            for _, vec, _ in centers
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        m = base.select(
+            q4(mind).alias("_q"),
+            (-F.col(id_col)).alias("_ni"),
+            F.col(vec_col).alias("_v"),
+        ).agg(F.max(F.struct("_q", "_ni", "_v")).alias("m")).collect()[0]["m"]
+        centers.append((int(-m["_ni"]), list(m["_v"]), float(m["_q"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (r + 1, cid, rad)
+            for r, (cid, _, rad) in enumerate(centers)
+        ],
+        f"rank long, {id_col} long, radius double",
+    )

@@ -154,3 +154,59 @@ def _td_audit_sql() -> str:
 _register(
     "stats_tdigest_audit", Query(spark=_td_audit_spark, sql=_td_audit_sql())
 )
+
+
+# --------------------------------------------------------------------- #
+# k-center greedy selection (Gonzalez) — PREPARED for r9 registration.
+# The operator, query fn, and oracle are complete and locally pinned
+# (tests/test_kcenter.py runs the full value-hash-style compare); the
+# _register call is deferred one round so r8's driver budget finishes
+# draining the r2-era evidence tail (VERDICT r7 #2).
+# --------------------------------------------------------------------- #
+
+KC_K = 6
+
+
+def _kcenter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import similarity
+    from .queries_ext import _emb
+
+    return similarity.kcenter_select(_emb(spark, sf_dir), k=KC_K)
+
+
+def _kcenter_sql(k: int = KC_K) -> str:
+    """Unrolled-CTE replay of the greedy trajectory (the MMR/Lloyd
+    recipe): step t takes the argmax of the 4dp-quantized least
+    squared-distance to the t−1 single-row center CTEs, ties to the
+    lowest id."""
+    from .queries_pipeline import _km_sqd
+
+    def q4(e: str) -> str:
+        return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
+
+    ctes = [
+        """c1 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)"""
+    ]
+    rows = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"]
+    for t in range(2, k + 1):
+        prior = [f"c{i}" for i in range(1, t)]
+        dists = [_km_sqd("e.embedding", f"{c}.embedding") for c in prior]
+        mind = dists[0] if len(dists) == 1 else (
+            "least(" + ", ".join(f"({d})" for d in dists) + ")"
+        )
+        ctes.append(
+            f"""m{t} AS (
+  SELECT e.vec_id, e.embedding, {q4(mind)} AS q
+  FROM embeddings e, {', '.join(prior)}
+),
+c{t} AS (
+  SELECT vec_id, embedding, q FROM m{t} ORDER BY q DESC, vec_id LIMIT 1
+)"""
+        )
+        rows.append(
+            f"SELECT CAST({t} AS BIGINT) AS rank, vec_id, q AS radius FROM c{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)

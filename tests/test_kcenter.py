@@ -1,0 +1,87 @@
+"""k-center greedy selection (`similarity.kcenter_select`): the greedy
+trajectory must replay bit-identically on the DuckDB unrolled-CTE oracle
+(the r9 registration pair, pinned locally now), match a brute-force
+Python Gonzalez run, and be invariant under partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from indicators_spark.functions.similarity import kcenter_select
+from indicators_spark.queries_r8 import KC_K, _kcenter_spark, _kcenter_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_matches_duckdb_oracle(spark):
+    import duckdb
+
+    got = sorted(tuple(r) for r in _kcenter_spark(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_kcenter_sql()).fetchall())
+    con.close()
+    assert got == want and len(got) == KC_K
+
+
+def test_matches_bruteforce_gonzalez(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    got = [(r["rank"], r["vec_id"], r["radius"])
+           for r in kcenter_select(df, k=5, vec_col="embedding").collect()]
+
+    def q4(x):
+        import math
+        return math.floor(x * 1e4 + 0.500000001) / 1e4
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    vecs = {r.vec_id: r.embedding for r in rows}
+    centers = [min(vecs)]
+    want = [(1, centers[0], None)]
+    for t in range(2, 6):
+        best = None
+        for i, v in vecs.items():
+            q = q4(min(sqd(v, vecs[c]) for c in centers))
+            key = (-q, i)
+            if best is None or key < best[0]:
+                best = (key, i, q)
+        centers.append(best[1])
+        want.append((t, best[1], best[2]))
+    assert got == want
+    # radii non-increasing: the coverage guarantee
+    radii = [r for _, _, r in got if r is not None]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_invariant_under_partitioning(spark):
+    from indicators_spark.queries_ext import _emb
+
+    emb = _emb(spark, SF)
+    base = sorted(tuple(r) for r in kcenter_select(emb, k=4).collect())
+    rep = sorted(
+        tuple(r) for r in kcenter_select(emb.repartition(7), k=4).collect()
+    )
+    assert base == rep
+
+
+def test_guards(spark):
+    docs = spark.createDataFrame([Row(vec_id="a", embedding=[1.0])])
+    with pytest.raises(TypeError, match="must be numeric"):
+        kcenter_select(docs)
+    num = spark.createDataFrame([Row(vec_id=1, embedding=[1.0])])
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_select(num, k=0)
