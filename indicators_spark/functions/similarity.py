@@ -1951,15 +1951,20 @@ def kcenter_select(
     Total cost is k scans (the greedy's inherent superstep count, the
     same regime as k-means iterations); at extreme scale run it on a
     uniform/KMV sample — the selection shape is unchanged.  ``id_col``
-    must be numeric (the ``-id`` tie-break; checked eagerly like
-    :func:`~.dedup.lsh_dedup_keep_best`)."""
-    from pyspark.sql.types import NumericType
+    must be INTEGRAL (the ``-id`` tie-break plus the long output schema
+    — a fractional id would silently truncate; checked eagerly like
+    :func:`~.dedup.lsh_dedup_keep_best`).  Already-selected ids are
+    EXCLUDED from each step's candidate pool (without this, a corpus
+    with duplicate vectors re-selects center 1 forever once the max
+    min-distance hits 0); if the pool empties first (``k`` > distinct
+    rows) the selection stops early and fewer than ``k`` rows return."""
+    from pyspark.sql.types import IntegralType
 
-    if not isinstance(df.schema[id_col].dataType, NumericType):
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
         raise TypeError(
-            f"kcenter_select: id_col {id_col!r} must be numeric for the "
-            f"max(struct(q, -id)) tie-break, got "
-            f"{df.schema[id_col].dataType.simpleString()}"
+            f"kcenter_select: id_col {id_col!r} must be integral for the "
+            f"max(struct(q, -id)) tie-break and the long output schema, "
+            f"got {df.schema[id_col].dataType.simpleString()}"
         )
     if k < 1:
         raise ValueError(f"kcenter_select: k must be >= 1, got {k!r}")
@@ -1970,7 +1975,6 @@ def kcenter_select(
     if not first:
         raise ValueError("kcenter_select: no non-null vectors")
     centers = [(int(first[0][id_col]), list(first[0][vec_col]), None)]
-    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.500000001)) / 1e4  # noqa: E731
     for _ in range(1, k):
         dists = [
             _sq_dist(
@@ -1979,11 +1983,19 @@ def kcenter_select(
             for _, vec, _ in centers
         ]
         mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        m = base.select(
-            q4(mind).alias("_q"),
-            (-F.col(id_col)).alias("_ni"),
-            F.col(vec_col).alias("_v"),
-        ).agg(F.max(F.struct("_q", "_ni", "_v")).alias("m")).collect()[0]["m"]
+        picked = [cid for cid, _, _ in centers]
+        m = (
+            base.filter(~F.col(id_col).isin(picked))
+            .select(
+                _q4(mind).alias("_q"),
+                (-F.col(id_col)).alias("_ni"),
+                F.col(vec_col).alias("_v"),
+            )
+            .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
+            .collect()[0]["m"]
+        )
+        if m is None:
+            break  # candidate pool exhausted: k > distinct rows
         centers.append((int(-m["_ni"]), list(m["_v"]), float(m["_q"])))
     spark = df.sparkSession
     return spark.createDataFrame(

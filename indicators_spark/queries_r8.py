@@ -174,33 +174,58 @@ def _kcenter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kcenter_select(_emb(spark, sf_dir), k=KC_K)
 
 
-def _kcenter_sql(k: int = KC_K) -> str:
+#: embedding dimension of the testdata `embeddings` table — the oracle
+#: unrolls the distance chain per index, so it needs the width (the
+#: Spark side's zip_with is dimension-agnostic).  Kept kcenter-local
+#: rather than borrowing the k-means pipeline's constant so the two
+#: operators' oracles can't silently couple (ADVICE-style reuse trap).
+KC_DIM = 64
+
+
+def _kc_sqd(a: str, b: str, dim: int) -> str:
+    """Fold-exact ``0.0 + (a[i]-b[i])² + …`` chain — the SQL twin of
+    ``similarity._sq_dist`` at an explicit width."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"0.0 + {terms}"
+
+
+def _kcenter_sql(k: int = KC_K, dim: int = KC_DIM) -> str:
     """Unrolled-CTE replay of the greedy trajectory (the MMR/Lloyd
     recipe): step t takes the argmax of the 4dp-quantized least
-    squared-distance to the t−1 single-row center CTEs, ties to the
-    lowest id."""
-    from .queries_pipeline import _km_sqd
+    squared-distance to the t−1 single-row center CTEs over the
+    NOT-YET-SELECTED pool, ties to the lowest id.  Mirrors the operator
+    exactly: NULL embeddings excluded up front, chosen ids excluded
+    from each step's candidates."""
 
     def q4(e: str) -> str:
         return f"floor(({e}) * 1e4 + 0.500000001) / 1e4"
 
     ctes = [
-        """c1 AS (
-  SELECT vec_id, embedding FROM embeddings
-  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        """e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+c1 AS (
+  SELECT vec_id, embedding FROM e0
+  WHERE vec_id = (SELECT min(vec_id) FROM e0)
 )"""
     ]
     rows = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"]
     for t in range(2, k + 1):
         prior = [f"c{i}" for i in range(1, t)]
-        dists = [_km_sqd("e.embedding", f"{c}.embedding") for c in prior]
+        dists = [_kc_sqd("e.embedding", f"{c}.embedding", dim) for c in prior]
         mind = dists[0] if len(dists) == 1 else (
             "least(" + ", ".join(f"({d})" for d in dists) + ")"
         )
+        not_picked = " AND ".join(f"e.vec_id != {c}.vec_id" for c in prior)
         ctes.append(
             f"""m{t} AS (
   SELECT e.vec_id, e.embedding, {q4(mind)} AS q
-  FROM embeddings e, {', '.join(prior)}
+  FROM e0 e, {', '.join(prior)}
+  WHERE {not_picked}
 ),
 c{t} AS (
   SELECT vec_id, embedding, q FROM m{t} ORDER BY q DESC, vec_id LIMIT 1

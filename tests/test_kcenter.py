@@ -80,8 +80,34 @@ def test_invariant_under_partitioning(spark):
 
 def test_guards(spark):
     docs = spark.createDataFrame([Row(vec_id="a", embedding=[1.0])])
-    with pytest.raises(TypeError, match="must be numeric"):
+    with pytest.raises(TypeError, match="must be integral"):
         kcenter_select(docs)
+    frac = spark.createDataFrame([Row(vec_id=1.5, embedding=[1.0])])
+    with pytest.raises(TypeError, match="must be integral"):
+        kcenter_select(frac)
     num = spark.createDataFrame([Row(vec_id=1, embedding=[1.0])])
     with pytest.raises(ValueError, match="k must be"):
         kcenter_select(num, k=0)
+
+
+def test_duplicate_vectors_yield_distinct_centers(spark):
+    """Regression (r8 review): once the max min-distance hits 0 on a
+    corpus with duplicate vectors, the greedy must keep emitting
+    DISTINCT ids (selected points leave the candidate pool), never
+    re-select center 1."""
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]),
+         Row(vec_id=2, embedding=[1.0, 0.0]),   # duplicate of 1
+         Row(vec_id=3, embedding=[0.0, 1.0])]
+    )
+    got = [(r["rank"], r["vec_id"]) for r in kcenter_select(df, k=3).collect()]
+    assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_k_exceeding_pool_stops_early(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0]), Row(vec_id=2, embedding=[2.0])]
+    )
+    got = kcenter_select(df, k=5).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert len(got) == 2
