@@ -5,6 +5,7 @@ watermarks, sessionization, stateful custom operators, and exactly-once
 from .sinks import (
     ExactlyOnceParquetSink,
     LineDedupIngestSink,
+    MinHashDedupIngestSink,
     MixturePlanSink,
     SubstringDedupIngestSink,
     UpsertParquetSink,
@@ -29,6 +30,7 @@ __all__ = [
     "stateful_running_indicators_tws",
     "ExactlyOnceParquetSink",
     "LineDedupIngestSink",
+    "MinHashDedupIngestSink",
     "MixturePlanSink",
     "SubstringDedupIngestSink",
     "UpsertParquetSink",

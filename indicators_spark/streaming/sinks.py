@@ -533,6 +533,106 @@ class MixturePlanSink:
         )
 
 
+class MinHashDedupIngestSink:
+    """``foreachBatch`` target running incremental NEAR-dup dedup per
+    micro-batch — the streaming twin of
+    ``dedup.minhash_dedup_against_corpus``, completing the ingest-sink
+    family (exact-substring, line, mixture, and now MinHash near-dup all
+    share the commit-ledger protocol):
+
+    1. each batch document is flagged when ≥ ``min_bands`` of its LSH
+       bands collide with the historical band-key STORE (every earlier
+       committed epoch's :func:`~..functions.dedup.batch_band_keys`
+       rows) or with a LOWER-id batch sibling (earlier-wins, no
+       chaining — near-dup is not transitive, so chained keep-first
+       would be partition-order dependent),
+    2. the flagged batch (every row, with ``n_store_bands`` /
+       ``dup_in_batch`` / ``keep``) lands exactly-once per epoch,
+    3. the batch's band keys are appended to the store under the SAME
+       epoch identity — a replayed epoch overwrites its own band
+       directory (idempotent) and is skipped entirely by the ledger.
+
+    History is append-only: landed epochs are never re-flagged when a
+    later near-duplicate arrives (the same contract as the other
+    ingest sinks).  Scale notes: the store holds skinny (id, band,
+    2-hash key) rows — no text, no full signatures; the per-epoch cost
+    is one shingle pass over the batch plus a (band, key) join against
+    the store scan (bucket the store on the key to make the history
+    side exchange-free)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        bands: int = 4,
+        min_bands: int = 1,
+        run_id: str | None = None,
+    ) -> None:
+        self.bands = bands
+        self.min_bands = min_bands
+        self.run_ns = _run_ns(run_id)
+        self.data_dir = os.path.join(out_dir, "flagged")
+        self.band_dir = os.path.join(out_dir, "band_keys")
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.band_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_path(self, epoch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
+
+    def _committed(self) -> list[str]:
+        return sorted(os.listdir(self.commit_dir))
+
+    def _store_paths(self) -> list[str]:
+        """Band-key directories of every COMMITTED epoch (any run)."""
+        paths = []
+        for c in self._committed():
+            p = os.path.join(self.band_dir, c)
+            if os.path.isdir(p):
+                paths.append(p)
+        return paths
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..functions.dedup import (
+            batch_band_keys,
+            minhash_dedup_against_corpus,
+        )
+
+        if os.path.exists(self._commit_path(epoch_id)):
+            return  # replayed epoch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store_paths = self._store_paths()
+        store = spark.read.parquet(*store_paths) if store_paths else None
+        flagged = minhash_dedup_against_corpus(
+            batch_df, store, bands=self.bands, min_bands=self.min_bands
+        )
+        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(self.data_dir, epoch_tag)
+        )
+        # band keys land BEFORE the commit mark (see SubstringDedupIngestSink)
+        batch_band_keys(batch_df, bands=self.bands).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.band_dir, epoch_tag))
+        tmp = self._commit_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, self._commit_path(epoch_id))
+
+    def read_flagged(self, spark: SparkSession) -> DataFrame:
+        """Flagged documents of every committed epoch."""
+        paths = [
+            os.path.join(self.data_dir, c)
+            for c in self._committed()
+            if os.path.isdir(os.path.join(self.data_dir, c))
+        ]
+        if not paths:
+            raise ValueError("no committed epochs yet")
+        return spark.read.parquet(*paths)
+
+
 class LineDedupIngestSink:
     """``foreachBatch`` target running incremental corpus-wide LINE dedup
     per micro-batch — the streaming twin of

@@ -863,3 +863,47 @@ def test_mixture_plan_sink_audit_matches_batch_query(spark, tmp_path):
         for r in QUERIES["mixture_plan_execute"].spark(spark, sf).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_minhash_ingest_sink_incremental_and_replay(spark, tmp_path):
+    """foreachBatch MinHash near-dup ingest: epoch 1's flags equal the
+    batch operator run against epoch 0's band-key store (stream/batch
+    parity), landed epochs are never re-flagged, and a replayed epoch is
+    an exactly-once no-op for both the flagged data and the store."""
+    from indicators_spark.functions.dedup import (
+        batch_band_keys,
+        minhash_dedup_against_corpus,
+    )
+    from indicators_spark.streaming import MinHashDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    e0 = docs.filter(F.col("doc_id") < 250)
+    e1 = docs.filter(F.col("doc_id") >= 250)
+
+    sink = MinHashDedupIngestSink(str(tmp_path / "ingest"))
+    sink(e0, 0)
+    sink(e1, 1)
+
+    got = {
+        tuple(r)
+        for r in sink.read_flagged(spark)
+        .join(e1.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in minhash_dedup_against_corpus(e1, batch_band_keys(e0)).collect()
+    }
+    assert got == want and len(got) > 0
+    # epoch 0 was flagged with NO history (store side empty at the time)
+    e0_rows = sink.read_flagged(spark).join(
+        e0.select("doc_id"), "doc_id", "left_semi"
+    )
+    assert e0_rows.filter(F.col("n_store_bands") > 0).count() == 0
+
+    # replay epoch 1: ledger skip; flagged rows and band store unchanged
+    before = sink.read_flagged(spark).count()
+    n_bands = spark.read.parquet(*sink._store_paths()).count()
+    sink(e1, 1)
+    assert sink.read_flagged(spark).count() == before
+    assert spark.read.parquet(*sink._store_paths()).count() == n_bands
