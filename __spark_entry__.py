@@ -80,6 +80,10 @@ _TOUCHED: dict[str, int] = {
     "filter_ccnet_buckets": 8,
     "filter_quality_ensemble": 8,
     "basket_part_pairs": 8,
+    # r8: minhash_dedup_against_corpus gained the optional batch_bands
+    # fast path for the ingest sink (default path byte-identical, but
+    # the operator's code was touched):
+    "dedup_minhash_incremental": 8,
 }
 
 

@@ -1391,6 +1391,7 @@ def minhash_dedup_against_corpus(
     text_col: str = "text",
     bands: int = 4,
     min_bands: int = 1,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup for append-only ingest: a batch
     document is flagged when ≥ ``min_bands`` of its LSH bands collide
@@ -1409,8 +1410,20 @@ def minhash_dedup_against_corpus(
     (band, key-struct) row per doc per band, distinct'd before the
     probe join); the batch joins it on (band, key) — bucket the store
     on the key to make the history side exchange-free.  No stage ever
-    touches text after the one scan-side shingle pass."""
-    bb = _banded_signatures(batch, id_col, text_col, bands)
+    touches text after the one scan-side shingle pass.
+
+    ``batch_bands`` optionally supplies the batch's own
+    :func:`batch_band_keys` rows (id/band/key schema, id under
+    ``id_col``) so a caller that ALREADY materialized them — the ingest
+    sink writes them to its store before flagging — doesn't pay the
+    shingle+minhash pass twice; when omitted they're derived from the
+    text here, byte-identically."""
+    if batch_bands is not None:
+        bb = batch_bands.select(
+            F.col(id_col).alias("_id"), "band", "key"
+        )
+    else:
+        bb = _banded_signatures(batch, id_col, text_col, bands)
     if store_bands is not None:
         skeys = store_bands.select("band", "key").distinct()
         store_hits = (

@@ -45,10 +45,65 @@ from pyspark.sql import functions as F
 
 
 def _run_ns(run_id: str | None) -> str:
-    """Filesystem-safe namespace for a run identity."""
+    """Filesystem-safe namespace for a run identity.
+
+    When sanitization is lossy (the run id contained characters that
+    map to ``_``), a short content hash disambiguates: without it the
+    distinct run ids ``a/1`` and ``a_1`` would share a namespace and
+    the ledger would silently SKIP the second run's real epochs — the
+    exact failure the run scoping exists to prevent."""
     if run_id is None:
         return "run-default"
-    return "run-" + re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)
+    if safe == run_id:
+        return "run-" + safe
+    import hashlib
+
+    return "run-" + safe + "-" + hashlib.md5(run_id.encode()).hexdigest()[:6]
+
+
+class _EpochLedger:
+    """Commit-ledger mechanics shared by the ingest sinks (substring /
+    line / mixture / MinHash): flat ``_commits/`` directory, one
+    ``<run_ns>-<epoch>`` marker per committed epoch, atomic tmp+rename
+    commit, and committed-epoch directory listing.  One copy of the
+    protocol — a ledger fix lands everywhere at once (r8 review: four
+    verbatim copies had already accumulated)."""
+
+    def _init_ledger(self, out_dir: str, run_id: str | None) -> None:
+        self.run_ns = _run_ns(run_id)
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_path(self, epoch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
+
+    def _epoch_tag(self, epoch_id: int) -> str:
+        return f"{self.run_ns}-{epoch_id}"
+
+    def _is_committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._commit_path(epoch_id))
+
+    def _committed(self) -> list[str]:
+        # a crash between tmp write and rename leaves '<tag>.tmp' behind;
+        # it is NOT a commit
+        return sorted(
+            c for c in os.listdir(self.commit_dir) if not c.endswith(".tmp")
+        )
+
+    def _mark_committed(self, epoch_id: int) -> None:
+        tmp = self._commit_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, self._commit_path(epoch_id))
+
+    def _epoch_dirs(self, root: str) -> list[str]:
+        """Data directories of every COMMITTED epoch (any run)."""
+        return [
+            os.path.join(root, c)
+            for c in self._committed()
+            if os.path.isdir(os.path.join(root, c))
+        ]
 
 
 class ExactlyOnceParquetSink:
@@ -223,7 +278,7 @@ class UpsertParquetSink:
         return spark.read.parquet(os.path.join(self.store_dir, cur[0]))
 
 
-class SubstringDedupIngestSink:
+class SubstringDedupIngestSink(_EpochLedger):
     """``foreachBatch`` target running the full incremental ExactSubstr
     policy per micro-batch — the streaming twin of
     ``dedup.substring_dedup_against_corpus`` composed with the keep-first
@@ -256,28 +311,15 @@ class SubstringDedupIngestSink:
         self, out_dir: str, n: int = 10, run_id: str | None = None
     ) -> None:
         self.n = n
-        self.run_ns = _run_ns(run_id)
+        self._init_ledger(out_dir, run_id)
         self.data_dir = os.path.join(out_dir, "clean")
         self.gram_dir = os.path.join(out_dir, "grams")
-        self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.gram_dir, exist_ok=True)
-        os.makedirs(self.commit_dir, exist_ok=True)
-
-    def _commit_path(self, epoch_id: int) -> str:
-        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
-
-    def _committed(self) -> list[str]:
-        return sorted(os.listdir(self.commit_dir))
 
     def _store_paths(self) -> list[str]:
         """Gram directories of every COMMITTED epoch (any run)."""
-        paths = []
-        for c in self._committed():
-            p = os.path.join(self.gram_dir, c)
-            if os.path.isdir(p):
-                paths.append(p)
-        return paths
+        return self._epoch_dirs(self.gram_dir)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.dedup import (
@@ -286,7 +328,7 @@ class SubstringDedupIngestSink:
             substring_dedup_incremental_policy,
         )
 
-        if os.path.exists(self._commit_path(epoch_id)):
+        if self._is_committed(epoch_id):
             return  # replayed epoch: exactly-once skip
         if batch_df.isEmpty():
             return
@@ -295,7 +337,7 @@ class SubstringDedupIngestSink:
         store = spark.read.parquet(*store_paths) if store_paths else None
         spans = substring_dedup_incremental_policy(batch_df, store, self.n)
         cleaned = cut_spans(batch_df, spans)
-        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        epoch_tag = self._epoch_tag(epoch_id)
         cleaned.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, epoch_tag)
         )
@@ -305,24 +347,17 @@ class SubstringDedupIngestSink:
         batch_gram_hashes(batch_df, self.n).write.mode("overwrite").parquet(
             os.path.join(self.gram_dir, epoch_tag)
         )
-        tmp = self._commit_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.rename(tmp, self._commit_path(epoch_id))
+        self._mark_committed(epoch_id)
 
     def read_clean(self, spark: SparkSession) -> DataFrame:
         """Cleaned documents of every committed epoch."""
-        paths = [
-            os.path.join(self.data_dir, c)
-            for c in self._committed()
-            if os.path.isdir(os.path.join(self.data_dir, c))
-        ]
+        paths = self._epoch_dirs(self.data_dir)
         if not paths:
             raise ValueError("no committed epochs yet")
         return spark.read.parquet(*paths)
 
 
-class MixturePlanSink:
+class MixturePlanSink(_EpochLedger):
     """``foreachBatch`` target EXECUTING a water-fill mixture plan on an
     arriving corpus — the streaming twin of the ``mixture_plan_execute``
     batch query (queries_r7.py): per-source sample rates become hash
@@ -381,19 +416,11 @@ class MixturePlanSink:
             src: int(round(float(rate) * HASH_DEN))
             for src, rate in rates.items()
         }
-        self.run_ns = _run_ns(run_id)
+        self._init_ledger(out_dir, run_id)
         self.data_dir = os.path.join(out_dir, "sampled")
         self.acct_dir = os.path.join(out_dir, "accounting")
-        self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.acct_dir, exist_ok=True)
-        os.makedirs(self.commit_dir, exist_ok=True)
-
-    def _commit_path(self, epoch_id: int) -> str:
-        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
-
-    def _committed(self) -> list[str]:
-        return sorted(os.listdir(self.commit_dir))
 
     def _rate_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
@@ -416,11 +443,11 @@ class MixturePlanSink:
         ).drop("_thresh")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(self._commit_path(epoch_id)):
+        if self._is_committed(epoch_id):
             return  # replayed epoch: exactly-once skip
         if batch_df.isEmpty():
             return
-        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        epoch_tag = self._epoch_tag(epoch_id)
         sampled = self.sample(batch_df)
         sampled.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, epoch_tag)
@@ -470,17 +497,10 @@ class MixturePlanSink:
         acct.write.mode("overwrite").parquet(
             os.path.join(self.acct_dir, epoch_tag)
         )
-        tmp = self._commit_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.rename(tmp, self._commit_path(epoch_id))
+        self._mark_committed(epoch_id)
 
     def _epoch_paths(self, root: str) -> list[str]:
-        paths = [
-            os.path.join(root, c)
-            for c in self._committed()
-            if os.path.isdir(os.path.join(root, c))
-        ]
+        paths = self._epoch_dirs(root)
         if not paths:
             raise ValueError("no committed epochs yet")
         return paths
@@ -533,7 +553,7 @@ class MixturePlanSink:
         )
 
 
-class MinHashDedupIngestSink:
+class MinHashDedupIngestSink(_EpochLedger):
     """``foreachBatch`` target running incremental NEAR-dup dedup per
     micro-batch — the streaming twin of
     ``dedup.minhash_dedup_against_corpus``, completing the ingest-sink
@@ -567,30 +587,50 @@ class MinHashDedupIngestSink:
         min_bands: int = 1,
         run_id: str | None = None,
     ) -> None:
+        from ..functions.dedup import MINHASH_COEFFS
+
+        # fail at CONFIGURATION time, not inside the running stream:
+        # min_bands > bands would make keep always-true (a silent no-op
+        # deduper), and a bands value not dividing the signature length
+        # would only raise at the first non-empty micro-batch
+        if len(MINHASH_COEFFS) % bands:
+            raise ValueError(
+                f"bands={bands} must divide the signature length "
+                f"{len(MINHASH_COEFFS)}"
+            )
+        if not 1 <= min_bands <= bands:
+            raise ValueError(
+                f"min_bands={min_bands} must be in [1, bands={bands}] — "
+                "above bands no document can ever be flagged"
+            )
         self.bands = bands
         self.min_bands = min_bands
-        self.run_ns = _run_ns(run_id)
+        self._init_ledger(out_dir, run_id)
         self.data_dir = os.path.join(out_dir, "flagged")
         self.band_dir = os.path.join(out_dir, "band_keys")
-        self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.band_dir, exist_ok=True)
-        os.makedirs(self.commit_dir, exist_ok=True)
-
-    def _commit_path(self, epoch_id: int) -> str:
-        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
-
-    def _committed(self) -> list[str]:
-        return sorted(os.listdir(self.commit_dir))
+        # the store's key-struct WIDTH is a function of bands: a second
+        # sink on the same directory with different bands would union
+        # incompatible schemas and mis-decode every earlier epoch — pin
+        # the store's bands in a marker and refuse a mismatch
+        meta = os.path.join(self.band_dir, "_meta")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = int(f.read().strip())
+            if stored != bands:
+                raise ValueError(
+                    f"band-key store at {self.band_dir} was written with "
+                    f"bands={stored}; refusing to mix bands={bands} "
+                    "(incompatible key-struct schemas)"
+                )
+        else:
+            with open(meta, "w") as f:
+                f.write(str(bands))
 
     def _store_paths(self) -> list[str]:
         """Band-key directories of every COMMITTED epoch (any run)."""
-        paths = []
-        for c in self._committed():
-            p = os.path.join(self.band_dir, c)
-            if os.path.isdir(p):
-                paths.append(p)
-        return paths
+        return self._epoch_dirs(self.band_dir)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.dedup import (
@@ -598,42 +638,44 @@ class MinHashDedupIngestSink:
             minhash_dedup_against_corpus,
         )
 
-        if os.path.exists(self._commit_path(epoch_id)):
+        if self._is_committed(epoch_id):
             return  # replayed epoch: exactly-once skip
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        epoch_tag = self._epoch_tag(epoch_id)
+        band_path = os.path.join(self.band_dir, epoch_tag)
+        # band keys are written FIRST and the read-back rows feed the
+        # probe (batch_bands=...), so the shingle+minhash pass runs ONCE
+        # per epoch; the ledger still gates visibility — an uncommitted
+        # band dir is invisible to _store_paths and a replay overwrites
+        # it wholesale
+        batch_band_keys(batch_df, bands=self.bands).write.mode(
+            "overwrite"
+        ).parquet(band_path)
         store_paths = self._store_paths()
         store = spark.read.parquet(*store_paths) if store_paths else None
         flagged = minhash_dedup_against_corpus(
-            batch_df, store, bands=self.bands, min_bands=self.min_bands
+            batch_df,
+            store,
+            bands=self.bands,
+            min_bands=self.min_bands,
+            batch_bands=spark.read.parquet(band_path),
         )
-        epoch_tag = f"{self.run_ns}-{epoch_id}"
         flagged.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, epoch_tag)
         )
-        # band keys land BEFORE the commit mark (see SubstringDedupIngestSink)
-        batch_band_keys(batch_df, bands=self.bands).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.band_dir, epoch_tag))
-        tmp = self._commit_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.rename(tmp, self._commit_path(epoch_id))
+        self._mark_committed(epoch_id)
 
     def read_flagged(self, spark: SparkSession) -> DataFrame:
         """Flagged documents of every committed epoch."""
-        paths = [
-            os.path.join(self.data_dir, c)
-            for c in self._committed()
-            if os.path.isdir(os.path.join(self.data_dir, c))
-        ]
+        paths = self._epoch_dirs(self.data_dir)
         if not paths:
             raise ValueError("no committed epochs yet")
         return spark.read.parquet(*paths)
 
 
-class LineDedupIngestSink:
+class LineDedupIngestSink(_EpochLedger):
     """``foreachBatch`` target running incremental corpus-wide LINE dedup
     per micro-batch — the streaming twin of
     ``dedup.line_dedup_incremental`` (the CCNet/RefinedWeb boilerplate
@@ -663,33 +705,20 @@ class LineDedupIngestSink:
         self, out_dir: str, min_df: int = 2, run_id: str | None = None
     ) -> None:
         self.min_df = min_df
-        self.run_ns = _run_ns(run_id)
+        self._init_ledger(out_dir, run_id)
         self.data_dir = os.path.join(out_dir, "clean")
         self.count_dir = os.path.join(out_dir, "line_counts")
-        self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.count_dir, exist_ok=True)
-        os.makedirs(self.commit_dir, exist_ok=True)
-
-    def _commit_path(self, epoch_id: int) -> str:
-        return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
-
-    def _committed(self) -> list[str]:
-        return sorted(os.listdir(self.commit_dir))
 
     def _store_paths(self) -> list[str]:
         """Count directories of every COMMITTED epoch (any run)."""
-        paths = []
-        for c in self._committed():
-            p = os.path.join(self.count_dir, c)
-            if os.path.isdir(p):
-                paths.append(p)
-        return paths
+        return self._epoch_dirs(self.count_dir)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.dedup import batch_line_counts, line_dedup_incremental
 
-        if os.path.exists(self._commit_path(epoch_id)):
+        if self._is_committed(epoch_id):
             return  # replayed epoch: exactly-once skip
         if batch_df.isEmpty():
             return
@@ -699,7 +728,7 @@ class LineDedupIngestSink:
         cleaned = line_dedup_incremental(
             batch_df, store, min_df=self.min_df
         )
-        epoch_tag = f"{self.run_ns}-{epoch_id}"
+        epoch_tag = self._epoch_tag(epoch_id)
         cleaned.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, epoch_tag)
         )
@@ -707,18 +736,11 @@ class LineDedupIngestSink:
         batch_line_counts(batch_df).write.mode("overwrite").parquet(
             os.path.join(self.count_dir, epoch_tag)
         )
-        tmp = self._commit_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.rename(tmp, self._commit_path(epoch_id))
+        self._mark_committed(epoch_id)
 
     def read_clean(self, spark: SparkSession) -> DataFrame:
         """Cleaned documents of every committed epoch."""
-        paths = [
-            os.path.join(self.data_dir, c)
-            for c in self._committed()
-            if os.path.isdir(os.path.join(self.data_dir, c))
-        ]
+        paths = self._epoch_dirs(self.data_dir)
         if not paths:
             raise ValueError("no committed epochs yet")
         return spark.read.parquet(*paths)
