@@ -98,12 +98,72 @@ class _EpochLedger:
         os.rename(tmp, self._commit_path(epoch_id))
 
     def _epoch_dirs(self, root: str) -> list[str]:
-        """Data directories of every COMMITTED epoch (any run)."""
-        return [
+        """Data directories of every COMMITTED epoch (any run), plus the
+        compacted base if :meth:`_compact` has run on this root —
+        compaction replaces covered epoch dirs with one pre-aggregated
+        dir but never touches the commit MARKERS (replay skipping must
+        survive compaction)."""
+        covered, compact_dir = self._compact_state(root)
+        dirs = [compact_dir] if compact_dir else []
+        dirs += [
             os.path.join(root, c)
             for c in self._committed()
-            if os.path.isdir(os.path.join(root, c))
+            if c not in covered and os.path.isdir(os.path.join(root, c))
         ]
+        return dirs
+
+    def _compact_state(self, root: str) -> tuple[set[str], str | None]:
+        """(covered epoch tags, compacted dir path) from the pointer."""
+        ptr = os.path.join(root, "_compacted")
+        if not os.path.exists(ptr):
+            return set(), None
+        with open(ptr) as f:
+            lines = f.read().splitlines()
+        return set(lines[1:]), os.path.join(root, lines[0])
+
+    def _compact(self, spark: SparkSession, root: str, merge) -> int:
+        """Merge every committed epoch dir under ``root`` (and any prior
+        compaction) into ONE pre-aggregated directory via ``merge`` (the
+        store's logical combinator: distinct for hash/band sets, a
+        count-sum for count cells), then flip an atomic pointer and
+        delete the dead dirs.  At 10k ingested epochs the store read
+        goes from a 10k-path union scan to one dir — and because
+        ``merge`` pre-aggregates, the store also shrinks logically, so
+        every subsequent epoch's probe join gets cheaper.  Commit
+        markers are untouched: a replayed covered epoch is still
+        skipped by the ledger.  Returns the number of epoch dirs
+        folded in."""
+        import shutil
+
+        covered, prev_dir = self._compact_state(root)
+        fresh = [
+            c
+            for c in self._committed()
+            if c not in covered and os.path.isdir(os.path.join(root, c))
+        ]
+        paths = ([prev_dir] if prev_dir else []) + [
+            os.path.join(root, c) for c in fresh
+        ]
+        if not paths:
+            return 0
+        seq = 1
+        if prev_dir:
+            seq = int(os.path.basename(prev_dir).split("-")[1]) + 1
+        out = os.path.join(root, f"compact-{seq}")
+        merge(spark.read.parquet(*paths)).write.mode("overwrite").parquet(out)
+        ptr = os.path.join(root, "_compacted")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join([f"compact-{seq}", *sorted(covered | set(fresh))]))
+        os.rename(tmp, ptr)
+        # dead after the pointer flip: the covered epoch dirs and the
+        # superseded compact dir (single-writer sinks; a reader that
+        # resolved paths pre-flip should re-list, as with UpsertParquetSink)
+        for c in fresh:
+            shutil.rmtree(os.path.join(root, c), ignore_errors=True)
+        if prev_dir:
+            shutil.rmtree(prev_dir, ignore_errors=True)
+        return len(fresh)
 
 
 class ExactlyOnceParquetSink:
@@ -320,6 +380,13 @@ class SubstringDedupIngestSink(_EpochLedger):
     def _store_paths(self) -> list[str]:
         """Gram directories of every COMMITTED epoch (any run)."""
         return self._epoch_dirs(self.gram_dir)
+
+    def compact_store(self, spark: SparkSession) -> int:
+        """Fold the per-epoch gram dirs into one distinct'd base
+        (:meth:`_EpochLedger._compact`): gram hashes are a SET, so the
+        combinator is ``distinct`` — the store shrinks by exactly the
+        cross-epoch overlap and later probes join one dir."""
+        return self._compact(spark, self.gram_dir, lambda df: df.distinct())
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.dedup import (
@@ -632,6 +699,11 @@ class MinHashDedupIngestSink(_EpochLedger):
         """Band-key directories of every COMMITTED epoch (any run)."""
         return self._epoch_dirs(self.band_dir)
 
+    def compact_store(self, spark: SparkSession) -> int:
+        """Fold the per-epoch band-key dirs into one distinct'd base
+        (:meth:`_EpochLedger._compact`) — band rows are a set."""
+        return self._compact(spark, self.band_dir, lambda df: df.distinct())
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.dedup import (
             batch_band_keys,
@@ -714,6 +786,19 @@ class LineDedupIngestSink(_EpochLedger):
     def _store_paths(self) -> list[str]:
         """Count directories of every COMMITTED epoch (any run)."""
         return self._epoch_dirs(self.count_dir)
+
+    def compact_store(self, spark: SparkSession) -> int:
+        """Fold the per-epoch count dirs into one re-summed base
+        (:meth:`_EpochLedger._compact`): count cells add cell-wise, so
+        the combinator is a ``lh``-keyed sum — one row per distinct line
+        ever seen, whatever the epoch count."""
+        return self._compact(
+            spark,
+            self.count_dir,
+            lambda df: df.groupBy("lh").agg(
+                F.sum("c").cast("long").alias("c")
+            ),
+        )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..functions.dedup import batch_line_counts, line_dedup_incremental

@@ -940,3 +940,97 @@ def test_run_ns_lossy_sanitization_disambiguated():
     assert _run_ns("a/1") != _run_ns("a_1")
     assert _run_ns("a_1") == "run-a_1"          # clean ids unchanged
     assert _run_ns(None) == "run-default"
+
+
+def test_line_sink_store_compaction_semantics(spark, tmp_path):
+    """compact_store folds the per-epoch count dirs into one re-summed
+    base WITHOUT changing any future dedup decision: a compacted sink
+    and an uncompacted twin produce identical epoch-3 output, the
+    compacted store holds the same lh→count totals in fewer (or equal)
+    rows and ONE directory, and a replayed covered epoch is still
+    skipped by the untouched ledger."""
+    from indicators_spark.streaming import LineDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    epochs = [
+        docs.filter(F.col("doc_id") % 3 == i).filter(F.col("doc_id") < 300)
+        for i in range(3)
+    ]
+    a = LineDedupIngestSink(str(tmp_path / "a"), min_df=2)
+    b = LineDedupIngestSink(str(tmp_path / "b"), min_df=2)
+    for i in range(2):
+        a(epochs[i], i)
+        b(epochs[i], i)
+
+    totals_before = {
+        (r["lh"], r["c"])
+        for r in spark.read.parquet(*a._store_paths())
+        .groupBy("lh").agg(F.sum("c").cast("long").alias("c")).collect()
+    }
+    n_dirs_before = len(a._store_paths())
+    folded = a.compact_store(spark)
+    assert folded == 2 and len(a._store_paths()) == 1 < n_dirs_before
+    totals_after = {
+        (r["lh"], r["c"])
+        for r in spark.read.parquet(*a._store_paths())
+        .groupBy("lh").agg(F.sum("c").cast("long").alias("c")).collect()
+    }
+    assert totals_after == totals_before
+
+    a(epochs[2], 2)
+    b(epochs[2], 2)
+    got = {
+        tuple(r)
+        for r in a.read_clean(spark)
+        .join(epochs[2].select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in b.read_clean(spark)
+        .join(epochs[2].select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # covered-epoch replay: markers survived compaction, nothing changes
+    before = a.read_clean(spark).count()
+    a(epochs[1], 1)
+    assert a.read_clean(spark).count() == before
+    # compaction is re-runnable: folds the new epoch into the base
+    assert a.compact_store(spark) == 1
+    assert len(a._store_paths()) == 1
+    # idempotent when nothing is fresh
+    assert a.compact_store(spark) == 0
+
+
+def test_minhash_sink_store_compaction_semantics(spark, tmp_path):
+    """Same contract for the band-key store (set combinator)."""
+    from indicators_spark.streaming import MinHashDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    e0 = docs.filter(F.col("doc_id") < 150)
+    e1 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    e2 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 450))
+
+    a = MinHashDedupIngestSink(str(tmp_path / "a"))
+    b = MinHashDedupIngestSink(str(tmp_path / "b"))
+    a(e0, 0); b(e0, 0)
+    a(e1, 1); b(e1, 1)
+    assert a.compact_store(spark) == 2
+    a(e2, 2); b(e2, 2)
+    got = {
+        tuple(r)
+        for r in a.read_flagged(spark)
+        .join(e2.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in b.read_flagged(spark)
+        .join(e2.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    assert got == want and len(got) > 0
