@@ -62,6 +62,16 @@ def _run_ns(run_id: str | None) -> str:
     return "run-" + safe + "-" + hashlib.md5(run_id.encode()).hexdigest()[:6]
 
 
+def _atomic_write(path: str, body: str) -> None:
+    """tmp-file + rename (atomic on POSIX; a conditional PUT / metastore
+    transaction on object stores) — the ONE copy of the commit/pointer
+    write idiom every sink uses."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(body)
+    os.rename(tmp, path)
+
+
 class _EpochLedger:
     """Commit-ledger mechanics shared by the ingest sinks (substring /
     line / mixture / MinHash): flat ``_commits/`` directory, one
@@ -92,10 +102,7 @@ class _EpochLedger:
         )
 
     def _mark_committed(self, epoch_id: int) -> None:
-        tmp = self._commit_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.rename(tmp, self._commit_path(epoch_id))
+        _atomic_write(self._commit_path(epoch_id), str(epoch_id))
 
     def _epoch_dirs(self, root: str) -> list[str]:
         """Data directories of every COMMITTED epoch (any run), plus the
@@ -125,44 +132,56 @@ class _EpochLedger:
         """Merge every committed epoch dir under ``root`` (and any prior
         compaction) into ONE pre-aggregated directory via ``merge`` (the
         store's logical combinator: distinct for hash/band sets, a
-        count-sum for count cells), then flip an atomic pointer and
-        delete the dead dirs.  At 10k ingested epochs the store read
-        goes from a 10k-path union scan to one dir — and because
-        ``merge`` pre-aggregates, the store also shrinks logically, so
-        every subsequent epoch's probe join gets cheaper.  Commit
-        markers are untouched: a replayed covered epoch is still
-        skipped by the ledger.  Returns the number of epoch dirs
-        folded in."""
+        count-sum for count cells), then flip an atomic pointer.  At 10k
+        ingested epochs the store read goes from a 10k-path union scan
+        to one dir — and because ``merge`` pre-aggregates, the store
+        also shrinks logically, so every subsequent epoch's probe join
+        gets cheaper.  Commit markers are untouched: a replayed covered
+        epoch is still skipped by the ledger.
+
+        Retention matches UpsertParquetSink's contract: dirs superseded
+        by THIS flip survive one generation for readers that resolved
+        store paths just before it — the vacuum at the START of the
+        next compaction deletes them (which also sweeps crash leftovers:
+        a die between flip and vacuum leaks nothing permanently).
+        Returns the number of epoch dirs folded in; a call with nothing
+        fresh is a true no-op (after the vacuum sweep)."""
         import shutil
 
         covered, prev_dir = self._compact_state(root)
+        cur_name = os.path.basename(prev_dir) if prev_dir else None
+        # vacuum generation N-1: stale compact dirs (any compact-* that
+        # is not the current pointer target) and covered epoch dirs
+        # still on disk — both unreadable via _epoch_dirs since the
+        # previous flip, retained exactly one generation
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if not os.path.isdir(p):
+                continue
+            if d.startswith("compact-") and d != cur_name:
+                shutil.rmtree(p, ignore_errors=True)
+            elif d in covered:
+                shutil.rmtree(p, ignore_errors=True)
         fresh = [
             c
             for c in self._committed()
             if c not in covered and os.path.isdir(os.path.join(root, c))
         ]
+        if not fresh:
+            # nothing new: do NOT rewrite the whole store per call
+            return 0
         paths = ([prev_dir] if prev_dir else []) + [
             os.path.join(root, c) for c in fresh
         ]
-        if not paths:
-            return 0
         seq = 1
         if prev_dir:
             seq = int(os.path.basename(prev_dir).split("-")[1]) + 1
         out = os.path.join(root, f"compact-{seq}")
         merge(spark.read.parquet(*paths)).write.mode("overwrite").parquet(out)
-        ptr = os.path.join(root, "_compacted")
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join([f"compact-{seq}", *sorted(covered | set(fresh))]))
-        os.rename(tmp, ptr)
-        # dead after the pointer flip: the covered epoch dirs and the
-        # superseded compact dir (single-writer sinks; a reader that
-        # resolved paths pre-flip should re-list, as with UpsertParquetSink)
-        for c in fresh:
-            shutil.rmtree(os.path.join(root, c), ignore_errors=True)
-        if prev_dir:
-            shutil.rmtree(prev_dir, ignore_errors=True)
+        _atomic_write(
+            os.path.join(root, "_compacted"),
+            "\n".join([f"compact-{seq}", *sorted(covered | set(fresh))]),
+        )
         return len(fresh)
 
 
@@ -222,12 +241,7 @@ class ExactlyOnceParquetSink:
         # overwrite: a half-written directory from a pre-commit crash is
         # harmless (not in the ledger) and replaced wholesale on replay
         batch_df.write.mode("overwrite").parquet(path)
-        # atomic commit: tmp file + rename is atomic on POSIX; on object
-        # stores this would be a conditional PUT / metastore transaction
-        tmp = self._commit_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.rename(tmp, self._commit_path(epoch_id))
+        _atomic_write(self._commit_path(epoch_id), str(epoch_id))
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read ONLY committed epochs (ledger-trusting reader), across
@@ -316,10 +330,7 @@ class UpsertParquetSink:
         merged.write.mode("overwrite").parquet(
             os.path.join(self.store_dir, version)
         )
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{version}\n{self.run_ns}\n{epoch_id}")
-        os.rename(tmp, self._pointer)
+        _atomic_write(self._pointer, f"{version}\n{self.run_ns}\n{epoch_id}")
         # Vacuum: superseded versions are dead after the pointer flip;
         # retain ONE prior version for readers that resolved the pointer
         # just before the flip, delete anything older (without this the

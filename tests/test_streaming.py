@@ -1034,3 +1034,58 @@ def test_minhash_sink_store_compaction_semantics(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_substring_sink_store_compaction_semantics(spark, tmp_path):
+    """Same contract for the gram store (distinct combinator): the
+    compacted sink's next-epoch output equals the uncompacted twin's,
+    and superseded dirs survive one generation (reader retention) before
+    the next compaction's vacuum sweeps them."""
+    import os
+
+    from indicators_spark.streaming import SubstringDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    e0 = docs.filter(F.col("doc_id") < 120)
+    e1 = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 240))
+    e2 = docs.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 360))
+
+    a = SubstringDedupIngestSink(str(tmp_path / "a"), n=10)
+    b = SubstringDedupIngestSink(str(tmp_path / "b"), n=10)
+    a(e0, 0); b(e0, 0)
+    a(e1, 1); b(e1, 1)
+    assert a.compact_store(spark) == 2
+    # one-generation retention: superseded epoch dirs still on disk,
+    # already invisible to the reader
+    on_disk = set(os.listdir(a.gram_dir))
+    assert any(d.startswith("run-default-") for d in on_disk)
+    assert len(a._store_paths()) == 1
+    a(e2, 2); b(e2, 2)
+    got = {
+        tuple(r)
+        for r in a.read_clean(spark)
+        .join(e2.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in b.read_clean(spark)
+        .join(e2.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # the next compaction's START-of-run vacuum sweeps generation N-1
+    # (run-default-0/1 were superseded by compact-1 and die here), while
+    # the dirs THIS flip supersedes (compact-1, run-default-2) get their
+    # own one-generation retention
+    assert a.compact_store(spark) == 1
+    after = set(os.listdir(a.gram_dir))
+    assert not any(d.startswith("run-default-0") for d in after)
+    assert not any(d.startswith("run-default-1") for d in after)
+    assert {"compact-1", "compact-2", "run-default-2"} <= after
+    # a no-op call is still the vacuum opportunity: nothing fresh, but
+    # the superseded generation is swept
+    assert a.compact_store(spark) == 0
+    final = set(os.listdir(a.gram_dir))
+    assert "compact-1" not in final and "run-default-2" not in final
+    assert "compact-2" in final
