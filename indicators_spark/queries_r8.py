@@ -157,11 +157,11 @@ _register(
 
 
 # --------------------------------------------------------------------- #
-# k-center greedy selection (Gonzalez) — PREPARED for r9 registration.
-# The operator, query fn, and oracle are complete and locally pinned
-# (tests/test_kcenter.py runs the full value-hash-style compare); the
-# _register call is deferred one round so r8's driver budget finishes
-# draining the r2-era evidence tail (VERDICT r7 #2).
+# k-center greedy selection (Gonzalez).  Operator, query fn, and oracle
+# were built and locally pinned in r8 (tests/test_kcenter.py runs the
+# full value-hash-style compare); the _register call was deferred one
+# round so r8's driver budget finished draining the r2-era evidence
+# tail (VERDICT r7 #2) and lives at the bottom of this block (r9).
 # --------------------------------------------------------------------- #
 
 KC_K = 6
@@ -235,3 +235,9 @@ c{t} AS (
             f"SELECT CAST({t} AS BIGINT) AS rank, vec_id, q AS radius FROM c{t}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+_register(
+    "similarity_kcenter_select",
+    Query(spark=_kcenter_spark, sql=_kcenter_sql()),
+)

@@ -1,0 +1,68 @@
+"""Round-9 catalog additions.
+
+One new driver registration this round (plus the deferred
+``similarity_kcenter_select`` line in queries_r8.py): the r2/r3
+evidence-drain takes 47 of the ~50 verification slots (VERDICT r8 #2),
+so new registrations stay capped at 2 to let the rotation clear the
+tail in one round.
+
+``pack_token_stream_128`` — concat-and-chunk training-sequence packing
+(sampling.py:572, built and property-tested in r8, tests/test_packing.py)
+over the ``documents`` table at seq_len=128.  The operator's whole
+layout is md5 ordering + a global prefix-sum + integer span math, all
+engine-portable, so the oracle replays it exactly in ANSI SQL: same
+order key, same window cumsum, same ``//`` / ``%`` spans.  Every output
+is integral — the oracle CASTs each column to BIGINT because DuckDB's
+``sum(BIGINT)`` widens to HUGEINT, which value-hash-mismatches Spark's
+long even at equal values (the standing dtype trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import Query, _register
+from .sources.prices import load_table
+
+#: driver-registered sequence length.  128 keeps the sf0.01 run's
+#: per-doc spans small (docs average ~100 whitespace tokens, so most
+#: docs straddle at most one boundary) while still exercising the
+#: multi-sequence span math the manifest consumers rely on.
+PACK_SEQ_LEN = 128
+
+
+def _pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sampling.pack_token_stream(docs, PACK_SEQ_LEN)
+
+
+def _pack_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    """ANSI replay of the per-doc layout: md5 order key, window cumsum,
+    integer division spans — the exact SQL tests/test_packing.py pins
+    locally at sf0.001, hardened with BIGINT casts for the driver's
+    dtype-sensitive value hash."""
+    return rf"""
+WITH live AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+    md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+cum AS (
+  SELECT doc_id, n, sum(n) OVER (ORDER BY h, doc_id) AS c FROM live
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(c - n AS BIGINT) AS start_tok,
+  CAST((c - n) // {seq_len} AS BIGINT) AS first_seq,
+  CAST((c - 1) // {seq_len} AS BIGINT) AS last_seq,
+  CAST((c - n) % {seq_len} AS BIGINT) AS offset_in_first
+FROM cum
+"""
+
+
+_register(
+    "pack_token_stream_128", Query(spark=_pack_spark, sql=_pack_sql())
+)
