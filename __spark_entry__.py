@@ -84,6 +84,12 @@ _TOUCHED: dict[str, int] = {
     # fast path for the ingest sink (default path byte-identical, but
     # the operator's code was touched):
     "dedup_minhash_incremental": 8,
+    # r9: epoch_shuffle's md5-order-key construction moved to the shared
+    # sampling._order_key helper (expression-identical by construction,
+    # pinned in tests/test_sampling.py, but the operator's code was
+    # touched).  Deliberately fills the round's 50th slot: 2 new
+    # registrations + this + the 47-query r2/r3 evidence tail = 50.
+    "sample_epoch_shuffle": 9,
 }
 
 

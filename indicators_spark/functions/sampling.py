@@ -44,6 +44,22 @@ def _key_str(key: Column) -> Column:
     return F.coalesce(key.cast("string"), F.lit(NULL_KEY))
 
 
+def _order_key(seed_tag: str, key: Column) -> tuple[Column, Column]:
+    """The module's deterministic global-order key, as a pair:
+    ``md5('{seed_tag}|' || key)`` (lowercase fixed-width hex, so
+    lexicographic order == numeric order) plus its first-8-hex 32-bit
+    prefix cast to bigint — a monotone numeric proxy with KNOWN bounds
+    ``[0, 2³²)`` that lets :mod:`~indicators_spark.scale`'s
+    ``global_row_number`` / ``global_cum_sum`` range-bucket
+    arithmetically without a min/max scan or a global sort.  Shared by
+    :func:`epoch_shuffle` and :func:`pack_token_stream` so the two
+    layouts can't drift apart (both replay in SQL as
+    ``md5('{seed_tag}|' || CAST(key AS VARCHAR))``)."""
+    h = F.md5(F.concat(F.lit(f"{seed_tag}|"), _key_str(key)))
+    pre = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    return h, pre
+
+
 def hash_bucket(key: Column, seed: str, den: int = HASH_DEN) -> Column:
     """Uniform bucket in [0, den): first 8 hex chars of md5('seed|key').
 
@@ -449,10 +465,7 @@ def epoch_shuffle(
     rows sharing a key value get adjacent positions in engine order."""
     from ..scale import global_row_number
 
-    h = F.md5(F.concat(F.lit(f"{seed}{epoch}|"), _key_str(F.col(key))))
-    # lowercase same-length hex: lexicographic order == numeric order, so
-    # the 32-bit prefix is monotone in the full hash string
-    pre = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h, pre = _order_key(f"{seed}{epoch}", F.col(key))
     ranked = global_row_number(
         df.withColumn("_eh", h).withColumn("_ehb", pre),
         order_cols=("_eh", key),
@@ -634,8 +647,7 @@ def pack_token_stream(
         base = df.filter(
             F.col(token_col).isNotNull() & (F.col(token_col) > 0)
         ).select(F.col(id_col), F.col(token_col).cast("long").alias("_nt"))
-    h = F.md5(F.concat(F.lit(f"{seed}|"), _key_str(F.col(id_col))))
-    pre = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h, pre = _order_key(seed, F.col(id_col))
     ordered = base.withColumn("_h", h).withColumn("_hb", pre)
     cum = global_cum_sum(
         ordered,

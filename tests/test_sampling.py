@@ -233,6 +233,27 @@ def test_epoch_shuffle_is_permutation_and_deterministic(spark):
     assert pos == pos2  # partitioning-independent
 
 
+def test_epoch_shuffle_order_key_replays_in_python(spark):
+    """Bit-equality pin for the r9 `_order_key` consolidation: the epoch
+    position must equal the rank of ``hashlib.md5(f'ep{e}|{id}')`` — the
+    exact contract the pre-r9 inline expression implemented and every
+    SQL oracle replays.  A helper refactor that changed the seed-tag
+    framing or prefix width would flip this before it flipped the
+    driver row."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    got = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in sampling.epoch_shuffle(df, "doc_id", 3).collect()
+    }
+    order = sorted(
+        range(64), key=lambda i: hashlib.md5(f"ep3|{i}".encode()).hexdigest()
+    )
+    want = {i: pos + 1 for pos, i in enumerate(order)}
+    assert got == want
+
+
 def test_epoch_shuffle_epochs_differ_and_look_shuffled(spark):
     df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
     p1 = {r["doc_id"]: r["epoch_pos"] for r in sampling.epoch_shuffle(df, "doc_id", 1).collect()}
