@@ -450,10 +450,15 @@ def _winsorize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip n_chars to each language's [p05, p95] band — the standard
     outlier-taming transform before statistics/training.
 
-    Size-dispatched via :func:`~indicators_spark.approx.winsorize_auto`:
-    exact per-group percentile bands below the threshold (what the oracle
-    replays), t-digest bands at 100 TB — either way one tiny per-group
-    agg broadcast-joined back; the data side never shuffles."""
+    Runs :func:`~indicators_spark.approx.winsorize_auto` with defaults,
+    which under the no-free-count dispatch contract (r8) pins the EXACT
+    per-group percentile bands the oracle replays — nothing is scanned
+    just to pick a branch.  At 100 TB a caller passes ``n_rows`` from
+    catalog stats (or ``min_rows=0``) to get t-digest bands instead; that
+    sketch branch is pinned against this exact one in
+    tests/test_approx.py::test_winsorize_auto_paths_agree.  Either way
+    one tiny per-group agg broadcast-joins back; the data side never
+    shuffles."""
     from .approx import winsorize_auto
 
     docs = load_table(spark, sf_dir, "documents")
@@ -570,12 +575,16 @@ FROM s""",
 def _histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram: buckets hold ~equal row counts, with
     quartile breakpoints (the optimizer-statistics dual of the
-    equal-width `analytic_histogram`).  Size-dispatched via
-    :func:`~indicators_spark.approx.histogram_equidepth_auto`: exact
-    interpolated breakpoints below the threshold (what the oracle
-    replays), t-digest at 100 TB — 3 scalars broadcast back either way;
-    bucket assignment is a codegen'd comparison sum, so the fact table is
-    scanned twice but never shuffled wide."""
+    equal-width `analytic_histogram`).  Runs
+    :func:`~indicators_spark.approx.histogram_equidepth_auto` with
+    defaults, which under the no-free-count dispatch contract (r8) pins
+    the EXACT interpolated breakpoints the oracle replays; at 100 TB a
+    caller passes ``n_rows`` from catalog stats (or ``min_rows=0``) for
+    t-digest breakpoints — that branch is pinned against this one in
+    tests/test_approx.py::test_histogram_equidepth_auto_paths.  3 scalars
+    broadcast back either way; bucket assignment is a codegen'd
+    comparison sum, so the fact table is scanned twice but never
+    shuffled wide."""
     from .approx import histogram_equidepth_auto
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")

@@ -516,11 +516,16 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 def _profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass-per-column profile of lineitem's numeric columns: row /
-    null / distinct counts, min/max/mean.  Size-dispatched via
-    :func:`~indicators_spark.approx.profile_numeric_auto`: exact
-    `countDistinct` below the threshold (what the oracle replays), HLL
-    `approx_count_distinct` at 100 TB — same output schema, and each
-    column's metrics stay ONE map-side-combined aggregate."""
+    null / distinct counts, min/max/mean.  Runs
+    :func:`~indicators_spark.approx.profile_numeric_auto` with defaults,
+    which under the no-free-count dispatch contract (r8) pins the EXACT
+    `countDistinct` the oracle replays; at 100 TB a caller passes
+    ``n_rows`` from catalog stats (or ``min_rows=0``) for HLL
+    `approx_count_distinct` — that branch is pinned against this one in
+    tests/test_approx.py::test_profile_numeric_auto_paths, and its
+    at-scale error band is driver-verified by `stats_hll_audit`.  Same
+    output schema either way, and each column's metrics stay ONE
+    map-side-combined aggregate."""
     from .approx import profile_numeric_auto
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -62,6 +62,24 @@ def _run_ns(run_id: str | None) -> str:
     return "run-" + safe + "-" + hashlib.md5(run_id.encode()).hexdigest()[:6]
 
 
+def _legacy_run_ns(run_id: str | None) -> str | None:
+    """Pre-md5-suffix namespace of a LOSSY run id, or None when the
+    sanitization is lossless (then :func:`_run_ns` already equals the
+    legacy form).  One-time ledger-format migration: stores written
+    before the suffix existed hold such a run's commit markers under
+    the bare sanitized tag; readers must honor those markers when
+    deciding committed-ness (else every legacy epoch replays and
+    duplicates) while only ever WRITING the suffixed, unambiguous
+    form.  The legacy tag is inherently ambiguous (``a/1`` and ``a:1``
+    both sanitized to ``a_1``) — that ambiguity is exactly what the
+    suffix fixed, and honoring it on read is the documented migration
+    cost, not a new collision."""
+    if run_id is None:
+        return None
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)
+    return None if safe == run_id else "run-" + safe
+
+
 def _atomic_write(path: str, body: str) -> None:
     """tmp-file + rename (atomic on POSIX; a conditional PUT / metastore
     transaction on object stores) — the ONE copy of the commit/pointer
@@ -82,6 +100,7 @@ class _EpochLedger:
 
     def _init_ledger(self, out_dir: str, run_id: str | None) -> None:
         self.run_ns = _run_ns(run_id)
+        self._legacy_ns = _legacy_run_ns(run_id)  # ledger migration
         self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.commit_dir, exist_ok=True)
 
@@ -92,7 +111,11 @@ class _EpochLedger:
         return f"{self.run_ns}-{epoch_id}"
 
     def _is_committed(self, epoch_id: int) -> bool:
-        return os.path.exists(self._commit_path(epoch_id))
+        if os.path.exists(self._commit_path(epoch_id)):
+            return True
+        return self._legacy_ns is not None and os.path.exists(
+            os.path.join(self.commit_dir, f"{self._legacy_ns}-{epoch_id}")
+        )
 
     def _committed(self) -> list[str]:
         # a crash between tmp write and rename leaves '<tag>.tmp' behind;
@@ -145,7 +168,18 @@ class _EpochLedger:
         next compaction deletes them (which also sweeps crash leftovers:
         a die between flip and vacuum leaks nothing permanently).
         Returns the number of epoch dirs folded in; a call with nothing
-        fresh is a true no-op (after the vacuum sweep)."""
+        fresh is a true no-op (after the vacuum sweep).
+
+        Compaction assumes ONE compactor at a time (run it from the
+        maintenance job that owns the store, like Delta OPTIMIZE).  The
+        merge output is still staged in a process-unique ``.tmp-`` dir
+        and renamed into place before the pointer flip, so even a
+        violated assumption cannot interleave two compactors' parquet
+        writes inside one directory — the losing compactor dies on the
+        rename (target exists) with the store pointer untouched; what
+        stays unprotected under concurrency is only the shared vacuum
+        sweep below (it may delete the other compactor's in-flight
+        staging dir, aborting that run harmlessly)."""
         import shutil
 
         covered, prev_dir = self._compact_state(root)
@@ -177,7 +211,16 @@ class _EpochLedger:
         if prev_dir:
             seq = int(os.path.basename(prev_dir).split("-")[1]) + 1
         out = os.path.join(root, f"compact-{seq}")
-        merge(spark.read.parquet(*paths)).write.mode("overwrite").parquet(out)
+        # stage + rename: never write parquet straight into the final
+        # name (see the docstring's concurrency note); uuid4 keeps two
+        # same-pid compactors (threads) apart too
+        import uuid
+
+        staging = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        merge(spark.read.parquet(*paths)).write.mode("overwrite").parquet(
+            staging
+        )
+        os.rename(staging, out)
         _atomic_write(
             os.path.join(root, "_compacted"),
             "\n".join([f"compact-{seq}", *sorted(covered | set(fresh))]),
@@ -203,12 +246,24 @@ class ExactlyOnceParquetSink:
     def __init__(self, out_dir: str, run_id: str | None = None) -> None:
         self.out_dir = out_dir
         self.run_ns = _run_ns(run_id)
+        self._legacy_ns = _legacy_run_ns(run_id)  # ledger migration
         self.data_dir = os.path.join(out_dir, "data")
         self.commit_dir = os.path.join(out_dir, "_commits", self.run_ns)
         os.makedirs(self.commit_dir, exist_ok=True)
 
     def _commit_path(self, epoch_id: int) -> str:
         return os.path.join(self.commit_dir, str(epoch_id))
+
+    def _is_committed(self, epoch_id: int) -> bool:
+        if os.path.exists(self._commit_path(epoch_id)):
+            return True
+        # pre-suffix markers of a lossy run id (see _legacy_run_ns):
+        # honor on read, never write
+        return self._legacy_ns is not None and os.path.exists(
+            os.path.join(
+                self.out_dir, "_commits", self._legacy_ns, str(epoch_id)
+            )
+        )
 
     def committed_epochs(self) -> list[int]:
         """Committed epoch ids of THIS run."""
@@ -231,7 +286,7 @@ class ExactlyOnceParquetSink:
         return paths
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(self._commit_path(epoch_id)):
+        if self._is_committed(epoch_id):
             return  # replayed epoch: already committed, exactly-once skip
         if batch_df.isEmpty():
             # nothing to write; committing would create a footer-less
@@ -530,10 +585,12 @@ class MixturePlanSink(_EpochLedger):
         sampled.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, epoch_tag)
         )
-        # accounting: totals come from the UNFILTERED batch (so unplanned
-        # sources and never-sampled sources still show up), sampled
-        # counts re-read the just-written parquet — never recomputing the
-        # filter, so the ledger describes exactly the rows on disk
+        # accounting: totals come from the plan-UNFILTERED (but, when
+        # drop_null_text=True, null-text-filtered — see the class
+        # docstring) batch, so unplanned sources and never-sampled
+        # sources still show up; sampled counts re-read the just-written
+        # parquet — never recomputing the filter, so the ledger
+        # describes exactly the rows on disk
         spark = batch_df.sparkSession
         toks = F.when(
             F.col(self.text_col).isNull(), F.lit(0)

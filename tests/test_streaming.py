@@ -942,6 +942,80 @@ def test_run_ns_lossy_sanitization_disambiguated():
     assert _run_ns(None) == "run-default"
 
 
+def test_legacy_unsuffixed_markers_still_skip_epochs(spark, tmp_path):
+    """Ledger-format migration (r9, ADVICE r8): commit markers written
+    before the lossy-id md5 suffix existed use the bare sanitized tag;
+    a post-suffix sink restarting the same run must treat those epochs
+    as committed (else every legacy epoch re-ingests and duplicates),
+    while writing only the new suffixed form for fresh epochs."""
+    import os
+
+    from indicators_spark.streaming import LineDedupIngestSink
+    from indicators_spark.streaming.sinks import (
+        ExactlyOnceParquetSink,
+        _legacy_run_ns,
+        _run_ns,
+    )
+
+    assert _legacy_run_ns("a_1") is None            # lossless: no legacy
+    assert _legacy_run_ns(None) is None
+    assert _legacy_run_ns("a/1") == "run-a_1"       # pre-suffix form
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    ).filter(F.col("doc_id") < 60)
+
+    sink = LineDedupIngestSink(str(tmp_path / "a"), run_id="a/1")
+    # simulate the pre-suffix store: epoch 0's marker under the legacy tag
+    with open(os.path.join(sink.commit_dir, "run-a_1-0"), "w") as f:
+        f.write("0")
+    assert sink._is_committed(0)
+    sink(docs, 0)                                   # replay: must skip
+    assert sink._store_paths() == []                # nothing ingested
+    sink(docs, 1)                                   # fresh epoch ingests
+    assert sink._is_committed(1)
+    assert os.path.exists(
+        os.path.join(sink.commit_dir, f"{_run_ns('a/1')}-1")
+    )
+
+    eo = ExactlyOnceParquetSink(str(tmp_path / "b"), run_id="a/1")
+    legacy_dir = os.path.join(str(tmp_path / "b"), "_commits", "run-a_1")
+    os.makedirs(legacy_dir)
+    with open(os.path.join(legacy_dir, "0"), "w") as f:
+        f.write("0")
+    assert eo._is_committed(0)
+    eo(docs, 0)                                     # replay: must skip
+    assert not os.path.exists(
+        os.path.join(eo.data_dir, eo.run_ns, "epoch=0")
+    )
+
+
+def test_compact_stages_then_renames(spark, tmp_path):
+    """compact_store writes the merged base into a process-unique
+    staging dir and renames it into place (no parquet write straight
+    into the final name — two racing compactors can't interleave inside
+    one directory), and a crash-leftover staging dir is swept by the
+    next call's vacuum."""
+    import os
+
+    from indicators_spark.streaming import LineDedupIngestSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    sink = LineDedupIngestSink(str(tmp_path / "a"), min_df=2)
+    sink(docs.filter(F.col("doc_id") < 100), 0)
+    root = sink.count_dir
+    # crash leftover from a hypothetical earlier compactor
+    stale = os.path.join(root, "compact-9.tmp-123-deadbeef")
+    os.makedirs(stale)
+    assert sink.compact_store(spark) == 1
+    listing = os.listdir(root)
+    assert not os.path.exists(stale)                # vacuumed
+    assert not any(".tmp-" in d for d in listing)   # no staging residue
+    assert len(sink._store_paths()) == 1
+
+
 def test_line_sink_store_compaction_semantics(spark, tmp_path):
     """compact_store folds the per-epoch count dirs into one re-summed
     base WITHOUT changing any future dedup decision: a compacted sink
