@@ -338,6 +338,10 @@ def main() -> None:
         "dedup_winnowing_pairs",
         "pipeline_corpus_r7",
         "chunk_cdc_dedup",
+        # round-9 registrations (VERDICT r8 #3): greedy diversity coreset
+        # (k scans) and the zero-UDF concat-and-chunk packing layout
+        "similarity_kcenter_select",
+        "pack_token_stream_128",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

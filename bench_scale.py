@@ -745,6 +745,72 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- k-center greedy selection (round 9) ------------------------------
+    # Gonzalez on the cached 16-dim vector table: step t is ONE codegen'd
+    # projection + 1-row aggregate with a t-term least() chain, so total
+    # cost is ~k corpus scans (the greedy's inherent superstep count) —
+    # sec/k should hold ~flat as k grows, and rows_per_step_sec ~flat
+    # with corpus growth is the 100 TB claim (at extreme scale the
+    # selection runs on a KMV/uniform sample, same shape).
+    from indicators_spark.functions.similarity import kcenter_select
+
+    for kc_k in (4, 8, 16):
+        t0 = time.time()
+        kcenter_select(vecs, k=kc_k).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        dt = time.time() - t0
+        results[f"kcenter_select_k{kc_k}"] = {
+            "sec": round(dt, 2),
+            "sec_per_step": round(dt / kc_k, 3),
+            "rows_per_step_sec": int(n_vec * kc_k / dt),
+        }
+
+    # ---- ingest-store compaction: probe cost vs epoch count (round 9) ----
+    # The compact_store claim (VERDICT r8 #4): the per-epoch probe join
+    # reads the whole committed store, so WITHOUT compaction its cost
+    # grows with epoch count (a union scan over E dirs, duplicate keys
+    # uncombined); after compaction the store is ONE pre-aggregated dir,
+    # so the next epoch's ingest should cost no more than the early ones
+    # — the probe side stops growing with epoch count.
+    import shutil
+    import tempfile
+
+    from indicators_spark.streaming import LineDedupIngestSink
+
+    n_ep_docs = max(n_docs // 8, 1)
+    liney = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"((\S+\s+){4}\S+)\s+", "$1\n"
+        ).alias("text"),
+    ).cache()
+    liney.count()
+    epochs = 8
+    root = tempfile.mkdtemp(prefix="bench-compact-")
+    sink = LineDedupIngestSink(root, min_df=2)
+    ep_secs = []
+    for e in range(epochs):
+        batch = liney.filter(F.col("doc_id") % epochs == e).limit(n_ep_docs)
+        t0 = time.time()
+        sink(batch, e)
+        ep_secs.append(round(time.time() - t0, 2))
+    t0 = time.time()
+    folded = sink.compact_store(spark)
+    compact_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    sink(liney.filter(F.col("doc_id") % epochs == 0).limit(n_ep_docs), epochs)
+    post_sec = round(time.time() - t0, 2)
+    shutil.rmtree(root, ignore_errors=True)
+    liney.unpersist()
+    results["line_sink_compaction"] = {
+        "epoch_docs": n_ep_docs,
+        "epoch_secs": ep_secs,          # growth across 8 uncompacted epochs
+        "compact_sec": compact_sec,     # one-time fold of 8 dirs
+        "dirs_folded": folded,
+        "post_compact_epoch_sec": post_sec,  # probe vs ONE compacted dir
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 
