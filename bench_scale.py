@@ -746,21 +746,25 @@ def main() -> None:
     }
 
     # ---- k-center greedy selection (round 9) ------------------------------
-    # Gonzalez on the cached 16-dim vector table: step t is ONE codegen'd
-    # projection + 1-row aggregate with a t-term least() chain, so total
-    # cost is ~k corpus scans (the greedy's inherent superstep count) —
-    # sec/k should hold ~flat as k grows, and rows_per_step_sec ~flat
-    # with corpus growth is the 100 TB claim (at extreme scale the
-    # selection runs on a KMV/uniform sample, same shape).
+    # Gonzalez on the cached 16-dim vector table, BOTH forms: the
+    # literal-chain form's step t evaluates a t-term least() chain
+    # (O(k²·n·d) total — sec_per_step GROWS with k; zero
+    # materialization, wins at small k), the carry form materializes the
+    # running min per superstep (O(k·n·d) — sec_per_step flat; wins once
+    # k clears the checkpoint overhead).  k16 is measured in both forms
+    # to pin the crossover; bit-parity pinned in tests/test_kcenter.py.
+    # At extreme scale the selection runs on a KMV/uniform sample, same
+    # shape either way.
     from indicators_spark.functions.similarity import kcenter_select
 
-    for kc_k in (4, 8, 16):
+    for kc_k, kc_carry in ((4, False), (8, False), (16, False), (16, True)):
         t0 = time.time()
-        kcenter_select(vecs, k=kc_k).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        kcenter_select(vecs, k=kc_k, carry_min=kc_carry).write.mode(
+            "overwrite"
+        ).format("noop").save()
         dt = time.time() - t0
-        results[f"kcenter_select_k{kc_k}"] = {
+        tag = "carry" if kc_carry else "chain"
+        results[f"kcenter_select_k{kc_k}_{tag}"] = {
             "sec": round(dt, 2),
             "sec_per_step": round(dt / kc_k, 3),
             "rows_per_step_sec": int(n_vec * kc_k / dt),
@@ -778,7 +782,6 @@ def main() -> None:
 
     from indicators_spark.streaming import LineDedupIngestSink
 
-    n_ep_docs = max(n_docs // 8, 1)
     liney = docs.select(
         "doc_id",
         F.regexp_replace(
@@ -786,12 +789,19 @@ def main() -> None:
         ).alias("text"),
     ).cache()
     liney.count()
+    # epochs+2 equal fresh slices: slices 0..epochs-1 ingest uncompacted,
+    # slice `epochs` ingests right after compaction, slice epochs+1 after
+    # a second compaction — every timed epoch sees a FRESH doc set, so
+    # the probe-side store shape is the only thing that varies (an
+    # epoch replaying known docs would instead measure the heavier
+    # all-lines-duplicate rewrite path — confounded).
     epochs = 8
+    slices = epochs + 2
     root = tempfile.mkdtemp(prefix="bench-compact-")
     sink = LineDedupIngestSink(root, min_df=2)
     ep_secs = []
     for e in range(epochs):
-        batch = liney.filter(F.col("doc_id") % epochs == e).limit(n_ep_docs)
+        batch = liney.filter(F.col("doc_id") % slices == e)
         t0 = time.time()
         sink(batch, e)
         ep_secs.append(round(time.time() - t0, 2))
@@ -799,16 +809,22 @@ def main() -> None:
     folded = sink.compact_store(spark)
     compact_sec = round(time.time() - t0, 2)
     t0 = time.time()
-    sink(liney.filter(F.col("doc_id") % epochs == 0).limit(n_ep_docs), epochs)
+    sink(liney.filter(F.col("doc_id") % slices == epochs), epochs)
     post_sec = round(time.time() - t0, 2)
+    # steady state: fold the one fresh dir in, ingest another epoch
+    sink.compact_store(spark)
+    t0 = time.time()
+    sink(liney.filter(F.col("doc_id") % slices == epochs + 1), epochs + 1)
+    post2_sec = round(time.time() - t0, 2)
     shutil.rmtree(root, ignore_errors=True)
     liney.unpersist()
     results["line_sink_compaction"] = {
-        "epoch_docs": n_ep_docs,
+        "epoch_docs": int(n_docs // slices),
         "epoch_secs": ep_secs,          # growth across 8 uncompacted epochs
         "compact_sec": compact_sec,     # one-time fold of 8 dirs
         "dirs_folded": folded,
-        "post_compact_epoch_sec": post_sec,  # probe vs ONE compacted dir
+        "post_compact_epoch_sec": post_sec,   # probe vs ONE folded dir
+        "post_recompact_epoch_sec": post2_sec,
     }
 
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))

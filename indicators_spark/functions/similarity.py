@@ -1919,11 +1919,18 @@ def mmr_rerank_grouped(
     return res.select("qid", "nid", "mmr_rank", _q4(F.col("score")).alias("score"))
 
 
+#: carry_min=None dispatch point: below this k the literal-chain form's
+#: zero materialization beats the carry form's per-step checkpoint
+#: (measured crossover ~k=8–12 at 2M×16d, bench_scale.py kcenter curve).
+KCENTER_CARRY_K = 8
+
+
 def kcenter_select(
     df: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_min: bool | None = None,
 ) -> DataFrame:
     """Gonzalez greedy k-center selection (2-approximation of the metric
     k-center optimum): start from the minimum-id vector, then ``k − 1``
@@ -1945,12 +1952,23 @@ def kcenter_select(
     budget), so the whole greedy trajectory replays bit-identically in
     unrolled SQL CTEs (the MMR/Lloyd recipe).
 
-    Scale shape: step t is ONE codegen'd projection+aggregate scan —
-    ``least`` over t literal-center distance chains, ``max(struct)``
-    with map-side partials; no join, no shuffle wider than a 1-row agg.
-    Total cost is k scans (the greedy's inherent superstep count, the
-    same regime as k-means iterations); at extreme scale run it on a
-    uniform/KMV sample — the selection shape is unchanged.  ``id_col``
+    Scale shape: step t is ONE codegen'd projection+aggregate scan with
+    no join and no shuffle wider than a 1-row agg — but the WORK per
+    step depends on the form.  The literal-chain form (``carry_min=
+    False``) evaluates ``least`` over t literal-center distance chains,
+    so total work is O(k²·n·d/2): zero materialization, fastest for
+    small k (the measured crossover is around k≈8–12 at 2M×16d,
+    bench_scale.py).  The carry form (``carry_min=True``) materializes
+    the running min distance once per step (eager localCheckpoint of
+    the skinny ``(id, vec, dmin)`` state — the k-means/pagerank
+    superstep pattern) and each step computes ONE new-center distance:
+    total work O(k·n·d), flat per step, the right shape once k grows.
+    ``carry_min=None`` (default) picks the carry form above
+    ``KCENTER_CARRY_K``.  Both forms are BIT-IDENTICAL: ``min`` is
+    associative over the exact same fold-exact distance doubles, so the
+    carried min equals the re-evaluated least() chain, and the argmax
+    key/tie-break never changes.  At extreme scale run the selection on
+    a uniform/KMV sample — the shape is unchanged.  ``id_col``
     must be INTEGRAL (the ``-id`` tie-break plus the long output schema
     — a fractional id would silently truncate; checked eagerly like
     :func:`~.dedup.lsh_dedup_keep_best`).  Already-selected ids are
@@ -1968,6 +1986,8 @@ def kcenter_select(
         )
     if k < 1:
         raise ValueError(f"kcenter_select: k must be >= 1, got {k!r}")
+    if carry_min is None:
+        carry_min = k > KCENTER_CARRY_K
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col)
     )
@@ -1975,28 +1995,65 @@ def kcenter_select(
     if not first:
         raise ValueError("kcenter_select: no non-null vectors")
     centers = [(int(first[0][id_col]), list(first[0][vec_col]), None)]
-    for _ in range(1, k):
-        dists = [
-            _sq_dist(
-                F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+
+    def _lit_vec(vec: list) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vec])
+
+    if carry_min:
+        from .materialize import shared
+
+        state = shared(
+            base.filter(F.col(id_col) != centers[0][0]).select(
+                F.col(id_col),
+                F.col(vec_col),
+                _sq_dist(F.col(vec_col), _lit_vec(centers[0][1])).alias(
+                    "_dmin"
+                ),
             )
-            for _, vec, _ in centers
-        ]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        picked = [cid for cid, _, _ in centers]
-        m = (
-            base.filter(~F.col(id_col).isin(picked))
-            .select(
-                _q4(mind).alias("_q"),
-                (-F.col(id_col)).alias("_ni"),
-                F.col(vec_col).alias("_v"),
-            )
-            .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
-            .collect()[0]["m"]
         )
+    for _ in range(1, k):
+        if carry_min:
+            m = (
+                state.select(
+                    _q4(F.col("_dmin")).alias("_q"),
+                    (-F.col(id_col)).alias("_ni"),
+                    F.col(vec_col).alias("_v"),
+                )
+                .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
+                .collect()[0]["m"]
+            )
+        else:
+            dists = [
+                _sq_dist(F.col(vec_col), _lit_vec(vec))
+                for _, vec, _ in centers
+            ]
+            mind = dists[0] if len(dists) == 1 else F.least(*dists)
+            picked = [cid for cid, _, _ in centers]
+            m = (
+                base.filter(~F.col(id_col).isin(picked))
+                .select(
+                    _q4(mind).alias("_q"),
+                    (-F.col(id_col)).alias("_ni"),
+                    F.col(vec_col).alias("_v"),
+                )
+                .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
+                .collect()[0]["m"]
+            )
         if m is None:
             break  # candidate pool exhausted: k > distinct rows
         centers.append((int(-m["_ni"]), list(m["_v"]), float(m["_q"])))
+        if carry_min and len(centers) < k:
+            new_id, new_vec, _ = centers[-1]
+            state = shared(
+                state.filter(F.col(id_col) != new_id).select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.least(
+                        F.col("_dmin"),
+                        _sq_dist(F.col(vec_col), _lit_vec(new_vec)),
+                    ).alias("_dmin"),
+                )
+            )
     spark = df.sparkSession
     return spark.createDataFrame(
         [

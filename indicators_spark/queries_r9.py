@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.drift import KS_C_ALPHA_05
 from .queries import Query, _register
 from .sources.prices import load_table
 
@@ -130,3 +131,58 @@ _COMPRESS_AUDIT_SQL = """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
   TRUE AS repeat_ok, TRUE AS hex_ok, TRUE AS doubled_lt_hex
 FROM documents WHERE doc_id IS NOT NULL"""
+
+
+# --------------------------------------------------------------------- #
+# Per-source KS drift — PREPARED for r10 registration.  The numeric
+# counterpart of `text_kl_sources`: two-sample Kolmogorov–Smirnov of
+# each source's n_chars distribution against the pooled corpus, the
+# standard nightly drift alarm.  Exact (no sketch), and every stage
+# after the one (source, value) cell aggregate is cell-table sized —
+# see functions/drift.py for the 100 TB shape (pre-bucket continuous
+# columns).  Local parity pinned in tests/test_oracle_parity_r9.py.
+# --------------------------------------------------------------------- #
+
+def _ks_drift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.drift import ks_drift_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    # default verdict = the real α=0.05 KS test (critical value scales
+    # with group size), so the drifted flag means something at any sf
+    return ks_drift_by_group(docs, value_col="n_chars", group_col="source")
+
+
+_KS_DRIFT_SQL = f"""
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+),
+cell AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+val AS (
+  SELECT v, sum(c) AS cv,
+    sum(sum(c)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM cell GROUP BY v
+),
+grp AS (SELECT g, sum(c) AS n FROM cell GROUP BY g),
+grid AS (
+  SELECT grp.g, grp.n, val.v, val.cv, val.cum_all, COALESCE(cell.c, 0) AS c
+  FROM val CROSS JOIN grp
+  LEFT JOIN cell ON cell.g = grp.g AND cell.v = val.v
+),
+cum AS (
+  SELECT g, n, cum_all,
+    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g,
+    sum(cv) OVER (PARTITION BY g) AS tot
+  FROM grid
+),
+d AS (
+  SELECT g, n, tot,
+    floor(max(abs(CAST(cum_g AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(cum_all AS DOUBLE) / CAST(tot AS DOUBLE)))
+          * 1e4 + 0.500000001) / 1e4 AS ks_d
+  FROM cum GROUP BY g, n, tot
+)
+SELECT g AS source, CAST(n AS BIGINT) AS n, ks_d,
+  ks_d > {KS_C_ALPHA_05} * sqrt(CAST(n + tot AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))) AS drifted
+FROM d"""

@@ -78,6 +78,44 @@ def test_invariant_under_partitioning(spark):
     assert base == rep
 
 
+def test_carry_min_form_is_bit_identical(spark):
+    """The r9 carry form (running-min materialized per superstep,
+    O(k·n·d) total) must reproduce the literal-chain trajectory
+    EXACTLY: min is associative over the same fold-exact distance
+    doubles, so the carried min equals the re-evaluated least() chain
+    and every (rank, id, radius) row — including duplicate-vector
+    exclusion and early stop — is bit-equal."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * j / 7.0) for j in range(1, 9)]) for i in range(40)
+    ]
+    # duplicate vectors + a NULL to exercise the exclusion paths
+    rows += [(100, rows[3][1]), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kk in (1, 2, 5, 12, 60):
+        a = sorted(
+            tuple(r) for r in kcenter_select(df, k=kk, carry_min=False).collect()
+        )
+        b = sorted(
+            tuple(r) for r in kcenter_select(df, k=kk, carry_min=True).collect()
+        )
+        assert a == b, f"k={kk}"
+    # auto dispatch: above KCENTER_CARRY_K both answers already proven equal
+    from indicators_spark.functions.similarity import KCENTER_CARRY_K
+
+    auto = sorted(
+        tuple(r)
+        for r in kcenter_select(df, k=KCENTER_CARRY_K + 2).collect()
+    )
+    assert auto == sorted(
+        tuple(r)
+        for r in kcenter_select(
+            df, k=KCENTER_CARRY_K + 2, carry_min=False
+        ).collect()
+    )
+
+
 def test_guards(spark):
     docs = spark.createDataFrame([Row(vec_id="a", embedding=[1.0])])
     with pytest.raises(TypeError, match="must be integral"):

@@ -9,7 +9,9 @@ import pandas as pd
 
 from indicators_spark.queries_r9 import (
     _COMPRESS_AUDIT_SQL,
+    _KS_DRIFT_SQL,
     _compress_audit_spark,
+    _ks_drift_spark,
 )
 from indicators_spark.testing import compare_frames, duck_connect
 
@@ -30,3 +32,53 @@ def test_compress_audit_matches_oracle(spark):
     res = compare_frames("audit_compression_ratio", got.toPandas(), want)
     con.close()
     assert res.ok, str(res)
+
+
+def test_ks_drift_matches_oracle(spark):
+    got = _ks_drift_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_KS_DRIFT_SQL).fetchdf()
+    res = compare_frames("stats_ks_drift", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+
+
+def test_ks_drift_matches_scipy_convention(spark):
+    """D_g equals the classic two-sample KS statistic computed by a
+    brute-force pooled-grid evaluation in Python (the ks_2samp
+    definition with the pool as the second sample)."""
+    rows = [("a", float(v)) for v in [1, 2, 2, 3, 9, 9]] + [
+        ("b", float(v)) for v in [5, 6, 7, 8, 9, 10, 11]
+    ]
+    df = spark.createDataFrame(rows, "src string, x double")
+    from indicators_spark.functions.drift import ks_drift_by_group
+
+    got = {
+        r["src"]: (r["n"], r["ks_d"])
+        for r in ks_drift_by_group(df, "x", "src", threshold=0.3).collect()
+    }
+    pool = sorted(v for _, v in rows)
+    grid = sorted(set(pool))
+
+    def cdf(sample, v):
+        return sum(1 for x in sample if x <= v) / len(sample)
+
+    import math
+
+    for g in ("a", "b"):
+        s = [v for k, v in rows if k == g]
+        d = max(abs(cdf(s, v) - cdf(pool, v)) for v in grid)
+        d = math.floor(d * 1e4 + 0.500000001) / 1e4
+        assert got[g] == (len(s), d)
+
+
+def test_ks_drift_null_routing(spark):
+    """NULL values and NULL groups are excluded before any counting."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), (None, 2.0), ("b", 2.0)],
+        "src string, x double",
+    )
+    from indicators_spark.functions.drift import ks_drift_by_group
+
+    got = {r["src"]: r["n"] for r in ks_drift_by_group(df, "x", "src").collect()}
+    assert got == {"a": 1, "b": 1}
