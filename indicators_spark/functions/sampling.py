@@ -140,6 +140,100 @@ def stratified_sample(
     return joined.filter(hash_bucket(F.col(key), seed) < thresh).drop("_thresh")
 
 
+def match_distribution_sample(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 4,
+    seed: str = "match",
+) -> DataFrame:
+    """Subsample ``df`` so ``value_col``'s distribution matches a
+    REFERENCE corpus's, bucket-wise — the numeric-feature counterpart
+    of DSIR's importance resampling ("make the web crawl's length/
+    quality profile look like the curated set's").  Buckets are the
+    reference's ``k``-quantile bands (equi-depth in ref, so each wants
+    mass ``1/k``); each ``df`` bucket gets the deterministic hash-filter
+    acceptance rate ``c · (ref_frac/df_frac)`` with the scalar ``c``
+    chosen so the largest rate is exactly 1 — the maximal subsample
+    with the reference's shape.
+
+    Returns the kept rows as ``(key, bucket)`` plus ``value_col`` —
+    row-level deterministic (the same md5 filter as
+    :func:`hash_sample`), so the OUTPUT replays exactly in SQL, not
+    just its histogram.
+
+    Buckets the reference populates but ``df`` cannot (df_frac = 0)
+    simply stay empty — matching is conditional on available mass;
+    buckets with ref_frac = 0 are dropped (rate 0).  NULL values are
+    excluded from both sides (the usual extraction-failure dropout).
+
+    Scale shape: the reference side reduces to ``k−1`` quantile scalars
+    (one agg; sketchable via percentile_approx at 100 TB) and the data
+    side is ONE count-by-bucket aggregate plus a scan-pushable hash
+    filter joined against a ≤ ``k``-row broadcast rate table — the big
+    side never shuffles, exactly like :func:`stratified_sample`."""
+    if k < 2:
+        raise ValueError(f"match_distribution_sample: k must be >= 2, got {k!r}")
+    fracs = [i / k for i in range(1, k)]
+    v = F.col(value_col).cast("double")
+    edges = (
+        ref.filter(v.isNotNull())
+        .agg(
+            *[
+                F.percentile(v, F.lit(q)).alias(f"_e{i}")
+                for i, q in enumerate(fracs, 1)
+            ]
+        )
+    )
+
+    def bucket_of(col: Column) -> Column:
+        b = F.lit(0)
+        for i in range(1, k):
+            b = b + (col > F.col(f"_e{i}")).cast("int")
+        return b
+
+    base = df.filter(v.isNotNull()).crossJoin(F.broadcast(edges))
+    bucketed = base.withColumn("_b", bucket_of(v))
+    ref_b = (
+        ref.filter(v.isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(bucket_of(v).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    df_b = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cd"))
+    # ratios: same integer->double expression order on both engines
+    tot = Window.partitionBy()
+    joint = (
+        df_b.join(ref_b, "_b", "left")
+        .withColumn("_fd", F.col("_cd") / F.sum("_cd").over(tot))
+        .withColumn(
+            "_fr",
+            F.coalesce(F.col("_cr"), F.lit(0))
+            / F.sum(F.coalesce(F.col("_cr"), F.lit(0))).over(tot),
+        )
+    )
+    c = F.min(
+        F.when(F.col("_fr") > 0, F.col("_fd") / F.col("_fr"))
+    ).over(tot)
+    rates = joint.withColumn(
+        "_thresh",
+        F.floor(
+            F.when(F.col("_fr") > 0, c * F.col("_fr") / F.col("_fd"))
+            .otherwise(F.lit(0.0))
+            * HASH_DEN
+            + F.lit(0.500000001)
+        ).cast("int"),
+    ).select("_b", "_thresh")
+    kept = bucketed.join(F.broadcast(rates), "_b").filter(
+        hash_bucket(F.col(key_col), seed) < F.col("_thresh")
+    )
+    return kept.select(
+        F.col(key_col), F.col("_b").alias("bucket"), F.col(value_col)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard: str,

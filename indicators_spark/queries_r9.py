@@ -186,3 +186,86 @@ SELECT g AS source, CAST(n AS BIGINT) AS n, ks_d,
   ks_d > {KS_C_ALPHA_05} * sqrt(CAST(n + tot AS DOUBLE)
     / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))) AS drifted
 FROM d"""
+
+
+# --------------------------------------------------------------------- #
+# Distribution-matched sampling — PREPARED for r10 registration.  The
+# numeric-feature counterpart of DSIR: subsample the corpus so its
+# n_chars distribution matches a reference slice's (here: the short-doc
+# half), bucket-wise over the reference's quartile bands, keeping the
+# maximal subsample (largest bucket rate pinned at exactly 1).  The
+# output is row-level deterministic (md5 hash filter), so the oracle
+# replays the KEPT ROWS, not just the histogram.  Local parity pinned
+# in tests/test_oracle_parity_r9.py; sampling-semantics unit tests in
+# tests/test_sampling.py.
+# --------------------------------------------------------------------- #
+
+#: the reference slice: documents below this many chars — a genuinely
+#: skewed target profile, so the per-bucket rates differ (an iid slice
+#: would give every bucket rate ~1 and the query would test nothing;
+#: testdata n_chars spans ~48–560 with median ~300, so 250 keeps the
+#: short ~40%).
+MATCH_REF_MAX_CHARS = 250
+MATCH_K = 4
+MATCH_SEED = "match-r9"
+
+
+def _match_dist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import match_distribution_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("n_chars") < MATCH_REF_MAX_CHARS)
+    return match_distribution_sample(
+        docs, ref, value_col="n_chars", key_col="doc_id",
+        k=MATCH_K, seed=MATCH_SEED,
+    )
+
+
+def _match_dist_sql(
+    k: int = MATCH_K, seed: str = MATCH_SEED,
+    ref_max: int = MATCH_REF_MAX_CHARS,
+) -> str:
+    from .functions.sampling import HASH_DEN, bucket_sql
+
+    fracs = [i / k for i in range(1, k)]
+    e_cols = ", ".join(
+        f"quantile_cont(v, {q}) AS e{i}" for i, q in enumerate(fracs, 1)
+    )
+    bucket = " + ".join(f"CAST(v > e{i} AS INT)" for i in range(1, k))
+    return f"""
+WITH refv AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars < {ref_max}
+),
+e AS (SELECT {e_cols} FROM refv),
+base AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+bkt AS (SELECT doc_id, v, ({bucket}) AS b FROM base, e),
+rbkt AS (SELECT ({bucket}) AS b, count(*) AS cr FROM refv, e GROUP BY 1),
+dbkt AS (SELECT b, count(*) AS cd FROM bkt GROUP BY b),
+joint AS (
+  SELECT d.b, d.cd, COALESCE(r.cr, 0) AS cr
+  FROM dbkt d LEFT JOIN rbkt r USING (b)
+),
+fr AS (
+  SELECT b,
+    CAST(cd AS DOUBLE) / CAST(sum(cd) OVER () AS DOUBLE) AS fd,
+    CAST(cr AS DOUBLE) / CAST(sum(cr) OVER () AS DOUBLE) AS frr
+  FROM joint
+),
+rates AS (
+  SELECT b,
+    CAST(floor(
+      CASE WHEN frr > 0
+        THEN min(CASE WHEN frr > 0 THEN fd / frr END) OVER () * frr / fd
+        ELSE 0.0 END * {HASH_DEN} + 0.500000001) AS INT) AS thresh
+  FROM fr
+)
+SELECT k.doc_id, CAST(k.b AS INT) AS bucket,
+  CAST(k.v AS BIGINT) AS n_chars
+FROM bkt k JOIN rates r ON r.b = k.b
+WHERE {bucket_sql('k.doc_id', seed)} < r.thresh"""

@@ -12,6 +12,8 @@ from indicators_spark.queries_r9 import (
     _KS_DRIFT_SQL,
     _compress_audit_spark,
     _ks_drift_spark,
+    _match_dist_spark,
+    _match_dist_sql,
 )
 from indicators_spark.testing import compare_frames, duck_connect
 
@@ -70,6 +72,19 @@ def test_ks_drift_matches_scipy_convention(spark):
         d = max(abs(cdf(s, v) - cdf(pool, v)) for v in grid)
         d = math.floor(d * 1e4 + 0.500000001) / 1e4
         assert got[g] == (len(s), d)
+
+
+def test_match_distribution_matches_oracle(spark):
+    """Row-level replay: the KEPT rows (not just their histogram) hash-
+    match the SQL rendering of quantile edges → bucket counts → water-
+    level rates → md5 hash filter."""
+    got = _match_dist_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_match_dist_sql()).fetchdf()
+    res = compare_frames("sample_match_distribution", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
 
 
 def test_ks_drift_null_routing(spark):

@@ -265,6 +265,68 @@ def test_epoch_shuffle_epochs_differ_and_look_shuffled(spark):
     assert same_as_id < 30
 
 
+def test_match_distribution_sample_shapes_to_reference(spark):
+    """df: 90% short / 10% long values; ref: 50/50.  The matched sample
+    must keep ALL long rows (the scarce bucket pins rate 1) and thin
+    the short bucket to parity, and the whole selection must be
+    deterministic and partitioning-independent."""
+    rows = [(i, 10.0 if i % 10 else 1000.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, x double")
+    ref = spark.createDataFrame(
+        [(10_000 + i, 10.0 if i % 2 else 1000.0) for i in range(200)],
+        "doc_id long, x double",
+    )
+    kept = sampling.match_distribution_sample(
+        df, ref, value_col="x", key_col="doc_id", k=2
+    )
+    got = {(r["doc_id"], r["bucket"]) for r in kept.collect()}
+    longs = {d for d, v in rows if v == 1000.0}
+    kept_long = {d for d, b in got if d in longs}
+    kept_short = {d for d, b in got if d not in longs}
+    assert kept_long == longs                       # scarce bucket: rate 1
+    # short bucket thinned to ~ref parity: expect ~len(longs) keeps
+    assert abs(len(kept_short) - len(longs)) / len(longs) < 0.25
+    got2 = {
+        (r["doc_id"], r["bucket"])
+        for r in sampling.match_distribution_sample(
+            df.repartition(13), ref, value_col="x", key_col="doc_id", k=2
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_match_distribution_sample_edge_buckets(spark):
+    """ref mass where df has none stays unmatched (no crash, other
+    buckets still fill); df mass where ref has none gets rate 0; k < 2
+    raises; NULL values drop out."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(100)] + [(200, None)],
+        "doc_id long, x double",
+    )
+    ref = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, 999.0), (3, 999.0)], "doc_id long, x double"
+    )
+    kept = sampling.match_distribution_sample(
+        df, ref, "x", "doc_id", k=2
+    ).collect()
+    assert len(kept) == 100  # the one populated bucket keeps all
+    # ref mass entirely at 5.0 → the >edge bucket has ZERO ref mass, so
+    # df's 999s get rate 0 while the ref-covered bucket keeps everything
+    ref2 = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)], "doc_id long, x double"
+    )
+    df2 = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 1, 1, 999, 999])],
+        "doc_id long, x double",
+    )
+    kept2 = sampling.match_distribution_sample(df2, ref2, "x", "doc_id", k=2)
+    assert {r["x"] for r in kept2.collect()} == {1.0}  # ref-empty: rate 0
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.match_distribution_sample(df, ref, "x", "doc_id", k=1)
+
+
 # --------------------------------------------------------------------- #
 # Gopher hard rules
 # --------------------------------------------------------------------- #
