@@ -757,6 +757,10 @@ def main() -> None:
     # shape either way.
     from indicators_spark.functions.similarity import kcenter_select
 
+    # NOT n_vec: that name was reassigned to the 500k PQ table at line
+    # ~404, while `vecs` still holds the 2M-row 16-dim table (r9 review
+    # caught the 4× understatement)
+    n_kc = min(rows // 5, 2_000_000)
     for kc_k, kc_carry in ((4, False), (8, False), (16, False), (16, True)):
         t0 = time.time()
         kcenter_select(vecs, k=kc_k, carry_min=kc_carry).write.mode(
@@ -767,7 +771,7 @@ def main() -> None:
         results[f"kcenter_select_k{kc_k}_{tag}"] = {
             "sec": round(dt, 2),
             "sec_per_step": round(dt / kc_k, 3),
-            "rows_per_step_sec": int(n_vec * kc_k / dt),
+            "rows_per_step_sec": int(n_kc * kc_k / dt),
         }
 
     # ---- ingest-store compaction: probe cost vs epoch count (round 9) ----

@@ -1999,7 +1999,7 @@ def kcenter_select(
     def _lit_vec(vec: list) -> Column:
         return F.array(*[F.lit(float(x)) for x in vec])
 
-    if carry_min:
+    if carry_min and k > 1:  # k=1 never enters the loop: skip the state
         from .materialize import shared
 
         state = shared(
@@ -2012,16 +2012,12 @@ def kcenter_select(
             )
         )
     for _ in range(1, k):
+        # one shared argmax block for both forms: only the candidate
+        # pool and the min-distance expression differ, so the
+        # quantize/tie-break key can never drift between them (the
+        # bit-identity contract lives in exactly one place)
         if carry_min:
-            m = (
-                state.select(
-                    _q4(F.col("_dmin")).alias("_q"),
-                    (-F.col(id_col)).alias("_ni"),
-                    F.col(vec_col).alias("_v"),
-                )
-                .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
-                .collect()[0]["m"]
-            )
+            pool, mind = state, F.col("_dmin")
         else:
             dists = [
                 _sq_dist(F.col(vec_col), _lit_vec(vec))
@@ -2029,16 +2025,16 @@ def kcenter_select(
             ]
             mind = dists[0] if len(dists) == 1 else F.least(*dists)
             picked = [cid for cid, _, _ in centers]
-            m = (
-                base.filter(~F.col(id_col).isin(picked))
-                .select(
-                    _q4(mind).alias("_q"),
-                    (-F.col(id_col)).alias("_ni"),
-                    F.col(vec_col).alias("_v"),
-                )
-                .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
-                .collect()[0]["m"]
+            pool = base.filter(~F.col(id_col).isin(picked))
+        m = (
+            pool.select(
+                _q4(mind).alias("_q"),
+                (-F.col(id_col)).alias("_ni"),
+                F.col(vec_col).alias("_v"),
             )
+            .agg(F.max(F.struct("_q", "_ni", "_v")).alias("m"))
+            .collect()[0]["m"]
+        )
         if m is None:
             break  # candidate pool exhausted: k > distinct rows
         centers.append((int(-m["_ni"]), list(m["_v"]), float(m["_q"])))

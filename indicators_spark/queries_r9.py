@@ -43,12 +43,18 @@ def _pack_sql(seq_len: int = PACK_SEQ_LEN) -> str:
     """ANSI replay of the per-doc layout: md5 order key, window cumsum,
     integer division spans — the exact SQL tests/test_packing.py pins
     locally at sf0.001, hardened with BIGINT casts for the driver's
-    dtype-sensitive value hash."""
+    dtype-sensitive value hash.  The order key COALESCEs a NULL doc_id
+    to the sampling-module sentinel exactly like Spark's ``_key_str``
+    (without it DuckDB's ``md5(NULL)`` is NULL and sorts last, shifting
+    every downstream span); multiple NULL-id rows remain outside the
+    operator's unique-non-null id contract on both sides."""
+    from .functions.sampling import NULL_KEY
+
     return rf"""
 WITH live AS (
   SELECT doc_id,
     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
-    md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+    md5('pack|' || COALESCE(CAST(doc_id AS VARCHAR), '{NULL_KEY}')) AS h
   FROM documents WHERE text IS NOT NULL AND trim(text) != ''
 ),
 cum AS (

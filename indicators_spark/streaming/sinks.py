@@ -73,11 +73,41 @@ def _legacy_run_ns(run_id: str | None) -> str | None:
     form.  The legacy tag is inherently ambiguous (``a/1`` and ``a:1``
     both sanitized to ``a_1``) — that ambiguity is exactly what the
     suffix fixed, and honoring it on read is the documented migration
-    cost, not a new collision."""
+    cost for PRE-SUFFIX stores only: :func:`_ledger_format_gate` limits
+    the legacy read path to ledgers that already existed without a
+    ``_format`` stamp, so on any store created by current code a lossy
+    run can never adopt a DIFFERENT lossless run's markers (e.g.
+    ``a/1`` silently skipping ``a_1``'s epochs — the exact collision
+    the suffix exists to prevent)."""
     if run_id is None:
         return None
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)
     return None if safe == run_id else "run-" + safe
+
+
+#: ledger format stamp: "2" = md5-suffixed run namespaces.  Written to
+#: a fresh ledger directory at creation; its ABSENCE on a ledger that
+#: already holds markers identifies a pre-suffix store (the only place
+#: the legacy read path applies).
+_LEDGER_FORMAT = "2"
+
+
+def _ledger_format_gate(ledger_dir: str) -> bool:
+    """True iff ``ledger_dir`` is a PRE-SUFFIX ledger whose legacy
+    markers must be honored.  A fresh ledger (no markers yet) is
+    stamped with the current format instead, permanently disabling the
+    legacy path for stores created by current code."""
+    fmt = os.path.join(ledger_dir, "_format")
+    if os.path.exists(fmt):
+        return False
+    has_markers = any(
+        not c.startswith("_") and not c.endswith(".tmp")
+        for c in os.listdir(ledger_dir)
+    )
+    if has_markers:
+        return True  # pre-format store: leave unstamped, honor legacy
+    _atomic_write(fmt, _LEDGER_FORMAT)
+    return False
 
 
 def _atomic_write(path: str, body: str) -> None:
@@ -100,9 +130,15 @@ class _EpochLedger:
 
     def _init_ledger(self, out_dir: str, run_id: str | None) -> None:
         self.run_ns = _run_ns(run_id)
-        self._legacy_ns = _legacy_run_ns(run_id)  # ledger migration
         self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.commit_dir, exist_ok=True)
+        # ledger migration: legacy markers honored ONLY on a pre-suffix
+        # store (see _ledger_format_gate)
+        self._legacy_ns = (
+            _legacy_run_ns(run_id)
+            if _ledger_format_gate(self.commit_dir)
+            else None
+        )
 
     def _commit_path(self, epoch_id: int) -> str:
         return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
@@ -119,9 +155,11 @@ class _EpochLedger:
 
     def _committed(self) -> list[str]:
         # a crash between tmp write and rename leaves '<tag>.tmp' behind;
-        # it is NOT a commit
+        # it is NOT a commit; '_format' is the ledger stamp, not a marker
         return sorted(
-            c for c in os.listdir(self.commit_dir) if not c.endswith(".tmp")
+            c
+            for c in os.listdir(self.commit_dir)
+            if not c.endswith(".tmp") and not c.startswith("_")
         )
 
     def _mark_committed(self, epoch_id: int) -> None:
@@ -246,30 +284,49 @@ class ExactlyOnceParquetSink:
     def __init__(self, out_dir: str, run_id: str | None = None) -> None:
         self.out_dir = out_dir
         self.run_ns = _run_ns(run_id)
-        self._legacy_ns = _legacy_run_ns(run_id)  # ledger migration
         self.data_dir = os.path.join(out_dir, "data")
-        self.commit_dir = os.path.join(out_dir, "_commits", self.run_ns)
+        ledger_root = os.path.join(out_dir, "_commits")
+        self.commit_dir = os.path.join(ledger_root, self.run_ns)
+        os.makedirs(ledger_root, exist_ok=True)
+        # ledger migration: legacy markers honored ONLY on a pre-suffix
+        # store.  The gate checks the ledger ROOT (ns subdirs are the
+        # markers here) and must run BEFORE this run's subdir is
+        # created, or a fresh store would read as pre-suffix.
+        self._legacy_ns = (
+            _legacy_run_ns(run_id)
+            if _ledger_format_gate(ledger_root)
+            else None
+        )
         os.makedirs(self.commit_dir, exist_ok=True)
 
     def _commit_path(self, epoch_id: int) -> str:
         return os.path.join(self.commit_dir, str(epoch_id))
+
+    def _legacy_dir(self) -> str | None:
+        if self._legacy_ns is None:
+            return None
+        d = os.path.join(self.out_dir, "_commits", self._legacy_ns)
+        return d if os.path.isdir(d) else None
 
     def _is_committed(self, epoch_id: int) -> bool:
         if os.path.exists(self._commit_path(epoch_id)):
             return True
         # pre-suffix markers of a lossy run id (see _legacy_run_ns):
         # honor on read, never write
-        return self._legacy_ns is not None and os.path.exists(
-            os.path.join(
-                self.out_dir, "_commits", self._legacy_ns, str(epoch_id)
-            )
+        legacy = self._legacy_dir()
+        return legacy is not None and os.path.exists(
+            os.path.join(legacy, str(epoch_id))
         )
 
     def committed_epochs(self) -> list[int]:
-        """Committed epoch ids of THIS run."""
-        return sorted(
-            int(f) for f in os.listdir(self.commit_dir) if f.isdigit()
-        )
+        """Committed epoch ids of THIS run — the same view __call__'s
+        skip uses, so a pre-suffix store's legacy-committed epochs are
+        included (they will never be re-written)."""
+        ids = {int(f) for f in os.listdir(self.commit_dir) if f.isdigit()}
+        legacy = self._legacy_dir()
+        if legacy is not None:
+            ids |= {int(f) for f in os.listdir(legacy) if f.isdigit()}
+        return sorted(ids)
 
     def _committed_paths(self) -> list[str]:
         ledger_root = os.path.join(self.out_dir, "_commits")

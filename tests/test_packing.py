@@ -122,7 +122,7 @@ def test_layout_matches_duckdb_oracle(spark):
 WITH live AS (
   SELECT doc_id,
     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
-    md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+    md5('pack|' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')) AS h
   FROM documents WHERE text IS NOT NULL AND trim(text) != ''
 ),
 cum AS (

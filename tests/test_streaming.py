@@ -945,9 +945,11 @@ def test_run_ns_lossy_sanitization_disambiguated():
 def test_legacy_unsuffixed_markers_still_skip_epochs(spark, tmp_path):
     """Ledger-format migration (r9, ADVICE r8): commit markers written
     before the lossy-id md5 suffix existed use the bare sanitized tag;
-    a post-suffix sink restarting the same run must treat those epochs
-    as committed (else every legacy epoch re-ingests and duplicates),
-    while writing only the new suffixed form for fresh epochs."""
+    a post-suffix sink restarting the same run on such a PRE-SUFFIX
+    store (no ``_format`` stamp, markers present) must treat those
+    epochs as committed (else every legacy epoch re-ingests and
+    duplicates), while writing only the new suffixed form for fresh
+    epochs."""
     import os
 
     from indicators_spark.streaming import LineDedupIngestSink
@@ -965,10 +967,12 @@ def test_legacy_unsuffixed_markers_still_skip_epochs(spark, tmp_path):
         "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
     ).filter(F.col("doc_id") < 60)
 
+    # simulate the pre-suffix store BEFORE constructing the sink: a
+    # ledger that already holds a legacy marker and no _format stamp
+    ledger = tmp_path / "a" / "_commits"
+    os.makedirs(ledger)
+    (ledger / "run-a_1-0").write_text("0")
     sink = LineDedupIngestSink(str(tmp_path / "a"), run_id="a/1")
-    # simulate the pre-suffix store: epoch 0's marker under the legacy tag
-    with open(os.path.join(sink.commit_dir, "run-a_1-0"), "w") as f:
-        f.write("0")
     assert sink._is_committed(0)
     sink(docs, 0)                                   # replay: must skip
     assert sink._store_paths() == []                # nothing ingested
@@ -978,16 +982,47 @@ def test_legacy_unsuffixed_markers_still_skip_epochs(spark, tmp_path):
         os.path.join(sink.commit_dir, f"{_run_ns('a/1')}-1")
     )
 
+    eo_ledger = tmp_path / "b" / "_commits"
+    os.makedirs(eo_ledger / "run-a_1")
+    (eo_ledger / "run-a_1" / "0").write_text("0")
     eo = ExactlyOnceParquetSink(str(tmp_path / "b"), run_id="a/1")
-    legacy_dir = os.path.join(str(tmp_path / "b"), "_commits", "run-a_1")
-    os.makedirs(legacy_dir)
-    with open(os.path.join(legacy_dir, "0"), "w") as f:
-        f.write("0")
     assert eo._is_committed(0)
+    assert eo.committed_epochs() == [0]             # listing agrees w/ skip
     eo(docs, 0)                                     # replay: must skip
     assert not os.path.exists(
         os.path.join(eo.data_dir, eo.run_ns, "epoch=0")
     )
+
+
+def test_legacy_markers_ignored_on_current_format_stores(spark, tmp_path):
+    """The collision the md5 suffix exists to prevent (r9 review): on a
+    store CREATED by current code (``_format`` stamped), a lossy run id
+    must never adopt a DIFFERENT lossless run's markers — run 'a/1'
+    restarting at epoch 0 ingests its own epochs even though run 'a_1'
+    committed the same epoch numbers."""
+    import os
+
+    from indicators_spark.streaming import LineDedupIngestSink
+    from indicators_spark.streaming.sinks import ExactlyOnceParquetSink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    ).filter(F.col("doc_id") < 60)
+
+    first = LineDedupIngestSink(str(tmp_path / "a"), run_id="a_1")
+    first(docs, 0)
+    assert os.path.exists(str(tmp_path / "a" / "_commits" / "_format"))
+    second = LineDedupIngestSink(str(tmp_path / "a"), run_id="a/1")
+    assert second._legacy_ns is None
+    assert not second._is_committed(0)              # a_1's marker ≠ a/1's
+    second(docs, 0)                                 # really ingests
+    assert second._is_committed(0)
+
+    eo1 = ExactlyOnceParquetSink(str(tmp_path / "b"), run_id="a_1")
+    eo1(docs, 0)
+    eo2 = ExactlyOnceParquetSink(str(tmp_path / "b"), run_id="a/1")
+    assert not eo2._is_committed(0)
+    assert eo2.committed_epochs() == []             # THIS run: nothing yet
 
 
 def test_compact_stages_then_renames(spark, tmp_path):
