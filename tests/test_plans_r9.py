@@ -1,0 +1,93 @@
+"""Plan checks for the round-9 registrations and the r10-prepared
+queries: no cartesian products, text/payloads never cross an exchange,
+and the hash-compared outputs are partitioning/AQE-invariant.
+
+The r10 preps are included NOW (not at registration time) so their
+plans are already pinned when the `_register` lines land — the same
+one-round-early discipline their oracles get in
+tests/test_oracle_parity_r9.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from indicators_spark.plans import plan_string
+from indicators_spark.queries import QUERIES
+from indicators_spark.queries_r9 import (
+    _compress_audit_spark,
+    _ks_drift_spark,
+    _match_dist_spark,
+)
+
+from conftest import SF_SMOKE
+
+R9 = ("pack_token_stream_128", "similarity_kcenter_select")
+R10_PREP = {
+    "audit_compression_ratio": _compress_audit_spark,
+    "stats_ks_drift": _ks_drift_spark,
+    "sample_match_distribution": _match_dist_spark,
+}
+
+
+def _frame(spark, name):
+    if name in R10_PREP:
+        return R10_PREP[name](spark, SF_SMOKE)
+    return QUERIES[name].spark(spark, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", list(R9) + sorted(R10_PREP))
+def test_r9_no_cartesian_product(spark, name):
+    plan = plan_string(_frame(spark, name))
+    assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_pack_shuffles_are_skinny(spark):
+    """pack_token_stream's exchanges carry only the hash/bucket/count
+    columns — document text reduces to a token count scan-side and
+    never shuffles (the zero-UDF two-skinny-exchange claim)."""
+    plan = plan_string(_frame(spark, "pack_token_stream_128"))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln or (
+            "Exchange rangepartitioning" in ln
+        ):
+            assert "text" not in ln, ln
+
+
+def test_ks_drift_scans_only_needed_columns(spark):
+    """The KS query reads (source, n_chars) — column pruning must keep
+    text out of the scan entirely (at 100 TB text dominates the table's
+    bytes; reading it for a drift statistic would be the bug)."""
+    plan = plan_string(_frame(spark, "stats_ks_drift"))
+    assert "text" not in plan, plan
+
+
+def test_match_distribution_filter_side_never_shuffles(spark):
+    """The matcher's corpus side is a scan + broadcast-joined hash
+    filter: no exchange may carry text, and the only aggregates are the
+    k-row bucket counts."""
+    plan = plan_string(_frame(spark, "sample_match_distribution"))
+    assert "text" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" not in ln, ln  # corpus rows never shuffle
+
+
+@pytest.mark.parametrize("name", sorted(R10_PREP))
+def test_r10_prep_invariant_under_partitioning(spark, name):
+    """The hash-compared outputs must not depend on partial-agg merge
+    order or AQE (the r8 audit-invariance pattern)."""
+
+    def snap():
+        return sorted(tuple(r) for r in _frame(spark, name).collect())
+
+    base = snap()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert snap() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
