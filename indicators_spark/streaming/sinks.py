@@ -73,12 +73,20 @@ def _legacy_run_ns(run_id: str | None) -> str | None:
     form.  The legacy tag is inherently ambiguous (``a/1`` and ``a:1``
     both sanitized to ``a_1``) — that ambiguity is exactly what the
     suffix fixed, and honoring it on read is the documented migration
-    cost for PRE-SUFFIX stores only: :func:`_ledger_format_gate` limits
+    cost for UNSTAMPED stores only: :func:`_ledger_format_gate` limits
     the legacy read path to ledgers that already existed without a
-    ``_format`` stamp, so on any store created by current code a lossy
-    run can never adopt a DIFFERENT lossless run's markers (e.g.
+    ``_format`` stamp, so on any store created from this version on a
+    lossy run can never adopt a DIFFERENT lossless run's markers (e.g.
     ``a/1`` silently skipping ``a_1``'s epochs — the exact collision
-    the suffix exists to prevent)."""
+    the suffix exists to prevent).  Residual, by construction
+    undecidable case: a store created by the suffixed-but-pre-stamp
+    version carries suffixed markers and no stamp, so it reads as
+    legacy-era — if a LOSSLESS run (``a_1``) wrote there and a distinct
+    LOSSY twin (``a/1``) later opens it, the twin still adopts those
+    markers (indistinguishable on disk from a genuine pre-suffix
+    ``a/1`` store, which must keep working).  Operators who know a
+    store has no pre-suffix history can close even that window by
+    touching ``_commits/_format`` themselves."""
     if run_id is None:
         return None
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)

@@ -100,12 +100,13 @@ def test_single_sequence_when_budget_exceeds_corpus(spark, docs):
 
 
 def test_layout_matches_duckdb_oracle(spark):
-    """The full layout replays exactly in ANSI SQL (md5 order + window
-    cumsum + integer division) — this is the oracle the r9 driver
-    registration will ship; pinned locally now on the sf0.001 documents
-    table."""
+    """The full layout replays exactly in ANSI SQL — pinned against the
+    REGISTERED oracle itself (queries_r9._pack_sql), not a copy: the
+    r8/r9 rounds each needed a synchronized dual edit (BIGINT casts,
+    NULL-id COALESCE) before this import replaced the duplicate."""
     import duckdb
 
+    from indicators_spark.queries_r9 import _pack_sql
     from indicators_spark.sources.prices import load_table
 
     sf = "/root/testdata/sf0.001"
@@ -116,22 +117,43 @@ def test_layout_matches_duckdb_oracle(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    want = sorted(
-        tuple(r)
-        for r in con.execute(r"""
-WITH live AS (
-  SELECT doc_id,
-    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
-    md5('pack|' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')) AS h
-  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
-),
-cum AS (
-  SELECT doc_id, n, sum(n) OVER (ORDER BY h, doc_id) AS c FROM live
-)
-SELECT doc_id, n AS n_tokens, c - n AS start_tok,
-  (c - n) // 128 AS first_seq, (c - 1) // 128 AS last_seq,
-  (c - n) % 128 AS offset_in_first
-FROM cum""").fetchall()
-    )
+    want = sorted(tuple(r) for r in con.execute(_pack_sql()).fetchall())
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_null_doc_id_matches_oracle(spark):
+    """The fixture has no NULL doc_ids, so the oracle's NULL-sentinel
+    COALESCE (r9 review) needs its own input: one NULL-id live-text row
+    must land at the Spark sentinel's md5 rank on BOTH engines, not at
+    DuckDB's NULLS-LAST end of the stream (which would shift every
+    downstream span)."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, None, 4, 5], dtype="Int64"),
+            "text": ["a b c", "d e", "x y z w", "f", "g h i j k"],
+        }
+    )
+    docs = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+
+    def key(t):  # tuples contain the NULL id — plain sorted() can't
+        return tuple((x is None, x) for x in t)
+
+    got = sorted(
+        (tuple(r) for r in pack_token_stream(docs, 4).collect()), key=key
+    )
+
+    from indicators_spark.queries_r9 import _pack_sql
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        (tuple(r) for r in con.execute(_pack_sql(4)).fetchall()), key=key
+    )
+    con.close()
+    assert got == want and len(got) == 5
+    # the NULL-id row is mid-stream on both sides, not a trailing quirk
+    assert any(r[0] is None for r in got)
