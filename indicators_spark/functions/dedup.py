@@ -1126,6 +1126,47 @@ def line_dedup_global(
     return _rebuild_without_lines(df, ex, dup, id_col, text_col)
 
 
+def line_dedup_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTRA-document exact line dedup, keep-first (the RefinedWeb-style
+    self-repetition rewrite): every repeat of a line's exact content
+    WITHIN the same document is removed, first occurrence kept — the
+    complement of :func:`line_dedup_global`, whose corpus-wide ``min_df``
+    policy removes ALL copies of cross-document boilerplate but leaves a
+    document that repeats its own paragraph untouched (below ``min_df``)
+    or gutted (at it).  The two compose: global pass first, keep-first
+    self-dedup second.  Repeated EMPTY lines collapse too (blank-run
+    normalization rides along); pre-filter them upstream to preserve
+    spacing.
+
+    Same output contract as the global pass: ``(id, clean_text,
+    n_lines, n_removed)``, NULL text → ``(NULL, 0, 0)``.
+
+    Scale shape: identical to :func:`line_dedup_global` — the exploded
+    stream is the skinny ``(id, pos, 16-byte hash)`` of
+    :func:`_line_hashes`, repeat positions come from one
+    ``row_number`` window over that skinny stream (keyed by the doc —
+    no corpus-wide state at all, so unlike the global pass there is no
+    shared build side and the whole job is embarrassingly per-document),
+    and the rebuild is :func:`_rebuild_without_lines`'s row-local
+    indexed filter — full document text never shuffles."""
+    ex = _line_hashes(df, id_col, text_col)
+    w = Window.partitionBy("_id", "lh").orderBy("pos")
+    tail = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("_id", "pos", "lh")
+    )
+    # semi-join vs tail's own hashes keeps exactly the tail rows — the
+    # shape _rebuild_without_lines expects, helper untouched
+    return _rebuild_without_lines(
+        df, tail, tail.select("lh"), id_col, text_col
+    )
+
+
 def _line_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, 16-byte line hash) — the text column is pruned before
     anything shuffles."""

@@ -275,3 +275,55 @@ SELECT k.doc_id, CAST(k.b AS INT) AS bucket,
   CAST(k.v AS BIGINT) AS n_chars
 FROM bkt k JOIN rates r ON r.b = k.b
 WHERE {bucket_sql('k.doc_id', seed)} < r.thresh"""
+
+
+# --------------------------------------------------------------------- #
+# Intra-document line dedup (keep-first) — PREPARED for a later round
+# (r10's 50 slots are already exactly committed to 3 registrations +
+# the 47 r4-era rotations; this is the 4th prep, first in line for
+# r11).  The self-repetition complement of `dedup_lines_global`:
+# repeats of a line WITHIN one document are removed, first occurrence
+# kept.  Runs on the k=2 lineification (2-word lines), where the
+# synthetic corpus has ~250 intra-doc repeats across ~180 docs at
+# sf0.01 — the k=3 global-dedup derivation has almost none, so it would
+# test nothing here.  Local parity pinned in
+# tests/test_oracle_parity_r9.py; plan pinned in tests/test_plans_r9.py.
+# --------------------------------------------------------------------- #
+
+SELF_LINE_K = 2
+
+
+def _line_selfdedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import line_dedup_within_doc
+    from .queries_corpus import _docs
+    from .queries_r7 import _lineify
+
+    derived = _lineify(_docs(spark, sf_dir), SELF_LINE_K)
+    return line_dedup_within_doc(derived).select(
+        "doc_id", "clean_text", "n_lines", "n_removed"
+    )
+
+
+def _line_selfdedup_sql(k: int = SELF_LINE_K) -> str:
+    from .queries_r7 import _lineify_sql
+
+    return f"""
+WITH {_lineify_sql(k)[1:]},
+t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lineified),
+ex AS (
+  SELECT doc_id, i, ls[i] AS line,
+    row_number() OVER (PARTITION BY doc_id, md5(ls[i]) ORDER BY i) AS rn
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM t)
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(line, chr(10) ORDER BY i) AS txt
+  FROM ex WHERE rn = 1 GROUP BY 1
+)
+SELECT t.doc_id,
+  CASE WHEN t.text IS NULL THEN NULL ELSE COALESCE(r.txt, '') END
+    AS clean_text,
+  CAST(COALESCE(len(t.ls), 0) AS BIGINT) AS n_lines,
+  CAST(COALESCE(len(t.ls), 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM t LEFT JOIN reb r USING (doc_id)"""

@@ -87,6 +87,54 @@ def test_match_distribution_matches_oracle(spark):
     assert res.spark_rows > 0
 
 
+def test_line_selfdedup_matches_oracle(spark):
+    from indicators_spark.queries_r9 import (
+        _line_selfdedup_spark,
+        _line_selfdedup_sql,
+    )
+
+    got = _line_selfdedup_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_line_selfdedup_sql()).fetchdf()
+    res = compare_frames("dedup_lines_within_doc", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    # the derivation must actually exercise the keep-first rule
+    assert any(r for r in want.itertuples() if r.n_removed > 0)
+
+
+def test_line_selfdedup_keep_first_bruteforce(spark):
+    """Keep-first semantics on a hand-built doc: repeats drop, first
+    occurrences stay in order, repeated blank lines collapse, NULL text
+    routes through, and the global pass's min_df policy demonstrably
+    differs (it removes ALL copies)."""
+    from indicators_spark.functions.dedup import (
+        line_dedup_global,
+        line_dedup_within_doc,
+    )
+
+    rows = [
+        (1, "a\nb\na\nc\nb\na"),
+        (2, "x\n\n\nx"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in line_dedup_within_doc(df).collect()
+    }
+    assert got[1] == ("a\nb\nc", 6, 3)
+    assert got[2] == ("x\n", 4, 2)   # blank run collapses to one
+    assert got[3] == (None, 0, 0)
+    # contrast: the corpus-wide pass at min_df=2 removes EVERY copy of
+    # the repeated lines, not just the tails
+    g = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup_global(df, min_df=2).collect()
+    }
+    assert g[1] == "c"
+
+
 def test_ks_drift_null_routing(spark):
     """NULL values and NULL groups are excluded before any counting."""
     df = spark.createDataFrame(

@@ -17,6 +17,7 @@ from indicators_spark.queries import QUERIES
 from indicators_spark.queries_r9 import (
     _compress_audit_spark,
     _ks_drift_spark,
+    _line_selfdedup_spark,
     _match_dist_spark,
 )
 
@@ -33,6 +34,7 @@ R10_PREP = {
     "audit_compression_ratio": _compress_audit_spark,
     "stats_ks_drift": _ks_drift_spark,
     "sample_match_distribution": _match_dist_spark,
+    "dedup_lines_within_doc": _line_selfdedup_spark,  # first in line for r11
 }
 
 
