@@ -1145,25 +1145,54 @@ def line_dedup_within_doc(
     Same output contract as the global pass: ``(id, clean_text,
     n_lines, n_removed)``, NULL text → ``(NULL, 0, 0)``.
 
-    Scale shape: identical to :func:`line_dedup_global` — the exploded
-    stream is the skinny ``(id, pos, 16-byte hash)`` of
-    :func:`_line_hashes`, repeat positions come from one
+    Scale shape: the exploded stream is the skinny ``(id, pos, 16-byte
+    hash)`` of :func:`_line_hashes`, repeat positions come from one
     ``row_number`` window over that skinny stream (keyed by the doc —
     no corpus-wide state at all, so unlike the global pass there is no
-    shared build side and the whole job is embarrassingly per-document),
-    and the rebuild is :func:`_rebuild_without_lines`'s row-local
-    indexed filter — full document text never shuffles."""
+    shared build side and the whole job is embarrassingly
+    per-document), removed positions collapse to one tiny per-doc
+    array, and the rebuild is a row-local indexed filter — full
+    document text never shuffles (pinned in tests/test_plans_r9.py).
+
+    The rebuild tail mirrors :func:`_rebuild_without_lines` minus its
+    hash-set semi-join rather than calling it: the positions are
+    already per-document here, and routing them through the helper's
+    ``dup`` join would both recompute the explode subtree and add a
+    corpus-wide join keyed on the line hash alone — whose hottest key
+    is the empty-line hash (review r9).  Consolidating the two tails
+    behind a positions-based core means editing the helper every
+    registered line-dedup query runs through, which costs verification
+    slots — deferred to that family's next natural rotation."""
     ex = _line_hashes(df, id_col, text_col)
     w = Window.partitionBy("_id", "lh").orderBy("pos")
-    tail = (
+    removed = (
         ex.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
-        .select("_id", "pos", "lh")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
+        .withColumnRenamed("_id", id_col)
     )
-    # semi-join vs tail's own hashes keeps exactly the tail rows — the
-    # shape _rebuild_without_lines expects, helper untouched
-    return _rebuild_without_lines(
-        df, tail, tail.select("lh"), id_col, text_col
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), lines.alias("_ls")).join(
+        removed, id_col, "left"
+    )
+    kept = F.when(F.col("_dp").isNull(), F.col("_ls")).otherwise(
+        F.filter(
+            F.col("_ls"), lambda x, i: ~F.array_contains(F.col("_dp"), i)
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(F.col("_ls").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias("clean_text"),
+        F.coalesce(F.size(F.col("_ls")), F.lit(0))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(F.col("_ls").isNull(), F.lit(0))
+        .otherwise(F.size(F.col("_ls")) - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
     )
 
 

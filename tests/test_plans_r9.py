@@ -109,6 +109,29 @@ def test_match_distribution_filter_side_never_shuffles(spark):
             assert "HashAggregate" in child, (ex, child)
 
 
+def test_selfdedup_shuffles_are_skinny(spark):
+    """line_dedup_within_doc's headline claim: full document text never
+    crosses a shuffle — the window runs over the skinny (id, pos, hash)
+    stream and the removed positions rejoin per-document.  Checked on
+    each Exchange's child output; also pins that no corpus-wide
+    lh-only-keyed exchange exists (the hot-empty-line-hash skew a
+    hash-set semi-join would reintroduce, review r9)."""
+    plan = plan_string(_frame(spark, "dedup_lines_within_doc"))
+    pairs = _exchange_children(plan)
+    assert pairs, plan
+    for ex, child in pairs:
+        # neither the lineified text nor its split array may ship
+        assert "text#" not in child and "_ls#" not in child, (ex, child)
+    for ex, _ in pairs:
+        if "hashpartitioning" in ex:
+            # every data shuffle is doc-keyed: _id/doc_id in the keys
+            assert "_id#" in ex or "doc_id#" in ex, ex
+    # the per-doc removed-positions table reaches the text side as a
+    # broadcast — a sort-merge fallback would shuffle every document
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 @pytest.mark.parametrize("name", sorted(R10_PREP))
 def test_r10_prep_invariant_under_partitioning(spark, name):
     """The hash-compared outputs must not depend on partial-agg merge
