@@ -634,6 +634,21 @@ def main() -> None:
         "sec": round(dt, 2),
         "docs_per_sec": int(n_docs / dt),
     }
+    # intra-doc keep-first twin (round 9): same skinny explode, repeat
+    # positions from one per-doc window, no corpus-wide state — its
+    # docs_per_sec should sit at-or-above the global pass's (no dup-set
+    # join at all)
+    from indicators_spark.functions.dedup import line_dedup_within_doc
+
+    t0 = time.time()
+    line_dedup_within_doc(lined).agg(
+        F.sum("n_removed").alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results["line_dedup_within_doc"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
     lined.unpersist()
 
     # ---- winnowing fingerprints + pair join (round 7b) -------------------
