@@ -861,6 +861,101 @@ def bpe_pair_counts(
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Learn a BPE merge table at corpus scale — the ITERATIVE trainer
+    :func:`bpe_pair_counts` is one round of (Sennrich et al. 2016):
+    start from characters, repeatedly pick the most frequent adjacent
+    symbol pair and merge every leftmost non-overlapping occurrence,
+    recounting after each merge.  Returns the merge trajectory
+    ``(rank, pair, merged, cnt)`` — the artifact a tokenizer ships.
+    Ties break (count desc, pair lexicographic asc); stops early when
+    no pair remains (every word fused to one symbol).
+
+    Scale shape: ONE corpus scan builds the (word, count) vocabulary
+    table (words lowercased, capped at ``max_word_len`` chars like
+    :func:`bpe_pair_counts`' 64 — BPE pre-tokenizers split longer runs
+    anyway), materialized once; every merge step then runs on that
+    VOCAB-sized state, frequency-weighted — pair counting is a
+    bounded-key groupBy with map-side partials and the winning pair is
+    a 1-row TakeOrdered (k·|pair| driver strings re-entering as plan
+    literals, the k-means budget).  Step t re-derives the current
+    symbol string through a t-deep literal ``replace`` chain over the
+    checkpointed vocab (the kcenter-chain trade: zero per-step
+    materialization, fine for tokenizer-scale k).
+
+    Merge application is engine-portable by construction: symbols are
+    joined with TWO spaces and each literal replace of
+    ``' a  b ' → ' ab '`` consumes exactly one space from each
+    flanking gap, so consecutive occurrences (``a b a b``) all merge
+    in one left-to-right pass while overlaps (``a a a`` merging
+    ``(a,a)``) resolve leftmost-first — byte-identical semantics for
+    Spark's ``replace`` and DuckDB's, no regex anywhere, so the whole
+    trajectory replays in unrolled SQL CTEs."""
+    from .materialize import shared
+
+    if n_merges < 1:
+        raise ValueError(f"bpe_learn_merges: n_merges must be >= 1, got {n_merges!r}")
+    wc = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.substring("w", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    sym0 = F.expr(
+        "array_join(transform(sequence(1, char_length(w)),"
+        " i -> substring(w, i, 1)), '  ')"
+    )
+    state = shared(wc.select(sym0.alias("s"), "wc"))
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(1, n_merges + 1):
+        cur = F.col("s")
+        for _, pr, merged, _ in merges:
+            a, b = pr.split(" ")
+            cur = F.trim(
+                F.replace(
+                    F.concat(F.lit("  "), cur, F.lit("  ")),
+                    F.lit(f" {a}  {b} "),
+                    F.lit(f" {merged} "),
+                )
+            )
+        syms = F.split(cur, "  ")
+        n = F.size(syms)
+        # Spark's sequence(1, 0) counts DOWN — guard 1-symbol words to
+        # an empty pair list instead (DuckDB's generate_series is empty)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        prs = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+            ),
+        )
+        top = (
+            state.select(F.explode(prs).alias("pr"), "wc")
+            .groupBy("pr")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pr"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully fused: nothing left to merge
+        pr, c = top[0]["pr"], int(top[0]["c"])
+        merges.append((t, pr, pr.replace(" ", ""), c))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, pair string, merged string, cnt long"
+    )
+
+
 #: C4 heuristics (Raffel et al. 2020 §2.2): line keep-rules + page
 #: drop-rules.  The badword list is a tiny neutral placeholder for the
 #: blocklist C4 uses; matching is whole-word, as C4 specifies ("any word

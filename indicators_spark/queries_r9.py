@@ -327,3 +327,80 @@ SELECT t.doc_id,
   CAST(COALESCE(len(t.ls), 0) - COALESCE(r.n_kept, 0) AS BIGINT)
     AS n_removed
 FROM t LEFT JOIN reb r USING (doc_id)"""
+
+
+# --------------------------------------------------------------------- #
+# BPE merge learning — PREPARED for a later round (queued with
+# `dedup_lines_within_doc` behind r10's committed slots).  The
+# iterative tokenizer trainer (`text.bpe_learn_merges`) over the
+# documents corpus: each step's winning pair is replayed by the oracle
+# as an unrolled CTE chain — pair counts from the current vocab state,
+# a 1-row ORDER BY/LIMIT selection, and the two-space literal-replace
+# merge application (engine-portable by construction; no regex).
+# Local parity + brute-force trajectory pinned in
+# tests/test_oracle_parity_r9.py.
+# --------------------------------------------------------------------- #
+
+BPE_MERGES = 4
+BPE_MAX_WORD = 32
+
+
+def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(
+        docs, n_merges=BPE_MERGES, max_word_len=BPE_MAX_WORD
+    )
+
+
+def _bpe_merges_sql(
+    k: int = BPE_MERGES, max_word: int = BPE_MAX_WORD
+) -> str:
+    """Unrolled replay of the merge trajectory: w0 is the char-split
+    vocab (two-space symbol joins), step t counts pairs of w{t-1},
+    picks m{t} by (count desc, pair asc), and w{t} applies the merge
+    with the one-space-consuming literal replace."""
+    ctes = [
+        f"""wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT substring(w, 1, {max_word}) AS w FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL)
+    WHERE w != '') GROUP BY w
+),
+w0 AS (
+  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+    i -> substring(w, i, 1)), '  ') AS s, wc
+  FROM wc
+)"""
+    ]
+    rows = []
+    for t in range(1, k + 1):
+        prev = f"w{t - 1}"
+        ctes.append(
+            f"""p{t} AS (
+  SELECT pr, sum(wc) AS c FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, len(string_split(s, '  ')) - 1),
+      i -> string_split(s, '  ')[i] || ' ' || string_split(s, '  ')[i + 1]
+    )) AS pr, wc
+    FROM {prev}) GROUP BY pr
+),
+m{t} AS (SELECT pr, c FROM p{t} ORDER BY c DESC, pr LIMIT 1)"""
+        )
+        if t < k:
+            ctes.append(
+                f"""w{t} AS (
+  SELECT trim(replace('  ' || s || '  ',
+    ' ' || replace((SELECT pr FROM m{t}), ' ', '  ') || ' ',
+    ' ' || replace((SELECT pr FROM m{t}), ' ', '') || ' ')) AS s, wc
+  FROM {prev}
+)"""
+            )
+        rows.append(
+            f"SELECT CAST({t} AS BIGINT) AS rank, pr AS pair,"
+            f" replace(pr, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt"
+            f" FROM m{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)

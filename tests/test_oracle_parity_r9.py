@@ -135,6 +135,81 @@ def test_line_selfdedup_keep_first_bruteforce(spark):
     assert g[1] == "c"
 
 
+def test_bpe_merges_match_oracle(spark):
+    from indicators_spark.queries_r9 import (
+        _bpe_merges_spark,
+        _bpe_merges_sql,
+    )
+
+    got = _bpe_merges_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_bpe_merges_sql()).fetchdf()
+    res = compare_frames("text_bpe_merges", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows == 4
+
+
+def test_bpe_merges_match_bruteforce(spark):
+    """The trajectory equals a pure-Python BPE trainer with the same
+    conventions (frequency-weighted vocab, leftmost non-overlapping
+    merge, count-desc/pair-asc ties) on the classic low/lower/lowest
+    corpus plus an overlap-run stressor."""
+    corpus = [
+        (1, "low low low lower lowest"),
+        (2, "aaa aaa baab"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    from indicators_spark.functions.text import bpe_learn_merges
+
+    got = [tuple(r) for r in bpe_learn_merges(df, n_merges=6).collect()]
+
+    wc: dict[tuple[str, ...], int] = {}
+    for _, t in corpus:
+        if t is None:
+            continue
+        for w in t.lower().split(" "):
+            if w:
+                key = tuple(w[:32])
+                wc[key] = wc.get(key, 0) + 1
+    want = []
+    for rank in range(1, 7):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in wc.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        want.append((rank, f"{a} {b}", a + b, c))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, cnt in wc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + cnt
+        wc = new
+    assert got == want
+    # driver-looped ⇒ no plan to pin (LocalTableScan, like kcenter);
+    # partitioning invariance pinned behaviorally instead
+    again = [
+        tuple(r)
+        for r in bpe_learn_merges(df.repartition(7), n_merges=6).collect()
+    ]
+    assert again == want
+
+
 def test_ks_drift_null_routing(spark):
     """NULL values and NULL groups are excluded before any counting."""
     df = spark.createDataFrame(
