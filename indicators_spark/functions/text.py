@@ -956,6 +956,59 @@ def bpe_learn_merges(
     )
 
 
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    max_word_len: int = 32,
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode with a LEARNED merge table (the production half of
+    :func:`bpe_learn_merges`: train once on a sample, encode the whole
+    corpus): every word restarts from characters and replays the
+    ``merges`` (``"a b"`` pair strings, in rank order) with the same
+    two-space literal-replace rule the trainer used, so train→encode
+    round-trips exactly.  Adds ``out`` = the document's post-merge
+    token count (the real token budget a context window pays, vs the
+    regex ESTIMATE of :func:`with_bpe_token_count`).  NULL text → NULL.
+
+    Scale shape: one row-local expression — per-word char init and a
+    ``len(merges)``-deep literal replace chain, all codegen'd string
+    ops, zero shuffle, zero Python; the merge table enters as plan
+    literals (it IS driver state by definition — a tokenizer's merge
+    file)."""
+    # dynamic-start substring needs the expr form (Column starts are
+    # unsupported), so the whole per-word pipeline is one expr string:
+    # chars (two-space joined) → replay merges → count symbols
+    chain = (
+        "array_join(transform(sequence(1, char_length(w)),"
+        " i -> substring(w, i, 1)), '  ')"
+    )
+    for pr in merges:
+        a, b = pr.split(" ")  # exactly one space — the trainer's format
+        if "'" in pr or "\\" in pr:
+            # symbols enter the plan as expr-string literals
+            raise ValueError(
+                f"bpe_apply_merges: unsupported characters in merge {pr!r}"
+            )
+        chain = (
+            f"trim(replace('  ' || {chain} || '  ',"
+            f" ' {a}  {b} ', ' {a}{b} '))"
+        )
+    per_word = f"size(split({chain}, '  '))"
+    expr = (
+        f"aggregate(transform(filter(split(lower({text_col}), ' '),"
+        f" x -> x != ''), x -> substring(x, 1, {int(max_word_len)})),"
+        f" 0L, (acc, w) -> acc + {per_word})"
+    )
+    return df.withColumn(
+        out,
+        F.when(
+            F.col(text_col).isNotNull(), F.expr(expr).cast("long")
+        ),
+    )
+
+
 #: C4 heuristics (Raffel et al. 2020 §2.2): line keep-rules + page
 #: drop-rules.  The badword list is a tiny neutral placeholder for the
 #: blocklist C4 uses; matching is whole-word, as C4 specifies ("any word

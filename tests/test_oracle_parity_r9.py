@@ -210,6 +210,59 @@ def test_bpe_merges_match_bruteforce(spark):
     assert again == want
 
 
+def test_bpe_apply_merges_roundtrip(spark):
+    """Encoding with the learned table replays the trainer's merge
+    rule exactly: token counts match a pure-Python re-encode, NULL
+    routes through, an empty merge list degrades to char counting,
+    and malformed merges are rejected eagerly."""
+    import pytest
+
+    from indicators_spark.functions.text import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "aaa baab"), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = [r["pair"] for r in bpe_learn_merges(df, n_merges=3).collect()]
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply_merges(df, merges).collect()
+    }
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for pr in merges:
+            a, b = pr.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for doc_id, text in [(1, "low low low lower lowest"), (2, "aaa baab")]:
+        want = sum(encode(w) for w in text.split(" "))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    assert got[3] is None
+    # no merges → one token per character
+    plain = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply_merges(df, []).collect()
+    }
+    assert plain[2] == len("aaabaab")
+    with pytest.raises(ValueError):
+        bpe_apply_merges(df, ["a' b"])
+    with pytest.raises(ValueError):
+        bpe_apply_merges(df, ["a b c"])
+
+
 def test_ks_drift_null_routing(spark):
     """NULL values and NULL groups are excluded before any counting."""
     df = spark.createDataFrame(
