@@ -908,24 +908,19 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
     )
-    sym0 = F.expr(
-        "array_join(transform(sequence(1, char_length(w)),"
-        " i -> substring(w, i, 1)), '  ')"
-    )
-    state = shared(wc.select(sym0.alias("s"), "wc"))
+    state = shared(wc.select(_bpe_char_syms(F.col("w")).alias("s"), "wc"))
     merges: list[tuple[int, str, str, int]] = []
     for t in range(1, n_merges + 1):
         cur = F.col("s")
-        for _, pr, merged, _ in merges:
+        for _, pr, _, _ in merges:
             a, b = pr.split(" ")
-            cur = F.trim(
-                F.replace(
-                    F.concat(F.lit("  "), cur, F.lit("  ")),
-                    F.lit(f" {a}  {b} "),
-                    F.lit(f" {merged} "),
-                )
-            )
-        syms = F.split(cur, "  ")
+            cur = _bpe_merge_step(cur, a, b)
+        # PROJECT the split before the pair lambda: Spark does no CSE
+        # inside lambda functions (the word_bigram_structs trap), so an
+        # unprojected `syms` would re-run the t-deep replace chain per
+        # element per element_at
+        step = state.select(F.split(cur, "  ").alias("syms"), "wc")
+        syms = F.col("syms")
         n = F.size(syms)
         # Spark's sequence(1, 0) counts DOWN — guard 1-symbol words to
         # an empty pair list instead (DuckDB's generate_series is empty)
@@ -939,7 +934,7 @@ def bpe_learn_merges(
             ),
         )
         top = (
-            state.select(F.explode(prs).alias("pr"), "wc")
+            step.select(F.explode(prs).alias("pr"), "wc")
             .groupBy("pr")
             .agg(F.sum("wc").alias("c"))
             .orderBy(F.col("c").desc(), F.col("pr"))
@@ -956,57 +951,145 @@ def bpe_learn_merges(
     )
 
 
+def _bpe_char_syms(w: Column) -> Column:
+    """Per-word BPE initial state: characters joined by TWO spaces —
+    the one copy of the symbol-string encoding both the trainer and
+    :func:`bpe_apply_merges` build on (a padding/cap change in one
+    place cannot silently break train→encode parity)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.char_length(w)),
+            lambda i: F.substring(w, i, F.lit(1)),
+        ),
+        "  ",
+    )
+
+
+def _bpe_merge_step(s: Column, a: str, b: str) -> Column:
+    """Apply one merge to a two-space symbol string: the literal
+    replace consumes exactly one space from each flanking gap, so
+    consecutive occurrences all merge in one left-to-right pass and
+    overlap runs resolve leftmost-first — the one copy of the rule
+    (symbols enter as F.lit, so any character content is safe)."""
+    return F.trim(
+        F.replace(
+            F.concat(F.lit("  "), s, F.lit("  ")),
+            F.lit(f" {a}  {b} "),
+            F.lit(f" {a}{b} "),
+        )
+    )
+
+
+#: bpe_apply_merges auto-dispatch point: above this many merges the
+#: nested-replace expression chain stops being the right plan (deep
+#: Catalyst trees / codegen method limits) and encoding moves to the
+#: Arrow-batched rank-dict UDF — the standard shape for a real
+#: tokenizer's 10k-50k-row merge file.
+BPE_CHAIN_MAX_MERGES = 64
+
+
 def bpe_apply_merges(
     df: DataFrame,
     merges: list[str],
     text_col: str = "text",
     max_word_len: int = 32,
     out: str = "bpe_tokens",
+    method: str | None = None,
 ) -> DataFrame:
     """Encode with a LEARNED merge table (the production half of
     :func:`bpe_learn_merges`: train once on a sample, encode the whole
-    corpus): every word restarts from characters and replays the
-    ``merges`` (``"a b"`` pair strings, in rank order) with the same
-    two-space literal-replace rule the trainer used, so train→encode
-    round-trips exactly.  Adds ``out`` = the document's post-merge
-    token count (the real token budget a context window pays, vs the
-    regex ESTIMATE of :func:`with_bpe_token_count`).  NULL text → NULL.
+    corpus).  Adds ``out`` = the document's post-merge token count (the
+    real token budget a context window pays, vs the regex ESTIMATE of
+    :func:`with_bpe_token_count`).  NULL text → NULL.
 
-    Scale shape: one row-local expression — per-word char init and a
-    ``len(merges)``-deep literal replace chain, all codegen'd string
-    ops, zero shuffle, zero Python; the merge table enters as plan
-    literals (it IS driver state by definition — a tokenizer's merge
-    file)."""
-    # dynamic-start substring needs the expr form (Column starts are
-    # unsupported), so the whole per-word pipeline is one expr string:
-    # chars (two-space joined) → replay merges → count symbols
-    chain = (
-        "array_join(transform(sequence(1, char_length(w)),"
-        " i -> substring(w, i, 1)), '  ')"
-    )
+    Two equivalent implementations, dispatched on table size (or
+    forced via ``method``):
+
+    * ``"chain"`` (≤ :data:`BPE_CHAIN_MAX_MERGES`): every word restarts
+      from characters and replays the merges in rank order with the
+      trainer's own :func:`_bpe_merge_step` — ONE codegen'd row-local
+      expression, zero shuffle, zero Python; symbols enter as ``F.lit``
+      so any character content (apostrophes, backslashes) is safe.
+    * ``"udf"``: an Arrow-batched pandas UDF carrying the merge table
+      as a rank dict and running the classic lowest-rank-first encode
+      loop — the right shape for a production 10k-50k-row merge file,
+      where a 30k-deep expression tree would break codegen.
+
+    Both produce IDENTICAL counts: applying merges once each in rank
+    order equals iterating "merge the lowest-ranked pair present"
+    because a merge can only create adjacencies involving its OWN new
+    symbol, and any pair containing that symbol was necessarily learned
+    later (higher rank) — pinned in tests."""
+    parsed = []
     for pr in merges:
         a, b = pr.split(" ")  # exactly one space — the trainer's format
-        if "'" in pr or "\\" in pr:
-            # symbols enter the plan as expr-string literals
-            raise ValueError(
-                f"bpe_apply_merges: unsupported characters in merge {pr!r}"
-            )
-        chain = (
-            f"trim(replace('  ' || {chain} || '  ',"
-            f" ' {a}  {b} ', ' {a}{b} '))"
+        parsed.append((a, b))
+    if method is None:
+        method = "chain" if len(parsed) <= BPE_CHAIN_MAX_MERGES else "udf"
+    if method == "chain":
+        ws = F.transform(
+            F.filter(
+                words(F.lower(F.col(text_col))), lambda x: x != F.lit("")
+            ),
+            lambda x: F.substring(x, 1, max_word_len),
         )
-    per_word = f"size(split({chain}, '  '))"
-    expr = (
-        f"aggregate(transform(filter(split(lower({text_col}), ' '),"
-        f" x -> x != ''), x -> substring(x, 1, {int(max_word_len)})),"
-        f" 0L, (acc, w) -> acc + {per_word})"
-    )
-    return df.withColumn(
-        out,
-        F.when(
-            F.col(text_col).isNotNull(), F.expr(expr).cast("long")
-        ),
-    )
+
+        def word_tokens(w: Column) -> Column:
+            s = _bpe_char_syms(w)
+            for a, b in parsed:
+                s = _bpe_merge_step(s, a, b)
+            return F.size(F.split(s, "  ")).cast("long")
+
+        total = F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + word_tokens(w)
+        )
+        return df.withColumn(
+            out, F.when(F.col(text_col).isNotNull(), total)
+        )
+    if method != "udf":
+        raise ValueError(
+            f"bpe_apply_merges: method must be 'chain' or 'udf', got {method!r}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: r for r, p in enumerate(parsed)}
+    pairs = list(parsed)
+    cap = int(max_word_len)
+
+    @pandas_udf("long")
+    def _encode(texts: pd.Series) -> pd.Series:
+        def enc_word(w: str) -> int:
+            syms = list(w[:cap])
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pairs[best]
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            return len(syms)
+
+        def enc(t: str) -> int:
+            return sum(enc_word(w) for w in t.lower().split(" ") if w)
+
+        return texts.map(enc, na_action="ignore")
+
+    return df.withColumn(out, _encode(F.col(text_col)))
 
 
 #: C4 heuristics (Raffel et al. 2020 §2.2): line keep-rules + page

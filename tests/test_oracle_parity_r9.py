@@ -257,10 +257,27 @@ def test_bpe_apply_merges_roundtrip(spark):
         for r in bpe_apply_merges(df, []).collect()
     }
     assert plain[2] == len("aaabaab")
-    with pytest.raises(ValueError):
-        bpe_apply_merges(df, ["a' b"])
+    # the Arrow rank-dict path (production merge-file sizes) is
+    # count-identical to the expression chain, incl. apostrophe symbols
+    apo = spark.createDataFrame(
+        [(1, "don't don't do"), (2, None)], "doc_id long, text string"
+    )
+    am = [r["pair"] for r in bpe_learn_merges(apo, n_merges=4).collect()]
+    assert any("'" in p for p in am)  # apostrophes really flow through
+    for frame, table in ((df, merges), (apo, am)):
+        chain = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_apply_merges(frame, table, method="chain").collect()
+        }
+        udf = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_apply_merges(frame, table, method="udf").collect()
+        }
+        assert chain == udf
     with pytest.raises(ValueError):
         bpe_apply_merges(df, ["a b c"])
+    with pytest.raises(ValueError):
+        bpe_apply_merges(df, merges, method="nope")
 
 
 def test_ks_drift_null_routing(spark):
