@@ -760,6 +760,23 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- BPE merge learning (round 9) -------------------------------------
+    # One corpus scan builds the frequency-weighted vocab, then each of
+    # the 4 merge steps runs on the VOCAB-sized state — step cost is
+    # bounded by distinct words, not corpus rows, so docs_per_sec should
+    # RISE with corpus growth (the vocab saturates).
+    from indicators_spark.functions.text import bpe_learn_merges
+
+    t0 = time.time()
+    bpe_learn_merges(docs, n_merges=4).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    dt = time.time() - t0
+    results["bpe_learn_4merges"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     # ---- k-center greedy selection (round 9) ------------------------------
     # Gonzalez on the cached 16-dim vector table, BOTH forms: the
     # literal-chain form's step t evaluates a t-term least() chain
