@@ -47,9 +47,13 @@ def ks_drift_by_group(
     pool size, so small slices need a proportionally larger gap before
     they alarm (a fixed threshold flags every 25-doc source as drifted
     on pure sampling noise); pass ``threshold`` for a fixed cut
-    instead.  Either way the verdict derives from the QUANTIZED
-    statistic and integer counts, so it cannot flip on representation
-    across engines.
+    instead.  Either way the verdict derives from the EXACT (pre-
+    quantization) statistic — only the emitted ``ks_d`` is rounded —
+    so the flag matches the textbook KS decision at the boundary
+    (ADVICE r9: quantization's upward rounding over-alarmed within
+    ~5e-5 of the critical value).  Cross-engine parity still holds
+    bit-for-bit: the statistic is IEEE arithmetic over exact integer
+    counts in the same expression order on both engines.
 
     NULL values and NULL group keys are excluded (a NULL length is an
     extraction failure, not a distribution sample); the pooled CDF is
@@ -91,8 +95,11 @@ def ks_drift_by_group(
         )
     )
     groups = cell.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    # pooled total N once, as a 1-row broadcast (ADVICE r9: a
+    # partitionBy(_g) window sum recomputed the same constant per group)
+    totdf = val.agg(F.sum("_cv").alias("_tot"))
     # full evaluation grid; both sides are tiny (≤ #values × #groups)
-    grid = val.crossJoin(F.broadcast(groups))
+    grid = val.crossJoin(F.broadcast(groups)).crossJoin(F.broadcast(totdf))
     wg = (
         Window.partitionBy("_g")
         .orderBy("_v")
@@ -104,12 +111,6 @@ def ks_drift_by_group(
             "_cum_g", F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(wg)
         )
         .withColumn(
-            # per-group copy of the grand total (windows must be
-            # materialized before the aggregate below)
-            "_tot",
-            F.sum("_cv").over(Window.partitionBy("_g")),
-        )
-        .withColumn(
             "_diff",
             F.abs(
                 F.col("_cum_g") / F.col("_n")
@@ -118,7 +119,7 @@ def ks_drift_by_group(
         )
     )
     out = joined.groupBy("_g", "_n", "_tot").agg(
-        _q4(F.max("_diff")).alias("ks_d")
+        F.max("_diff").alias("_d_raw")
     )
     if threshold is None:
         # casts BEFORE the product: n·N in long overflows at corpus scale
@@ -131,6 +132,6 @@ def ks_drift_by_group(
     return out.select(
         F.col("_g").alias(group_col),
         F.col("_n").alias("n"),
-        "ks_d",
-        (F.col("ks_d") > crit).alias("drifted"),
+        _q4(F.col("_d_raw")).alias("ks_d"),
+        (F.col("_d_raw") > crit).alias("drifted"),
     )

@@ -177,11 +177,21 @@ def match_distribution_sample(
         raise ValueError(f"match_distribution_sample: k must be >= 2, got {k!r}")
     fracs = [i / k for i in range(1, k)]
     v = F.col(value_col).cast("double")
+    # 4dp-quantize the interpolated edges (ADVICE r9): Spark's
+    # F.percentile and an oracle's quantile_cont may differ in the
+    # interpolation's last bit, and a data value landing exactly on a
+    # divergent edge would flip bucket — and kept-row membership —
+    # between engines.  Same floor(x*1e4+0.5)/1e4 idiom both sides.
     edges = (
         ref.filter(v.isNotNull())
         .agg(
             *[
-                F.percentile(v, F.lit(q)).alias(f"_e{i}")
+                (
+                    F.floor(
+                        F.percentile(v, F.lit(q)) * 1e4 + 0.500000001
+                    )
+                    / 1e4
+                ).alias(f"_e{i}")
                 for i, q in enumerate(fracs, 1)
             ]
         )

@@ -1,10 +1,13 @@
-"""Round-9 catalog additions.
+"""Round-9/10 catalog additions.
 
-One new driver registration this round (plus the deferred
+One new driver registration in r9 (plus the deferred
 ``similarity_kcenter_select`` line in queries_r8.py): the r2/r3
-evidence-drain takes 47 of the ~50 verification slots (VERDICT r8 #2),
-so new registrations stay capped at 2 to let the rotation clear the
-tail in one round.
+evidence-drain took 47 of the ~50 verification slots (VERDICT r8 #2),
+so r9 registrations stayed capped at 2 to let the rotation clear the
+tail in one round.  The three r9-prepared queries below
+(``audit_compression_ratio``, ``stats_ks_drift``,
+``sample_match_distribution``) were registered in r10 per VERDICT r9
+#1 — 3 new + the 47 r4-era rotations = the 50-slot budget exactly.
 
 ``pack_token_stream_128`` — concat-and-chunk training-sequence packing
 (sampling.py:572, built and property-tested in r8, tests/test_packing.py)
@@ -88,9 +91,9 @@ _register(
 # handling, zlib semantics) broke — not noise: the bands sit ≥5× from
 # the measured ratios (repeat ~0.007 vs <0.05; hex ~0.56 in (0.4,0.8);
 # doubled ~0.29 < hex per doc, the x||x < 2·x compressibility law).
-# Registration deferred one round so r9's 50-slot budget exactly drains
-# the r2/r3 evidence tail; tests/test_oracle_parity_r9.py pins the full
-# driver-style compare meanwhile.
+# Registration was deferred one round so r9's 50-slot budget exactly
+# drained the r2/r3 evidence tail; REGISTERED r10 (VERDICT r9 #1), with
+# tests/test_oracle_parity_r9.py pinning the full driver-style compare.
 # --------------------------------------------------------------------- #
 
 CR_REPEAT_MAX = 0.05
@@ -139,8 +142,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents WHERE doc_id IS NOT NULL"""
 
 
+_register(
+    "audit_compression_ratio",
+    Query(spark=_compress_audit_spark, sql=_COMPRESS_AUDIT_SQL),
+)
+
+
 # --------------------------------------------------------------------- #
-# Per-source KS drift — PREPARED for r10 registration.  The numeric
+# Per-source KS drift — REGISTERED r10.  The numeric
 # counterpart of `text_kl_sources`: two-sample Kolmogorov–Smirnov of
 # each source's n_chars distribution against the pooled corpus, the
 # standard nightly drift alarm.  Exact (no sketch), and every stage
@@ -170,32 +179,35 @@ val AS (
   FROM cell GROUP BY v
 ),
 grp AS (SELECT g, sum(c) AS n FROM cell GROUP BY g),
+tot AS (SELECT sum(cv) AS tot FROM val),
 grid AS (
-  SELECT grp.g, grp.n, val.v, val.cv, val.cum_all, COALESCE(cell.c, 0) AS c
-  FROM val CROSS JOIN grp
+  SELECT grp.g, grp.n, tot.tot, val.v, val.cum_all, COALESCE(cell.c, 0) AS c
+  FROM val CROSS JOIN grp CROSS JOIN tot
   LEFT JOIN cell ON cell.g = grp.g AND cell.v = val.v
 ),
 cum AS (
-  SELECT g, n, cum_all,
-    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g,
-    sum(cv) OVER (PARTITION BY g) AS tot
+  SELECT g, n, tot, cum_all,
+    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g
   FROM grid
 ),
 d AS (
   SELECT g, n, tot,
-    floor(max(abs(CAST(cum_g AS DOUBLE) / CAST(n AS DOUBLE)
-                  - CAST(cum_all AS DOUBLE) / CAST(tot AS DOUBLE)))
-          * 1e4 + 0.500000001) / 1e4 AS ks_d
+    max(abs(CAST(cum_g AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(cum_all AS DOUBLE) / CAST(tot AS DOUBLE))) AS d_raw
   FROM cum GROUP BY g, n, tot
 )
-SELECT g AS source, CAST(n AS BIGINT) AS n, ks_d,
-  ks_d > {KS_C_ALPHA_05} * sqrt(CAST(n + tot AS DOUBLE)
+SELECT g AS source, CAST(n AS BIGINT) AS n,
+  floor(d_raw * 1e4 + 0.500000001) / 1e4 AS ks_d,
+  d_raw > {KS_C_ALPHA_05} * sqrt(CAST(n + tot AS DOUBLE)
     / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))) AS drifted
 FROM d"""
 
 
+_register("stats_ks_drift", Query(spark=_ks_drift_spark, sql=_KS_DRIFT_SQL))
+
+
 # --------------------------------------------------------------------- #
-# Distribution-matched sampling — PREPARED for r10 registration.  The
+# Distribution-matched sampling — REGISTERED r10.  The
 # numeric-feature counterpart of DSIR: subsample the corpus so its
 # n_chars distribution matches a reference slice's (here: the short-doc
 # half), bucket-wise over the reference's quartile bands, keeping the
@@ -236,8 +248,12 @@ def _match_dist_sql(
     from .functions.sampling import HASH_DEN, bucket_sql
 
     fracs = [i / k for i in range(1, k)]
+    # edges 4dp-quantized exactly like the Spark side (ADVICE r9: a
+    # last-bit interpolation divergence between quantile_cont and
+    # F.percentile would flip bucket membership for on-edge values)
     e_cols = ", ".join(
-        f"quantile_cont(v, {q}) AS e{i}" for i, q in enumerate(fracs, 1)
+        f"floor(quantile_cont(v, {q}) * 1e4 + 0.500000001) / 1e4 AS e{i}"
+        for i, q in enumerate(fracs, 1)
     )
     bucket = " + ".join(f"CAST(v > e{i} AS INT)" for i in range(1, k))
     return f"""
@@ -275,6 +291,12 @@ SELECT k.doc_id, CAST(k.b AS INT) AS bucket,
   CAST(k.v AS BIGINT) AS n_chars
 FROM bkt k JOIN rates r ON r.b = k.b
 WHERE {bucket_sql('k.doc_id', seed)} < r.thresh"""
+
+
+_register(
+    "sample_match_distribution",
+    Query(spark=_match_dist_spark, sql=_match_dist_sql()),
+)
 
 
 # --------------------------------------------------------------------- #

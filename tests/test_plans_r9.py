@@ -30,17 +30,23 @@ from conftest import SF_SMOKE
 #: vacuous; its behavior is bound by the oracle parity, brute-force, and
 #: partitioning-invariance tests in tests/test_kcenter.py.
 R9 = ("pack_token_stream_128",)
-R10_PREP = {
+#: registered in r10 (VERDICT r9 #1) — the pins below predate the
+#: `_register` lines by one round and keep running against the now-
+#: registered callables
+R10 = {
     "audit_compression_ratio": _compress_audit_spark,
     "stats_ks_drift": _ks_drift_spark,
     "sample_match_distribution": _match_dist_spark,
+}
+R11_PREP = {
     "dedup_lines_within_doc": _line_selfdedup_spark,  # first in line for r11
 }
+PINNED = {**R10, **R11_PREP}
 
 
 def _frame(spark, name):
-    if name in R10_PREP:
-        return R10_PREP[name](spark, SF_SMOKE)
+    if name in PINNED:
+        return PINNED[name](spark, SF_SMOKE)
     return QUERIES[name].spark(spark, SF_SMOKE)
 
 
@@ -58,7 +64,7 @@ def _exchange_children(plan: str) -> list[tuple[str, str]]:
     return out
 
 
-@pytest.mark.parametrize("name", list(R9) + sorted(R10_PREP))
+@pytest.mark.parametrize("name", list(R9) + sorted(PINNED))
 def test_r9_no_cartesian_product(spark, name):
     plan = plan_string(_frame(spark, name))
     assert "CartesianProduct" not in plan, (name, plan)
@@ -132,8 +138,8 @@ def test_selfdedup_shuffles_are_skinny(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-@pytest.mark.parametrize("name", sorted(R10_PREP))
-def test_r10_prep_invariant_under_partitioning(spark, name):
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_pinned_invariant_under_partitioning(spark, name):
     """The hash-compared outputs must not depend on partial-agg merge
     order or AQE (the r8 audit-invariance pattern)."""
 
