@@ -342,6 +342,12 @@ def main() -> None:
         # (k scans) and the zero-UDF concat-and-chunk packing layout
         "similarity_kcenter_select",
         "pack_token_stream_128",
+        # round-10 registrations (VERDICT r9 #5): two cheap one-pass
+        # shapes (cell-table KS, broadcast-rate matched sampling) and the
+        # zlib-UDF-bound audit
+        "stats_ks_drift",
+        "sample_match_distribution",
+        "audit_compression_ratio",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

@@ -1015,14 +1015,30 @@ def bpe_apply_merges(
       loop — the right shape for a production 10k-50k-row merge file,
       where a 30k-deep expression tree would break codegen.
 
-    Both produce IDENTICAL counts: applying merges once each in rank
-    order equals iterating "merge the lowest-ranked pair present"
-    because a merge can only create adjacencies involving its OWN new
-    symbol, and any pair containing that symbol was necessarily learned
-    later (higher rank) — pinned in tests."""
+    ``merges`` must be a RANK-MONOTONE table in the trainer's format:
+    entry ``r``'s pair is built only from symbols that exist after
+    applying entries ``< r`` (every table :func:`bpe_learn_merges`
+    emits is, by construction).  This is a semantic precondition, not
+    just an equivalence-proof assumption: for a hand-crafted table
+    where a LATER merge creates an occurrence of an EARLIER pair, the
+    two methods legitimately differ (chain never revisits earlier
+    ranks; the udf loop does), so the size-based auto-dispatch would
+    silently change counts at the 64-entry boundary (ADVICE r9).  On
+    trainer-format tables they are IDENTICAL: applying merges once
+    each in rank order equals iterating "merge the lowest-ranked pair
+    present" because a merge can only create adjacencies involving its
+    OWN new symbol, and any pair containing that symbol was
+    necessarily learned later (higher rank) — pinned in tests."""
     parsed = []
     for pr in merges:
-        a, b = pr.split(" ")  # exactly one space — the trainer's format
+        try:
+            a, b = pr.split(" ")  # exactly one space — the trainer's format
+        except (ValueError, AttributeError):
+            raise ValueError(
+                "bpe_apply_merges: each merge must be 'left right' (two "
+                f"symbols, one space — bpe_learn_merges' pair format); got "
+                f"{pr!r}"
+            ) from None
         parsed.append((a, b))
     if method is None:
         method = "chain" if len(parsed) <= BPE_CHAIN_MAX_MERGES else "udf"

@@ -118,6 +118,28 @@ def _ledger_format_gate(ledger_dir: str) -> bool:
     return False
 
 
+def _warn_legacy_active(
+    run_id: str | None, legacy_ns: str | None, ledger_dir: str
+) -> None:
+    """Surface an active legacy read path (ADVICE r9: on an unstamped
+    store, two distinct lossy run ids that sanitize identically adopt
+    each other's markers, so the second silently skips epochs it never
+    wrote — make the collision-prone condition visible at runtime)."""
+    if legacy_ns is None:
+        return
+    import warnings
+
+    warnings.warn(
+        f"run id {run_id!r} sanitizes lossily and this ledger "
+        f"({ledger_dir}) predates the _format stamp: legacy markers "
+        f"under {legacy_ns!r} will be honored, and any distinct run id "
+        "with the same sanitization shares them.  If this store has no "
+        "pre-suffix history, write '_commits/_format' to opt out (see "
+        "_legacy_run_ns).",
+        stacklevel=3,
+    )
+
+
 def _atomic_write(path: str, body: str) -> None:
     """tmp-file + rename (atomic on POSIX; a conditional PUT / metastore
     transaction on object stores) — the ONE copy of the commit/pointer
@@ -134,7 +156,17 @@ class _EpochLedger:
     ``<run_ns>-<epoch>`` marker per committed epoch, atomic tmp+rename
     commit, and committed-epoch directory listing.  One copy of the
     protocol — a ledger fix lands everywhere at once (r8 review: four
-    verbatim copies had already accumulated)."""
+    verbatim copies had already accumulated).
+
+    Run-id migration note (applies to every inheriting sink): on a
+    store that predates the ``_format`` stamp, a run id that sanitizes
+    lossily (e.g. ``a/1`` → ``run-a_1``) honors LEGACY markers under
+    the ambiguous bare tag — two distinct lossy ids that sanitize
+    identically would adopt each other's committed epochs (a warning
+    is emitted whenever this path is active).  If a pre-stamp store is
+    known to have no pre-suffix history, write ``_commits/_format``
+    (content ``"2"``) to disable the legacy read path entirely — see
+    :func:`_legacy_run_ns` / :func:`_ledger_format_gate`."""
 
     def _init_ledger(self, out_dir: str, run_id: str | None) -> None:
         self.run_ns = _run_ns(run_id)
@@ -147,6 +179,7 @@ class _EpochLedger:
             if _ledger_format_gate(self.commit_dir)
             else None
         )
+        _warn_legacy_active(run_id, self._legacy_ns, self.commit_dir)
 
     def _commit_path(self, epoch_id: int) -> str:
         return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")
@@ -305,6 +338,7 @@ class ExactlyOnceParquetSink:
             if _ledger_format_gate(ledger_root)
             else None
         )
+        _warn_legacy_active(run_id, self._legacy_ns, ledger_root)
         os.makedirs(self.commit_dir, exist_ok=True)
 
     def _commit_path(self, epoch_id: int) -> str:
@@ -480,7 +514,9 @@ class SubstringDedupIngestSink(_EpochLedger):
     2. documents rewritten with those spans cut
        (``clean_text``/``n_removed``), landed exactly-once per epoch
        (same data-dir + commit-ledger protocol as
-       :class:`ExactlyOnceParquetSink`),
+       :class:`ExactlyOnceParquetSink`; for lossy run ids on pre-stamp
+       stores see :class:`_EpochLedger`'s migration note and the
+       ``_commits/_format`` opt-out),
     3. the batch's distinct gram hashes appended to the store under the
        SAME epoch identity — a replayed epoch overwrites its own gram
        directory (idempotent) and is skipped entirely by the ledger.
@@ -581,7 +617,8 @@ class MixturePlanSink(_EpochLedger):
     excluded before sampling by default (``drop_null_text=True``) —
     the identical upstream filter the batch ``mixture_plan_execute``
     query applies, so the parity claim above holds on dirty corpora
-    too; pass ``False`` only when the plan was built over a corpus that
+    too (run-id migration / ``_commits/_format`` opt-out: see
+    :class:`_EpochLedger`); pass ``False`` only when the plan was built over a corpus that
     kept them.
 
     Scale notes: the rate table is K rows broadcast onto the batch; the
@@ -778,7 +815,8 @@ class MinHashDedupIngestSink(_EpochLedger):
     2-hash key) rows — no text, no full signatures; the per-epoch cost
     is one shingle pass over the batch plus a (band, key) join against
     the store scan (bucket the store on the key to make the history
-    side exchange-free)."""
+    side exchange-free).  Run-id migration / ``_commits/_format``
+    opt-out: see :class:`_EpochLedger`."""
 
     def __init__(
         self,
@@ -904,7 +942,8 @@ class LineDedupIngestSink(_EpochLedger):
     cells — per-epoch size is the batch's DISTINCT line count, and
     merging history is one count-keyed groupBy over cells, never
     history rows.  Bucket the store on ``lh`` to make the history side
-    exchange-free, as with the gram store."""
+    exchange-free, as with the gram store.  Run-id migration /
+    ``_commits/_format`` opt-out: see :class:`_EpochLedger`."""
 
     def __init__(
         self, out_dir: str, min_df: int = 2, run_id: str | None = None

@@ -972,7 +972,10 @@ def test_legacy_unsuffixed_markers_still_skip_epochs(spark, tmp_path):
     ledger = tmp_path / "a" / "_commits"
     os.makedirs(ledger)
     (ledger / "run-a_1-0").write_text("0")
-    sink = LineDedupIngestSink(str(tmp_path / "a"), run_id="a/1")
+    # the active legacy path is collision-prone (two lossy ids with one
+    # sanitization share markers) — it must announce itself (ADVICE r9)
+    with pytest.warns(UserWarning, match="sanitizes lossily"):
+        sink = LineDedupIngestSink(str(tmp_path / "a"), run_id="a/1")
     assert sink._is_committed(0)
     sink(docs, 0)                                   # replay: must skip
     assert sink._store_paths() == []                # nothing ingested
@@ -985,7 +988,8 @@ def test_legacy_unsuffixed_markers_still_skip_epochs(spark, tmp_path):
     eo_ledger = tmp_path / "b" / "_commits"
     os.makedirs(eo_ledger / "run-a_1")
     (eo_ledger / "run-a_1" / "0").write_text("0")
-    eo = ExactlyOnceParquetSink(str(tmp_path / "b"), run_id="a/1")
+    with pytest.warns(UserWarning, match="sanitizes lossily"):
+        eo = ExactlyOnceParquetSink(str(tmp_path / "b"), run_id="a/1")
     assert eo._is_committed(0)
     assert eo.committed_epochs() == [0]             # listing agrees w/ skip
     eo(docs, 0)                                     # replay: must skip
