@@ -29,6 +29,10 @@ def _q4(c: Column) -> Column:
 #: approximation — the rule every drift monitor implements).
 KS_C_ALPHA_05 = 1.358
 
+#: the industry PSI rules of thumb: < 0.1 stable, 0.1–0.2 moderate
+#: shift, > 0.2 significant drift (the default ``drifted`` cut).
+PSI_DRIFT_THRESHOLD = 0.2
+
 
 def ks_drift_by_group(
     df: DataFrame,
@@ -134,4 +138,103 @@ def ks_drift_by_group(
         F.col("_n").alias("n"),
         _q4(F.col("_d_raw")).alias("ks_d"),
         (F.col("_d_raw") > crit).alias("drifted"),
+    )
+
+
+def psi_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bins: int = 10,
+    drift_threshold: float = PSI_DRIFT_THRESHOLD,
+) -> DataFrame:
+    """Per-group Population Stability Index against the POOLED corpus:
+    ``PSI_g = Σ_b (p_gb − p_b)·ln(p_gb / p_b)`` over the pool's
+    ``bins``-quantile bands — the other standard nightly drift alarm
+    (scorecard/model-monitoring convention), complementing
+    :func:`ks_drift_by_group`: KS is sup-norm (sharpest for a localized
+    shift), PSI is a symmetrized-KL mass rebalance measure with
+    industry-calibrated cut-offs (0.1 / 0.2).  Returns one row per
+    group: ``(group, n, psi, drifted)`` with ``psi`` 4dp-quantized and
+    ``drifted`` derived from the EXACT (pre-quantization) sum vs
+    ``drift_threshold`` (default :data:`PSI_DRIFT_THRESHOLD`).
+
+    Determinism/replayability: bin edges are the pool's interpolated
+    quantiles 4dp-QUANTIZED (the :func:`~.sampling.match_distribution_sample`
+    rule — a last-bit interpolation difference between engines must not
+    flip an on-edge value's bin), and proportions are Laplace-smoothed
+    with integer counts — ``p_gb = (c_gb + 1)/(n_g + B)`` and
+    ``p_b = (c_b + 1)/(N + B)`` with ``B`` the number of populated
+    pool bins — so a bin the group never hits contributes a finite,
+    engine-portable term instead of ``ln(0)`` (the standard PSI
+    zero-bucket fix, here exact rather than an ad-hoc epsilon).
+
+    NULL values and NULL group keys are excluded (extraction failures,
+    not distribution samples); each group is compared against the pool
+    INCLUDING itself, the monitoring convention shared with the KS
+    alarm.
+
+    Scale shape: one exact-quantile pass over the pool (swap in
+    ``F.percentile_approx`` at 100 TB — PSI is binned by construction,
+    so sketch error only nudges band boundaries), then ONE wide pass:
+    bucket via the broadcast 1-row edge table and aggregate
+    ``(group, bin)`` cells with map-side partials.  Everything after is
+    cell-table sized (≤ groups × bins rows): pooled bin mass, group
+    totals, and the PSI sum are aggregates of that tiny table."""
+    if bins < 2:
+        raise ValueError(f"psi_drift_by_group: bins must be >= 2, got {bins!r}")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    fracs = [i / bins for i in range(1, bins)]
+    edges = base.agg(
+        *[
+            (
+                F.floor(F.percentile(F.col("_v"), F.lit(q)) * 1e4 + 0.500000001)
+                / 1e4
+            ).alias(f"_e{i}")
+            for i, q in enumerate(fracs, 1)
+        ]
+    )
+    b = F.lit(0)
+    for i in range(1, bins):
+        b = b + (F.col("_v") > F.col(f"_e{i}")).cast("int")
+    cell = (
+        base.crossJoin(F.broadcast(edges))
+        .select("_g", b.alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    groups = cell.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    poolb = cell.groupBy("_b").agg(F.sum("_c").alias("_cp"))
+    # pool-wide scalars: total N and populated-bin count B (1 row)
+    scal = poolb.agg(
+        F.sum("_cp").alias("_tot"), F.count(F.lit(1)).alias("_nb")
+    )
+    grid = poolb.crossJoin(F.broadcast(groups)).crossJoin(F.broadcast(scal))
+    joined = grid.join(cell, ["_g", "_b"], "left").select(
+        "_g",
+        "_n",
+        (
+            (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("_n") + F.col("_nb")).cast("double")
+        ).alias("_pg"),
+        (
+            (F.col("_cp") + F.lit(1)).cast("double")
+            / (F.col("_tot") + F.col("_nb")).cast("double")
+        ).alias("_pp"),
+    )
+    out = joined.groupBy("_g", "_n").agg(
+        F.sum(
+            (F.col("_pg") - F.col("_pp")) * F.log(F.col("_pg") / F.col("_pp"))
+        ).alias("_psi_raw")
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        _q4(F.col("_psi_raw")).alias("psi"),
+        (F.col("_psi_raw") > F.lit(float(drift_threshold))).alias("drifted"),
     )

@@ -1,0 +1,206 @@
+"""Round-10 catalog additions: preps for r11/r12 registration.
+
+Round 10's 50 verification slots are exactly committed (3 r9-prepared
+registrations in queries_r9.py + the 47 r4-era rotations — VERDICT r9
+#1/#2), so everything here follows the one-round-early discipline:
+built, oracle'd, and driver-style-parity-pinned NOW
+(tests/test_oracle_parity_r10.py, tests/test_plans_r10.py), registered
+when slots open.
+
+Queue order (VERDICT r9 #3/#4):
+
+* r11: ``similarity_kcenter_carry`` (below), plus the two r9 preps
+  ``dedup_lines_within_doc`` and ``text_bpe_merges`` (queries_r9.py).
+* r12: ``stats_psi_drift`` and ``text_bpe_encode`` (below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import Query, _register  # noqa: F401  (used at registration)
+from .queries_r9 import (
+    BPE_MAX_WORD,
+    BPE_MERGES,
+    _bpe_char_split_sql,
+    _bpe_merge_step_sql,
+    _bpe_trainer_ctes,
+)
+from .sources.prices import load_table
+
+# --------------------------------------------------------------------- #
+# k-center greedy, CARRY form — PREPARED for r11 registration (VERDICT
+# r9 #3).  The registered `similarity_kcenter_select` (k=6) runs the
+# literal-chain form; the `carry_min=True` dispatch arm (similarity.py
+# `kcenter_select`, O(k·n·d) via per-superstep localCheckpoint of the
+# running min) is pinned bit-identical locally (tests/test_kcenter.py)
+# but has never produced driver evidence.  This twin runs k=10 with
+# carry_min forced on, against the SAME unrolled-CTE oracle shape at
+# the larger k — the `lineitem_rsi_halo` precedent: a second registered
+# query whose only purpose is driver evidence for the other dispatch
+# arm.  k=10 also sits ABOVE the auto-dispatch point (KCENTER_CARRY_K
+# = 8), so the registered row exercises exactly the arm a defaulting
+# caller would get at that k.
+# --------------------------------------------------------------------- #
+
+KC_CARRY_K = 10
+
+
+def _kcenter_carry_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import similarity
+    from .queries_ext import _emb
+
+    return similarity.kcenter_select(
+        _emb(spark, sf_dir), k=KC_CARRY_K, carry_min=True
+    )
+
+
+def _kcenter_carry_sql(k: int = KC_CARRY_K) -> str:
+    # the oracle replays the greedy TRAJECTORY, which both forms produce
+    # bit-identically (min associativity over the same fold-exact
+    # doubles — pinned in test_kcenter.py), so the k=6 generator is
+    # reused verbatim at k=10
+    from .queries_r8 import _kcenter_sql
+
+    return _kcenter_sql(k=k)
+
+
+# --------------------------------------------------------------------- #
+# Per-source PSI drift — PREPARED for r12 registration.  The scorecard/
+# model-monitoring counterpart of `stats_ks_drift`: Population
+# Stability Index of each source's n_chars distribution against the
+# pooled corpus over the pool's decile bands, with the industry 0.2
+# drift cut (functions/drift.py:psi_drift_by_group for semantics and
+# the 100 TB shape).  Local parity pinned in
+# tests/test_oracle_parity_r10.py; plan pinned in tests/test_plans_r10.py.
+# --------------------------------------------------------------------- #
+
+PSI_BINS = 10
+
+
+def _psi_drift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.drift import psi_drift_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_drift_by_group(
+        docs, value_col="n_chars", group_col="source", bins=PSI_BINS
+    )
+
+
+def _psi_drift_sql(bins: int = PSI_BINS) -> str:
+    from .functions.drift import PSI_DRIFT_THRESHOLD
+
+    fracs = [i / bins for i in range(1, bins)]
+    e_cols = ", ".join(
+        f"floor(quantile_cont(v, {q}) * 1e4 + 0.500000001) / 1e4 AS e{i}"
+        for i, q in enumerate(fracs, 1)
+    )
+    bucket = " + ".join(f"CAST(v > e{i} AS INT)" for i in range(1, bins))
+    return f"""
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+),
+e AS (SELECT {e_cols} FROM base),
+cell AS (
+  SELECT g, ({bucket}) AS b, count(*) AS c FROM base, e GROUP BY g, 2
+),
+grp AS (SELECT g, sum(c) AS n FROM cell GROUP BY g),
+poolb AS (SELECT b, sum(c) AS cp FROM cell GROUP BY b),
+scal AS (SELECT sum(cp) AS tot, count(*) AS nb FROM poolb),
+grid AS (
+  SELECT grp.g, grp.n, poolb.b, poolb.cp, scal.tot, scal.nb,
+    COALESCE(cell.c, 0) AS c
+  FROM poolb CROSS JOIN grp CROSS JOIN scal
+  LEFT JOIN cell ON cell.g = grp.g AND cell.b = poolb.b
+),
+terms AS (
+  SELECT g, n,
+    CAST(c + 1 AS DOUBLE) / CAST(n + nb AS DOUBLE) AS pg,
+    CAST(cp + 1 AS DOUBLE) / CAST(tot + nb AS DOUBLE) AS pp
+  FROM grid
+),
+psi AS (
+  SELECT g, n, sum((pg - pp) * ln(pg / pp)) AS psi_raw
+  FROM terms GROUP BY g, n
+)
+SELECT g AS source, CAST(n AS BIGINT) AS n,
+  floor(psi_raw * 1e4 + 0.500000001) / 1e4 AS psi,
+  psi_raw > {PSI_DRIFT_THRESHOLD} AS drifted
+FROM psi"""
+
+
+# --------------------------------------------------------------------- #
+# BPE encoding with a corpus-learned table — PREPARED for r12
+# registration.  Driver evidence for the ENCODER half of the BPE family
+# (`text.bpe_apply_merges`, currently local-pins-only): learn the first
+# 4 merges on the documents corpus (the same trajectory the
+# `text_bpe_merges` prep verifies), then encode every document with
+# them and emit the per-doc post-merge token count.  The oracle replays
+# BOTH halves in one statement: the trainer's unrolled m1..m4 CTEs
+# (shared generator `_bpe_trainer_ctes`), then per-word char-split +
+# the same four literal-replace merge steps, summed per document — so a
+# hash match certifies train→encode parity end-to-end, not just the
+# encoder in isolation.  The k=4 table dispatches to the zero-Python
+# expression-chain method (≤ BPE_CHAIN_MAX_MERGES); the Arrow rank-dict
+# UDF arm stays pinned count-identical locally
+# (tests/test_oracle_parity_r9.py::test_bpe_apply_merges_roundtrip).
+# Output is keyed on non-NULL doc_id (the join-replay contract; a NULL
+# id cannot be joined back portably), NULL text → NULL count, empty
+# text → 0.
+# --------------------------------------------------------------------- #
+
+
+def _bpe_encode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions.text import bpe_apply_merges, bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    # trainer input = the full corpus (identical to text_bpe_merges);
+    # the 4 learned pairs are the usual K-driver-literals budget
+    merges = [
+        r["pair"]
+        for r in bpe_learn_merges(
+            docs, n_merges=BPE_MERGES, max_word_len=BPE_MAX_WORD
+        ).collect()
+    ]
+    enc_in = docs.select("doc_id", "text").filter(F.col("doc_id").isNotNull())
+    return bpe_apply_merges(
+        enc_in, merges, max_word_len=BPE_MAX_WORD
+    ).select("doc_id", "bpe_tokens")
+
+
+def _bpe_encode_sql(
+    k: int = BPE_MERGES, max_word: int = BPE_MAX_WORD
+) -> str:
+    ctes = _bpe_trainer_ctes(k, max_word)
+    # per-word occurrence stream of the ENCODE side (non-NULL ids)
+    ctes.append(
+        f"""dw AS (
+  SELECT doc_id, substring(w, 1, {max_word}) AS w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+  WHERE w != ''
+)"""
+    )
+    ctes.append(f"s0 AS (SELECT doc_id, {_bpe_char_split_sql('w')} AS s FROM dw)")
+    for t in range(1, k + 1):
+        step = _bpe_merge_step_sql("s", f"(SELECT pr FROM m{t})")
+        ctes.append(f"s{t} AS (SELECT doc_id, {step} AS s FROM s{t - 1})")
+    ctes.append(
+        f"""tok AS (
+  SELECT doc_id, CAST(sum(len(string_split(s, '  '))) AS BIGINT) AS tok
+  FROM s{k} GROUP BY doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE COALESCE(t.tok, 0) END AS bpe_tokens
+FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+WHERE d.doc_id IS NOT NULL"""
+    )

@@ -376,13 +376,33 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_sql(
-    k: int = BPE_MERGES, max_word: int = BPE_MAX_WORD
-) -> str:
-    """Unrolled replay of the merge trajectory: w0 is the char-split
-    vocab (two-space symbol joins), step t counts pairs of w{t-1},
-    picks m{t} by (count desc, pair asc), and w{t} applies the merge
-    with the one-space-consuming literal replace."""
+def _bpe_char_split_sql(expr: str) -> str:
+    """DuckDB rendering of ``_bpe_char_syms``: characters of ``expr``
+    joined by TWO spaces (the trainer/encoder shared symbol encoding)."""
+    return (
+        f"array_to_string(list_transform(generate_series(1, length({expr})),"
+        f" i -> substring({expr}, i, 1)), '  ')"
+    )
+
+
+def _bpe_merge_step_sql(s_expr: str, pair_subq: str) -> str:
+    """DuckDB rendering of ``_bpe_merge_step``: the one-space-consuming
+    literal replace that applies one merge to a two-space symbol string
+    (``pair_subq`` is a scalar subquery yielding the ``'a b'`` pair)."""
+    return f"""trim(replace('  ' || {s_expr} || '  ',
+    ' ' || replace({pair_subq}, ' ', '  ') || ' ',
+    ' ' || replace({pair_subq}, ' ', '') || ' '))"""
+
+
+def _bpe_trainer_ctes(k: int, max_word: int, last_w: bool = False) -> list[str]:
+    """The unrolled trainer CTE chain shared by the trajectory oracle
+    (:func:`_bpe_merges_sql`) and the encoder oracle (queries_r10):
+    ``wc`` word counts, ``w0`` char-split vocab, and per step ``p{t}``
+    pair counts / ``m{t}`` winner / ``w{t}`` merged vocab.  ``w{k}``
+    (the post-final-merge vocab) is only emitted when ``last_w`` —
+    the trajectory output doesn't need it, the encoder doesn't either
+    (it restarts every word from characters), but a consolidation
+    hook is cheap."""
     ctes = [
         f"""wc AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
@@ -392,12 +412,10 @@ def _bpe_merges_sql(
     WHERE w != '') GROUP BY w
 ),
 w0 AS (
-  SELECT array_to_string(list_transform(generate_series(1, length(w)),
-    i -> substring(w, i, 1)), '  ') AS s, wc
+  SELECT {_bpe_char_split_sql('w')} AS s, wc
   FROM wc
 )"""
     ]
-    rows = []
     for t in range(1, k + 1):
         prev = f"w{t - 1}"
         ctes.append(
@@ -411,18 +429,32 @@ w0 AS (
 ),
 m{t} AS (SELECT pr, c FROM p{t} ORDER BY c DESC, pr LIMIT 1)"""
         )
-        if t < k:
+        if t < k or last_w:
             ctes.append(
                 f"""w{t} AS (
-  SELECT trim(replace('  ' || s || '  ',
-    ' ' || replace((SELECT pr FROM m{t}), ' ', '  ') || ' ',
-    ' ' || replace((SELECT pr FROM m{t}), ' ', '') || ' ')) AS s, wc
+  SELECT {_bpe_merge_step_sql('s', f'(SELECT pr FROM m{t})')} AS s, wc
   FROM {prev}
 )"""
             )
-        rows.append(
-            f"SELECT CAST({t} AS BIGINT) AS rank, pr AS pair,"
-            f" replace(pr, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt"
-            f" FROM m{t}"
-        )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+    return ctes
+
+
+def _bpe_merges_sql(
+    k: int = BPE_MERGES, max_word: int = BPE_MAX_WORD
+) -> str:
+    """Unrolled replay of the merge trajectory: w0 is the char-split
+    vocab (two-space symbol joins), step t counts pairs of w{t-1},
+    picks m{t} by (count desc, pair asc), and w{t} applies the merge
+    with the one-space-consuming literal replace."""
+    rows = [
+        f"SELECT CAST({t} AS BIGINT) AS rank, pr AS pair,"
+        f" replace(pr, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt"
+        f" FROM m{t}"
+        for t in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_bpe_trainer_ctes(k, max_word))
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )

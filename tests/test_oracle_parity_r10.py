@@ -1,0 +1,179 @@
+"""r11/r12-PREPARED queries (queries_r10.py): full driver-style compare
+pinned locally one-or-two rounds before registration — the standing
+recipe (kcenter/pack in r8→r9, compression/KS/match in r9→r10) that has
+made every prepared registration green first-try."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from indicators_spark.queries_r10 import (
+    KC_CARRY_K,
+    _bpe_encode_spark,
+    _bpe_encode_sql,
+    _kcenter_carry_spark,
+    _kcenter_carry_sql,
+    _psi_drift_spark,
+    _psi_drift_sql,
+)
+from indicators_spark.testing import compare_frames, duck_connect
+
+from conftest import SF_SMOKE
+
+
+def test_kcenter_carry_matches_oracle(spark):
+    """The carry-form trajectory at k=10 hash-matches the unrolled-CTE
+    oracle — the same compare the driver will run, on the dispatch arm
+    the registered k=6 query never exercises."""
+    got = _kcenter_carry_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_kcenter_carry_sql()).fetchdf()
+    res = compare_frames("similarity_kcenter_carry", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows == KC_CARRY_K
+
+
+def test_kcenter_carry_runs_the_carry_arm(spark):
+    """k=10 with carry_min=True must really run the carry path AND be
+    what the auto-dispatch would pick at that k (KCENTER_CARRY_K = 8) —
+    the registered row is evidence for the defaulting caller's arm."""
+    from indicators_spark.functions.similarity import KCENTER_CARRY_K
+    from indicators_spark.queries_ext import _emb
+    from indicators_spark.functions.similarity import kcenter_select
+
+    assert KC_CARRY_K > KCENTER_CARRY_K
+    auto = sorted(
+        tuple(r)
+        for r in kcenter_select(_emb(spark, SF_SMOKE), k=KC_CARRY_K).collect()
+    )
+    forced = sorted(
+        tuple(r) for r in _kcenter_carry_spark(spark, SF_SMOKE).collect()
+    )
+    assert auto == forced
+
+
+def test_psi_drift_matches_oracle(spark):
+    got = _psi_drift_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_psi_drift_sql()).fetchdf()
+    res = compare_frames("stats_psi_drift", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
+def test_psi_drift_matches_bruteforce(spark):
+    """PSI equals a pure-Python replay of the same conventions
+    (pool-decile bands with 4dp-quantized linearly-interpolated edges,
+    Laplace-smoothed proportions, pool includes the group) on a small
+    hand-built frame — a third engine-independent check."""
+    import numpy as np
+
+    from indicators_spark.functions.drift import psi_drift_by_group
+
+    rows = [("a", float(v)) for v in range(1, 41)] + [
+        ("b", float(v)) for v in [1, 1, 2, 2, 3, 100, 200, 300]
+    ]
+    df = spark.createDataFrame(rows, "src string, x double")
+    bins = 4
+    got = {
+        r["src"]: (r["n"], r["psi"], r["drifted"])
+        for r in psi_drift_by_group(df, "x", "src", bins=bins).collect()
+    }
+
+    pool = sorted(v for _, v in rows)
+    edges = [
+        math.floor(
+            float(np.percentile(pool, 100 * i / bins, method="linear")) * 1e4
+            + 0.500000001
+        )
+        / 1e4
+        for i in range(1, bins)
+    ]
+
+    def bucket(v):
+        return sum(1 for e in edges if v > e)
+
+    pool_c: dict[int, int] = {}
+    for v in pool:
+        pool_c[bucket(v)] = pool_c.get(bucket(v), 0) + 1
+    nb, tot = len(pool_c), len(pool)
+    for g in ("a", "b"):
+        vals = [v for k, v in rows if k == g]
+        cg: dict[int, int] = {}
+        for v in vals:
+            cg[bucket(v)] = cg.get(bucket(v), 0) + 1
+        psi = 0.0
+        for bkt, cp in pool_c.items():
+            pg = (cg.get(bkt, 0) + 1) / (len(vals) + nb)
+            pp = (cp + 1) / (tot + nb)
+            psi += (pg - pp) * math.log(pg / pp)
+        want = (
+            len(vals),
+            math.floor(psi * 1e4 + 0.500000001) / 1e4,
+            psi > 0.2,
+        )
+        assert got[g] == want, (g, got[g], want)
+    # group 'a' is 5/6 of the pool (self-diluted, stable); 'b' is a
+    # genuinely shifted slice — the verdict must separate them
+    assert not got["a"][2] and got["b"][2]
+
+
+def test_psi_drift_null_routing_and_guard(spark):
+    from indicators_spark.functions.drift import psi_drift_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), (None, 2.0), ("b", 2.0), ("b", 3.0)],
+        "src string, x double",
+    )
+    got = {r["src"]: r["n"] for r in psi_drift_by_group(df, "x", "src").collect()}
+    assert got == {"a": 1, "b": 2}
+    with pytest.raises(ValueError, match="bins must be"):
+        psi_drift_by_group(df, "x", "src", bins=1)
+
+
+def test_bpe_encode_matches_oracle(spark):
+    """Train-then-encode hash-matches the single-statement oracle that
+    replays BOTH halves (trainer m1..m4 CTEs + per-word merge replay) —
+    end-to-end train→encode parity, not just the encoder."""
+    got = _bpe_encode_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_bpe_encode_sql()).fetchdf()
+    res = compare_frames("text_bpe_encode", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    # the merges must actually compress: some doc's token count drops
+    # below its character-token baseline
+    con = duck_connect(SF_SMOKE)
+    chars = con.execute(
+        """SELECT CAST(sum(len(replace(lower(trim(text)), ' ', ''))) AS BIGINT)
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"""
+    ).fetchone()[0]
+    con.close()
+    total = sum(v for v in want["bpe_tokens"] if v is not None and v == v)
+    assert 0 < total < chars
+
+
+def test_prepped_invariant_under_partitioning(spark):
+    """The hash-compared outputs must not depend on partial-agg merge
+    order or AQE (the r8 audit-invariance pattern), including the
+    trainer's collected merge table inside text_bpe_encode."""
+    for fn in (_psi_drift_spark, _bpe_encode_spark, _kcenter_carry_spark):
+
+        def snap():
+            return sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+
+        base = snap()
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            assert snap() == base, fn.__name__
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -1,0 +1,64 @@
+"""Plan checks for the r11/r12-prepared queries (queries_r10.py),
+pinned one-round-early like their oracles (tests/test_oracle_parity_r10).
+
+similarity_kcenter_carry is deliberately absent: like the registered
+k=6 form, its returned frame is a LocalTableScan over k driver rows
+(the greedy's per-superstep plans are filter+project+agg on one table —
+no join exists to go cartesian); its behavior is bound by the oracle
+parity and the bit-identity pins in tests/test_kcenter.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from indicators_spark.plans import plan_string
+from indicators_spark.queries_r10 import _bpe_encode_spark, _psi_drift_spark
+
+from conftest import SF_SMOKE
+
+PREPPED = {
+    "stats_psi_drift": _psi_drift_spark,
+    "text_bpe_encode": _bpe_encode_spark,
+}
+
+
+def _exchange_children(plan: str) -> list[tuple[str, str]]:
+    lines = plan.splitlines()
+    return [
+        (ln, lines[i + 1])
+        for i, ln in enumerate(lines)
+        if "Exchange" in ln and i + 1 < len(lines)
+    ]
+
+
+@pytest.mark.parametrize("name", sorted(PREPPED))
+def test_no_cartesian_product(spark, name):
+    plan = plan_string(PREPPED[name](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_psi_scans_only_needed_columns_and_shuffles_cells(spark):
+    """PSI reads (source, n_chars) — text must be pruned from the scan —
+    and the only wide-data hash exchange is the (group, bin) cell
+    aggregate (its child is the partial HashAggregate, never raw rows);
+    the edge/pool/scalar tables reach the data side as broadcasts."""
+    plan = plan_string(_psi_drift_spark(spark, SF_SMOKE))
+    assert "text" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for ex, child in _exchange_children(plan):
+        if "hashpartitioning" in ex:
+            assert "HashAggregate" in child, (ex, child)
+
+
+def test_bpe_encode_output_plan_is_map_only(spark):
+    """The encoder's returned frame (chain method at k=4 merges) is a
+    pure row-local projection: scan + filter + project, ZERO exchanges,
+    zero Python — the merge replay lives entirely inside codegen'd
+    string expressions.  (The trainer's per-merge scans run eagerly at
+    build time, driver-looped like kcenter/kmeans; this pins the plan
+    every downstream consumer actually pays for per row.)"""
+    plan = plan_string(_bpe_encode_spark(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, (marker, plan)
