@@ -863,6 +863,70 @@ def main() -> None:
         "post_recompact_epoch_sec": post2_sec,
     }
 
+    # ---- drift alarms: KS vs PSI on the same slice column (round 10) -----
+    # KS reduces the corpus in ONE wide pass (the (group,value) cell
+    # agg); PSI pays TWO — an exact-quantile pass for the pool's decile
+    # edges, then the (group,bin) cell agg — so expect PSI ≈ 2× KS's
+    # wall clock here (measured 2.5 s vs 1.4 s at 10k docs; swap
+    # F.percentile_approx in at real scale to shrink pass 1).  PSI's
+    # advantage is STATE, not speed: its cell table is groups×bins by
+    # construction, where KS's is groups×distinct-values (why
+    # continuous columns get pre-bucketed for KS).  docs_per_sec ~flat
+    # with corpus growth = the 100 TB claim for both.
+    from indicators_spark.functions.drift import (
+        ks_drift_by_group,
+        psi_drift_by_group,
+    )
+
+    slices_df = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(16)).cast("string")).alias("source"),
+        F.length("text").alias("n_chars"),
+    ).cache()
+    slices_df.count()
+    for label, fn in (
+        ("drift_psi_16src", lambda: psi_drift_by_group(slices_df, "n_chars", "source")),
+        ("drift_ks_16src", lambda: ks_drift_by_group(slices_df, "n_chars", "source")),
+    ):
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "docs_per_sec": int(n_docs / dt)}
+    slices_df.unpersist()
+
+    # ---- BPE encoding with a learned table (round 10) ---------------------
+    # The production split: train once (vocab-bounded, measured above),
+    # encode the whole corpus.  k=4 rides the zero-Python expression
+    # chain; k=96 forces the Arrow rank-dict UDF (a real tokenizer's
+    # merge-file regime, exercised on a 96-pair synthetic rank-monotone
+    # table built from the learned seed).  Encoding is row-local either
+    # way — docs_per_sec flat with corpus growth = the 100 TB claim.
+    from indicators_spark.functions.text import bpe_apply_merges
+
+    learned = [
+        r["pair"] for r in bpe_learn_merges(docs, n_merges=4).collect()
+    ]
+    # extend to a rank-monotone synthetic table: merge each learned
+    # token with a fresh single char (never creates earlier pairs)
+    big_table = list(learned)
+    alphabet = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    merged_syms = [p.replace(" ", "") for p in learned]
+    i = 0
+    while len(big_table) < 96:
+        big_table.append(f"{merged_syms[i % len(merged_syms)]} {alphabet[i % 26]}")
+        merged_syms.append(big_table[-1].replace(" ", ""))
+        i += 1
+    for label, table, method in (
+        ("bpe_encode_4merges_chain", learned, "chain"),
+        ("bpe_encode_96merges_udf", big_table, "udf"),
+    ):
+        t0 = time.time()
+        bpe_apply_merges(docs, table, method=method).agg(
+            F.sum("bpe_tokens").alias("s")
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "docs_per_sec": int(n_docs / dt)}
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

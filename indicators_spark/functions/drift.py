@@ -4,10 +4,13 @@ The question every multi-source ingest pipeline asks nightly: "does
 source X's feature distribution still look like the corpus?"  KL
 divergence over token histograms exists in :mod:`.text`
 (``source_kl_divergence``); this module adds the numeric-column
-counterpart — the two-sample Kolmogorov–Smirnov statistic per group
-against the pooled corpus — which is the standard drift alarm for
-lengths, quality scores, timestamps-per-doc, etc. (scipy's ``ks_2samp``
-decision, computed distributed and exactly).
+counterparts: the two-sample Kolmogorov–Smirnov statistic per group
+against the pooled corpus (scipy's ``ks_2samp`` decision, computed
+distributed and exactly — sup-norm, sharpest for a localized shift)
+and the Population Stability Index over pool-quantile bands (the
+scorecard/model-monitoring convention with the industry 0.1/0.2
+cut-offs — a mass-rebalance measure whose state is bounded at
+groups×bins by construction).
 
 Reference parity note: the reference engine has no drift family; this
 extends the corpus-QA surface (SURVEY.md §2's "beyond the reference"
