@@ -904,7 +904,8 @@ def main() -> None:
     from indicators_spark.functions.text import bpe_apply_merges
 
     learned = [
-        r["pair"] for r in bpe_learn_merges(docs, n_merges=4).collect()
+        r["pair"]
+        for r in bpe_learn_merges(docs, n_merges=4).orderBy("rank").collect()
     ]
     # extend to a rank-monotone synthetic table: merge each learned
     # token with a fresh single char (never creates earlier pairs)

@@ -159,8 +159,12 @@ def psi_drift_by_group(
     shift), PSI is a symmetrized-KL mass rebalance measure with
     industry-calibrated cut-offs (0.1 / 0.2).  Returns one row per
     group: ``(group, n, psi, drifted)`` with ``psi`` 4dp-quantized and
-    ``drifted`` derived from the EXACT (pre-quantization) sum vs
-    ``drift_threshold`` (default :data:`PSI_DRIFT_THRESHOLD`).
+    ``drifted`` from the pre-output-quantization statistic vs
+    ``drift_threshold`` (default :data:`PSI_DRIFT_THRESHOLD`).  Unlike
+    KS's order-free ``max``, a PSI is a SUM, so each term is snapped to
+    an exact 1e-9 integer grid before summing — integer addition is
+    associative, making the statistic independent of partial-aggregate
+    merge order and bit-portable across engines (r10 review).
 
     Determinism/replayability: bin edges are the pool's interpolated
     quantiles 4dp-QUANTIZED (the :func:`~.sampling.match_distribution_sample`
@@ -193,13 +197,20 @@ def psi_drift_by_group(
         F.col(value_col).cast("double").alias("_v"),
     )
     fracs = [i / bins for i in range(1, bins)]
-    edges = base.agg(
+    # ONE array-percentile aggregate (bins−1 separate F.percentile
+    # calls would each buffer the full pool — r10 review), edges
+    # magnitude-guard-quantized via the shared sampling helper (Spark's
+    # LONG-returning floor saturates on timestamp-scale values where
+    # DuckDB's double floor does not)
+    from .sampling import quantize_edge
+
+    qarr = F.percentile(
+        F.col("_v"), F.array(*[F.lit(q) for q in fracs])
+    )
+    edges = base.agg(qarr.alias("_earr")).select(
         *[
-            (
-                F.floor(F.percentile(F.col("_v"), F.lit(q)) * 1e4 + 0.500000001)
-                / 1e4
-            ).alias(f"_e{i}")
-            for i, q in enumerate(fracs, 1)
+            quantize_edge(F.col("_earr")[i - 1]).alias(f"_e{i}")
+            for i in range(1, bins)
         ]
     )
     b = F.lit(0)
@@ -230,14 +241,23 @@ def psi_drift_by_group(
             / (F.col("_tot") + F.col("_nb")).cast("double")
         ).alias("_pp"),
     )
+    # each term quantized to an exact 1e-9 INTEGER grid before the sum
+    # (r10 review): a double sum's partial-aggregate merge order varies
+    # with partitioning/AQE and differs from the oracle's sequential
+    # sum, so a PSI within ULPs of the 0.2 cut could flip `drifted`
+    # across engines — integer addition is associative, so the summed
+    # statistic is order-free and bit-portable.  Terms are nonnegative
+    # ((p−q)·ln(p/q) ≥ 0) and ≤ ~ln(N), so bins·1e9·ln(N) sits far
+    # below Long.MAX; the 1e-9 grid loses ≤ bins·1e-9 of PSI, noise
+    # against the 4dp output and the 0.1/0.2 cuts.
+    term = (F.col("_pg") - F.col("_pp")) * F.log(F.col("_pg") / F.col("_pp"))
     out = joined.groupBy("_g", "_n").agg(
-        F.sum(
-            (F.col("_pg") - F.col("_pp")) * F.log(F.col("_pg") / F.col("_pp"))
-        ).alias("_psi_raw")
+        F.sum(F.floor(term * 1e9 + 0.500000001)).alias("_psi_int")
     )
+    psi_raw = F.col("_psi_int").cast("double") / 1e9
     return out.select(
         F.col("_g").alias(group_col),
         F.col("_n").alias("n"),
-        _q4(F.col("_psi_raw")).alias("psi"),
-        (F.col("_psi_raw") > F.lit(float(drift_threshold))).alias("drifted"),
+        _q4(psi_raw).alias("psi"),
+        (psi_raw > F.lit(float(drift_threshold))).alias("drifted"),
     )

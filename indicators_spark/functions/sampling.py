@@ -97,6 +97,38 @@ def hash_unit(key: Column, seed: str) -> Column:
     return (v + 0.5) / float(UNIT_DEN)
 
 
+#: Magnitude guard for :func:`quantize_edge`: Spark's ``floor`` returns
+#: LONG, so ``floor(x·1e4 + 0.5)`` overflows (saturates at Long.MAX)
+#: once ``|x|`` clears ~9.2e14 — while DuckDB's ``floor`` stays double
+#: and keeps going, silently breaking cross-engine edge parity on
+#: timestamp-scale columns (r10 review).  Below 1e12 the product stays
+#: under 1e16 (no overflow, exact +0.5), and above it a 4dp grid is
+#: meaningless anyway (ULP(1e12) ≈ 2e-4), so the guard loses nothing.
+EDGE_Q4_MAX = 1e12
+
+
+def quantize_edge(c: Column) -> Column:
+    """4dp-quantize an interpolated quantile EDGE when the grid is
+    meaningful, pass it through raw when it is not (|x| ≥
+    :data:`EDGE_Q4_MAX`).  The quantization exists so a data value
+    sitting exactly on an edge cannot flip bucket membership on a
+    last-bit interpolation difference between engines (ADVICE r9);
+    :func:`edge_q4_sql` is the DuckDB rendering — keep the two in
+    lockstep."""
+    return F.when(
+        F.abs(c) < F.lit(EDGE_Q4_MAX),
+        F.floor(c * 1e4 + 0.500000001) / 1e4,
+    ).otherwise(c)
+
+
+def edge_q4_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`quantize_edge` (for oracle SQL)."""
+    return (
+        f"CASE WHEN abs({expr}) < {EDGE_Q4_MAX!r} THEN "
+        f"floor(({expr}) * 1e4 + 0.500000001) / 1e4 ELSE ({expr}) END"
+    )
+
+
 def unit_sql(key_expr: str, seed: str) -> str:
     """The DuckDB rendering of :func:`hash_unit` (for oracle SQL)."""
     return (
@@ -177,22 +209,20 @@ def match_distribution_sample(
         raise ValueError(f"match_distribution_sample: k must be >= 2, got {k!r}")
     fracs = [i / k for i in range(1, k)]
     v = F.col(value_col).cast("double")
-    # 4dp-quantize the interpolated edges (ADVICE r9): Spark's
-    # F.percentile and an oracle's quantile_cont may differ in the
-    # interpolation's last bit, and a data value landing exactly on a
-    # divergent edge would flip bucket — and kept-row membership —
-    # between engines.  Same floor(x*1e4+0.5)/1e4 idiom both sides.
+    # ONE array-percentile aggregate (k−1 separate F.percentile calls
+    # each buffer the full value set — r10 review), edges magnitude-
+    # guard-quantized (ADVICE r9 + r10 review): Spark's F.percentile
+    # and an oracle's quantile_cont may differ in the interpolation's
+    # last bit, and a data value landing exactly on a divergent edge
+    # would flip bucket — and kept-row membership — between engines.
+    qarr = F.percentile(v, F.array(*[F.lit(q) for q in fracs]))
     edges = (
         ref.filter(v.isNotNull())
-        .agg(
+        .agg(qarr.alias("_earr"))
+        .select(
             *[
-                (
-                    F.floor(
-                        F.percentile(v, F.lit(q)) * 1e4 + 0.500000001
-                    )
-                    / 1e4
-                ).alias(f"_e{i}")
-                for i, q in enumerate(fracs, 1)
+                quantize_edge(F.col("_earr")[i - 1]).alias(f"_e{i}")
+                for i in range(1, k)
             ]
         )
     )

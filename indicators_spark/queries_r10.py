@@ -89,10 +89,11 @@ def _psi_drift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _psi_drift_sql(bins: int = PSI_BINS) -> str:
     from .functions.drift import PSI_DRIFT_THRESHOLD
+    from .functions.sampling import edge_q4_sql
 
     fracs = [i / bins for i in range(1, bins)]
     e_cols = ", ".join(
-        f"floor(quantile_cont(v, {q}) * 1e4 + 0.500000001) / 1e4 AS e{i}"
+        f"{edge_q4_sql(f'quantile_cont(v, {q})')} AS e{i}"
         for i, q in enumerate(fracs, 1)
     )
     bucket = " + ".join(f"CAST(v > e{i} AS INT)" for i in range(1, bins))
@@ -121,7 +122,12 @@ terms AS (
   FROM grid
 ),
 psi AS (
-  SELECT g, n, sum((pg - pp) * ln(pg / pp)) AS psi_raw
+  -- terms snapped to the 1e-9 integer grid before the sum: integer
+  -- addition is order-free, so the statistic cannot depend on either
+  -- engine's accumulation order (mirrors psi_drift_by_group)
+  SELECT g, n,
+    CAST(sum(floor((pg - pp) * ln(pg / pp) * 1e9 + 0.500000001))
+         AS DOUBLE) / 1e9 AS psi_raw
   FROM terms GROUP BY g, n
 )
 SELECT g AS source, CAST(n AS BIGINT) AS n,
@@ -159,11 +165,16 @@ def _bpe_encode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # trainer input = the full corpus (identical to text_bpe_merges);
     # the 4 learned pairs are the usual K-driver-literals budget
+    # explicit rank order: collect() row order is contract-free for an
+    # unsorted DataFrame, and an out-of-rank-order table would encode
+    # silently wrong (r10 review)
     merges = [
         r["pair"]
         for r in bpe_learn_merges(
             docs, n_merges=BPE_MERGES, max_word_len=BPE_MAX_WORD
-        ).collect()
+        )
+        .orderBy("rank")
+        .collect()
     ]
     enc_in = docs.select("doc_id", "text").filter(F.col("doc_id").isNotNull())
     return bpe_apply_merges(

@@ -245,14 +245,15 @@ def _match_dist_sql(
     k: int = MATCH_K, seed: str = MATCH_SEED,
     ref_max: int = MATCH_REF_MAX_CHARS,
 ) -> str:
-    from .functions.sampling import HASH_DEN, bucket_sql
+    from .functions.sampling import HASH_DEN, bucket_sql, edge_q4_sql
 
     fracs = [i / k for i in range(1, k)]
-    # edges 4dp-quantized exactly like the Spark side (ADVICE r9: a
+    # edges quantized exactly like the Spark side (ADVICE r9: a
     # last-bit interpolation divergence between quantile_cont and
-    # F.percentile would flip bucket membership for on-edge values)
+    # F.percentile would flip bucket membership for on-edge values;
+    # the magnitude guard mirrors sampling.quantize_edge)
     e_cols = ", ".join(
-        f"floor(quantile_cont(v, {q}) * 1e4 + 0.500000001) / 1e4 AS e{i}"
+        f"{edge_q4_sql(f'quantile_cont(v, {q})')} AS e{i}"
         for i, q in enumerate(fracs, 1)
     )
     bucket = " + ".join(f"CAST(v > e{i} AS INT)" for i in range(1, k))
@@ -394,15 +395,14 @@ def _bpe_merge_step_sql(s_expr: str, pair_subq: str) -> str:
     ' ' || replace({pair_subq}, ' ', '') || ' '))"""
 
 
-def _bpe_trainer_ctes(k: int, max_word: int, last_w: bool = False) -> list[str]:
+def _bpe_trainer_ctes(k: int, max_word: int) -> list[str]:
     """The unrolled trainer CTE chain shared by the trajectory oracle
     (:func:`_bpe_merges_sql`) and the encoder oracle (queries_r10):
     ``wc`` word counts, ``w0`` char-split vocab, and per step ``p{t}``
     pair counts / ``m{t}`` winner / ``w{t}`` merged vocab.  ``w{k}``
-    (the post-final-merge vocab) is only emitted when ``last_w`` —
-    the trajectory output doesn't need it, the encoder doesn't either
-    (it restarts every word from characters), but a consolidation
-    hook is cheap."""
+    (the post-final-merge vocab) is never emitted — the trajectory
+    output doesn't need it and the encoder restarts every word from
+    characters."""
     ctes = [
         f"""wc AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
@@ -429,7 +429,7 @@ w0 AS (
 ),
 m{t} AS (SELECT pr, c FROM p{t} ORDER BY c DESC, pr LIMIT 1)"""
         )
-        if t < k or last_w:
+        if t < k:
             ctes.append(
                 f"""w{t} AS (
   SELECT {_bpe_merge_step_sql('s', f'(SELECT pr FROM m{t})')} AS s, wc

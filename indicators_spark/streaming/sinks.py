@@ -119,12 +119,18 @@ def _ledger_format_gate(ledger_dir: str) -> bool:
 
 
 def _warn_legacy_active(
-    run_id: str | None, legacy_ns: str | None, ledger_dir: str
+    run_id: str | None,
+    legacy_ns: str | None,
+    ledger_dir: str,
+    stacklevel: int = 3,
 ) -> None:
     """Surface an active legacy read path (ADVICE r9: on an unstamped
     store, two distinct lossy run ids that sanitize identically adopt
     each other's markers, so the second silently skips epochs it never
-    wrote — make the collision-prone condition visible at runtime)."""
+    wrote — make the collision-prone condition visible at runtime).
+    ``stacklevel`` must point the warning at the USER'S construction
+    site: 3 for a direct ``__init__`` caller, 4 when an ``__init__``
+    delegates through ``_init_ledger`` first (r10 review)."""
     if legacy_ns is None:
         return
     import warnings
@@ -136,7 +142,7 @@ def _warn_legacy_active(
         "with the same sanitization shares them.  If this store has no "
         "pre-suffix history, write '_commits/_format' to opt out (see "
         "_legacy_run_ns).",
-        stacklevel=3,
+        stacklevel=stacklevel,
     )
 
 
@@ -179,7 +185,9 @@ class _EpochLedger:
             if _ledger_format_gate(self.commit_dir)
             else None
         )
-        _warn_legacy_active(run_id, self._legacy_ns, self.commit_dir)
+        _warn_legacy_active(
+            run_id, self._legacy_ns, self.commit_dir, stacklevel=4
+        )
 
     def _commit_path(self, epoch_id: int) -> str:
         return os.path.join(self.commit_dir, f"{self.run_ns}-{epoch_id}")

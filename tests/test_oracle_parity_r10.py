@@ -107,11 +107,16 @@ def test_psi_drift_matches_bruteforce(spark):
         cg: dict[int, int] = {}
         for v in vals:
             cg[bucket(v)] = cg.get(bucket(v), 0) + 1
-        psi = 0.0
+        # terms snapped to the 1e-9 integer grid before summing — the
+        # operator's order-free-sum convention, replicated exactly
+        psi_int = 0
         for bkt, cp in pool_c.items():
             pg = (cg.get(bkt, 0) + 1) / (len(vals) + nb)
             pp = (cp + 1) / (tot + nb)
-            psi += (pg - pp) * math.log(pg / pp)
+            psi_int += math.floor(
+                (pg - pp) * math.log(pg / pp) * 1e9 + 0.500000001
+            )
+        psi = psi_int / 1e9
         want = (
             len(vals),
             math.floor(psi * 1e4 + 0.500000001) / 1e4,
@@ -177,3 +182,43 @@ def test_prepped_invariant_under_partitioning(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_edge_quantizer_magnitude_guard(spark):
+    """Regression (r10 review): Spark's LONG-returning floor saturates
+    at Long.MAX, so the unguarded floor(x*1e4+0.5)/1e4 idiom turned
+    timestamp-scale quantile edges into 9.223e14 while DuckDB kept the
+    true value — collapsing every row into one bucket on one engine
+    only.  The shared quantizer passes large magnitudes through raw
+    (where a 4dp grid is meaningless anyway) and still quantizes the
+    small-magnitude domain; the SQL rendering agrees on both branches."""
+    import duckdb
+
+    from indicators_spark.functions.sampling import edge_q4_sql, quantize_edge
+    from pyspark.sql import functions as F
+
+    big, small = 1.7e18, 123.456789
+    row = spark.range(1).select(
+        quantize_edge(F.lit(big)).alias("b"),
+        quantize_edge(F.lit(small)).alias("s"),
+    ).collect()[0]
+    assert row["b"] == big                       # raw pass-through
+    assert row["s"] == 123.4568                  # 4dp grid
+    con = duckdb.connect()
+    db, ds = con.execute(
+        f"SELECT {edge_q4_sql(repr(big))}, {edge_q4_sql(repr(small))}"
+    ).fetchone()
+    con.close()
+    assert (db, ds) == (row["b"], row["s"])
+
+    # end-to-end: PSI over epoch-nano values must yield a non-degenerate
+    # bucketing (pre-fix, every edge saturated identically and all mass
+    # landed in one bin, zeroing the statistic for the shifted group)
+    from indicators_spark.functions.drift import psi_drift_by_group
+
+    rows = [("a", 1.7e18 + i * 1e12) for i in range(40)] + [
+        ("b", 1.7e18 + (35 + i) * 1e12) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "src string, x double")
+    got = {r["src"]: r["psi"] for r in psi_drift_by_group(df, "x", "src", bins=4).collect()}
+    assert got["b"] > 0.5, got                   # shifted slice visible
