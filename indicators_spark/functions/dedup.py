@@ -220,6 +220,121 @@ def ngram_jaccard_pairs(
     return out.select("ia", "ib", "jaccard")
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with PREFIX FILTERING (the AllPairs /
+    PPJoin candidate rule, Bayardo et al. WWW'07 / Xiao et al. WWW'08):
+    candidate pairs come only from a self-join of each document's
+    ``p = |d| − ⌈τ·|d|⌉ + 1`` globally-RAREST tokens, then exact Jaccard
+    verification over the full token sets.  Output is IDENTICAL to the
+    plain operator at the same settings (pinned in tests): if
+    ``J(A,B) ≥ τ``, the minimum-rank common token must sit inside both
+    prefixes — were it outside A's, all common tokens would lie in A's
+    suffix of size ``⌈τ|A|⌉ − 1 < ⌈τ|A|⌉ ≤ |A∩B|``.
+
+    Why this is the 100 TB form: the plain operator's posting-list
+    self-join is quadratic in every token's document frequency, so after
+    the ubiquitous-token prune the moderately-common tokens still
+    dominate (Σ df² over ALL tokens).  Here only PREFIX occurrences join
+    — tokens are ordered ascending by global df, so high-df tokens land
+    at the end of each document and rarely enter any prefix; candidate
+    volume collapses to Σ df_prefix², the published AllPairs effect
+    (bench_scale measures the candidate ratio).  Verification cost is
+    bounded by candidates × avg doc size.
+
+    Token order is (df, token) ascending — fully deterministic, so the
+    prefix sets and therefore the candidate set replay exactly in the
+    oracle.  The rank window runs over the VOCABULARY table (bounded by
+    distinct tokens, not corpus rows — the same bound every posting-list
+    operator here leans on).  ``⌈τ·|d|⌉`` carries the standard −1e-9
+    slack so a product that IEEE-rounds upward across an integer can
+    only LENGTHEN the prefix (more candidates, never a missed pair).
+
+    ``max_df`` / ``max_df_frac`` prune ubiquitous tokens exactly as in
+    :func:`ngram_jaccard_pairs` (Jaccard is then over surviving sets on
+    both engines).  The prune block is intentionally local to each
+    operator until the family's next rotation consolidates it — the
+    sibling is a registered code path this round must not touch.
+    """
+    toks = _doc_tokens(df, id_col, text_col)
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None or max_df_frac is not None:
+        if max_df_frac is not None:
+            n_docs = df.select(
+                F.count_distinct(F.col(id_col)).alias("n_docs")
+            )
+            dfreq_c = dfreq.crossJoin(F.broadcast(n_docs))
+            cap = F.col("n_docs") * F.lit(max_df_frac)
+        else:
+            dfreq_c = dfreq
+            cap = F.lit(max_df)
+        ubiq = dfreq_c.filter(F.col("_df") > cap).select("tok")
+        toks = toks.join(F.broadcast(ubiq), "tok", "left_anti")
+        dfreq = dfreq.join(F.broadcast(ubiq), "tok", "left_anti")
+    # global token order, rarest first; vocab-bounded window
+    rank_w = Window.orderBy("_df", "tok")
+    ranks = dfreq.select(
+        "tok", F.row_number().over(rank_w).alias("_trank")
+    )
+    tokr = toks.join(ranks, "tok")
+    sz_w = Window.partitionBy("_id")
+    pos_w = Window.partitionBy("_id").orderBy("_trank")
+    per_doc = tokr.withColumn("_sz", F.count(F.lit(1)).over(sz_w)).withColumn(
+        "_q", F.row_number().over(pos_w)
+    )
+    # p = sz − ⌈τ·sz − 1e-9⌉ + 1  (slack keeps the prune conservative)
+    plen = F.col("_sz") - F.ceil(
+        F.col("_sz") * F.lit(threshold) - F.lit(1e-9)
+    ) + 1
+    prefix = per_doc.filter(F.col("_q") <= plen).select(
+        "_id", "tok", "_sz"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    ratio_ok = (F.col("b._sz") >= F.col("a._sz") * threshold - 1e-9) & (
+        F.col("a._sz") >= F.col("b._sz") * threshold - 1e-9
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            & ratio_ok,
+        )
+        .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .distinct()
+    )
+    # exact verification over full token sets, candidates only
+    ta = toks.select(F.col("_id").alias("ia"), "tok")
+    tb = toks.select(F.col("_id").alias("ib"), "tok")
+    shared = (
+        cand.join(ta, "ia")
+        .join(tb, ["ib", "tok"])
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("_id").alias("ia"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("_id").alias("ib"), F.col("sz").alias("szb"))
+    return (
+        shared.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ia", "ib", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -820,3 +820,128 @@ def pack_token_stream(
         (lo - F.col("seq_id") * L).cast("long").alias("seq_tok_start"),
         (hi - lo).cast("long").alias("n_tokens_in_seq"),
     )
+
+
+def quantile_normalize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Quantile-normalize ``value_col`` WITHIN each group onto the POOLED
+    corpus distribution — the standard calibration step before mixing
+    heterogeneous per-source quality scores ("source A's 90th percentile
+    should mean the same thing as source B's 90th percentile").
+
+    For each row: its within-group percentile rank
+    ``pct = (r−1)/(n−1)`` (SQL ``percent_rank`` convention, ties broken
+    by ``key_col`` so ranks are total and replayable), mapped to the
+    pooled distribution's interpolated quantile at that rank — i.e. the
+    value a pooled ``quantile_cont(pct)`` would return.  The
+    interpolation index is computed in EXACT INTEGER arithmetic:
+    ``pos = (r−1)·(N−1)``, ``idx = pos DIV (n−1)``,
+    ``rem = pos MOD (n−1)``, then
+    ``calib = v[idx] + (v[idx+1] − v[idx]) · rem/(n−1)`` over the pooled
+    order statistics ``v[0..N−1]`` — no float position ever computed, so
+    bucket/index choices are bit-portable across engines and the single
+    trailing float expression replays exactly in an oracle.
+
+    Returns ``(key_col, group_col, _v, _pct, _calib)`` with ``_v`` the
+    cast value; callers alias/quantize for output.  Rows with a NULL
+    value, group, or key are excluded (the usual extraction-failure
+    dropout); ``key_col`` must be globally unique (it totalizes both
+    orders).  A single-row group gets ``pct = 0`` (SQL percent_rank
+    convention) and calibrates to the pooled minimum's interpolation at
+    rank 0.
+
+    Scale shape: both enumerations use the range-bucket kernels
+    (:func:`~..scale.grouped_row_number` / ``global_row_number``) — NO
+    one-task-per-group or global-sort window; one shared min/max scan
+    provides both kernels' bounds.  The pooled order-statistics table is
+    corpus-sized but two skinny columns ``(gidx, value)``, and the two
+    index joins are integer equi-joins Spark shuffles on the join key —
+    at 100 TB swap it for a G-point equi-depth grid (percentile_approx)
+    if even that table is unwelcome; the integer index arithmetic is
+    unchanged.  Long overflow in ``(r−1)·(N−1)`` needs r·N > 9.2e18
+    (both a >3e9-row group and a >3e9-row corpus); past that, lift the
+    three integer expressions to decimal(38,0) — both engines are exact
+    there too.
+    """
+    from ..scale import global_row_number, grouped_row_number
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(F.col(key_col), F.col(group_col), v.alias("_v"))
+    lo, hi = base.agg(F.min("_v"), F.max("_v")).first()
+    if lo is None:
+        raise ValueError(
+            "quantile_normalize_by_group: no rows with non-null "
+            f"({value_col}, {group_col}, {key_col})"
+        )
+    bounds = (float(lo), float(hi))
+    ranked = grouped_row_number(
+        base,
+        [group_col],
+        ["_v", key_col],
+        buckets=buckets,
+        bucket_by="_v",
+        bounds=bounds,
+        out="_r",
+    )
+    nper = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    pooled = global_row_number(
+        base.select("_v", key_col),
+        order_cols=["_v", key_col],
+        buckets=buckets,
+        bucket_by="_v",
+        bounds=bounds,
+        out="_gidx",
+    ).select("_gidx", F.col("_v").alias("_pv"))
+    # `_ntot`, not `_N`: Spark resolves column names case-insensitively
+    # by default, so `_N` would collide with the per-group `_n`
+    ntot = base.agg(F.count(F.lit(1)).alias("_ntot"))
+    calc = (
+        ranked.join(F.broadcast(nper), group_col)
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("_pos", (F.col("_r") - 1) * (F.col("_ntot") - 1))
+        .withColumn("_nm1", F.col("_n") - 1)
+        # integer DIV/MOD (never a float position): CASE guards the
+        # 1-row group's ÷0, which ANSI integer DIV would throw on
+        .withColumn(
+            "_idx",
+            F.expr("CASE WHEN _n > 1 THEN _pos DIV _nm1 ELSE 0L END"),
+        )
+        .withColumn(
+            "_rem",
+            F.expr("CASE WHEN _n > 1 THEN _pos % _nm1 ELSE 0L END"),
+        )
+    )
+    plo = pooled.select(
+        F.col("_gidx").alias("_glo"), F.col("_pv").alias("_vlo")
+    )
+    phi = pooled.select(
+        F.col("_gidx").alias("_ghi"), F.col("_pv").alias("_vhi")
+    )
+    joined = calc.join(
+        plo, F.col("_idx") + 1 == F.col("_glo")
+    ).join(phi, F.col("_idx") + 2 == F.col("_ghi"), "left")
+    frac = F.when(
+        F.col("_n") > 1,
+        F.col("_rem").cast("double") / F.col("_nm1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    pct = F.when(
+        F.col("_n") > 1,
+        (F.col("_r") - 1).cast("double") / F.col("_nm1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    vhi = F.coalesce(F.col("_vhi"), F.col("_vlo"))
+    return joined.select(
+        F.col(key_col),
+        F.col(group_col),
+        F.col("_v"),
+        pct.alias("_pct"),
+        (F.col("_vlo") + (vhi - F.col("_vlo")) * frac).alias("_calib"),
+    )

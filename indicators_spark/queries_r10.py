@@ -215,3 +215,153 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
 WHERE d.doc_id IS NOT NULL"""
     )
+
+
+# --------------------------------------------------------------------- #
+# Prefix-filtered Jaccard join — PREPARED for r12+ registration.  Driver
+# evidence for `dedup.jaccard_prefix_pairs` (AllPairs/PPJoin candidate
+# generation — see its docstring for the theorem and the 100 TB case).
+# Output is DEFINED identical to the plain posting-list operator at the
+# same settings (pinned in tests/test_oracle_parity_r10.py), so the
+# oracle is the plain relational Jaccard spec — the registered row then
+# certifies the prefix path against engine-independent truth, the
+# `lineitem_rsi_halo` precedent of a twin row whose purpose is the other
+# execution strategy.  τ = 0.7 (vs the sibling's 0.8) exercises DEEPER
+# prefixes — more of the candidate machinery per doc.
+# --------------------------------------------------------------------- #
+
+JP_THRESHOLD = 0.7
+JP_MAX_DF_FRAC = 0.8
+
+
+def _jaccard_prefix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions import dedup
+    from .queries import round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(
+        docs, threshold=JP_THRESHOLD, max_df_frac=JP_MAX_DF_FRAC
+    ).select("ia", "ib", round4(F.col("jaccard")).alias("jaccard"))
+
+
+def _jaccard_prefix_sql(
+    threshold: float = JP_THRESHOLD, max_df_frac: float = JP_MAX_DF_FRAC
+) -> str:
+    from .queries import _r
+
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM toks0 GROUP BY tok
+),
+ndocs AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+),
+toks AS (
+  SELECT t.id, t.tok
+  FROM toks0 t JOIN dfreq f ON f.tok = t.tok, ndocs
+  WHERE f.df <= n_docs * {max_df_frac}
+),
+sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+),
+shared AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT ia, ib,
+    CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.id = ia
+  JOIN sizes sb ON sb.id = ib
+)
+SELECT ia, ib, {_r("jaccard", "jaccard")} FROM j
+WHERE jaccard >= {threshold}"""
+
+
+# --------------------------------------------------------------------- #
+# Per-source quality-score quantile normalization — PREPARED for r12+
+# registration.  Calibrates each source's n_chars profile onto the
+# pooled corpus distribution (sampling.quantile_normalize_by_group):
+# within-source percent_rank → pooled interpolated quantile at that
+# rank, with the interpolation INDEX in exact integer arithmetic so the
+# kept values replay bit-for-bit in the oracle.  The Spark side runs the
+# range-bucket rank kernels (grouped_row_number / global_row_number) —
+# no per-source single-task window — while the oracle states the same
+# semantics with plain window functions.
+# --------------------------------------------------------------------- #
+
+
+def _qnorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import quantile_normalize_by_group
+    from .queries import round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quantile_normalize_by_group(
+        docs, value_col="n_chars", group_col="source", key_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("_v").cast("long").alias("n_chars"),
+        round4(F.col("_pct")).alias("src_pct"),
+        round4(F.col("_calib")).alias("calib"),
+    )
+
+
+_QNORM_SQL = """
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+  FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL
+),
+g AS (
+  SELECT doc_id, source, v,
+    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM base
+),
+p AS (
+  SELECT v AS pv, row_number() OVER (ORDER BY v, doc_id) AS gidx FROM base
+),
+scal AS (SELECT count(*) AS ntot FROM base),
+calc AS (
+  SELECT doc_id, source, v, r, n,
+    CASE WHEN n > 1 THEN ((r - 1) * (ntot - 1)) // (n - 1) ELSE 0 END AS idx,
+    CASE WHEN n > 1 THEN ((r - 1) * (ntot - 1)) % (n - 1) ELSE 0 END AS rem
+  FROM g, scal
+),
+jn AS (
+  SELECT c.*, lo.pv AS vlo, COALESCE(hi.pv, lo.pv) AS vhi
+  FROM calc c
+  JOIN p lo ON lo.gidx = c.idx + 1
+  LEFT JOIN p hi ON hi.gidx = c.idx + 2
+)
+SELECT doc_id, source, CAST(v AS BIGINT) AS n_chars,
+  {pct}, {calib}
+FROM jn"""
+
+
+def _qnorm_sql() -> str:
+    from .queries import _r
+
+    pct = _r(
+        "CASE WHEN n > 1 THEN CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)"
+        " ELSE 0.0 END",
+        "src_pct",
+    )
+    calib = _r(
+        "vlo + (vhi - vlo) * (CASE WHEN n > 1 THEN"
+        " CAST(rem AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END)",
+        "calib",
+    )
+    return _QNORM_SQL.format(pct=pct, calib=calib)

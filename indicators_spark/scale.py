@@ -656,6 +656,60 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    buckets: int = 32,
+    bucket_by: str | None = None,
+    bounds: tuple[float, float] | None = None,
+    out: str = "rn",
+) -> DataFrame:
+    """Contiguous PER-GROUP ``row_number()`` without one task per group —
+    the grouped counterpart of :func:`global_row_number`.
+
+    ``Window.partitionBy(group).orderBy(...)`` serializes each group into
+    a single task, which at 100 TB with a handful of giant groups (e.g.
+    5 corpus sources) is exactly the global-sort bottleneck the range-
+    bucket kernels exist to avoid.  Scheme: range-bucket every row on a
+    numeric key MONOTONE in the within-group order (``bucket_by``, same
+    contract as :func:`global_row_number` — for a rank-by-value use the
+    value column itself), count rows per (group, bucket), prefix-sum the
+    counts over buckets WITHIN each group (a window over ≤ groups·buckets
+    rows — broadcastable), then per-(group, bucket) ``row_number`` in
+    parallel plus the bucket's in-group start offset.  Parallelism is
+    groups × buckets instead of groups; exactness is the same argument as
+    the global kernel (equal keys share a bucket, so in-bucket order
+    extends bucket order to the group's total order).
+
+    The counts prefix-sum window orders by ``_bucket`` only, so the tiny
+    table stays tiny — no data-sized shuffle anywhere; two skinny
+    exchanges (the counts aggregate + the broadcast back).
+    """
+    gcols = list(group_cols)
+    bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
+    counts = bucketed.groupBy(*gcols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+    ).drop("_cnt")
+    win = Window.partitionBy(*gcols, "_bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        bucketed.withColumn("_lrn", F.row_number().over(win))
+        .join(F.broadcast(offsets), [*gcols, "_bucket"])
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_bucket", "_lrn", "_off")
+    )
+
+
 def global_cum_sum(
     df: DataFrame,
     cols: Sequence[str],

@@ -222,3 +222,174 @@ def test_edge_quantizer_magnitude_guard(spark):
     df = spark.createDataFrame(rows, "src string, x double")
     got = {r["src"]: r["psi"] for r in psi_drift_by_group(df, "x", "src", bins=4).collect()}
     assert got["b"] > 0.5, got                   # shifted slice visible
+
+
+# --------------------------------------------------------------------- #
+# r10-built preps: prefix-filtered Jaccard + per-group quantile
+# normalization (queries_r10.py tail) — same one-round-early recipe.
+# --------------------------------------------------------------------- #
+
+
+def test_jaccard_prefix_matches_oracle(spark):
+    from indicators_spark.queries_r10 import (
+        _jaccard_prefix_spark,
+        _jaccard_prefix_sql,
+    )
+
+    got = _jaccard_prefix_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_jaccard_prefix_sql()).fetchdf()
+    res = compare_frames("dedup_jaccard_prefix", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
+@pytest.mark.parametrize("threshold", [0.7, 0.8])
+def test_jaccard_prefix_equals_plain_operator(spark, threshold):
+    """The prefix-filtered operator is DEFINED as identical to the plain
+    posting-list operator at the same settings (the AllPairs candidate
+    rule loses no pair with J ≥ τ) — pin the full output set equal on
+    the corpus slice at two thresholds."""
+    from indicators_spark.functions.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    plain = sorted(
+        (r["ia"], r["ib"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=threshold, max_df_frac=0.8
+        ).collect()
+    )
+    pref = sorted(
+        (r["ia"], r["ib"], round(r["jaccard"], 9))
+        for r in jaccard_prefix_pairs(
+            docs, threshold=threshold, max_df_frac=0.8
+        ).collect()
+    )
+    assert plain == pref
+    assert len(plain) > 0
+
+
+def test_jaccard_prefix_adversarial_small_frame(spark):
+    """Hand-built corner cases: exact duplicates (J = 1, prefix length
+    1 must still pair them), single-token docs, a doc whose tokens are
+    all pruned as ubiquitous, and df ties broken by token string."""
+    from indicators_spark.functions.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact dup of 1
+        (3, "a b c d f"),          # J=4/6 with 1
+        (4, "zz"),                 # single rare token
+        (5, "zz"),                 # J=1 with 4
+        (6, "a"),                  # would survive only via 'a'
+        (7, "q r s t u v w x"),    # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.6, 1.0):
+        plain = sorted(
+            (r["ia"], r["ib"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        )
+        pref = sorted(
+            (r["ia"], r["ib"], round(r["jaccard"], 9))
+            for r in jaccard_prefix_pairs(df, threshold=t).collect()
+        )
+        assert plain == pref, (t, plain, pref)
+    # the exact-dup pairs must be present at τ=1.0
+    ones = {
+        (r["ia"], r["ib"])
+        for r in jaccard_prefix_pairs(df, threshold=1.0).collect()
+    }
+    assert (1, 2) in ones and (4, 5) in ones
+
+
+def test_qnorm_matches_oracle(spark):
+    from indicators_spark.queries_r10 import _qnorm_spark, _qnorm_sql
+
+    got = _qnorm_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_qnorm_sql()).fetchdf()
+    res = compare_frames("quality_quantile_normalize", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
+def test_qnorm_matches_bruteforce(spark):
+    """Pure-Python replay of the integer-interpolation convention on a
+    hand frame with a single-row group, heavy value ties, and a group
+    equal to the pool's tail."""
+    from indicators_spark.functions.sampling import (
+        quantile_normalize_by_group,
+    )
+
+    rows = (
+        [("a", i, float(v)) for i, v in enumerate([1, 1, 2, 3, 5, 8, 13])]
+        + [("b", 100 + i, float(v)) for i, v in enumerate([2, 2, 2, 40])]
+        + [("c", 200, 7.0)]  # single-row group
+    )
+    df = spark.createDataFrame(rows, "src string, k long, x double")
+    got = {
+        r["k"]: (r["_pct"], r["_calib"])
+        for r in quantile_normalize_by_group(
+            df, value_col="x", group_col="src", key_col="k"
+        ).collect()
+    }
+    pool = sorted((v, k) for _, k, v in rows)
+    pv = [v for v, _ in pool]
+    ntot = len(pool)
+    per_group: dict[str, list[tuple[float, int]]] = {}
+    for g, k, v in rows:
+        per_group.setdefault(g, []).append((v, k))
+    want = {}
+    for g, members in per_group.items():
+        members.sort()
+        n = len(members)
+        for r0, (v, k) in enumerate(members):  # r0 = r − 1
+            if n > 1:
+                pos = r0 * (ntot - 1)
+                idx, rem = divmod(pos, n - 1)
+                pct = r0 / (n - 1)
+                frac = rem / (n - 1)
+            else:
+                idx, rem, pct, frac = 0, 0, 0.0, 0.0
+            vlo = pv[idx]
+            vhi = pv[idx + 1] if idx + 1 < ntot else vlo
+            want[k] = (pct, vlo + (vhi - vlo) * frac)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-12), k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12), k
+
+
+def test_qnorm_partition_invariant(spark):
+    """The kept rows and values must not depend on the input's physical
+    partitioning (the content-hash/rank determinism contract every
+    sampling operator carries)."""
+    from indicators_spark.functions.sampling import (
+        quantile_normalize_by_group,
+    )
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(
+        tuple(r)
+        for r in quantile_normalize_by_group(
+            docs, "n_chars", "source", "doc_id"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in quantile_normalize_by_group(
+            docs.repartition(17, "source"), "n_chars", "source", "doc_id"
+        ).collect()
+    )
+    assert a == b

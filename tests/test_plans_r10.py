@@ -62,3 +62,34 @@ def test_bpe_encode_output_plan_is_map_only(spark):
     assert "Exchange" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, (marker, plan)
+
+
+def test_jaccard_prefix_plan_no_cartesian_no_text_shuffle(spark):
+    """Candidate generation and verification are equi-joins on token /
+    id keys — no CartesianProduct anywhere, and the ubiquitous-token +
+    prefix tables reach the big side as broadcasts or hash joins, never
+    a nested loop over data."""
+    from indicators_spark.queries_r10 import _jaccard_prefix_spark
+
+    plan = plan_string(_jaccard_prefix_spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_qnorm_plan_shape(spark):
+    """quality_quantile_normalize: the scan must prune `text` (the op
+    reads only doc_id/source/n_chars), no CartesianProduct, and every
+    SinglePartition exchange feeds a bounded table (the ≤groups·buckets
+    offset prefix-sums), never the document rows — the rank kernels'
+    contract."""
+    from indicators_spark.queries_r10 import _qnorm_spark
+
+    plan = plan_string(_qnorm_spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "text" not in plan, plan
+    # bounded-table SinglePartition windows only: their input subtree
+    # must contain an aggregate (the counts tables), not a raw scan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            tail = "\n".join(lines[i : i + 4])
+            assert "HashAggregate" in tail or "Window" in tail, (ln, tail)

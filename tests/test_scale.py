@@ -420,3 +420,48 @@ def test_bounds_without_bucket_by_rejected(spark, prices):
             prices, "mean", "close", 5, ("timestamp", "seq"), buckets=4,
             out="v", bounds=(0.0, 1.0),
         )
+
+
+def test_grouped_row_number_matches_window(spark, prices):
+    """Composite (group, range-bucket) enumeration equals the per-group
+    row_number window, including with empty buckets for some groups."""
+    from indicators_spark.scale import grouped_row_number
+
+    out = grouped_row_number(
+        prices,
+        ["symbol"],
+        ["close", "seq"],
+        buckets=8,
+        bucket_by="close",
+        out="rn",
+    )
+    ref = prices.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy("close", "seq"))
+        .cast("long"),
+    )
+    a = out.select("symbol", "seq", "rn").orderBy("symbol", "seq").toPandas()
+    b = ref.select("symbol", "seq", "rn").orderBy("symbol", "seq").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_grouped_row_number_partition_invariant(spark, prices):
+    from indicators_spark.scale import grouped_row_number
+
+    kw = dict(buckets=5, bucket_by="close", out="rn")
+    a = sorted(
+        (r["symbol"], r["seq"], r["rn"])
+        for r in grouped_row_number(
+            prices, ["symbol"], ["close", "seq"], **kw
+        ).collect()
+    )
+    b = sorted(
+        (r["symbol"], r["seq"], r["rn"])
+        for r in grouped_row_number(
+            prices.repartition(13), ["symbol"], ["close", "seq"], **kw
+        ).collect()
+    )
+    assert a == b
