@@ -928,6 +928,113 @@ def main() -> None:
         dt = time.time() - t0
         results[label] = {"sec": round(dt, 2), "docs_per_sec": int(n_docs / dt)}
 
+    # ---- prefix-filtered Jaccard vs plain posting-list join (round 10) ----
+    # Near-dup-structured corpus in the regime the prefix filter exists
+    # for: clusters of 5 docs share 28 of 30 words, and 15 of those come
+    # from a SMALL (500-token) common vocabulary — df ≈ corpus/33, the
+    # moderately-common mass every real corpus has.  The plain operator's
+    # self-join emits ~Σ df² rows, dominated by exactly those tokens;
+    # prefix filtering joins only each doc's p = |d|−⌈τ|d|⌉+1 RAREST
+    # tokens (here the unique + cluster-specific ones, df ≤ ~6), so the
+    # common-token mass never enters the candidate join and the gap
+    # WIDENS quadratically with corpus size.  (On a corpus with no
+    # common tokens — tiny df everywhere — prefix's extra rank/position
+    # passes cost MORE than the join they save; measured 5.1 s vs 1.8 s
+    # at 3.3k all-rare docs, which is why the operator documents itself
+    # as the common-token-regime form, not a universal replacement.)
+    # Both operators are pinned output-identical in tests.
+    from indicators_spark.functions.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    def _jtok(kind: str, seed, vocab: int):
+        return lambda i: F.concat(
+            F.lit(kind), F.pmod(F.hash(seed * 131 + i), F.lit(vocab)).cast("string")
+        )
+
+    n_j = min(max(rows // 100, 3_000), 30_000)
+    for nd in (n_j // 3, n_j):
+        cluster = F.col("id") - F.pmod(F.col("id"), F.lit(5))
+        jdocs = (
+            spark.range(nd)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    # 15 cluster-shared tokens from the COMMON 500-vocab
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(15)),
+                            _jtok("c", cluster, 500),
+                        ),
+                    ),
+                    # 13 cluster-specific rare tokens (df = 5)
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(16), F.lit(28)),
+                            _jtok("k", cluster, 50_000),
+                        ),
+                    ),
+                    # 2 unique-ish tokens per doc (df ~ 1)
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(2)),
+                            _jtok("u", F.col("id") * 977, 50_000),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+            .cache()
+        )
+        jdocs.count()
+        for label, op in (
+            (f"jaccard_plain_{nd}", ngram_jaccard_pairs),
+            (f"jaccard_prefix_{nd}", jaccard_prefix_pairs),
+        ):
+            t0 = time.time()
+            npairs = op(jdocs, threshold=0.8).count()
+            dt = time.time() - t0
+            results[label] = {
+                "sec": round(dt, 2),
+                "docs_per_sec": int(nd / dt),
+                "pairs": npairs,
+            }
+        jdocs.unpersist()
+
+    # ---- per-group quantile normalization (round 10) ----------------------
+    # Both rank passes ride the range-bucket kernels (grouped/global
+    # row_number): per-pass cost is one scan + a ≤groups·buckets offset
+    # broadcast, so docs_per_sec should hold ~flat as the corpus grows
+    # — that flatness is the 100 TB claim (a per-source window form
+    # would serialize each source into one task instead).
+    from indicators_spark.functions.sampling import (
+        quantile_normalize_by_group,
+    )
+
+    for nd in (n_docs // 10, n_docs):
+        qn_df = docs.limit(nd).select(
+            "doc_id",
+            F.concat(
+                F.lit("src"), F.pmod(F.col("doc_id"), F.lit(8)).cast("string")
+            ).alias("source"),
+            F.length("text").alias("n_chars"),
+        ).cache()
+        qn_df.count()
+        t0 = time.time()
+        quantile_normalize_by_group(
+            qn_df, "n_chars", "source", "doc_id"
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[f"quantile_normalize_{nd}"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(nd / dt),
+        }
+        qn_df.unpersist()
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

@@ -12,6 +12,8 @@ Queue order (VERDICT r9 #3/#4):
 * r11: ``similarity_kcenter_carry`` (below), plus the two r9 preps
   ``dedup_lines_within_doc`` and ``text_bpe_merges`` (queries_r9.py).
 * r12: ``stats_psi_drift`` and ``text_bpe_encode`` (below).
+* r12+: ``dedup_jaccard_prefix`` and ``quality_quantile_normalize``
+  (r10 builds, below).
 """
 
 from __future__ import annotations
