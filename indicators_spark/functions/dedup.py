@@ -264,70 +264,145 @@ def jaccard_prefix_pairs(
 
     ``max_df`` / ``max_df_frac`` prune ubiquitous tokens exactly as in
     :func:`ngram_jaccard_pairs` (Jaccard is then over surviving sets on
-    both engines).  The prune block is intentionally local to each
-    operator until the family's next rotation consolidates it — the
+    both engines).  The prune block is intentionally local to this
+    family until the sibling's next rotation consolidates it — the
     sibling is a registered code path this round must not touch.
     """
     toks = _doc_tokens(df, id_col, text_col)
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return _prefix_jaccard(
+        toks, toks, ndocs, threshold, max_df, max_df_frac, same=True
+    )
+
+
+def jaccard_join_prefix(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Two-table (R–S) set-similarity JOIN with the same AllPairs prefix
+    filter as :func:`jaccard_prefix_pairs`: all cross-table pairs with
+    token-set Jaccard ≥ ``threshold``, as ``(ia, ib, jaccard)`` with
+    ``ia`` from ``left`` and ``ib`` from ``right``.
+
+    This is the fuzzy-matching / fuzzy-decontamination primitive: "find
+    every crawl document that near-duplicates a benchmark or curated
+    document" (`decontaminate_ngram` is the exact-8-gram version; this
+    catches lightly-edited overlaps it misses) or entity-matching a
+    dirty table against a canonical one.  Same theorem, same prefix
+    rule — the token order and document frequencies come from the
+    UNION of both sides, so one consistent global order covers every
+    pair, and ``max_df_frac`` is a fraction of the combined distinct
+    doc count.  No ``ia < ib`` constraint (the sides are different
+    tables); if an id appears on both sides it may pair with itself.
+
+    At 100 TB the asymmetry is the point: the benchmark side is tiny,
+    so its prefix posting lists are tiny, and the candidate join output
+    is bounded by (benchmark prefix tokens) × (their df in the crawl) —
+    never crawl × crawl.
+    """
+    toksL = _doc_tokens(left, id_col, text_col)
+    toksR = _doc_tokens(right, id_col, text_col)
+    ndocs = (
+        left.select(F.col(id_col))
+        .unionByName(right.select(F.col(id_col)))
+        .select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+    return _prefix_jaccard(
+        toksL, toksR, ndocs, threshold, max_df, max_df_frac, same=False
+    )
+
+
+def _prefix_jaccard(
+    toksL: DataFrame,
+    toksR: DataFrame,
+    ndocs: DataFrame,
+    threshold: float,
+    max_df: int | None,
+    max_df_frac: float | None,
+    same: bool,
+) -> DataFrame:
+    """Shared prefix-filter engine for the self-join and R–S forms.
+
+    ``toksL``/``toksR``: distinct (``_id``, ``tok``) streams (identical
+    object when ``same``); ``ndocs``: 1-row frame with the combined
+    distinct-doc count for the ``max_df_frac`` cap."""
+    toks_all = toksL if same else toksL.unionByName(toksR)
+    dfreq = toks_all.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     if max_df is not None or max_df_frac is not None:
         if max_df_frac is not None:
-            n_docs = df.select(
-                F.count_distinct(F.col(id_col)).alias("n_docs")
-            )
-            dfreq_c = dfreq.crossJoin(F.broadcast(n_docs))
+            dfreq_c = dfreq.crossJoin(F.broadcast(ndocs))
             cap = F.col("n_docs") * F.lit(max_df_frac)
         else:
             dfreq_c = dfreq
             cap = F.lit(max_df)
         ubiq = dfreq_c.filter(F.col("_df") > cap).select("tok")
-        toks = toks.join(F.broadcast(ubiq), "tok", "left_anti")
+        toksL = toksL.join(F.broadcast(ubiq), "tok", "left_anti")
+        toksR = (
+            toksL
+            if same
+            else toksR.join(F.broadcast(ubiq), "tok", "left_anti")
+        )
         dfreq = dfreq.join(F.broadcast(ubiq), "tok", "left_anti")
     # global token order, rarest first; vocab-bounded window
     rank_w = Window.orderBy("_df", "tok")
     ranks = dfreq.select(
         "tok", F.row_number().over(rank_w).alias("_trank")
     )
-    tokr = toks.join(ranks, "tok")
-    sz_w = Window.partitionBy("_id")
-    pos_w = Window.partitionBy("_id").orderBy("_trank")
-    per_doc = tokr.withColumn("_sz", F.count(F.lit(1)).over(sz_w)).withColumn(
-        "_q", F.row_number().over(pos_w)
-    )
-    # p = sz − ⌈τ·sz − 1e-9⌉ + 1  (slack keeps the prune conservative)
-    plen = F.col("_sz") - F.ceil(
-        F.col("_sz") * F.lit(threshold) - F.lit(1e-9)
-    ) + 1
-    prefix = per_doc.filter(F.col("_q") <= plen).select(
-        "_id", "tok", "_sz"
-    )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+
+    def _prefix(toks: DataFrame) -> DataFrame:
+        tokr = toks.join(ranks, "tok")
+        sz_w = Window.partitionBy("_id")
+        pos_w = Window.partitionBy("_id").orderBy("_trank")
+        per_doc = tokr.withColumn(
+            "_sz", F.count(F.lit(1)).over(sz_w)
+        ).withColumn("_q", F.row_number().over(pos_w))
+        # p = sz − ⌈τ·sz − 1e-9⌉ + 1 (slack keeps the prune conservative)
+        plen = F.col("_sz") - F.ceil(
+            F.col("_sz") * F.lit(threshold) - F.lit(1e-9)
+        ) + 1
+        return per_doc.filter(F.col("_q") <= plen).select(
+            "_id", "tok", "_sz"
+        )
+
+    prefL = _prefix(toksL)
+    prefR = prefL if same else _prefix(toksR)
+    a = prefL.alias("a")
+    b = prefR.alias("b")
     ratio_ok = (F.col("b._sz") >= F.col("a._sz") * threshold - 1e-9) & (
         F.col("a._sz") >= F.col("b._sz") * threshold - 1e-9
     )
+    pair_cond = (F.col("a.tok") == F.col("b.tok")) & ratio_ok
+    if same:
+        pair_cond = pair_cond & (F.col("a._id") < F.col("b._id"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a._id") < F.col("b._id"))
-            & ratio_ok,
-        )
+        a.join(b, pair_cond)
         .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
         .distinct()
     )
     # exact verification over full token sets, candidates only
-    ta = toks.select(F.col("_id").alias("ia"), "tok")
-    tb = toks.select(F.col("_id").alias("ib"), "tok")
+    ta = toksL.select(F.col("_id").alias("ia"), "tok")
+    tb = toksR.select(F.col("_id").alias("ib"), "tok")
     shared = (
         cand.join(ta, "ia")
         .join(tb, ["ib", "tok"])
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sizes.select(F.col("_id").alias("ia"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("_id").alias("ib"), F.col("sz").alias("szb"))
+    sa = (
+        toksL.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("sza"))
+        .withColumnRenamed("_id", "ia")
+    )
+    sb = (
+        toksR.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("szb"))
+        .withColumnRenamed("_id", "ib")
+    )
     return (
         shared.join(sa, "ia")
         .join(sb, "ib")

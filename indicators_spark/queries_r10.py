@@ -12,8 +12,8 @@ Queue order (VERDICT r9 #3/#4):
 * r11: ``similarity_kcenter_carry`` (below), plus the two r9 preps
   ``dedup_lines_within_doc`` and ``text_bpe_merges`` (queries_r9.py).
 * r12: ``stats_psi_drift`` and ``text_bpe_encode`` (below).
-* r12+: ``dedup_jaccard_prefix`` and ``quality_quantile_normalize``
-  (r10 builds, below).
+* r12+: ``dedup_jaccard_prefix``, ``quality_quantile_normalize``, and
+  ``decontaminate_neardup`` (r10 builds, below).
 """
 
 from __future__ import annotations
@@ -367,3 +367,84 @@ def _qnorm_sql() -> str:
         "calib",
     )
     return _QNORM_SQL.format(pct=pct, calib=calib)
+
+
+# --------------------------------------------------------------------- #
+# Fuzzy decontamination (R–S set-similarity join) — PREPARED for r12+
+# registration.  `dedup.jaccard_join_prefix` of the corpus against a
+# held-out "benchmark" slice (doc_id % 20 == 0): every corpus document
+# that near-duplicates a benchmark document at token-Jaccard ≥ 0.7 —
+# the lightly-edited-overlap complement of `decontaminate_ngram`'s
+# exact 8-gram rule.  The oracle replays the plain cross-side Jaccard
+# relationally (prefix filtering is output-neutral by the AllPairs
+# theorem, pinned in tests), over the same union-side token df prune.
+# --------------------------------------------------------------------- #
+
+DECON_MOD = 20
+DECON_THRESHOLD = 0.7
+DECON_MAX_DF_FRAC = 0.8
+
+
+def _decon_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions.dedup import jaccard_join_prefix
+    from .queries import round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) != 0)
+    out = jaccard_join_prefix(
+        corpus,
+        bench,
+        threshold=DECON_THRESHOLD,
+        max_df_frac=DECON_MAX_DF_FRAC,
+    )
+    return out.select(
+        F.col("ia").alias("doc_id"),
+        F.col("ib").alias("bench_id"),
+        round4(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def _decon_neardup_sql(
+    mod: int = DECON_MOD,
+    threshold: float = DECON_THRESHOLD,
+    max_df_frac: float = DECON_MAX_DF_FRAC,
+) -> str:
+    from .queries import _r
+
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM toks0 GROUP BY tok
+),
+ndocs AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+),
+toks AS (
+  SELECT t.id, t.tok
+  FROM toks0 t JOIN dfreq f ON f.tok = t.tok, ndocs
+  WHERE f.df <= n_docs * {max_df_frac}
+),
+corp AS (SELECT * FROM toks WHERE id % {mod} != 0),
+bench AS (SELECT * FROM toks WHERE id % {mod} = 0),
+sza AS (SELECT id, count(*) AS sz FROM corp GROUP BY id),
+szb AS (SELECT id, count(*) AS sz FROM bench GROUP BY id),
+shared AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS shared
+  FROM corp a JOIN bench b ON a.tok = b.tok
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT ia, ib,
+    CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+  FROM shared
+  JOIN sza sa ON sa.id = ia
+  JOIN szb sb ON sb.id = ib
+)
+SELECT ia AS doc_id, ib AS bench_id, {_r("jaccard", "jaccard")} FROM j
+WHERE jaccard >= {threshold}"""

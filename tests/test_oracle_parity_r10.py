@@ -393,3 +393,62 @@ def test_qnorm_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_decon_neardup_matches_oracle(spark):
+    from indicators_spark.queries_r10 import (
+        _decon_neardup_spark,
+        _decon_neardup_sql,
+    )
+
+    got = _decon_neardup_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_decon_neardup_sql()).fetchdf()
+    res = compare_frames("decontaminate_neardup", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
+def test_jaccard_join_prefix_matches_bruteforce(spark):
+    """R–S prefix join equals an all-pairs cross-side Jaccard computed
+    in plain Python on a hand frame with exact dups, partial overlaps,
+    a doc below threshold against everything, and an id present on
+    BOTH sides (allowed to pair with itself)."""
+    from indicators_spark.functions.dedup import jaccard_join_prefix
+
+    L = [
+        (1, "a b c d e"),
+        (2, "p q r s"),
+        (3, "x y"),
+        (9, "m n o"),
+    ]
+    R = [
+        (10, "a b c d e"),   # exact dup of 1
+        (11, "a b c d f"),   # 4/6 with 1
+        (12, "x y"),         # exact dup of 3
+        (9, "m n o"),        # same id both sides
+        (13, "zz"),          # matches nothing
+    ]
+    dl = spark.createDataFrame(L, "doc_id long, text string")
+    dr = spark.createDataFrame(R, "doc_id long, text string")
+    for t in (0.5, 0.7, 1.0):
+        got = sorted(
+            (r["ia"], r["ib"], round(r["jaccard"], 9))
+            for r in jaccard_join_prefix(dl, dr, threshold=t).collect()
+        )
+        want = []
+        for il, tl in L:
+            sl = set(tl.split())
+            for ir, tr in R:
+                sr = set(tr.split())
+                j = len(sl & sr) / len(sl | sr)
+                if j >= t:
+                    want.append((il, ir, round(j, 9)))
+        assert got == sorted(want), (t, got, sorted(want))
+    # the same-id row pairs with itself at τ=1.0
+    ones = {
+        (r["ia"], r["ib"])
+        for r in jaccard_join_prefix(dl, dr, threshold=1.0).collect()
+    }
+    assert (9, 9) in ones

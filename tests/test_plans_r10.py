@@ -93,3 +93,10 @@ def test_qnorm_plan_shape(spark):
         if "Exchange SinglePartition" in ln:
             tail = "\n".join(lines[i : i + 4])
             assert "HashAggregate" in tail or "Window" in tail, (ln, tail)
+
+
+def test_decon_neardup_plan_no_cartesian(spark):
+    from indicators_spark.queries_r10 import _decon_neardup_spark
+
+    plan = plan_string(_decon_neardup_spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
