@@ -1005,6 +1005,60 @@ def main() -> None:
             }
         jdocs.unpersist()
 
+    # ---- R–S fuzzy-decontamination join (round 10) -------------------------
+    # Corpus vs a 2% "benchmark" slice of the same near-dup-structured
+    # corpus.  The asymmetric win: candidates are bounded by benchmark
+    # prefix tokens × their crawl df, so wall should track the CORPUS
+    # linearly (one prefix/rank pass over it) rather than quadratically.
+    from indicators_spark.functions.dedup import jaccard_join_prefix
+
+    cluster = F.col("id") - F.pmod(F.col("id"), F.lit(5))
+    rs_docs = (
+        spark.range(n_j)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(15)),
+                        _jtok("c", cluster, 500),
+                    ),
+                ),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(16), F.lit(28)),
+                        _jtok("k", cluster, 50_000),
+                    ),
+                ),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(2)),
+                        _jtok("u", F.col("id") * 977, 50_000),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    rs_docs.count()
+    bench_side = rs_docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    corpus_side = rs_docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    t0 = time.time()
+    n_hits = jaccard_join_prefix(
+        corpus_side, bench_side, threshold=0.8
+    ).count()
+    dt = time.time() - t0
+    results[f"jaccard_rs_join_{n_j}"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_j / dt),
+        "pairs": n_hits,
+    }
+    rs_docs.unpersist()
+
     # ---- per-group quantile normalization (round 10) ----------------------
     # Both rank passes ride the range-bucket kernels (grouped/global
     # row_number): per-pass cost is one scan + a ≤groups·buckets offset

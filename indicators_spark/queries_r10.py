@@ -12,8 +12,9 @@ Queue order (VERDICT r9 #3/#4):
 * r11: ``similarity_kcenter_carry`` (below), plus the two r9 preps
   ``dedup_lines_within_doc`` and ``text_bpe_merges`` (queries_r9.py).
 * r12: ``stats_psi_drift`` and ``text_bpe_encode`` (below).
-* r12+: ``dedup_jaccard_prefix``, ``quality_quantile_normalize``, and
-  ``decontaminate_neardup`` (r10 builds, below).
+* r12+: ``dedup_jaccard_prefix``, ``quality_quantile_normalize``,
+  ``decontaminate_neardup``, and ``analytic_median_selection``
+  (r10 builds, below).
 """
 
 from __future__ import annotations
@@ -448,3 +449,56 @@ j AS (
 )
 SELECT ia AS doc_id, ib AS bench_id, {_r("jaccard", "jaccard")} FROM j
 WHERE jaccard >= {threshold}"""
+
+
+# --------------------------------------------------------------------- #
+# Exact global order statistics by iterative range refinement — PREPARED
+# for r12+ registration.  Driver evidence for `scale.kth_element` (see
+# its docstring: selection without a global sort and without buffering
+# values in an aggregation buffer, the way Spark's exact `percentile`
+# does).  The oracle states pure ORDER-STATISTIC semantics (row_number
+# over the sorted column at integer ranks) — no algorithm replay needed,
+# so there is no cross-engine float surface at all: the k-th value IS
+# the data.  `final_rows` is set low so the sf0.01 run genuinely
+# exercises ≥ 1 histogram-refinement pass before the residue aggregate.
+# --------------------------------------------------------------------- #
+
+
+def _median_selection_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .queries import round4
+    from .scale import kth_element
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    n = li.count()
+    k_med = (n + 1) // 2
+    k_p90 = (9 * n + 9) // 10
+    med = kth_element(li, "l_extendedprice", k_med, final_rows=4096)
+    p90 = kth_element(li, "l_extendedprice", k_p90, final_rows=4096)
+    row = spark.createDataFrame(
+        [(n, float(med), float(p90))], "n long, median double, p90 double"
+    )
+    return row.select(
+        F.col("n"),
+        round4(F.col("median")).alias("median"),
+        round4(F.col("p90")).alias("p90"),
+    )
+
+
+def _median_selection_sql() -> str:
+    from .queries import _r
+
+    return f"""
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+SELECT CAST(n.n AS BIGINT) AS n,
+  {_r("(SELECT x FROM r WHERE rn = (n.n + 1) // 2)", "median")},
+  {_r("(SELECT x FROM r WHERE rn = (9 * n.n + 9) // 10)", "p90")}
+FROM n"""

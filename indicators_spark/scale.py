@@ -954,3 +954,114 @@ def weighted_quantiles(
         for q in qs
     ]
     return resolved.groupBy(F.col("_g").alias(group)).agg(*aggs)
+
+
+def kth_element(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    buckets: int = 1024,
+    final_rows: int = 1 << 20,
+    max_iters: int = 256,
+) -> float:
+    """EXACT k-th smallest value (1-based, ascending, ties counted) of
+    ``value_col`` by iterative range refinement — distributed selection
+    without a global sort and without buffering values in any executor.
+
+    Spark's exact ``percentile`` aggregate collects every value into one
+    aggregation buffer (fine at test scale, firmly not at 100 TB), and a
+    global sort materializes the full ordered dataset to select one row.
+    The selection classic instead: histogram the current [lo, hi] range
+    into ``buckets`` arithmetic sub-ranges (ONE filtered scan + a
+    ≤ buckets-row aggregate), find the bucket containing global rank k,
+    recurse into it.  Each pass shrinks the candidate interval ×buckets,
+    so real-world value ranges resolve in 2–4 scans; when the surviving
+    range holds ≤ ``final_rows`` rows the answer comes from one exact
+    per-value count aggregate over that residue (a tiny shuffle).  The
+    scans are filtered by a pushable range predicate — with sorted /
+    z-ordered storage they touch a shrinking fraction of the data.
+
+    Driver state per pass: two floats + two longs (the interval and the
+    rank already accounted below it) — the standing "K driver scalars
+    re-enter as literals" budget.  NULLs are excluded; k must lie in
+    [1, count].  Returns the value as a Python float.
+
+    The no-progress guard (interval stops shrinking once its width
+    underflows ulp) falls through to the exact residue aggregate, which
+    is bounded there by the few representable doubles left in the
+    interval; ``max_iters`` is an assertion-style backstop, not a
+    truncation — the result is always the exact order statistic.
+    """
+    if k < 1:
+        raise ValueError(f"kth_element: k must be >= 1, got {k}")
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull() & ~F.isnan(v)).select(v.alias("_v"))
+    lo_hi = vals.agg(
+        F.min("_v"), F.max("_v"), F.count(F.lit(1))
+    ).first()
+    lo, hi, total = lo_hi[0], lo_hi[1], lo_hi[2]
+    if lo is None or k > total:
+        raise ValueError(
+            f"kth_element: k={k} outside [1, {total}] non-null rows"
+        )
+    below = 0  # rows strictly left of the current interval
+    in_range = total
+
+    def _exact_residue(lo: float, hi: float, kk: int) -> float:
+        # per-VALUE counts (never raw rows): the residue's distinct
+        # values are ≤ its row count, the aggregate is one tiny shuffle,
+        # and the ordered prefix-sum runs over that value table
+        cells = (
+            vals.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn(
+                "_cum",
+                F.sum("_c").over(
+                    Window.orderBy("_v").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+            .filter(F.col("_cum") >= kk)
+            .orderBy("_v")
+            .limit(1)
+            .collect()
+        )
+        return float(cells[0]["_v"])
+
+    for _ in range(max_iters):
+        if lo == hi or in_range <= final_rows:
+            return _exact_residue(lo, hi, k - below)
+        width = (hi - lo) / buckets
+        if width <= 0.0:  # span underflowed: few representable doubles left
+            return _exact_residue(lo, hi, k - below)
+        idx = F.least(
+            F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(buckets - 1),
+        )
+        hist = {
+            r["_b"]: r["_c"]
+            for r in vals.filter(
+                (F.col("_v") >= lo) & (F.col("_v") <= hi)
+            )
+            .groupBy(idx.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        }
+        cum = below
+        for b in range(buckets):
+            c = hist.get(b, 0)
+            if cum + c >= k:
+                new_lo = lo + b * width
+                new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
+                if (new_lo, new_hi) == (lo, hi):  # no numeric progress
+                    return _exact_residue(lo, hi, k - below)
+                lo, hi, below, in_range = new_lo, new_hi, cum, c
+                break
+            cum += c
+        else:  # float-boundary residue: k-th sits exactly at hi
+            return _exact_residue(hi, hi, k - cum)
+    raise RuntimeError(
+        f"kth_element: no convergence in {max_iters} passes (k={k})"
+    )

@@ -255,9 +255,14 @@ def test_jaccard_prefix_equals_plain_operator(spark, threshold):
         jaccard_prefix_pairs,
         ngram_jaccard_pairs,
     )
+    from pyspark.sql import functions as F
+
     from indicators_spark.sources.prices import load_table
 
-    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    # deterministic slice (limit() may pick different rows per execution)
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(5)) < 3
+    )
     plain = sorted(
         (r["ia"], r["ib"], round(r["jaccard"], 9))
         for r in ngram_jaccard_pairs(
@@ -452,3 +457,18 @@ def test_jaccard_join_prefix_matches_bruteforce(spark):
         for r in jaccard_join_prefix(dl, dr, threshold=1.0).collect()
     }
     assert (9, 9) in ones
+
+
+def test_median_selection_matches_oracle(spark):
+    from indicators_spark.queries_r10 import (
+        _median_selection_spark,
+        _median_selection_sql,
+    )
+
+    got = _median_selection_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_median_selection_sql()).fetchdf()
+    res = compare_frames("analytic_median_selection", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows == 1

@@ -465,3 +465,38 @@ def test_grouped_row_number_partition_invariant(spark, prices):
         ).collect()
     )
     assert a == b
+
+
+def test_kth_element_matches_sorted_bruteforce(spark):
+    """Exact selection across refinement passes: random data + heavy
+    ties + extreme outliers, k at both ends and around the middle; a
+    tiny final_rows forces real histogram recursion."""
+    import random
+
+    from indicators_spark.scale import kth_element
+
+    random.seed(11)
+    vals = (
+        [random.gauss(100.0, 25.0) for _ in range(4000)]
+        + [42.0] * 500
+        + [1e9, -1e9]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sv = sorted(vals)
+    for k in (1, 2, len(vals) // 2, len(vals) - 1, len(vals)):
+        assert kth_element(df, "x", k, buckets=16, final_rows=64) == sv[k - 1]
+
+
+def test_kth_element_edge_cases(spark):
+    from indicators_spark.scale import kth_element
+
+    # constant column: any k returns the constant
+    dfc = spark.createDataFrame([(3.14,)] * 50, "x double")
+    assert kth_element(dfc, "x", 25) == 3.14
+    # nulls excluded; k out of range raises
+    dfn = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    assert kth_element(dfn, "x", 2) == 2.0
+    with pytest.raises(ValueError):
+        kth_element(dfn, "x", 3)
+    with pytest.raises(ValueError):
+        kth_element(dfn, "x", 0)
