@@ -1057,6 +1057,24 @@ def kth_element(
                 new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
                 if (new_lo, new_hi) == (lo, hi):  # no numeric progress
                     return _exact_residue(lo, hi, k - below)
+                if c == in_range:
+                    # the pass shed no rows (everything sits in one
+                    # arithmetic bucket — e.g. a duplicated minimum, or
+                    # data far narrower than the interval).  Arithmetic
+                    # shrinking alone would crawl (×buckets per pass for
+                    # up to ~540 passes toward width underflow); snap
+                    # the interval to the data instead: min/max are then
+                    # interval ENDPOINTS, so the next histogram's first
+                    # and last buckets are both non-empty and every
+                    # following pass sheds rows or terminates.
+                    new_lo, new_hi = (
+                        vals.filter(
+                            (F.col("_v") >= new_lo)
+                            & (F.col("_v") <= new_hi)
+                        )
+                        .agg(F.min("_v"), F.max("_v"))
+                        .first()
+                    )
                 lo, hi, below, in_range = new_lo, new_hi, cum, c
                 break
             cum += c
