@@ -1089,6 +1089,37 @@ def main() -> None:
         }
         qn_df.unpersist()
 
+    # ---- distributed selection: exact median, global and per-group --------
+    # kth_element resolves the 10M-row series median in 1-2 histogram
+    # passes + a residue aggregate; the grouped form answers "exact
+    # median per source" for 16 sources in the SAME number of rounds
+    # (shared (group,bucket) histogram scans — more groups, same passes).
+    from indicators_spark.scale import kth_element, kth_element_by_group
+
+    t0 = time.time()
+    kth_element(df, "close", (n + 1) // 2, final_rows=100_000)
+    dt = time.time() - t0
+    results["select_median_global"] = {
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n / dt),
+    }
+    sel_df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("src"), F.pmod(F.col("doc_id"), F.lit(16)).cast("string")
+        ).alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    t0 = time.time()
+    kth_element_by_group(
+        sel_df, "n_chars", "source", frac=0.5, final_rows=10_000
+    ).count()
+    dt = time.time() - t0
+    results["select_median_16groups"] = {
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

@@ -13,8 +13,8 @@ Queue order (VERDICT r9 #3/#4):
   ``dedup_lines_within_doc`` and ``text_bpe_merges`` (queries_r9.py).
 * r12: ``stats_psi_drift`` and ``text_bpe_encode`` (below).
 * r12+: ``dedup_jaccard_prefix``, ``quality_quantile_normalize``,
-  ``decontaminate_neardup``, and ``analytic_median_selection``
-  (r10 builds, below).
+  ``decontaminate_neardup``, ``analytic_median_selection``, and
+  ``analytic_group_median_selection`` (r10 builds, below).
 """
 
 from __future__ import annotations
@@ -502,3 +502,52 @@ SELECT CAST(n.n AS BIGINT) AS n,
   {_r("(SELECT x FROM r WHERE rn = (n.n + 1) // 2)", "median")},
   {_r("(SELECT x FROM r WHERE rn = (9 * n.n + 9) // 10)", "p90")}
 FROM n"""
+
+
+# --------------------------------------------------------------------- #
+# Per-group exact median by simultaneous range refinement — PREPARED for
+# r12+ registration.  Driver evidence for `scale.kth_element_by_group`:
+# exact lower median of l_extendedprice per l_returnflag, all groups
+# refined in shared passes (one (group,bucket) histogram scan per round
+# for EVERY unresolved group — a thousand sources cost the same scans
+# as one).  Pure order-statistic oracle again: no algorithm replay, no
+# cross-engine float surface.
+# --------------------------------------------------------------------- #
+
+
+def _group_median_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .queries import round4
+    from .scale import kth_element_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = kth_element_by_group(
+        li, "l_extendedprice", "l_returnflag", frac=0.5, final_rows=4096
+    )
+    return out.select(
+        F.col("l_returnflag"),
+        F.col("n"),
+        F.col("k"),
+        round4(F.col("value")).alias("median"),
+    )
+
+
+def _group_median_sql() -> str:
+    from .queries import _r
+
+    return f"""
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+),
+r AS (
+  SELECT g, x,
+    row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM v
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+  CAST((n + 1) // 2 AS BIGINT) AS k, {_r("x", "median")}
+FROM r WHERE rn = (n + 1) // 2"""

@@ -1083,3 +1083,216 @@ def kth_element(
     raise RuntimeError(
         f"kth_element: no convergence in {max_iters} passes (k={k})"
     )
+
+
+def kth_element_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ks: dict | None = None,
+    frac: float | None = None,
+    buckets: int = 1024,
+    final_rows: int = 1 << 20,
+    max_iters: int = 256,
+) -> DataFrame:
+    """EXACT per-group k-th smallest value — every group refined
+    SIMULTANEOUSLY, one histogram pass per round for all groups at once
+    (the grouped counterpart of :func:`kth_element`; same selection
+    classic, same guarantees).
+
+    Rank per group: ``ks[group]`` (1-based) when given, else the
+    ``frac`` order statistic ``k_g = max(1, ceil(frac·n_g))`` — e.g.
+    ``frac=0.5`` is the lower median, the "exact median per source"
+    question.  Returns a DataFrame ``(group_col, n, k, value)`` built
+    from the driver's per-group scalars (groups × 4 values — the
+    standing K-driver-literals budget).
+
+    Each round: one scan computes a (group, bucket) histogram for every
+    UNRESOLVED group against its own interval (a broadcast ≤groups-row
+    interval table, bucket arithmetic per group); the driver advances
+    each group's interval independently.  Groups whose surviving range
+    holds ≤ ``final_rows`` rows resolve in ONE shared residue pass —
+    per-(group, value) counts, never raw rows.  Rounds needed =
+    max over groups of the per-group pass count (2–4 on real ranges),
+    NOT the sum — a thousand sources cost the same number of scans as
+    one.
+    """
+    if (ks is None) == (frac is None):
+        raise ValueError("kth_element_by_group: pass exactly one of ks/frac")
+    v = F.col(value_col).cast("double")
+    vals = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    stats = {
+        r["_g"]: (r["lo"], r["hi"], r["n"])
+        for r in vals.groupBy("_g")
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    import math
+
+    if ks is not None:
+        unknown = sorted(set(ks) - set(stats))
+        if unknown:
+            raise ValueError(
+                "kth_element_by_group: ks names groups with no non-null "
+                f"rows: {unknown!r}"
+            )
+    want: dict = {}
+    for g, (lo, hi, n) in stats.items():
+        if ks is not None:
+            if g not in ks:
+                continue
+            k = int(ks[g])
+        else:
+            k = max(1, math.ceil(frac * n - 1e-9))
+        if not 1 <= k <= n:
+            raise ValueError(
+                f"kth_element_by_group: k={k} outside [1, {n}] for "
+                f"group {g!r}"
+            )
+        want[g] = k
+    # state per group: lo, hi, below, in_range
+    state = {g: [stats[g][0], stats[g][1], 0, stats[g][2]] for g in want}
+    resolved: dict = {}
+    spark = df.sparkSession
+
+    def _interval_df(groups):
+        # carry hi explicitly: filtering on lo + w*buckets could float-
+        # drift below the true hi and silently drop boundary rows
+        rows = [
+            (
+                g,
+                state[g][0],
+                state[g][1],
+                (state[g][1] - state[g][0]) / buckets,
+            )
+            for g in groups
+        ]
+        return spark.createDataFrame(rows, ["_g", "_lo", "_hi", "_w"])
+
+    for _ in range(max_iters):
+        active = [
+            g
+            for g in state
+            if g not in resolved
+            and not (
+                state[g][0] == state[g][1]
+                or state[g][3] <= final_rows
+                or (state[g][1] - state[g][0]) / buckets <= 0.0
+            )
+        ]
+        if not active:
+            break
+        iv = _interval_df(active)
+        idx = F.least(
+            F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int"),
+            F.lit(buckets - 1),
+        )
+        hist: dict = {}
+        for r in (
+            vals.join(F.broadcast(iv), "_g")
+            .filter(
+                (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+            )
+            .groupBy("_g", idx.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        ):
+            hist.setdefault(r["_g"], {})[r["_b"]] = r["_c"]
+        snap_groups = []
+        for g in active:
+            lo, hi, below, in_range = state[g]
+            width = (hi - lo) / buckets
+            k = want[g]
+            cum = below
+            hg = hist.get(g, {})
+            chosen = None
+            for b in range(buckets):
+                c = hg.get(b, 0)
+                if cum + c >= k:
+                    chosen = (b, c, cum)
+                    break
+                cum += c
+            if chosen is None:
+                # float-boundary residue: the k-th sits exactly at hi
+                state[g] = [hi, hi, cum, 1]
+                continue
+            b, c, cum = chosen
+            new_lo = lo + b * width
+            new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
+            if (new_lo, new_hi) == (lo, hi):
+                state[g][3] = 0  # force residue next round
+                continue
+            state[g] = [new_lo, new_hi, cum, c]
+            if c == in_range:
+                snap_groups.append(g)  # shed nothing: snap to data
+        if snap_groups:
+            iv2 = spark.createDataFrame(
+                [(g, state[g][0], state[g][1]) for g in snap_groups],
+                ["_g", "_lo", "_hi"],
+            )
+            for r in (
+                vals.join(F.broadcast(iv2), "_g")
+                .filter(
+                    (F.col("_v") >= F.col("_lo"))
+                    & (F.col("_v") <= F.col("_hi"))
+                )
+                .groupBy("_g")
+                .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
+                .collect()
+            ):
+                state[r["_g"]][0] = r["mn"]
+                state[r["_g"]][1] = r["mx"]
+    else:
+        raise RuntimeError(
+            f"kth_element_by_group: no convergence in {max_iters} rounds"
+        )
+    # ONE shared residue pass for everything still unresolved
+    pending = [g for g in state if g not in resolved]
+    if pending:
+        iv3 = spark.createDataFrame(
+            [(g, state[g][0], state[g][1], want[g] - state[g][2]) for g in pending],
+            ["_g", "_lo", "_hi", "_kk"],
+        )
+        cells = (
+            vals.join(F.broadcast(iv3), "_g")
+            .filter(
+                (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+            )
+            .groupBy("_g", "_v", "_kk")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn(
+                "_cum",
+                F.sum("_c").over(
+                    Window.partitionBy("_g")
+                    .orderBy("_v")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .filter(F.col("_cum") >= F.col("_kk"))
+            .groupBy("_g")
+            .agg(F.min("_v").alias("_ans"))
+            .collect()
+        )
+        for r in cells:
+            resolved[r["_g"]] = float(r["_ans"])
+    rows = [
+        (g, int(stats[g][2]), int(want[g]), resolved[g]) for g in sorted(want)
+    ]
+    # group dtype inherited from the input (a hardcoded string type would
+    # mangle integer group keys)
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(group_col, gtype),
+            T.StructField("n", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

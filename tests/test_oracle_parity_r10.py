@@ -472,3 +472,20 @@ def test_median_selection_matches_oracle(spark):
     con.close()
     assert res.ok, str(res)
     assert res.spark_rows == 1
+
+
+def test_group_median_selection_matches_oracle(spark):
+    from indicators_spark.queries_r10 import (
+        _group_median_spark,
+        _group_median_sql,
+    )
+
+    got = _group_median_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_group_median_sql()).fetchdf()
+    res = compare_frames(
+        "analytic_group_median_selection", got.toPandas(), want
+    )
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows == 3  # A/N/R return flags

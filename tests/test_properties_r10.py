@@ -119,3 +119,35 @@ def test_grouped_row_number_equals_model(spark, rows):
         for rank, (_, k) in enumerate(members, start=1):
             want[k] = rank
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from([0.0, 0.0, 1.0, 2.5, 7.0, 1e6, -5.0]),
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    frac=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+@_settings
+def test_kth_by_group_equals_sorted(spark, rows, frac):
+    import math
+
+    from indicators_spark.scale import kth_element_by_group
+
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["k"], r["value"])
+        for r in kth_element_by_group(
+            df, "x", "g", frac=frac, buckets=4, final_rows=2
+        ).collect()
+    }
+    want = {}
+    for g in {g for g, _ in rows}:
+        sv = sorted(v for gg, v in rows if gg == g)
+        k = max(1, math.ceil(frac * len(sv) - 1e-9))
+        want[g] = (len(sv), k, sv[k - 1])
+    assert got == want

@@ -500,3 +500,21 @@ def test_kth_element_edge_cases(spark):
         kth_element(dfn, "x", 3)
     with pytest.raises(ValueError):
         kth_element(dfn, "x", 0)
+
+
+def test_kth_by_group_validation_and_dtypes(spark):
+    from indicators_spark.scale import kth_element_by_group
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 6.0), (2, 1.0)], "lab int, x double"
+    )
+    out = kth_element_by_group(df, "x", "lab", ks={1: 2, 2: 1})
+    assert dict(out.dtypes)["lab"] == "int"  # inherits the input dtype
+    got = {r["lab"]: r["value"] for r in out.collect()}
+    assert got == {1: 6.0, 2: 1.0}
+    with pytest.raises(ValueError, match="no non-null"):
+        kth_element_by_group(df, "x", "lab", ks={99: 1})
+    with pytest.raises(ValueError, match="exactly one"):
+        kth_element_by_group(df, "x", "lab")
+    with pytest.raises(ValueError, match="outside"):
+        kth_element_by_group(df, "x", "lab", ks={2: 5})
