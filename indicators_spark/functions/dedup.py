@@ -348,16 +348,18 @@ def _prefix_jaccard(
             else toksR.join(F.broadcast(ubiq), "tok", "left_anti")
         )
         dfreq = dfreq.join(F.broadcast(ubiq), "tok", "left_anti")
-    # global token order, rarest first; vocab-bounded window
-    rank_w = Window.orderBy("_df", "tok")
-    ranks = dfreq.select(
-        "tok", F.row_number().over(rank_w).alias("_trank")
-    )
+    # Per-doc token order = (global df, token) ascending, rarest
+    # first.  The prefix rule needs only each document's RELATIVE token
+    # order under one fixed global order — never a materialized global
+    # rank — so docs order their own tokens by the (df, tok) tuple
+    # directly: no vocabulary-wide row_number window (which would plan a
+    # SinglePartition sort over the whole vocab), just the df join every
+    # posting-list operator already pays.
 
     def _prefix(toks: DataFrame) -> DataFrame:
-        tokr = toks.join(ranks, "tok")
+        tokr = toks.join(dfreq, "tok")
         sz_w = Window.partitionBy("_id")
-        pos_w = Window.partitionBy("_id").orderBy("_trank")
+        pos_w = Window.partitionBy("_id").orderBy("_df", "tok")
         per_doc = tokr.withColumn(
             "_sz", F.count(F.lit(1)).over(sz_w)
         ).withColumn("_q", F.row_number().over(pos_w))

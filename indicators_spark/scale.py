@@ -684,7 +684,9 @@ def grouped_row_number(
 
     The counts prefix-sum window orders by ``_bucket`` only, so the tiny
     table stays tiny — no data-sized shuffle anywhere; two skinny
-    exchanges (the counts aggregate + the broadcast back).
+    exchanges (the counts aggregate + the broadcast back).  NULL group
+    keys are supported (the offset join is null-safe — a plain equi-join
+    would silently drop those rows).
     """
     gcols = list(group_cols)
     bucketed = _with_bucket(df, order_cols, buckets, bucket_by, bounds)
@@ -702,11 +704,18 @@ def grouped_row_number(
     win = Window.partitionBy(*gcols, "_bucket").orderBy(
         *[F.col(c) for c in order_cols]
     )
+    roff = offsets
+    for c in gcols:
+        roff = roff.withColumnRenamed(c, f"_go_{c}")
+    roff = roff.withColumnRenamed("_bucket", "_go_bucket")
+    cond = F.col("_bucket") == F.col("_go_bucket")
+    for c in gcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_go_{c}"))
     return (
         bucketed.withColumn("_lrn", F.row_number().over(win))
-        .join(F.broadcast(offsets), [*gcols, "_bucket"])
+        .join(F.broadcast(roff), cond)
         .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
-        .drop("_bucket", "_lrn", "_off")
+        .drop("_bucket", "_lrn", "_off", "_go_bucket", *[f"_go_{c}" for c in gcols])
     )
 
 
@@ -991,6 +1000,12 @@ def kth_element(
     is bounded there by the few representable doubles left in the
     interval; ``max_iters`` is an assertion-style backstop, not a
     truncation — the result is always the exact order statistic.
+
+    ±Infinity values make the arithmetic interval degenerate
+    (width = inf), so the no-progress guard routes straight to the
+    exact residue — still correct, but that residue is then sized by
+    the data rather than ``final_rows``; pre-filter infinities if the
+    column can contain them.
     """
     if k < 1:
         raise ValueError(f"kth_element: k must be >= 1, got {k}")

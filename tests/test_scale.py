@@ -518,3 +518,21 @@ def test_kth_by_group_validation_and_dtypes(spark):
         kth_element_by_group(df, "x", "lab")
     with pytest.raises(ValueError, match="outside"):
         kth_element_by_group(df, "x", "lab", ks={2: 5})
+
+
+def test_grouped_row_number_null_group_rows_survive(spark):
+    """NULL group keys must rank within their own (null) group — a plain
+    equi-join on the offset table would silently drop them."""
+    from indicators_spark.scale import grouped_row_number
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 3.0), (None, 3, 9.0), (None, 4, 1.0)],
+        "g string, k long, v double",
+    )
+    got = {
+        r["k"]: r["rn"]
+        for r in grouped_row_number(
+            df, ["g"], ["v", "k"], buckets=2, bucket_by="v"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1}
