@@ -945,3 +945,65 @@ def quantile_normalize_by_group(
         pct.alias("_pct"),
         (F.col("_vlo") + (vhi - F.col("_vlo")) * frac).alias("_calib"),
     )
+
+
+#: scipy/statsmodels consistency constant: MAD·1.4826 estimates σ under
+#: normality — the same constant `events_anomaly_mad` uses.
+MAD_SIGMA = 1.4826
+
+
+def robust_scale_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group robust z-scores ``(x − median_g) / (1.4826 · MAD_g)`` —
+    the outlier-insensitive standardization (median/MAD instead of
+    mean/std) used to compare quality/length signals across sources
+    whose scales differ.
+
+    Medians are DISCRETE (lower-median order statistics — actual data
+    values, the robust-statistics convention), computed with the
+    selection kernel :func:`~..scale.kth_element_by_group`: no
+    per-group sort window and no value buffering — each statistic costs
+    a few shared histogram scans regardless of group count, and the
+    groups×2 resulting scalars re-enter the plan as a broadcast table
+    (the standing K-driver-literals budget).  ``MAD_g`` is the lower
+    median of ``|x − median_g|`` (second selection pass over a derived
+    column).  A zero MAD (over half the group shares one value) yields
+    NULL scores for that group — the ÷0→NULL policy, mirrored by the
+    oracle's NULLIF.
+
+    Returns ``(key_col, group_col, _v, _med, _mad, _rz)`` raw; callers
+    alias/quantize.  NULL value/group/key rows are excluded.  Because
+    both statistics are exact order statistics (data values, not
+    interpolations), they are bit-identical across engines and the
+    score expression replays exactly in SQL.
+    """
+    from ..scale import kth_element_by_group
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(F.col(key_col), F.col(group_col), v.alias("_v"))
+    med = kth_element_by_group(base, "_v", group_col, frac=0.5).select(
+        F.col(group_col), F.col("value").alias("_med")
+    )
+    with_med = base.join(F.broadcast(med), group_col).withColumn(
+        "_ad", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = kth_element_by_group(with_med, "_ad", group_col, frac=0.5).select(
+        F.col(group_col), F.col("value").alias("_mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "_rz",
+            (F.col("_v") - F.col("_med"))
+            / F.nullif(F.lit(MAD_SIGMA) * F.col("_mad"), F.lit(0.0)),
+        )
+        .select(key_col, group_col, "_v", "_med", "_mad", "_rz")
+    )

@@ -14,7 +14,8 @@ Queue order (VERDICT r9 #3/#4):
 * r12: ``stats_psi_drift`` and ``text_bpe_encode`` (below).
 * r12+: ``dedup_jaccard_prefix``, ``quality_quantile_normalize``,
   ``decontaminate_neardup``, ``analytic_median_selection``, and
-  ``analytic_group_median_selection`` (r10 builds, below).
+  ``analytic_group_median_selection``, and ``analytic_robust_scale``
+  (r10 builds, below).
 """
 
 from __future__ import annotations
@@ -551,3 +552,64 @@ r AS (
 SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
   CAST((n + 1) // 2 AS BIGINT) AS k, {_r("x", "median")}
 FROM r WHERE rn = (n + 1) // 2"""
+
+
+# --------------------------------------------------------------------- #
+# Per-source robust scaling (median/MAD z-scores) — PREPARED for r12+
+# registration.  `sampling.robust_scale_by_group` composes TWO passes of
+# the grouped selection kernel (median, then median absolute deviation)
+# — both exact order statistics, so the score expression replays
+# bit-for-bit in SQL with no interpolation surface.  Same 1.4826·MAD
+# convention and ÷0→NULL policy as the registered `events_anomaly_mad`.
+# --------------------------------------------------------------------- #
+
+
+def _robust_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import robust_scale_by_group
+    from .queries import round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = robust_scale_by_group(
+        docs, value_col="n_chars", group_col="source", key_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("_v").cast("long").alias("n_chars"),
+        round4(F.col("_rz")).alias("rz"),
+    )
+
+
+def _robust_scale_sql() -> str:
+    from .functions.sampling import MAD_SIGMA
+    from .queries import _r
+
+    return f"""
+WITH v AS (
+  SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS x
+  FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL
+),
+r1 AS (
+  SELECT g, x,
+    row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+med AS (SELECT g, x AS med FROM r1 WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT v.doc_id, v.g, v.x, med.med, abs(v.x - med.med) AS ad
+  FROM v JOIN med USING (g)
+),
+r2 AS (
+  SELECT g, ad,
+    row_number() OVER (PARTITION BY g ORDER BY ad) AS rn,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM d
+),
+mad AS (SELECT g, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.doc_id, d.g AS source, CAST(d.x AS BIGINT) AS n_chars,
+  {_r(f"(d.x - d.med) / NULLIF({MAD_SIGMA} * mad.mad, 0)", "rz")}
+FROM d JOIN mad USING (g)"""

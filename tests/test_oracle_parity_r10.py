@@ -489,3 +489,58 @@ def test_group_median_selection_matches_oracle(spark):
     con.close()
     assert res.ok, str(res)
     assert res.spark_rows == 3  # A/N/R return flags
+
+
+def test_robust_scale_matches_oracle(spark):
+    from indicators_spark.queries_r10 import (
+        _robust_scale_spark,
+        _robust_scale_sql,
+    )
+
+    got = _robust_scale_spark(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    want: pd.DataFrame = con.execute(_robust_scale_sql()).fetchdf()
+    res = compare_frames("analytic_robust_scale", got.toPandas(), want)
+    con.close()
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
+def test_robust_scale_matches_bruteforce_and_zero_mad(spark):
+    """Python replay of the lower-median/MAD convention, including a
+    group where >half the rows share one value (MAD = 0 → every score
+    NULL, the ÷0→NULL policy)."""
+    import math
+
+    from indicators_spark.functions.sampling import (
+        MAD_SIGMA,
+        robust_scale_by_group,
+    )
+
+    rows = (
+        [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+        + [("z", 50 + i, 7.0) for i in range(4)]  # constant → MAD 0
+        + [("z", 60, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, x double")
+    got = {
+        r["k"]: (r["_med"], r["_mad"], r["_rz"])
+        for r in robust_scale_by_group(df, "x", "g", "k").collect()
+    }
+    for g in ("a", "z"):
+        vs = sorted(v for gg, _, v in rows if gg == g)
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1]
+        ads = sorted(abs(v - med) for v in vs)
+        mad = ads[(n + 1) // 2 - 1]
+        for gg, k, v in rows:
+            if gg != g:
+                continue
+            want_rz = (
+                None if mad == 0.0 else (v - med) / (MAD_SIGMA * mad)
+            )
+            assert got[k][0] == med and got[k][1] == mad, (k, got[k])
+            if want_rz is None:
+                assert got[k][2] is None, k
+            else:
+                assert math.isclose(got[k][2], want_rz, rel_tol=1e-12), k
