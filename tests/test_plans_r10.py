@@ -100,3 +100,19 @@ def test_decon_neardup_plan_no_cartesian(spark):
 
     plan = plan_string(_decon_neardup_spark(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_robust_scale_and_selection_preps_no_cartesian(spark):
+    """The two selection-built preps return broadcast-joined row-level
+    plans (robust scale) or driver-literal tables (group median); no
+    CartesianProduct, and robust scale's scan must prune `text`."""
+    from indicators_spark.queries_r10 import (
+        _group_median_spark,
+        _robust_scale_spark,
+    )
+
+    plan = plan_string(_robust_scale_spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "text" not in plan, plan
+    plan2 = plan_string(_group_median_spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan2, plan2
