@@ -261,3 +261,140 @@ def psi_drift_by_group(
         _q4(psi_raw).alias("psi"),
         (psi_raw > F.lit(float(drift_threshold))).alias("drifted"),
     )
+
+
+def psi_reference_profile(
+    ref: DataFrame, value_col: str, bins: int = 10
+) -> tuple[list[float], list[int]]:
+    """Freeze a drift REFERENCE as driver scalars: the pooled
+    ``bins``-quantile edges (4dp-quantized via the shared
+    magnitude-guarded rule, so an on-edge value buckets identically
+    everywhere the profile is replayed) plus the per-bin reference
+    counts.  ``bins − 1 + bins`` numbers total — small enough to embed
+    in a streaming sink, a config file, or a plan literal, which is the
+    point: monitoring compares every future batch against the SAME
+    frozen profile, not against a moving pool.
+
+    One array-percentile aggregate + one count-by-bucket aggregate over
+    the reference (swap ``F.percentile`` → ``F.percentile_approx`` at
+    100 TB; PSI is binned by construction, sketch error only nudges
+    band boundaries).
+    """
+    if bins < 2:
+        raise ValueError(
+            f"psi_reference_profile: bins must be >= 2, got {bins!r}"
+        )
+    from .sampling import quantize_edge
+
+    base = ref.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    fracs = [i / bins for i in range(1, bins)]
+    qarr = F.percentile(F.col("_v"), F.array(*[F.lit(q) for q in fracs]))
+    erow = (
+        base.agg(qarr.alias("_earr"))
+        .select(
+            *[
+                quantize_edge(F.col("_earr")[i - 1]).alias(f"_e{i}")
+                for i in range(1, bins)
+            ]
+        )
+        .first()
+    )
+    if erow is None or erow[0] is None:
+        raise ValueError(
+            f"psi_reference_profile: no non-null {value_col!r} rows"
+        )
+    edges = [float(e) for e in erow]
+    b = F.lit(0)
+    for e in edges:
+        b = b + (F.col("_v") > F.lit(e)).cast("int")
+    counts = {
+        r["_b"]: r["_c"]
+        for r in base.select(b.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    return edges, [int(counts.get(i, 0)) for i in range(bins)]
+
+
+def psi_vs_reference_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    edges: list[float],
+    ref_counts: list[int],
+    drift_threshold: float = PSI_DRIFT_THRESHOLD,
+) -> DataFrame:
+    """Per-group PSI of ``df`` against a FROZEN reference profile
+    (:func:`psi_reference_profile`) — the monitoring form of
+    :func:`psi_drift_by_group`: the comparison target is fixed driver
+    scalars instead of the frame's own pool, so the same profile can
+    score every nightly batch and alarms are comparable across time.
+
+    Conventions match the pooled form (Laplace-smoothed integer
+    proportions, each term snapped to the exact 1e-9 integer grid
+    before the order-free sum, ``drifted`` from the pre-quantization
+    statistic), with ONE deliberate difference: the term grid is ALL
+    ``bins`` bands, not just reference-populated ones — a batch putting
+    mass where the reference has none must raise the alarm, not have
+    that mass silently dropped from the sum.  Smoothing keeps every
+    term finite: ``p_gb = (c_gb + 1)/(n_g + bins)``,
+    ``p_rb = (cr_b + 1)/(N_ref + bins)``.
+
+    Cost: one (group, bin) cell aggregate over ``df`` (map-side
+    partials); everything downstream is cell-table sized.  Returns
+    ``(group_col, n, psi, drifted)``.
+    """
+    bins = len(ref_counts)
+    if len(edges) != bins - 1:
+        raise ValueError(
+            "psi_vs_reference_by_group: edges/ref_counts mismatch "
+            f"({len(edges)} edges for {bins} bins)"
+        )
+    n_ref = sum(ref_counts)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    b = F.lit(0)
+    for e in edges:
+        b = b + (F.col("_v") > F.lit(float(e))).cast("int")
+    cell = (
+        base.select("_g", b.alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    groups = cell.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    # full bin grid per group: groups × bins rows, both sides tiny
+    spark = df.sparkSession
+    bins_df = spark.createDataFrame(
+        [(i, int(ref_counts[i])) for i in range(bins)], ["_b", "_cr"]
+    )
+    grid = groups.crossJoin(F.broadcast(bins_df))
+    joined = grid.join(cell, ["_g", "_b"], "left").select(
+        "_g",
+        "_n",
+        (
+            (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("_n") + F.lit(bins)).cast("double")
+        ).alias("_pg"),
+        (
+            (F.col("_cr") + F.lit(1)).cast("double")
+            / F.lit(float(n_ref + bins))
+        ).alias("_pr"),
+    )
+    term = (F.col("_pg") - F.col("_pr")) * F.log(F.col("_pg") / F.col("_pr"))
+    out = joined.groupBy("_g", "_n").agg(
+        F.sum(F.floor(term * 1e9 + 0.500000001)).alias("_psi_int")
+    )
+    psi_raw = F.col("_psi_int").cast("double") / 1e9
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        _q4(psi_raw).alias("psi"),
+        (psi_raw > F.lit(float(drift_threshold))).alias("drifted"),
+    )

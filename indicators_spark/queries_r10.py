@@ -23,14 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .queries import Query, _register  # noqa: F401  (used at registration)
-from .queries_r9 import (
-    BPE_MAX_WORD,
-    BPE_MERGES,
-    _bpe_char_split_sql,
-    _bpe_merge_step_sql,
-    _bpe_trainer_ctes,
-)
 from .sources.prices import load_table
+
+# NOTE: no module-level import from .queries_r9 — queries.py's tail
+# imports THIS module for registration side-effects, so an eager
+# queries_r9 import here turns a direct `import queries_r9` entry (a
+# solo test run) into a circular-import crash against the partially
+# initialized module.  The BPE constants/generators are imported inside
+# the functions that use them instead.
 
 # --------------------------------------------------------------------- #
 # k-center greedy, CARRY form — PREPARED for r11 registration (VERDICT
@@ -165,6 +165,7 @@ def _bpe_encode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .functions.text import bpe_apply_merges, bpe_learn_merges
+    from .queries_r9 import BPE_MAX_WORD, BPE_MERGES
 
     docs = load_table(spark, sf_dir, "documents")
     # trainer input = the full corpus (identical to text_bpe_merges);
@@ -187,8 +188,18 @@ def _bpe_encode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_sql(
-    k: int = BPE_MERGES, max_word: int = BPE_MAX_WORD
+    k: int | None = None, max_word: int | None = None
 ) -> str:
+    from .queries_r9 import (
+        BPE_MAX_WORD,
+        BPE_MERGES,
+        _bpe_char_split_sql,
+        _bpe_merge_step_sql,
+        _bpe_trainer_ctes,
+    )
+
+    k = BPE_MERGES if k is None else k
+    max_word = BPE_MAX_WORD if max_word is None else max_word
     ctes = _bpe_trainer_ctes(k, max_word)
     # per-word occurrence stream of the ENCODE side (non-NULL ids)
     ctes.append(

@@ -1202,3 +1202,144 @@ def test_substring_sink_store_compaction_semantics(spark, tmp_path):
     final = set(os.listdir(a.gram_dir))
     assert "compact-1" not in final and "run-default-2" not in final
     assert "compact-2" in final
+
+
+# --------------------------------------------------------------------- #
+# DriftMonitorSink (round 10): frozen-profile PSI per micro-batch
+# --------------------------------------------------------------------- #
+
+
+def _drift_ref(spark):
+    # reference: uniform-ish 1..100
+    return spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "x double"
+    )
+
+
+def test_psi_vs_reference_matches_python_replay(spark):
+    """The frozen-profile PSI equals a pure-Python replay of the same
+    conventions (full bin grid, Laplace smoothing over bins, 1e-9
+    integer term snap) — including mass in a band the reference never
+    populated."""
+    import math
+
+    from indicators_spark.functions.drift import (
+        psi_reference_profile,
+        psi_vs_reference_by_group,
+    )
+
+    ref = _drift_ref(spark)
+    edges, counts = psi_reference_profile(ref, "x", bins=4)
+    assert len(edges) == 3 and sum(counts) == 100
+    rows = [("ok", float(v)) for v in range(1, 101)] + [
+        ("hot", 1e6),
+        ("hot", 2e6),
+        ("hot", 3e6),
+    ]
+    df = spark.createDataFrame(rows, "src string, x double")
+    got = {
+        r["src"]: (r["n"], r["psi"], r["drifted"])
+        for r in psi_vs_reference_by_group(
+            df, "x", "src", edges, counts
+        ).collect()
+    }
+    bins = len(counts)
+    n_ref = sum(counts)
+    for g in ("ok", "hot"):
+        vs = [v for s, v in rows if s == g]
+        cg = {}
+        for v in vs:
+            b = sum(1 for e in edges if v > e)
+            cg[b] = cg.get(b, 0) + 1
+        psi_int = 0
+        for b in range(bins):
+            pg = (cg.get(b, 0) + 1) / (len(vs) + bins)
+            pr = (counts[b] + 1) / (n_ref + bins)
+            psi_int += math.floor(
+                (pg - pr) * math.log(pg / pr) * 1e9 + 0.500000001
+            )
+        psi = psi_int / 1e9
+        want = (
+            len(vs),
+            math.floor(psi * 1e4 + 0.500000001) / 1e4,
+            psi > 0.2,
+        )
+        assert got[g] == want, (g, got[g], want)
+    # the in-distribution group must NOT alarm; the far-out one must
+    assert not got["ok"][2] and got["hot"][2]
+
+
+def test_drift_monitor_sink_replay_and_compaction(spark, tmp_path):
+    from indicators_spark.functions.drift import psi_vs_reference_by_group
+    from indicators_spark.streaming.sinks import DriftMonitorSink
+
+    ref = _drift_ref(spark)
+    sink = DriftMonitorSink(str(tmp_path / "mon"), ref, "x", "src", bins=4)
+
+    def batch(shift):
+        # group 'a' spans the reference's full range (2,4,..,100) —
+        # in-distribution at shift 0; 'b' is a genuine subrange shift
+        return spark.createDataFrame(
+            [("a", float(2 * v + shift)) for v in range(1, 51)]
+            + [("b", float(v)) for v in range(1, 21)],
+            "src string, x double",
+        )
+
+    sink(batch(0), 0)
+    sink(batch(500), 1)
+    sink(batch(0), 1)  # replay: must be skipped by the ledger
+    out = sink.read_monitor(spark)
+    rows = {(r["epoch"], r["src"]): (r["psi"], r["drifted"]) for r in out.collect()}
+    assert len(rows) == 4  # 2 epochs x 2 groups, replay not duplicated
+    # epoch 1 kept its ORIGINAL (shifted) scores despite the replay
+    direct = {
+        r["src"]: (r["psi"], r["drifted"])
+        for r in psi_vs_reference_by_group(
+            batch(500), "x", "src", sink.edges, sink.ref_counts
+        ).collect()
+    }
+    assert rows[(1, "a")] == direct["a"] and rows[(1, "b")] == direct["b"]
+    assert rows[(1, "a")][1]  # the +500 shift alarms
+    assert not rows[(0, "a")][1]
+    # compaction folds the epoch dirs and preserves the row set
+    before = sorted(tuple(r) for r in out.collect())
+    assert sink.compact_store(spark) == 2
+    after = sorted(tuple(r) for r in sink.read_monitor(spark).collect())
+    assert before == after
+    assert sink.compact_store(spark) == 0  # nothing fresh: no-op
+    # a post-compaction epoch lands next to the compacted base
+    sink(batch(0), 2)
+    assert (
+        sink.read_monitor(spark).select("epoch").distinct().count() == 3
+    )
+
+
+def test_drift_monitor_sink_through_foreachbatch(spark, tmp_path):
+    """End-to-end through a real availableNow stream: the sink scores
+    each micro-batch and the store holds one row set per epoch."""
+    src_dir = tmp_path / "in"
+    for i, shift in enumerate((0, 900)):
+        spark.createDataFrame(
+            [("a", float(3 * v + shift)) for v in range(1, 31)],
+            "src string, x double",
+        ).coalesce(1).write.parquet(str(src_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema("src string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    from indicators_spark.streaming.sinks import DriftMonitorSink
+
+    sink = DriftMonitorSink(
+        str(tmp_path / "mon"), _drift_ref(spark), "x", "src", bins=4
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sink.read_monitor(spark)
+    assert out.count() == 2  # one 'a' row per micro-batch
+    assert {r["drifted"] for r in out.collect()} == {True, False}
