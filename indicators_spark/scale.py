@@ -995,6 +995,19 @@ def kth_element(
     re-enter as literals" budget.  NULLs are excluded; k must lie in
     [1, count].  Returns the value as a Python float.
 
+    Interval membership and the histogram agree EXACTLY:
+    ``floor((v-lo)/width)`` is monotone non-decreasing in v (IEEE
+    subtraction/division are correctly rounded, hence monotone), so the
+    chosen bucket's rows occupy one contiguous value range and the
+    refined interval is snapped to that bucket's ACTUAL ``[min, max]``
+    (folded into the same histogram aggregate) rather than the
+    arithmetic boundaries ``lo + b*width`` — arithmetic boundaries can
+    float-drift across the floor expression and double-count boundary
+    rows into both ``below`` and the next interval, shifting the final
+    rank.  With data-snapped intervals the next pass's closed range
+    filter selects exactly the rows the histogram counted, so
+    ``below``/``in_range`` are exact inductively.
+
     The no-progress guard (interval stops shrinking once its width
     underflows ulp) falls through to the exact residue aggregate, which
     is bounded there by the few representable doubles left in the
@@ -1043,6 +1056,11 @@ def kth_element(
             .limit(1)
             .collect()
         )
+        if not cells:
+            raise RuntimeError(
+                f"kth_element: residue [{lo}, {hi}] holds fewer than "
+                f"{kk} rows — interval bookkeeping violated"
+            )
         return float(cells[0]["_v"])
 
     for _ in range(max_iters):
@@ -1056,45 +1074,39 @@ def kth_element(
             F.lit(buckets - 1),
         )
         hist = {
-            r["_b"]: r["_c"]
+            r["_b"]: (r["_c"], r["_mn"], r["_mx"])
             for r in vals.filter(
                 (F.col("_v") >= lo) & (F.col("_v") <= hi)
             )
             .groupBy(idx.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_v").alias("_mn"),
+                F.max("_v").alias("_mx"),
+            )
             .collect()
         }
         cum = below
         for b in range(buckets):
-            c = hist.get(b, 0)
-            if cum + c >= k:
-                new_lo = lo + b * width
-                new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
-                if (new_lo, new_hi) == (lo, hi):  # no numeric progress
+            c, mn, mx = hist.get(b, (0, None, None))
+            if c and cum + c >= k:
+                # snap to the bucket's actual [min, max]: by the floor
+                # expression's monotonicity this closed range contains
+                # EXACTLY the c rows counted here, so the next pass's
+                # filter and this pass's below/in_range agree.  Snapping
+                # every pass also handles the shed-nothing case (data
+                # far narrower than the interval) for free — the
+                # interval collapses to the data, no extra scan.
+                if (mn, mx, c) == (lo, hi, in_range):  # no progress left
                     return _exact_residue(lo, hi, k - below)
-                if c == in_range:
-                    # the pass shed no rows (everything sits in one
-                    # arithmetic bucket — e.g. a duplicated minimum, or
-                    # data far narrower than the interval).  Arithmetic
-                    # shrinking alone would crawl (×buckets per pass for
-                    # up to ~540 passes toward width underflow); snap
-                    # the interval to the data instead: min/max are then
-                    # interval ENDPOINTS, so the next histogram's first
-                    # and last buckets are both non-empty and every
-                    # following pass sheds rows or terminates.
-                    new_lo, new_hi = (
-                        vals.filter(
-                            (F.col("_v") >= new_lo)
-                            & (F.col("_v") <= new_hi)
-                        )
-                        .agg(F.min("_v"), F.max("_v"))
-                        .first()
-                    )
-                lo, hi, below, in_range = new_lo, new_hi, cum, c
+                lo, hi, below, in_range = mn, mx, cum, c
                 break
             cum += c
-        else:  # float-boundary residue: k-th sits exactly at hi
-            return _exact_residue(hi, hi, k - cum)
+        else:
+            # unreachable with exact bookkeeping (histogram counts sum
+            # to in_range and below < k <= below + in_range holds
+            # inductively); kept as a correct fallback, not a truncation
+            return _exact_residue(lo, hi, k - below)
     raise RuntimeError(
         f"kth_element: no convergence in {max_iters} passes (k={k})"
     )
@@ -1215,54 +1227,46 @@ def kth_element_by_group(
                 (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
             )
             .groupBy("_g", idx.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_v").alias("_mn"),
+                F.max("_v").alias("_mx"),
+            )
             .collect()
         ):
-            hist.setdefault(r["_g"], {})[r["_b"]] = r["_c"]
-        snap_groups = []
+            hist.setdefault(r["_g"], {})[r["_b"]] = (
+                r["_c"],
+                r["_mn"],
+                r["_mx"],
+            )
         for g in active:
             lo, hi, below, in_range = state[g]
-            width = (hi - lo) / buckets
             k = want[g]
             cum = below
             hg = hist.get(g, {})
             chosen = None
             for b in range(buckets):
-                c = hg.get(b, 0)
-                if cum + c >= k:
-                    chosen = (b, c, cum)
+                c, mn, mx = hg.get(b, (0, None, None))
+                if c and cum + c >= k:
+                    chosen = (c, mn, mx, cum)
                     break
                 cum += c
             if chosen is None:
-                # float-boundary residue: the k-th sits exactly at hi
-                state[g] = [hi, hi, cum, 1]
+                # unreachable with exact bookkeeping (counts sum to
+                # in_range, below < k <= below + in_range inductively);
+                # defensively route to the exact residue over the full
+                # current interval with below unchanged — always correct
+                state[g][3] = 0
                 continue
-            b, c, cum = chosen
-            new_lo = lo + b * width
-            new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
-            if (new_lo, new_hi) == (lo, hi):
-                state[g][3] = 0  # force residue next round
+            c, mn, mx, cum = chosen
+            # snap to the bucket's actual [min, max] — the same
+            # monotone-floor argument as kth_element: this closed range
+            # holds exactly the c counted rows, so per-group below /
+            # in_range stay exact and no boundary row is double-counted
+            if (mn, mx, c) == (lo, hi, in_range):  # no progress left
+                state[g][3] = 0  # force the exact residue next round
                 continue
-            state[g] = [new_lo, new_hi, cum, c]
-            if c == in_range:
-                snap_groups.append(g)  # shed nothing: snap to data
-        if snap_groups:
-            iv2 = spark.createDataFrame(
-                [(g, state[g][0], state[g][1]) for g in snap_groups],
-                ["_g", "_lo", "_hi"],
-            )
-            for r in (
-                vals.join(F.broadcast(iv2), "_g")
-                .filter(
-                    (F.col("_v") >= F.col("_lo"))
-                    & (F.col("_v") <= F.col("_hi"))
-                )
-                .groupBy("_g")
-                .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
-                .collect()
-            ):
-                state[r["_g"]][0] = r["mn"]
-                state[r["_g"]][1] = r["mx"]
+            state[g] = [mn, mx, cum, c]
     else:
         raise RuntimeError(
             f"kth_element_by_group: no convergence in {max_iters} rounds"
@@ -1296,6 +1300,14 @@ def kth_element_by_group(
         )
         for r in cells:
             resolved[r["_g"]] = float(r["_ans"])
+    unresolved = [g for g in want if g not in resolved]
+    if unresolved:
+        raise RuntimeError(
+            "kth_element_by_group: residue pass produced no value for "
+            f"groups {unresolved!r} (intervals "
+            f"{ {g: state[g][:3] for g in unresolved} !r}) — interval "
+            "bookkeeping violated"
+        )
     rows = [
         (g, int(stats[g][2]), int(want[g]), resolved[g]) for g in sorted(want)
     ]
