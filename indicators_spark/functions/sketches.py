@@ -29,6 +29,7 @@ def hll_distinct_rollup(
     key_col: str = "user_id",
     ts_col: str = "ts",
     lgk: int = 12,
+    day_col=None,
 ) -> DataFrame:
     """Per-day approximate distinct ``key_col`` plus an ALL row whose
     estimate comes from UNIONING the stored daily sketches — proving the
@@ -38,10 +39,17 @@ def hll_distinct_rollup(
     Scale shape: one groupBy(day) pass over the facts builds the daily
     sketches (map-side partial sketch merge — shuffle carries one sketch
     per partition×day, not rows); the ALL row aggregates #days sketch
-    blobs."""
-    daily = events.groupBy(
-        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
-    ).agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sk"))
+    blobs.
+
+    ``day_col`` overrides the grouping key (any string Column — e.g. the
+    TZ-independent epoch-day ``floor(unix_timestamp(ts)/86400)`` cast to
+    string, which renders identically in any session timezone; the
+    default ``date_format`` day is session-TZ-dependent)."""
+    if day_col is None:
+        day_col = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    daily = events.groupBy(day_col.alias("day")).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sk")
+    )
     per_day = daily.select(
         "day", F.hll_sketch_estimate("sk").alias("approx_distinct")
     )

@@ -943,3 +943,4 @@ from . import queries_r7  # noqa: E402,F401  (registration side-effect)
 from . import queries_r8  # noqa: E402,F401  (registration side-effect)
 from . import queries_r9  # noqa: E402,F401  (registration side-effect)
 from . import queries_r10  # noqa: E402,F401  (registration side-effect)
+from . import queries_r11  # noqa: E402,F401  (registration side-effect)
