@@ -1120,6 +1120,40 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- BPE encode at production merge-table size (udf dispatch) ---------
+    # A tokenizer-encode pass is the single most common 100 TB-pipeline
+    # operation.  The ≤64-merge expression-chain arm has catalog evidence
+    # (text_bpe_merges / the bpe_encode prep); this benches the OTHER
+    # dispatch arm — the Arrow-batched rank-dict UDF a production 10k-50k
+    # merge file lands on (text.py BPE_CHAIN_MAX_MERGES).  The table is a
+    # synthetic rank-monotone 10k-entry hierarchy over the corpus alphabet
+    # (level 1: all single-char pairs; level 2: pairs of level-1 symbols —
+    # later merges can only create adjacencies of their own new symbol, so
+    # the trainer-format precondition holds by construction), and the
+    # chain arm at its 64-merge ceiling runs beside it as the reference
+    # point for the dispatch boundary.
+    from indicators_spark.functions.text import bpe_apply_merges
+
+    _syms = ["w"] + [str(d) for d in range(10)]
+    _lvl1 = [f"{a} {b}" for a in _syms for b in _syms]
+    _two = [a + b for a in _syms for b in _syms]
+    _lvl2 = [f"{a} {b}" for a in _two for b in _two]
+    merges_10k = (_lvl1 + _lvl2)[:10_000]
+    for label, table in (
+        ("bpe_encode_chain_64", merges_10k[:64]),
+        ("bpe_encode_udf_10k", merges_10k),
+    ):
+        t0 = time.time()
+        bpe_apply_merges(docs, table).select(
+            "doc_id", "bpe_tokens"
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        results[label] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": int(n_docs / dt),
+            "merges": len(table),
+        }
+
     print(json.dumps({"rows": n, "symbols": symbols, "results": results}))
     spark.stop()
 

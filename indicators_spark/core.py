@@ -23,6 +23,21 @@ Design decisions vs the reference (SURVEY.md §1/§3):
       (SURVEY.md §2c.3).
     - ``"per_symbol"`` computes *every* operator per symbol — the scalable
       mode: all windows hash-partition on ``symbol`` and parallelize.
+* **Size-dispatched halo windows**: on symbol-less input (the reference's
+  primary shape — one instrument's OHLCV frame) every window is
+  effectively global, which plans one SinglePartition ``WindowExec`` —
+  fine at test scale, a one-task stage at 100 TB.  When such a frame
+  holds ≥ ``scale.HALO_MIN_ROWS`` rows, the window builders transparently
+  switch to a halo-bucket session (``scale.halo_frame``): the frame is
+  range-bucketed on the order key, each bucket carries ``halo_depth``
+  duplicated boundary rows in both directions, windows partition by
+  bucket (parallel, exact on non-halo rows), and halo rows are filtered
+  at :meth:`collect`.  Chained operators consume the halo budget
+  cumulatively; the session re-halos (one extra shuffle) when a budget
+  would be exceeded, and cumulative-frame / EWM / fill operators collapse
+  the session first (their scale paths are the explicit scale.py /
+  ewm.py kernels).  Values are IDENTICAL to the plain form either way —
+  the dispatch picks a physical plan, never semantics.
 """
 
 from __future__ import annotations
@@ -64,7 +79,23 @@ class Indicators(
         df: DataFrame,
         order_by: Sequence[str] = ("timestamp",),
         partition_mode: str = "faithful",
+        n_rows: int | None = None,
+        halo: bool | None = None,
+        halo_buckets: int | None = None,
+        halo_depth: int = 1024,
     ) -> None:
+        """``n_rows``: caller-known row count (catalog metadata /
+        ``scale.parquet_footer_stats``) — skips the one count the size
+        dispatch otherwise folds into its bounds scan.  ``halo``:
+        ``None`` auto-dispatches (halo windows iff symbol-less input with
+        ≥ ``scale.HALO_MIN_ROWS`` rows), ``False`` pins the plain windows,
+        ``True`` forces the halo session at any size (tests; callers who
+        know better).  ``halo_buckets`` defaults to the session's default
+        parallelism, capped so every bucket comfortably holds
+        ``halo_depth`` rows; ``halo_depth`` must cover the deepest
+        CHAINED lookback/lookahead an operator sequence composes before
+        the session re-halos (a window of n charges n−1) — single calls
+        needing more than ``halo_depth`` fall back to the plain window."""
         if partition_mode not in ("faithful", "per_symbol"):
             raise ValueError(f"unknown partition_mode: {partition_mode!r}")
         self._symbol_flag = False
@@ -88,6 +119,20 @@ class Indicators(
         )
         self._mode = partition_mode
         validate_columns(list(self._order), df.columns)
+        # halo-window size dispatch (decided lazily on first window use)
+        self._halo_cfg = halo
+        self._halo_hint_rows = n_rows
+        self._halo_buckets = halo_buckets
+        self._halo_depth = int(halo_depth)
+        self._halo_on: bool | None = None  # None = undecided
+        self._halo_meta: tuple[float, float, int] | None = None
+        self._halo_active = False
+        self._halo_demoted = False
+        self._back_used = 0
+        self._fwd_used = 0
+        self._pending_back = 0
+        self._pending_fwd = 0
+        self._pending_specs = 0
 
     # ------------------------------------------------------------------ #
     # lifecycle (reference indicators.py:30-76)
@@ -100,6 +145,7 @@ class Indicators(
         wrapped frame, so repeated collects behave identically.  The caller
         decides the terminal action (``.collect()``/``.toPandas()``/write).
         """
+        self._halo_collapse()
         return self._df.drop("symbol") if self._symbol_flag else self._df
 
     def show_graph(self, optimized: bool = True) -> None:
@@ -108,7 +154,10 @@ class Indicators(
         df.explain(mode="formatted" if optimized else "extended")
 
     def get_dataframe(self) -> DataFrame:
-        """Escape hatch to the raw wrapped DataFrame (incl. injected symbol)."""
+        """Escape hatch to the raw wrapped DataFrame (incl. injected symbol;
+        any halo session is collapsed first — callers must never see the
+        duplicated boundary rows)."""
+        self._halo_collapse()
         return self._df
 
     # Polars-named alias for drop-in familiarity.
@@ -141,11 +190,20 @@ class Indicators(
     def _flush_ewm(self) -> None:
         if not self._pending:
             return
+        # the EWM recurrence walks every row of its partition — duplicated
+        # halo rows would corrupt it, so an active session demotes first
+        # (the recursive scale path is ewm.py's own chunked-carry kernel);
+        # _bucket survives as a constant so any not-yet-bound specs stay
+        # resolvable, and the next _with re-engages via _halo_bind_ready
+        if self._halo_active:
+            self._halo_demote()
         steps, keep, part = self._pending, self._pending_keep, self._pending_part
         self._pending, self._pending_keep, self._pending_part = [], [], None
         self.__df = apply_ewm_program(
             self.__df, steps, partition_cols=part, order_cols=self._order, keep=keep
         )
+        if self._halo_demoted and "_bucket" not in self.__df.columns:
+            self.__df = self.__df.withColumn("_bucket", F.lit(1))
 
     @property
     def _columns(self) -> list[str]:
@@ -163,15 +221,232 @@ class Indicators(
         return ("symbol",)
 
     def _w(self, n: int, global_op: bool) -> WindowSpec:
-        return K.w_rows(n, self._partition(global_op), self._order)
+        return K.w_rows(n, self._halo_part(global_op, back=n - 1), self._order)
 
     def _wcum(self, global_op: bool) -> WindowSpec:
+        # a cumulative frame needs the full prefix — no bounded halo can
+        # serve it (the distributed form is scale.py's chunked carry
+        # composition, e.g. the obv_chunked/vwap_chunked catalog twins).
+        # Demote rather than drop: specs already created by this operator
+        # keep referencing _bucket, which demotion pins to a constant —
+        # global semantics, exact.  The next operator re-engages.
+        if self._halo_on:
+            self._halo_demote()
+            return K.w_cum((*self._partition(global_op), "_bucket"), self._order)
+        if self._halo_on is None:
+            self._halo_decide()
+            return self._wcum(global_op)
         return K.w_cum(self._partition(global_op), self._order)
 
-    def _word(self, global_op: bool) -> WindowSpec:
-        return K.w_ord(self._partition(global_op), self._order)
+    def _word(
+        self, global_op: bool, back: int = 1, fwd: int = 0
+    ) -> WindowSpec:
+        """Ordered (frameless) window for lag/lead/row_number.  ``back`` /
+        ``fwd`` declare the deepest lag/lead the caller will run over the
+        returned spec (default lag-1, the diff/pct_change shape) — the
+        halo session charges its budgets from them, so a deeper shift
+        MUST be declared or the halo plan would silently truncate it
+        (``row_number`` needs no charge: only rank DIFFERENCES within one
+        window reach the outputs, and those are offset-invariant)."""
+        return K.w_ord(
+            self._halo_part(global_op, back=back, fwd=fwd), self._order
+        )
+
+    # ------------------------------------------------------------------ #
+    # halo-window size dispatch (see module docstring)
+    #
+    # WindowSpecs are frame-independent, so spec creation only decides the
+    # partition keys and ACCUMULATES pending budget charges; every session
+    # transition (open / re-halo / demote) happens at :meth:`_with`, the
+    # single point where expressions bind to the frame — a transition
+    # between an operator's spec creation and its binding would otherwise
+    # desync the accounting from the frame the specs finally run on.
+    # ------------------------------------------------------------------ #
+
+    def _halo_part(
+        self, global_op: bool, back: int = 0, fwd: int = 0
+    ) -> tuple[str, ...]:
+        """Effective partition keys for a window: the faithful/per_symbol
+        keys, plus ``_bucket`` when the halo session is on.  ``_bucket``
+        is safe to reference unconditionally once the session is on — a
+        demoted session pins it to a constant (global semantics) and
+        :meth:`_with` (re)materializes it before any expression binds."""
+        part = self._partition(global_op)
+        if self._halo_on is None:
+            self._halo_decide()
+        if not self._halo_on:
+            return part
+        if self._halo_demoted and not self._pending_specs:
+            # operator boundary after a demotion: re-engage lazily — the
+            # actual rebucket happens at binding time in _with
+            self._halo_demoted = False
+        self._pending_specs += 1
+        self._pending_back += back
+        self._pending_fwd += fwd
+        return (*part, "_bucket")
+
+    def _halo_bind_ready(self) -> None:
+        """Called by :meth:`_with` before expressions bind: settle the
+        pending budget charges against the session.
+
+        * pending fits the remaining budget → charge it;
+        * pending fits a FRESH session but not the remaining budget →
+          re-halo (columns computed so far are exact on surviving rows,
+          so they flow into the new halos losslessly);
+        * pending exceeds the whole session budget (one operator's chain
+          deeper than ``halo_depth``) → demote: halo rows dropped,
+          ``_bucket`` pinned to a constant, this binding runs with global
+          window semantics (exactness over plan shape — raise
+          ``halo_depth`` to keep such a chain parallel).
+        """
+        if not self._halo_on:
+            return
+        pb, pf, ps = self._pending_back, self._pending_fwd, self._pending_specs
+        self._pending_back = self._pending_fwd = self._pending_specs = 0
+        if self._halo_demoted:
+            return  # binding runs globally on the demoted frame — exact
+        if not ps:
+            # no new window specs since the last binding: whatever shape
+            # the frame is in (active session, or collapsed by a
+            # cumulative/fill/EWM operator) is the right one to bind on
+            return
+        if pb > self._halo_depth or pf > self._halo_depth:
+            self._halo_demote()
+            return
+        if (
+            not self._halo_active
+            or self._back_used + pb > self._halo_depth
+            or self._fwd_used + pf > self._halo_depth
+        ):
+            self._halo_rebucket()
+        self._back_used += pb
+        self._fwd_used += pf
+
+    def _halo_decide(self) -> None:
+        """One-time dispatch decision: halo windows iff configured on, or
+        auto with a symbol-less frame (every window effectively global —
+        the single-WindowExec shape) holding ≥ ``scale.HALO_MIN_ROWS``
+        rows.  The row count folds into the same aggregate as the
+        bucketing bounds — one skinny job, no extra pass."""
+        from .scale import HALO_MIN_ROWS
+
+        self._halo_on = False
+        if self._halo_cfg is False or not self._symbol_flag:
+            return
+        if (
+            self._halo_cfg is None
+            and self._halo_hint_rows is not None
+            and self._halo_hint_rows < HALO_MIN_ROWS
+        ):
+            return
+        df = self._df  # flushes any pending EWM first
+        if self._halo_cfg is None and self._halo_hint_rows is None:
+            # free driver-side pre-filter before paying a count job:
+            # Catalyst's sizeInBytes estimate (file bytes for scans,
+            # propagated through operators).  A frame holding
+            # HALO_MIN_ROWS rows compresses nowhere near 2 bytes/row, so
+            # below 2·HALO_MIN_ROWS bytes it is certainly small → stay
+            # plain with zero jobs (the every-query cost of the auto
+            # dispatch at catalog/bench scale).  Estimation failures or
+            # big/unknown sizes fall through to the exact count.
+            try:
+                size = int(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:
+                size = None
+            if size is not None and size < 2 * HALO_MIN_ROWS:
+                return
+        key = F.col(self._order[0]).cast("double")
+        n, lo, hi = df.agg(
+            F.count(F.lit(1)), F.min(key), F.max(key)
+        ).first()
+        if self._halo_hint_rows is not None:
+            n = self._halo_hint_rows
+        if self._halo_cfg is None and n < HALO_MIN_ROWS:
+            return
+        if lo is None or lo == hi:
+            return  # degenerate order key: nothing to range-bucket
+        spark = df.sparkSession
+        buckets = (
+            self._halo_buckets
+            if self._halo_buckets is not None
+            else spark.sparkContext.defaultParallelism
+        )
+        # every bucket must comfortably hold a full halo (tail AND head),
+        # with 4x margin for range-bucket unevenness
+        buckets = min(int(buckets), max(1, int(n) // (4 * self._halo_depth)))
+        if self._halo_cfg and buckets < 2:
+            buckets = 2  # forced mode (tests): let the precondition checks
+            # in scale._halo_tail/_halo_head_rows arbitrate exactness
+        if buckets < 2:
+            return
+        self._halo_meta = (float(lo), float(hi), buckets)
+        self._halo_on = True
+
+    def _halo_rebucket(self) -> None:
+        """(Re)open the halo session: range-bucket on the order key and
+        attach fresh halos both ways.  Columns computed so far are exact
+        on the surviving rows, so they flow into the new halos unchanged;
+        budgets reset."""
+        from .scale import _with_bucket, halo_frame
+
+        self._halo_collapse()
+        lo, hi, buckets = self._halo_meta
+        df = self._df.withColumn(
+            "_hkey", F.col(self._order[0]).cast("double")
+        )
+        df = _with_bucket(
+            df, self._order, buckets, bucket_by="_hkey", bounds=(lo, hi)
+        ).drop("_hkey")
+        self._df = halo_frame(
+            df,
+            self._order,
+            (),
+            back=self._halo_depth,
+            fwd=self._halo_depth,
+        )
+        self._halo_active = True
+        self._halo_demoted = False
+        self._back_used = 0
+        self._fwd_used = 0
+
+    def _halo_demote(self) -> None:
+        """Serve the next binding with GLOBAL window semantics while
+        keeping every created spec resolvable: halo rows go, ``_bucket``
+        is pinned to a constant (a one-value partition key ≡ no
+        partition key).  Exact by construction; the single-task plan it
+        implies lasts until the next operator boundary re-engages."""
+        df = self.__df
+        if self._halo_active:
+            df = df.filter(~F.col("_halo")).drop("_halo")
+        df = df.withColumn("_bucket", F.lit(1))
+        self.__df = df
+        self._halo_active = False
+        self._halo_demoted = True
+        self._back_used = 0
+        self._fwd_used = 0
+
+    def _halo_collapse(self) -> None:
+        """Terminal cleanup: drop halo rows and every bookkeeping column
+        (values on surviving rows are final).  Flushing EWM first demotes
+        an active session, so only the demoted shape needs undoing."""
+        self._flush_ewm()
+        if self._halo_active:
+            self.__df = self.__df.filter(~F.col("_halo")).drop(
+                "_bucket", "_halo"
+            )
+        elif self._halo_demoted:
+            self.__df = self.__df.drop("_bucket")
+        self._halo_active = False
+        self._halo_demoted = False
+        self._pending_back = self._pending_fwd = self._pending_specs = 0
 
     def _with(self, cols: dict) -> None:
+        self._halo_bind_ready()
         self._df = self._df.withColumns(cols)
 
     def _drop(self, *names: str) -> None:

@@ -104,7 +104,7 @@ class MomentumOps:
         Reference: indicators.py:472-486 (list-of-str only, no ``.over``).
         """
         cols = self._resolve_and_validate(columns)
-        wg = self._word(global_op=True)
+        wg = self._word(global_op=True, back=period)
         self._with(
             {f"{c}_roc_{period}": K.pct_change(c, wg, period) * 100 for c in cols}
         )
@@ -388,7 +388,7 @@ class MomentumOps:
         weighted sum of SMA-smoothed ROCs → ``KST`` (global)."""
         cols = self._resolve_and_validate(columns)
         assert len(roc_periods) == len(sma_periods) == len(weights)
-        wg = self._word(global_op=True)
+        wg = self._word(global_op=True, back=max(roc_periods))
         for c in cols:
             total = F.lit(0.0)
             tmp = []

@@ -36,6 +36,10 @@ class NullOps:
             self._with({c: F.coalesce(F.col(c), F.lit(value)) for c in cols})
             return self
 
+        # these frames are unbounded (full-prefix fills, whole-partition
+        # mean/median) — no bounded halo serves them, and the duplicated
+        # halo rows would bias mean/median, so the session collapses first
+        self._halo_collapse()
         part = Window.partitionBy("symbol")
         order = [F.col(c) for c in self._order]
         w_prev = (

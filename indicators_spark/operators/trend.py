@@ -99,7 +99,7 @@ class TrendOps:
         cols = self._resolve_and_validate(columns)
         offset = (look_back // 2) + 1
         w = self._w(look_back, global_op=True)
-        word = self._word(global_op=True)
+        word = self._word(global_op=True, back=offset)
         self._with(
             {
                 f"{c}_dpo_{look_back}": F.col(c)
@@ -120,7 +120,7 @@ class TrendOps:
         """
         cols = self._resolve_and_validate(columns)
         n = window_size
-        word = self._word(global_op=False)
+        word = self._word(global_op=False, back=n - 1)
         denom = float(n * (n + 1) / 2)
         out = {}
         for c in cols:
@@ -159,7 +159,7 @@ class TrendExtOps:
         from ..ewm import ExprStep
 
         cols = self._resolve_and_validate(columns)
-        word = self._word(global_op=False)
+        word = self._word(global_op=False, back=er_period)
         w = self._w(er_period, global_op=False)
         fast_sc = 2.0 / (fast + 1)
         slow_sc = 2.0 / (slow + 1)

@@ -119,7 +119,9 @@ class VolatilityOps:
         chikou_span is ``close.shift(-window_two)`` — a genuine look-ahead
         (``F.lead``)."""
         self._validate(["high", "low", "close"])
-        wg = self._word(global_op=True)
+        wg = self._word(
+            global_op=True, back=max(26, window_two), fwd=window_two
+        )
 
         def midline(n: int) -> F.Column:
             w = self._w(n, global_op=True)

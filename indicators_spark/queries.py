@@ -38,7 +38,16 @@ ORDER = '"timestamp", seq'
 @dataclass(frozen=True)
 class Query:
     spark: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None → driver records a rows-only check
+    # str, or a zero-arg callable resolved at access time (for
+    # registrations whose SQL generator lives in another queries_r*
+    # module — calling it at registration time would re-enter a
+    # partially-initialized module when THAT module is the import entry
+    # point); None → driver records a rows-only check
+    sql: str | Callable[[], str] | None
+
+    @property
+    def sql_text(self) -> str | None:
+        return self.sql() if callable(self.sql) else self.sql
 
 
 # --------------------------------------------------------------------- #

@@ -38,31 +38,65 @@ from .sources.prices import load_table
 # --------------------------------------------------------------------- #
 # r11 queue registrations (preps + oracles in queries_r9 / queries_r10;
 # dual-SF driver-style parity pinned in tests/test_oracle_parity_r9.py
-# and tests/test_oracle_parity_r10.py)
+# and tests/test_oracle_parity_r10.py).
+#
+# Every cross-module reference is DEFERRED to call time: this module
+# runs from queries.py's registration tail, which executes while any
+# directly-imported queries_r* module (a solo `import queries_r9` in a
+# test) is still partially initialized — a module-level `from
+# .queries_r9 import ...` here would crash that entry point.  The sql
+# fields use the Query-callable form (resolved at access time) for the
+# same reason.
 # --------------------------------------------------------------------- #
 
-from .queries_r9 import (  # noqa: E402
-    _bpe_merges_spark,
-    _bpe_merges_sql,
-    _line_selfdedup_spark,
-    _line_selfdedup_sql,
-)
-from .queries_r10 import (  # noqa: E402
-    _kcenter_carry_spark,
-    _kcenter_carry_sql,
-)
+
+def _kc_carry_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_r10 import _kcenter_carry_spark
+
+    return _kcenter_carry_spark(spark, sf_dir)
+
+
+def _kc_carry_sql() -> str:
+    from .queries_r10 import _kcenter_carry_sql
+
+    return _kcenter_carry_sql()
+
+
+def _lines_within_doc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_r9 import _line_selfdedup_spark
+
+    return _line_selfdedup_spark(spark, sf_dir)
+
+
+def _lines_within_doc_sql() -> str:
+    from .queries_r9 import _line_selfdedup_sql
+
+    return _line_selfdedup_sql()
+
+
+def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_r9 import _bpe_merges_spark as _impl
+
+    return _impl(spark, sf_dir)
+
+
+def _bpe_merges_sql() -> str:
+    from .queries_r9 import _bpe_merges_sql as _impl
+
+    return _impl()
+
 
 _register(
     "similarity_kcenter_carry",
-    Query(spark=_kcenter_carry_spark, sql=_kcenter_carry_sql()),
+    Query(spark=_kc_carry_spark, sql=_kc_carry_sql),
 )
 _register(
     "dedup_lines_within_doc",
-    Query(spark=_line_selfdedup_spark, sql=_line_selfdedup_sql()),
+    Query(spark=_lines_within_doc_spark, sql=_lines_within_doc_sql),
 )
 _register(
     "text_bpe_merges",
-    Query(spark=_bpe_merges_spark, sql=_bpe_merges_sql()),
+    Query(spark=_bpe_merges_spark, sql=_bpe_merges_sql),
 )
 
 

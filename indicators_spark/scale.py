@@ -140,6 +140,126 @@ def _halo_tail(
     return bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
 
 
+def _halo_head_rows(
+    bucketed: DataFrame,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    rows: int,
+) -> DataFrame:
+    """FORWARD halo: the first ``rows`` rows of every (partition, bucket)
+    duplicated into the PREVIOUS populated bucket, flagged ``_halo`` —
+    the mirror of :func:`_halo_tail` for look-AHEAD functions
+    (``lead`` / negative shift).  Returns only the halo rows (callers
+    union them onto a frame that already carries ``_halo``).
+
+    Same presence-routing and precondition contract as the tail: an
+    under-sized sender that is not its partition's LAST populated bucket
+    raises instead of silently truncating a receiver's look-ahead."""
+    present = bucketed.groupBy(*partition_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    a = present.select(
+        *[F.col(c).alias(f"_pa_{c}") for c in partition_cols],
+        F.col("_bucket").alias("_ba"),
+        F.col("_cnt").alias("_acnt"),
+    )
+    b = present.select(
+        *[F.col(c).alias(f"_pb_{c}") for c in partition_cols],
+        F.col("_bucket").alias("_bb"),
+    )
+    cond = F.col("_bb") < F.col("_ba")  # receivers are EARLIER buckets
+    later = F.col("_bb") > F.col("_ba")  # "not the LAST populated bucket"
+    for c in partition_cols:
+        same_part = F.col(f"_pa_{c}") == F.col(f"_pb_{c}")
+        cond = cond & same_part
+        later = later & same_part
+    not_last = (
+        a.join(F.broadcast(b), later, "left_semi")
+        .select(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
+        .withColumn("_nl", F.lit(True))
+    )
+    prv = (
+        a.join(F.broadcast(b), cond)
+        .groupBy(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
+        .agg(F.max("_bb").alias("_prev"), F.any_value("_acnt").alias("_acnt"))
+        .join(
+            F.broadcast(not_last),
+            [*[f"_pa_{c}" for c in partition_cols], "_ba"],
+            "left",
+        )
+    )
+    ok = (F.col("_acnt") >= rows) | F.col("_nl").isNull()
+    prv = prv.withColumn(
+        "_prev",
+        F.when(ok, F.col("_prev")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("forward-halo precondition violated: a populated "
+                          "bucket holds "),
+                    F.col("_acnt").cast("string"),
+                    F.lit(f" rows < lead depth = {rows}; use fewer buckets "
+                          "(each must span >= the look-ahead) or the plain "
+                          "window form"),
+                )
+            )
+        ),
+    ).drop("_acnt", "_nl")
+    join_cond = F.col("_ba") == F.col("_bucket")
+    for c in partition_cols:
+        join_cond = join_cond & (F.col(f"_pa_{c}") == F.col(c))
+    wb = Window.partitionBy(*partition_cols, "_bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        bucketed.withColumn("_fwd", F.row_number().over(wb))
+        .filter(F.col("_fwd") <= rows)
+        .join(F.broadcast(prv), join_cond)
+        .withColumn("_bucket", F.col("_prev"))
+        .drop(
+            "_fwd", "_ba", "_prev",
+            *[f"_pa_{c}" for c in partition_cols],
+        )
+        .withColumn("_halo", F.lit(True))
+    )
+
+
+def halo_frame(
+    bucketed: DataFrame,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    back: int = 0,
+    fwd: int = 0,
+) -> DataFrame:
+    """A bucketed frame extended with backward and/or forward halos —
+    the generic halo SESSION primitive behind the fluent API's size
+    dispatch (core.py).
+
+    With both halos present, any per-bucket window function is exact on
+    every non-halo row whose frame reaches ≤ ``back`` rows behind and
+    ≤ ``fwd`` rows ahead — and, crucially for CHAINED window operators,
+    the intermediates cascade: a tail-halo row's trailing-window value
+    is exact whenever its full lookback lies within the halo (so a
+    real row's second-stage window may consume first-stage values off
+    halo rows as long as the chain's total lookback ≤ ``back``), and a
+    tail-halo row's LEAD values are always exact (its true successors —
+    the rest of the tail plus the bucket's real rows — are all present),
+    with the symmetric statements for head-halo rows.  Callers account
+    cumulative chain depth per direction and re-halo when a budget is
+    exceeded (core.py ``_halo_part``).
+
+    Callers filter ``~_halo`` and drop ``_bucket``/``_halo`` when done.
+    """
+    if back > 0:
+        out = _halo_tail(bucketed, order_cols, partition_cols, back)
+    else:
+        out = bucketed.withColumn("_halo", F.lit(False))
+    if fwd > 0:
+        out = out.unionByName(
+            _halo_head_rows(bucketed, order_cols, partition_cols, fwd)
+        )
+    return out
+
+
 def _with_bucket(
     df: DataFrame,
     order_cols: Sequence[str],

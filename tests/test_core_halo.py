@@ -1,0 +1,205 @@
+"""Fluent-API halo-window size dispatch (core.py, VERDICT r10 #4).
+
+`Indicators(df).rsi(...)` on a symbol-less frame at or above
+``scale.HALO_MIN_ROWS`` must plan no SinglePartition window — and the
+dispatch must be invisible: identical values to the plain form, plain
+form untouched below the threshold.  Exactness is pinned by running the
+session FORCED (``halo=True``) on small data against the plain form
+(``halo=False``), across rolling / lag / lead / row_number / EWM /
+cumulative compositions, including the re-halo path (a halo budget small
+enough that the chain overflows it mid-stream)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from indicators_spark import Indicators
+from indicators_spark.plans import exchange_count, plan_string
+
+
+def _prices(spark, n=800, symbol=False):
+    """Deterministic single-instrument OHLCV frame (no symbol column
+    unless asked): uniform timestamps so the range buckets are even."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        c = 100.0 + 10.0 * ((i * 37) % 101) / 101 - 5.0 * ((i * 17) % 53) / 53
+        h = c + 1.0 + ((i * 7) % 13) / 13
+        lo = c - 1.0 - ((i * 11) % 17) / 17
+        o = (h + lo) / 2
+        v = 1000.0 + (i * 97) % 503
+        rows.append((base + datetime.timedelta(minutes=i), float(o), float(h), float(lo), float(c), float(v)))
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, open double, high double, low double, close double, volume double"
+    )
+    if symbol:
+        df = df.withColumn("symbol", F.lit("A"))
+    return df
+
+
+def _chain(ind: Indicators) -> Indicators:
+    """A broad §2a composition: rolling aggs, lag-1 diffs, deep shifts
+    (roc/dpo/wma/kst), row_number (aroon), lead (ichimoku), plus windows
+    chained over window outputs (rsi, dpo)."""
+    return (
+        ind.sma(["close"], 5)
+        .rsi(["close"], 7)
+        .roc(["close"], 9)
+        .dpo(["close"], 8)
+        .wma(["close"], 4)
+        .stochastic_oscillator(7)
+        .williams_ri(7)
+        .aroon(6)
+        .ichimoku(5, 6, 8)
+        .daily_return(["close"])
+        .atr(5)
+    )
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = []
+    for r in df.select(*cols).orderBy("timestamp").collect():
+        out.append(tuple(
+            round(v, 9) if isinstance(v, float) else v for v in r
+        ))
+    return cols, out
+
+
+@pytest.mark.parametrize("depth", [128, 32])
+def test_halo_chain_equals_plain(spark, depth):
+    """Forced halo session == plain windows, bit-for-bit (rounded to 1e-9
+    for float reassociation — none expected: same expressions, same frame
+    contents).  depth=128 runs the whole chain in one session; depth=32
+    overflows mid-chain and exercises the re-halo path."""
+    src = _prices(spark)
+    plain = _chain(Indicators(src, halo=False)).collect()
+    halo = _chain(
+        Indicators(src, halo=True, halo_buckets=4, halo_depth=depth)
+    ).collect()
+    pc, pr = _rows(plain)
+    hc, hr = _rows(halo)
+    assert pc == hc
+    assert pr == hr
+
+
+def test_halo_with_ewm_and_cumulative(spark):
+    """EWM operators flush through the session (collapse → applyInPandas →
+    re-halo) and cumulative frames collapse it — values unchanged."""
+    src = _prices(spark, n=600)
+
+    def build(ind):
+        return (
+            ind.sma(["close"], 5)
+            .ema(["close"], 10)
+            .macd(["close"])
+            .rsi(["close"], 7)
+            .obv()
+            .sma(["close"], 9, _suffix="x_")
+            .cumulative_returns(["close"])
+        )
+
+    plain = build(Indicators(src, halo=False)).collect()
+    halo = build(
+        Indicators(src, halo=True, halo_buckets=3, halo_depth=64)
+    ).collect()
+    pc, pr = _rows(plain)
+    hc, hr = _rows(halo)
+    assert pc == hc
+    assert pr == hr
+
+
+def test_halo_with_fill_null(spark):
+    """fill_null's unbounded frames collapse the session (duplicated halo
+    rows would bias mean/median fills)."""
+    src = _prices(spark, n=400).withColumn(
+        "close",
+        F.when(F.pmod(F.hash("timestamp"), F.lit(7)) == 0, F.lit(None)).otherwise(
+            F.col("close")
+        ),
+    )
+
+    def build(ind):
+        return (
+            ind.sma(["close"], 5)
+            .fill_null(["close"], method="mean")
+            .rsi(["close"], 6)
+        )
+
+    plain = build(Indicators(src, halo=False)).collect()
+    halo = build(
+        Indicators(src, halo=True, halo_buckets=3, halo_depth=64)
+    ).collect()
+    pc, pr = _rows(plain)
+    hc, hr = _rows(halo)
+    assert pc == hc
+    assert pr == hr
+
+
+def test_halo_plan_no_single_partition_window(spark):
+    """THE VERDICT r10 #4 pin: the fluent rsi plan, with the halo session
+    engaged, contains no SinglePartition exchange anywhere — per the
+    lineitem_rsi_halo model — while the plain form (the negative control)
+    plans exactly the single-task global window the dispatch removes."""
+    src = _prices(spark, n=1200)
+    halo_df = (
+        Indicators(src, halo=True, halo_buckets=4, halo_depth=64)
+        .rsi(["close"], 14)
+        .sma(["close"], 20)
+        .collect()
+    )
+    plan = plan_string(halo_df)
+    assert "Exchange SinglePartition" not in plan, plan
+    plain_df = Indicators(src, halo=False).rsi(["close"], 14).collect()
+    assert "Exchange SinglePartition" in plan_string(plain_df)
+
+
+def test_auto_dispatch_stays_plain_below_threshold(spark):
+    """Auto mode on a small frame decides OFF after its size probe and
+    builds the identical plain plan — existing §2a behavior unchanged."""
+    src = _prices(spark, n=300)
+    ind = Indicators(src)  # halo=None → auto
+    out = ind.rsi(["close"], 14).collect()
+    assert ind._halo_on is False
+    want = Indicators(src, halo=False).rsi(["close"], 14).collect()
+
+    def norm(df):  # expression / CSE ids differ run-to-run; shape must not
+        import re
+
+        s = re.sub(r"#\d+", "#", plan_string(df))
+        s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
+        return re.sub(r"plan_id=\d+", "plan_id=", s)
+
+    assert norm(out) == norm(want)
+
+
+def test_auto_dispatch_hint_skips_the_probe(spark):
+    """A caller-passed n_rows below the threshold must decide OFF without
+    running any Spark job (the catalog-metadata contract)."""
+    src = _prices(spark, n=100)
+    ind = Indicators(src, n_rows=100)
+    ind.sma(["close"], 5)
+    assert ind._halo_on is False
+
+
+def test_halo_deeper_than_budget_falls_back_plain(spark):
+    """One window deeper than the whole session budget runs in the plain
+    form (exactness over plan shape) instead of truncating."""
+    src = _prices(spark, n=500)
+
+    def build(ind):
+        return ind.sma(["close"], 5).roc(["close"], 90).sma(
+            ["close"], 7, _suffix="y_"
+        )
+
+    plain = build(Indicators(src, halo=False)).collect()
+    halo = build(
+        Indicators(src, halo=True, halo_buckets=3, halo_depth=48)
+    ).collect()
+    pc, pr = _rows(plain)
+    hc, hr = _rows(halo)
+    assert pc == hc
+    assert pr == hr

