@@ -1120,18 +1120,33 @@ def main() -> None:
         "docs_per_sec": int(n_docs / dt),
     }
 
+    # ---- fluent-API halo dispatch (core.py, r11) ---------------------------
+    # The compat surface itself at scale: Indicators(df).rsi() on a
+    # symbol-less 10M-row frame auto-engages the halo session (no
+    # SinglePartition window) vs the plain form pinned off — the measured
+    # gap is what a defaulting caller now gets for free.
+    single = df.drop("symbol")
+    for label, halo in (("fluent_rsi_halo_auto", None), ("fluent_rsi_plain", False)):
+        t0 = time.time()
+        Indicators(single, order_by=("timestamp", "seq"), halo=halo).rsi(
+            ["close"], 14
+        ).sma(["close"], 20).collect().write.mode("overwrite").format(
+            "noop"
+        ).save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+
     # ---- BPE encode at production merge-table size (udf dispatch) ---------
     # A tokenizer-encode pass is the single most common 100 TB-pipeline
-    # operation.  The ≤64-merge expression-chain arm has catalog evidence
-    # (text_bpe_merges / the bpe_encode prep); this benches the OTHER
-    # dispatch arm — the Arrow-batched rank-dict UDF a production 10k-50k
-    # merge file lands on (text.py BPE_CHAIN_MAX_MERGES).  The table is a
-    # synthetic rank-monotone 10k-entry hierarchy over the corpus alphabet
-    # (level 1: all single-char pairs; level 2: pairs of level-1 symbols —
-    # later merges can only create adjacencies of their own new symbol, so
-    # the trainer-format precondition holds by construction), and the
-    # chain arm at its 64-merge ceiling runs beside it as the reference
-    # point for the dispatch boundary.
+    # operation.  This measures both arms of bpe_apply_merges — the
+    # Arrow-batched rank-dict UDF (the r11 DEFAULT at every size: these
+    # numbers are what flipped the dispatch) at 64 and at the
+    # production-shaped 10k merges, and the opt-in expression-chain arm
+    # at its 64-entry ceiling.  The table is a synthetic rank-monotone
+    # 10k-entry hierarchy over the corpus alphabet (level 1: all
+    # single-char pairs; level 2: pairs of level-1 symbols — later merges
+    # can only create adjacencies of their own new symbol, so the
+    # trainer-format precondition holds by construction).
     from indicators_spark.functions.text import bpe_apply_merges
 
     _syms = ["w"] + [str(d) for d in range(10)]
@@ -1139,12 +1154,13 @@ def main() -> None:
     _two = [a + b for a in _syms for b in _syms]
     _lvl2 = [f"{a} {b}" for a in _two for b in _two]
     merges_10k = (_lvl1 + _lvl2)[:10_000]
-    for label, table in (
-        ("bpe_encode_chain_64", merges_10k[:64]),
-        ("bpe_encode_udf_10k", merges_10k),
+    for label, table, method in (
+        ("bpe_encode_chain_64", merges_10k[:64], "chain"),
+        ("bpe_encode_udf_64", merges_10k[:64], "udf"),
+        ("bpe_encode_udf_10k", merges_10k, "udf"),
     ):
         t0 = time.time()
-        bpe_apply_merges(docs, table).select(
+        bpe_apply_merges(docs, table, method=method).select(
             "doc_id", "bpe_tokens"
         ).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0

@@ -980,11 +980,12 @@ def _bpe_merge_step(s: Column, a: str, b: str) -> Column:
     )
 
 
-#: bpe_apply_merges auto-dispatch point: above this many merges the
-#: nested-replace expression chain stops being the right plan (deep
-#: Catalyst trees / codegen method limits) and encoding moves to the
-#: Arrow-batched rank-dict UDF — the standard shape for a real
-#: tokenizer's 10k-50k-row merge file.
+#: Practical ceiling for the OPT-IN ``method="chain"`` arm of
+#: bpe_apply_merges: beyond this many merges the nested-replace
+#: expression chain breaks down (deep Catalyst trees / codegen method
+#: limits).  No longer an auto-dispatch point — the r11 bench showed the
+#: Arrow rank-dict UDF faster at EVERY size (bench_scale.py), so it is
+#: now the default unconditionally.
 BPE_CHAIN_MAX_MERGES = 64
 
 
@@ -1002,18 +1003,24 @@ def bpe_apply_merges(
     real token budget a context window pays, vs the regex ESTIMATE of
     :func:`with_bpe_token_count`).  NULL text → NULL.
 
-    Two equivalent implementations, dispatched on table size (or
-    forced via ``method``):
+    Two equivalent implementations (both map-only, zero shuffle),
+    forced via ``method`` or defaulting to ``"udf"``:
 
-    * ``"chain"`` (≤ :data:`BPE_CHAIN_MAX_MERGES`): every word restarts
-      from characters and replays the merges in rank order with the
-      trainer's own :func:`_bpe_merge_step` — ONE codegen'd row-local
-      expression, zero shuffle, zero Python; symbols enter as ``F.lit``
-      so any character content (apostrophes, backslashes) is safe.
-    * ``"udf"``: an Arrow-batched pandas UDF carrying the merge table
-      as a rank dict and running the classic lowest-rank-first encode
-      loop — the right shape for a production 10k-50k-row merge file,
-      where a 30k-deep expression tree would break codegen.
+    * ``"udf"`` (default): an Arrow-batched pandas UDF carrying the
+      merge table as a rank dict and running the classic
+      lowest-rank-first encode loop.  MEASURED fastest at every table
+      size on the bench corpus — 2-4 s vs the chain's 15-21 s per 500k
+      docs at 4/16/64/10k merges (bench_scale.py, r11): the chain's
+      per-character higher-order string expressions cost more than the
+      Arrow transfer + python dict loop, and a 10k+-deep expression
+      tree would break codegen anyway.  A sizeless default also removes
+      the r9-ADVICE hazard class outright: no dispatch boundary at
+      which a non-trainer-format table could silently change counts.
+    * ``"chain"``: every word restarts from characters and replays the
+      merges in rank order with the trainer's own
+      :func:`_bpe_merge_step` — ONE codegen'd row-local expression,
+      zero Python workers; the opt-in for Python-worker-hostile
+      environments, practical to ~:data:`BPE_CHAIN_MAX_MERGES` entries.
 
     ``merges`` must be a RANK-MONOTONE table in the trainer's format:
     entry ``r``'s pair is built only from symbols that exist after
@@ -1041,7 +1048,7 @@ def bpe_apply_merges(
             ) from None
         parsed.append((a, b))
     if method is None:
-        method = "chain" if len(parsed) <= BPE_CHAIN_MAX_MERGES else "udf"
+        method = "udf"
     if method == "chain":
         ws = F.transform(
             F.filter(

@@ -151,9 +151,10 @@ FROM psi"""
 # (shared generator `_bpe_trainer_ctes`), then per-word char-split +
 # the same four literal-replace merge steps, summed per document — so a
 # hash match certifies train→encode parity end-to-end, not just the
-# encoder in isolation.  The k=4 table dispatches to the zero-Python
-# expression-chain method (≤ BPE_CHAIN_MAX_MERGES); the Arrow rank-dict
-# UDF arm stays pinned count-identical locally
+# encoder in isolation.  Runs the DEFAULT encode arm — since r11 the
+# Arrow rank-dict UDF at any table size (bench_scale.py measured it
+# faster than the expression chain at every size); the opt-in chain arm
+# stays pinned count-identical locally
 # (tests/test_oracle_parity_r9.py::test_bpe_apply_merges_roundtrip).
 # Output is keyed on non-NULL doc_id (the join-replay contract; a NULL
 # id cannot be joined back portably), NULL text → NULL count, empty
