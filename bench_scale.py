@@ -1135,6 +1135,27 @@ def main() -> None:
         ).save()
         dt = time.time() - t0
         results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+    # per_symbol mode on a FEW-symbol frame: the FORCED halo session
+    # (auto correctly stays plain below PER_KEY_HALO_MIN_ROWS/symbol —
+    # measured: the plain form's #symbols-way parallelism beats the
+    # session's ~4 build exchanges at this size; this entry tracks the
+    # mechanism's cost so the crossover claim stays falsifiable)
+    few = _few(df)
+    for label, halo in (
+        ("fluent_persym3_halo_forced", True),
+        ("fluent_persym3_plain", False),
+    ):
+        t0 = time.time()
+        Indicators(
+            few,
+            order_by=("timestamp", "seq"),
+            partition_mode="per_symbol",
+            halo=halo,
+        ).rsi(["close"], 14).sma(["close"], 20).collect().write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = time.time() - t0
+        results[label] = {"sec": round(dt, 2), "rows_per_sec": int(n / dt)}
 
     # ---- BPE encode at production merge-table size (udf dispatch) ---------
     # A tokenizer-encode pass is the single most common 100 TB-pipeline

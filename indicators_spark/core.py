@@ -87,10 +87,11 @@ class Indicators(
         """``n_rows``: caller-known row count (catalog metadata /
         ``scale.parquet_footer_stats``) — skips the one count the size
         dispatch otherwise folds into its bounds scan.  ``halo``:
-        ``None`` auto-dispatches (halo windows iff symbol-less input with
-        ≥ ``scale.HALO_MIN_ROWS`` rows), ``False`` pins the plain windows,
-        ``True`` forces the halo session at any size (tests; callers who
-        know better).  ``halo_buckets`` defaults to the session's default
+        ``None`` auto-dispatches — halo windows iff ≥
+        ``scale.HALO_MIN_ROWS`` rows per window partition, on symbol-less
+        input (any mode) or per_symbol mode with real symbols; ``False``
+        pins the plain windows, ``True`` forces the halo session at any
+        size (tests; callers who know better).  ``halo_buckets`` defaults to the session's default
         parallelism, capped so every bucket comfortably holds
         ``halo_depth`` rows; ``halo_depth`` must cover the deepest
         CHAINED lookback/lookahead an operator sequence composes before
@@ -125,6 +126,7 @@ class Indicators(
         self._halo_buckets = halo_buckets
         self._halo_depth = int(halo_depth)
         self._halo_on: bool | None = None  # None = undecided
+        self._halo_pcols: tuple[str, ...] = ()
         self._halo_meta: tuple[float, float, int] | None = None
         self._halo_active = False
         self._halo_demoted = False
@@ -331,8 +333,19 @@ class Indicators(
         from .scale import HALO_MIN_ROWS
 
         self._halo_on = False
-        if self._halo_cfg is False or not self._symbol_flag:
+        # the session serves two shapes exactly: a symbol-less frame
+        # (every window effectively global — halos flow globally) and
+        # per_symbol mode with real symbols (EVERY window partitions by
+        # symbol — halos flow within each symbol, parallelism becomes
+        # #symbols × #buckets instead of #symbols).  Faithful mode on a
+        # multi-symbol frame mixes global and per-symbol row-frames, and
+        # one bucketed frame cannot serve both (each other's halo rows
+        # would shift the row-counted frames) — stays plain, documented.
+        if self._halo_cfg is False:
             return
+        if not self._symbol_flag and self._mode != "per_symbol":
+            return
+        self._halo_pcols = () if self._symbol_flag else ("symbol",)
         if (
             self._halo_cfg is None
             and self._halo_hint_rows is not None
@@ -361,12 +374,22 @@ class Indicators(
             if size is not None and size < 2 * HALO_MIN_ROWS:
                 return
         key = F.col(self._order[0]).cast("double")
-        n, lo, hi = df.agg(
-            F.count(F.lit(1)), F.min(key), F.max(key)
-        ).first()
+        aggs = [F.count(F.lit(1)), F.min(key), F.max(key)]
+        if self._halo_pcols:
+            aggs.append(F.approx_count_distinct("symbol"))
+        row = df.agg(*aggs).first()
+        n, lo, hi = row[0], row[1], row[2]
+        nsym = max(1, row[3]) if self._halo_pcols else 1
         if self._halo_hint_rows is not None:
             n = self._halo_hint_rows
-        if self._halo_cfg is None and n < HALO_MIN_ROWS:
+        # the single-task problem is PER-PARTITION size: a billion rows
+        # over a thousand symbols already parallelizes a thousand ways —
+        # and a per-symbol session must clear the HIGHER bar (plain
+        # already runs #symbols-way parallel; see PER_KEY_HALO_MIN_ROWS)
+        from .scale import PER_KEY_HALO_MIN_ROWS
+
+        floor = PER_KEY_HALO_MIN_ROWS if self._halo_pcols else HALO_MIN_ROWS
+        if self._halo_cfg is None and n // nsym < floor:
             return
         if lo is None or lo == hi:
             return  # degenerate order key: nothing to range-bucket
@@ -376,9 +399,11 @@ class Indicators(
             if self._halo_buckets is not None
             else spark.sparkContext.defaultParallelism
         )
-        # every bucket must comfortably hold a full halo (tail AND head),
-        # with 4x margin for range-bucket unevenness
-        buckets = min(int(buckets), max(1, int(n) // (4 * self._halo_depth)))
+        # every (partition, bucket) must comfortably hold a full halo
+        # (tail AND head), with 4x margin for range-bucket unevenness
+        buckets = min(
+            int(buckets), max(1, int(n) // (4 * self._halo_depth * nsym))
+        )
         if self._halo_cfg and buckets < 2:
             buckets = 2  # forced mode (tests): let the precondition checks
             # in scale._halo_tail/_halo_head_rows arbitrate exactness
@@ -405,7 +430,7 @@ class Indicators(
         self._df = halo_frame(
             df,
             self._order,
-            (),
+            self._halo_pcols,
             back=self._halo_depth,
             fwd=self._halo_depth,
         )

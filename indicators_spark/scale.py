@@ -490,6 +490,19 @@ def parquet_footer_stats(
 #: local[32]; a single task handles 1e7 rows comfortably).
 HALO_MIN_ROWS = 8_000_000
 
+#: Engage threshold for the fluent API's PER-SYMBOL halo sessions, in
+#: rows per symbol.  Higher than the global threshold because the plain
+#: per-symbol form already runs #symbols tasks in parallel while the
+#: halo session pays ~4 full-data exchanges to build (bucket shuffle,
+#: tail/head row_number passes, union + the window shuffle) — measured
+#: on local[32]: 2 symbols × 9M rows ran 77 s halo vs 28 s plain, so
+#: 9M/task is still comfortably inside the plain form's regime.  The
+#: halo only pays once a single symbol's sort is spill-bound; exact
+#: crossover is host-dependent — `halo=True` forces the session where
+#: the caller knows better (e.g. a real cluster with far more cores
+#: than symbols).
+PER_KEY_HALO_MIN_ROWS = 4 * HALO_MIN_ROWS
+
 
 def rolling_multi_auto(
     df: DataFrame,

@@ -203,3 +203,89 @@ def test_halo_deeper_than_budget_falls_back_plain(spark):
     hc, hr = _rows(halo)
     assert pc == hc
     assert pr == hr
+
+
+def test_per_symbol_mode_halo_equals_plain(spark):
+    """per_symbol mode with REAL symbols: one session with halos flowing
+    within each symbol serves every window (they all partition by
+    symbol) — values identical to the plain per-symbol form, across
+    rolling / lag / lead / EWM / cumulative compositions."""
+    import pyspark.sql.functions as SF
+
+    src = _prices(spark, n=900).withColumn(
+        "symbol",
+        SF.concat(
+            SF.lit("s"),
+            SF.pmod(SF.minute("timestamp"), SF.lit(3)).cast("string"),
+        ),
+    )
+
+    def build(ind):
+        return (
+            ind.sma(["close"], 5)
+            .rsi(["close"], 7)
+            .ichimoku(5, 6, 8)
+            .ema(["close"], 10)
+            .obv()
+            .daily_return(["close"])
+        )
+
+    plain = build(
+        Indicators(src, partition_mode="per_symbol", halo=False)
+    ).collect()
+    halo = build(
+        Indicators(
+            src,
+            partition_mode="per_symbol",
+            halo=True,
+            halo_buckets=3,
+            halo_depth=64,
+        )
+    ).collect()
+    pc, pr = _rows_sym(plain)
+    hc, hr = _rows_sym(halo)
+    assert pc == hc
+    assert pr == hr
+
+
+def _rows_sym(df):
+    cols = sorted(df.columns)
+    out = []
+    for r in df.select(*cols).orderBy("symbol", "timestamp").collect():
+        out.append(tuple(
+            round(v, 9) if isinstance(v, float) else v for v in r
+        ))
+    return cols, out
+
+
+def test_per_symbol_halo_plan_partitions_by_symbol_and_bucket(spark):
+    """The per_symbol halo plan hash-partitions on (symbol, _bucket) —
+    #symbols × #buckets tasks instead of #symbols — and still has no
+    SinglePartition exchange anywhere."""
+    import pyspark.sql.functions as SF
+
+    src = _prices(spark, n=900).withColumn(
+        "symbol", SF.pmod(SF.hash("timestamp"), SF.lit(3)).cast("string")
+    )
+    ind = Indicators(
+        src,
+        partition_mode="per_symbol",
+        halo=True,
+        halo_buckets=3,
+        halo_depth=32,
+    )
+    plan = plan_string(ind.rsi(["close"], 7).collect())
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "_bucket" in plan and "symbol" in plan, plan
+
+
+def test_faithful_mode_multi_symbol_stays_plain(spark):
+    """Faithful mode on a real multi-symbol frame mixes global and
+    per-symbol frames — one bucketed frame cannot serve both, so the
+    auto dispatch must stay off regardless of size hints."""
+    import pyspark.sql.functions as SF
+
+    src = _prices(spark, n=300).withColumn("symbol", SF.lit("A"))
+    ind = Indicators(src, n_rows=50_000_000)  # huge hint, but symbol present
+    ind.sma(["close"], 5)
+    assert ind._halo_on is False
