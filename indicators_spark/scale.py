@@ -42,6 +42,87 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _halo_route(
+    present: DataFrame,
+    partition_cols: Sequence[str],
+    rows: int,
+    direction: str,
+) -> DataFrame:
+    """Routing map for halo duplication, shared by the tail (backward)
+    and head (forward) builders: for every populated (partition, bucket)
+    of the skinny ``present`` table (columns ``partition_cols``,
+    ``_bucket``, ``_cnt``), the destination bucket its halo rows move to
+    — the NEXT populated bucket of the same partition for
+    ``direction="next"``, the PREVIOUS for ``"prev"``.  Routing by
+    presence (not blindly bucket±1) keeps the kernels exact under skewed
+    keys that leave arithmetic buckets empty.
+
+    The under-sized-sender precondition is enforced here from the same
+    counts: a sender holding < ``rows`` rows that is NOT its partition's
+    first (``next``) / last (``prev``) populated bucket raises through
+    ``F.raise_error`` instead of silently emitting truncated warm-ups
+    downstream.  Returns columns ``_pa_<c>...``, ``_ba``, ``_dest``.
+    """
+    a = present.select(
+        *[F.col(c).alias(f"_pa_{c}") for c in partition_cols],
+        F.col("_bucket").alias("_ba"),
+        F.col("_cnt").alias("_acnt"),
+    )
+    b = present.select(
+        *[F.col(c).alias(f"_pb_{c}") for c in partition_cols],
+        F.col("_bucket").alias("_bb"),
+    )
+    if direction == "next":
+        cond = F.col("_bb") > F.col("_ba")
+        exempt_rel = F.col("_bb") < F.col("_ba")  # first populated: exempt
+        pick = F.min
+        what = f"window-1 = {rows}"
+    else:
+        cond = F.col("_bb") < F.col("_ba")
+        exempt_rel = F.col("_bb") > F.col("_ba")  # last populated: exempt
+        pick = F.max
+        what = f"lead depth = {rows}"
+    for c in partition_cols:
+        same_part = F.col(f"_pa_{c}") == F.col(f"_pb_{c}")
+        cond = cond & same_part
+        exempt_rel = exempt_rel & same_part
+    # "not the partition's first/last populated bucket" via a broadcast
+    # semi-join over the skinny presence table (a global min/max(_bucket)
+    # aggregate would plan a SinglePartition exchange — harmless on ≤
+    # |parts|·buckets rows but it breaks the kernels' pinned
+    # no-SinglePartition plan contract)
+    guarded = (
+        a.join(F.broadcast(b), exempt_rel, "left_semi")
+        .select(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
+        .withColumn("_gd", F.lit(True))
+    )
+    dest = (
+        a.join(F.broadcast(b), cond)
+        .groupBy(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
+        .agg(pick("_bb").alias("_dest"), F.any_value("_acnt").alias("_acnt"))
+        .join(
+            F.broadcast(guarded),
+            [*[f"_pa_{c}" for c in partition_cols], "_ba"],
+            "left",
+        )
+    )
+    ok = (F.col("_acnt") >= rows) | F.col("_gd").isNull()
+    return dest.withColumn(
+        "_dest",
+        F.when(ok, F.col("_dest")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("halo precondition violated: a populated bucket "
+                          "holds "),
+                    F.col("_acnt").cast("string"),
+                    F.lit(f" rows < {what}; use fewer buckets (each must "
+                          "span the halo depth) or the plain window form"),
+                )
+            )
+        ),
+    ).drop("_acnt", "_gd")
+
+
 def _halo_tail(
     bucketed: DataFrame,
     order_cols: Sequence[str],
@@ -69,57 +150,7 @@ def _halo_tail(
     present = bucketed.groupBy(*partition_cols, "_bucket").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    a = present.select(
-        *[F.col(c).alias(f"_pa_{c}") for c in partition_cols],
-        F.col("_bucket").alias("_ba"),
-        F.col("_cnt").alias("_acnt"),
-    )
-    b = present.select(
-        *[F.col(c).alias(f"_pb_{c}") for c in partition_cols],
-        F.col("_bucket").alias("_bb"),
-    )
-    cond = F.col("_bb") > F.col("_ba")
-    earlier = F.col("_bb") < F.col("_ba")
-    for c in partition_cols:
-        same_part = F.col(f"_pa_{c}") == F.col(f"_pb_{c}")
-        cond = cond & same_part
-        earlier = earlier & same_part
-    # "not the partition's first populated bucket" via a broadcast
-    # semi-join over the skinny presence table (a global min(_bucket)
-    # aggregate would plan a SinglePartition exchange — harmless on ≤
-    # |parts|·buckets rows but it breaks the kernels' pinned
-    # no-SinglePartition plan contract)
-    not_first = (
-        a.join(F.broadcast(b), earlier, "left_semi")
-        .select(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
-        .withColumn("_nf", F.lit(True))
-    )
-    nxt = (
-        a.join(F.broadcast(b), cond)
-        .groupBy(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
-        .agg(F.min("_bb").alias("_next"), F.any_value("_acnt").alias("_acnt"))
-        .join(
-            F.broadcast(not_first),
-            [*[f"_pa_{c}" for c in partition_cols], "_ba"],
-            "left",
-        )
-    )
-    ok = (F.col("_acnt") >= rows) | F.col("_nf").isNull()
-    nxt = nxt.withColumn(
-        "_next",
-        F.when(ok, F.col("_next")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("halo precondition violated: a populated bucket "
-                          "holds "),
-                    F.col("_acnt").cast("string"),
-                    F.lit(f" rows < window-1 = {rows}; use fewer buckets "
-                          "(each must span >= window-1 rows) or the plain "
-                          "window form"),
-                )
-            )
-        ),
-    ).drop("_acnt", "_nf")
+    nxt = _halo_route(present, partition_cols, rows, "next")
     join_cond = F.col("_ba") == F.col("_bucket")
     for c in partition_cols:
         join_cond = join_cond & (F.col(f"_pa_{c}") == F.col(c))
@@ -130,9 +161,9 @@ def _halo_tail(
         bucketed.withColumn("_rev", F.row_number().over(wb))
         .filter(F.col("_rev") <= rows)
         .join(F.broadcast(nxt), join_cond)
-        .withColumn("_bucket", F.col("_next"))
+        .withColumn("_bucket", F.col("_dest"))
         .drop(
-            "_rev", "_ba", "_next",
+            "_rev", "_ba", "_dest",
             *[f"_pa_{c}" for c in partition_cols],
         )
         .withColumn("_halo", F.lit(True))
@@ -158,52 +189,7 @@ def _halo_head_rows(
     present = bucketed.groupBy(*partition_cols, "_bucket").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    a = present.select(
-        *[F.col(c).alias(f"_pa_{c}") for c in partition_cols],
-        F.col("_bucket").alias("_ba"),
-        F.col("_cnt").alias("_acnt"),
-    )
-    b = present.select(
-        *[F.col(c).alias(f"_pb_{c}") for c in partition_cols],
-        F.col("_bucket").alias("_bb"),
-    )
-    cond = F.col("_bb") < F.col("_ba")  # receivers are EARLIER buckets
-    later = F.col("_bb") > F.col("_ba")  # "not the LAST populated bucket"
-    for c in partition_cols:
-        same_part = F.col(f"_pa_{c}") == F.col(f"_pb_{c}")
-        cond = cond & same_part
-        later = later & same_part
-    not_last = (
-        a.join(F.broadcast(b), later, "left_semi")
-        .select(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
-        .withColumn("_nl", F.lit(True))
-    )
-    prv = (
-        a.join(F.broadcast(b), cond)
-        .groupBy(*[F.col(f"_pa_{c}") for c in partition_cols], "_ba")
-        .agg(F.max("_bb").alias("_prev"), F.any_value("_acnt").alias("_acnt"))
-        .join(
-            F.broadcast(not_last),
-            [*[f"_pa_{c}" for c in partition_cols], "_ba"],
-            "left",
-        )
-    )
-    ok = (F.col("_acnt") >= rows) | F.col("_nl").isNull()
-    prv = prv.withColumn(
-        "_prev",
-        F.when(ok, F.col("_prev")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("forward-halo precondition violated: a populated "
-                          "bucket holds "),
-                    F.col("_acnt").cast("string"),
-                    F.lit(f" rows < lead depth = {rows}; use fewer buckets "
-                          "(each must span >= the look-ahead) or the plain "
-                          "window form"),
-                )
-            )
-        ),
-    ).drop("_acnt", "_nl")
+    prv = _halo_route(present, partition_cols, rows, "prev")
     join_cond = F.col("_ba") == F.col("_bucket")
     for c in partition_cols:
         join_cond = join_cond & (F.col(f"_pa_{c}") == F.col(c))
@@ -214,9 +200,9 @@ def _halo_head_rows(
         bucketed.withColumn("_fwd", F.row_number().over(wb))
         .filter(F.col("_fwd") <= rows)
         .join(F.broadcast(prv), join_cond)
-        .withColumn("_bucket", F.col("_prev"))
+        .withColumn("_bucket", F.col("_dest"))
         .drop(
-            "_fwd", "_ba", "_prev",
+            "_fwd", "_ba", "_dest",
             *[f"_pa_{c}" for c in partition_cols],
         )
         .withColumn("_halo", F.lit(True))
@@ -247,8 +233,75 @@ def halo_frame(
     cumulative chain depth per direction and re-halo when a budget is
     exceeded (core.py ``_halo_part``).
 
+    When both directions are requested, ONE shared ranking pass serves
+    them (ascending ``row_number`` + the broadcast per-bucket counts
+    give the descending rank as ``count − rn + 1``) — one full-data
+    window stage instead of the two the tail/head helpers would each
+    pay; pinned equal to composing them in tests/test_scale.py.
+
     Callers filter ``~_halo`` and drop ``_bucket``/``_halo`` when done.
     """
+    if back > 0 and fwd > 0:
+        present = bucketed.groupBy(*partition_cols, "_bucket").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        nxt = _halo_route(present, partition_cols, back, "next")
+        prv = _halo_route(present, partition_cols, fwd, "prev")
+        keys = [*partition_cols, "_bucket"]
+        wb = Window.partitionBy(*keys).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        ranked = (
+            bucketed.withColumn("_fwd", F.row_number().over(wb))
+            .join(F.broadcast(present), keys)
+            .withColumn("_rev", F.col("_cnt") - F.col("_fwd") + 1)
+            # ONE halo branch for both directions (two branches would
+            # re-plan — and re-execute — the ranking window once each):
+            # a row within `back` of its bucket end AND `fwd` of its
+            # start explodes into both copies
+            .filter((F.col("_rev") <= back) | (F.col("_fwd") <= fwd))
+        )
+        nxt2 = nxt.select(
+            *[F.col(f"_pa_{c}").alias(f"_pn_{c}") for c in partition_cols],
+            F.col("_ba").alias("_ban"),
+            F.col("_dest").alias("_dn"),
+        )
+        prv2 = prv.select(
+            *[F.col(f"_pa_{c}").alias(f"_pp_{c}") for c in partition_cols],
+            F.col("_ba").alias("_bap"),
+            F.col("_dest").alias("_dp"),
+        )
+        cond_n = F.col("_ban") == F.col("_bucket")
+        cond_p = F.col("_bap") == F.col("_bucket")
+        for c in partition_cols:
+            cond_n = cond_n & (F.col(f"_pn_{c}") == F.col(c))
+            cond_p = cond_p & (F.col(f"_pp_{c}") == F.col(c))
+        # left joins: the last (resp. first) populated bucket has no
+        # destination — its would-be copies compact away, exactly the
+        # inner-join semantics of the single-direction builders
+        halos = (
+            ranked.join(F.broadcast(nxt2), cond_n, "left")
+            .join(F.broadcast(prv2), cond_p, "left")
+            .withColumn(
+                "_copies",
+                F.array_compact(
+                    F.array(
+                        F.when(F.col("_rev") <= back, F.col("_dn")),
+                        F.when(F.col("_fwd") <= fwd, F.col("_dp")),
+                    )
+                ),
+            )
+            .filter(F.size("_copies") > 0)
+            .withColumn("_bucket", F.explode("_copies"))
+            .drop(
+                "_fwd", "_rev", "_cnt", "_copies",
+                "_ban", "_dn", "_bap", "_dp",
+                *[f"_pn_{c}" for c in partition_cols],
+                *[f"_pp_{c}" for c in partition_cols],
+            )
+            .withColumn("_halo", F.lit(True))
+        )
+        return bucketed.withColumn("_halo", F.lit(False)).unionByName(halos)
     if back > 0:
         out = _halo_tail(bucketed, order_cols, partition_cols, back)
     else:

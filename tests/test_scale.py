@@ -536,3 +536,47 @@ def test_grouped_row_number_null_group_rows_survive(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_halo_frame_combined_equals_composed(spark):
+    """halo_frame's shared-rank both-directions path (one full-data
+    window pass) must produce exactly the row multiset of composing
+    _halo_tail + _halo_head_rows — global and per-key."""
+    from pyspark.sql import functions as F
+
+    from indicators_spark.scale import (
+        _halo_head_rows,
+        _halo_tail,
+        _with_bucket,
+        halo_frame,
+    )
+
+    rows = [
+        ("a" if i % 3 else "b", i, float(i * 7 % 23)) for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "sym string, seq long, v double")
+    for parts in ((), ("sym",)):
+        bucketed = _with_bucket(df, ("seq",), 4, bucket_by="seq")
+        combined = halo_frame(bucketed, ("seq",), parts, back=9, fwd=5)
+        composed = _halo_tail(bucketed, ("seq",), parts, 9).unionByName(
+            _halo_head_rows(bucketed, ("seq",), parts, 5)
+        )
+        key = lambda d: sorted(
+            tuple(r)
+            for r in d.select(
+                "sym", "seq", "v", "_bucket", "_halo"
+            ).collect()
+        )
+        assert key(combined) == key(composed), parts
+
+
+def test_halo_frame_combined_single_rank_pass(spark):
+    """The combined path plans exactly ONE full-data row_number window
+    (the tail/head compose pays two)."""
+    from indicators_spark.plans import plan_string
+    from indicators_spark.scale import _with_bucket, halo_frame
+
+    df = spark.range(200).selectExpr("id as seq", "id * 1.5 as v")
+    bucketed = _with_bucket(df, ("seq",), 4, bucket_by="seq")
+    plan = plan_string(halo_frame(bucketed, ("seq",), (), back=9, fwd=5))
+    assert plan.count("row_number") <= 2, plan  # one spec, ≤2 plan mentions
