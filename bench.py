@@ -348,6 +348,13 @@ def main() -> None:
         "stats_ks_drift",
         "sample_match_distribution",
         "audit_compression_ratio",
+        # round-11 registrations: the carry-form diversity coreset twin,
+        # the per-doc line rewrite, the iterative BPE trainer (job-latency
+        # sensitive like kmeans/kcenter), and the HLL rollup audit
+        "similarity_kcenter_carry",
+        "dedup_lines_within_doc",
+        "text_bpe_merges",
+        "stats_hll_rollup_audit",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark
