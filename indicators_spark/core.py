@@ -83,6 +83,7 @@ class Indicators(
         halo: bool | None = None,
         halo_buckets: int | None = None,
         halo_depth: int = 1024,
+        order_bounds: tuple[float, float] | None = None,
     ) -> None:
         """``n_rows``: caller-known row count (catalog metadata /
         ``scale.parquet_footer_stats``) — skips the one count the size
@@ -96,7 +97,12 @@ class Indicators(
         ``halo_depth`` rows; ``halo_depth`` must cover the deepest
         CHAINED lookback/lookahead an operator sequence composes before
         the session re-halos (a window of n charges n−1) — single calls
-        needing more than ``halo_depth`` fall back to the plain window."""
+        needing more than ``halo_depth`` fall back to the plain window.
+        ``order_bounds``: known ``(min, max)`` of the first order column
+        as doubles (epoch seconds for timestamps — catalog metadata /
+        ``scale.parquet_footer_stats``); together with ``n_rows`` the
+        halo session then engages with ZERO pre-jobs, the same contract
+        as ``scale.rolling_multi_auto``'s ``bounds``/``n_rows``."""
         if partition_mode not in ("faithful", "per_symbol"):
             raise ValueError(f"unknown partition_mode: {partition_mode!r}")
         self._symbol_flag = False
@@ -123,6 +129,7 @@ class Indicators(
         # halo-window size dispatch (decided lazily on first window use)
         self._halo_cfg = halo
         self._halo_hint_rows = n_rows
+        self._halo_hint_bounds = order_bounds
         self._halo_buckets = halo_buckets
         self._halo_depth = int(halo_depth)
         self._halo_on: bool | None = None  # None = undecided
@@ -373,13 +380,24 @@ class Indicators(
                 size = None
             if size is not None and size < 2 * HALO_MIN_ROWS:
                 return
-        key = F.col(self._order[0]).cast("double")
-        aggs = [F.count(F.lit(1)), F.min(key), F.max(key)]
-        if self._halo_pcols:
-            aggs.append(F.approx_count_distinct("symbol"))
-        row = df.agg(*aggs).first()
-        n, lo, hi = row[0], row[1], row[2]
-        nsym = max(1, row[3]) if self._halo_pcols else 1
+        if (
+            self._halo_hint_rows is not None
+            and self._halo_hint_bounds is not None
+            and not self._halo_pcols
+        ):
+            # full catalog-metadata path: zero pre-jobs (the per-symbol
+            # shape still probes — it needs the symbol count)
+            n = self._halo_hint_rows
+            lo, hi = self._halo_hint_bounds
+            nsym = 1
+        else:
+            key = F.col(self._order[0]).cast("double")
+            aggs = [F.count(F.lit(1)), F.min(key), F.max(key)]
+            if self._halo_pcols:
+                aggs.append(F.approx_count_distinct("symbol"))
+            row = df.agg(*aggs).first()
+            n, lo, hi = row[0], row[1], row[2]
+            nsym = max(1, row[3]) if self._halo_pcols else 1
         if self._halo_hint_rows is not None:
             n = self._halo_hint_rows
         # the single-task problem is PER-PARTITION size: a billion rows

@@ -289,3 +289,29 @@ def test_faithful_mode_multi_symbol_stays_plain(spark):
     ind = Indicators(src, n_rows=50_000_000)  # huge hint, but symbol present
     ind.sma(["close"], 5)
     assert ind._halo_on is False
+
+
+def test_order_bounds_hint_engages_with_zero_jobs(spark):
+    """n_rows + order_bounds (catalog metadata) let the session engage
+    without ANY pre-job — the rolling_multi_auto bounds contract — and
+    the values still match the plain form."""
+    src = _prices(spark, n=400)
+    lo = src.agg(F.min(F.col("timestamp").cast("double"))).first()[0]
+    hi = src.agg(F.max(F.col("timestamp").cast("double"))).first()[0]
+    tracker = spark.sparkContext.statusTracker()
+    ind = Indicators(
+        src,
+        halo=True,
+        halo_buckets=3,
+        halo_depth=48,
+        n_rows=400,
+        order_bounds=(lo, hi),
+    )
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    ind.sma(["close"], 5)  # decides + charges; no frame binding yet
+    assert ind._halo_on is True
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # the decision ran no Spark job
+    got = _rows(ind.collect())
+    want = _rows(Indicators(src, halo=False).sma(["close"], 5).collect())
+    assert got == want
