@@ -90,6 +90,14 @@ _TOUCHED: dict[str, int] = {
     # touched).  Deliberately fills the round's 50th slot: 2 new
     # registrations + this + the 47-query r2/r3 evidence tail = 50.
     "sample_epoch_shuffle": 9,
+    # r11: _halo_tail's routing moved to the shared _halo_route helper
+    # (row-multiset equality pinned in tests/test_scale.py, and all
+    # three re-verified green against their oracles locally post-
+    # refactor) — the halo/lag kernels these queries dispatch to were
+    # touched, so their green rows predate the code:
+    "lineitem_rsi_halo": 11,
+    "lineitem_donchian_halo": 11,
+    "obv_chunked": 11,
 }
 
 
