@@ -142,6 +142,7 @@ class Indicators(
         self._pending_back = 0
         self._pending_fwd = 0
         self._pending_specs = 0
+        self._halo_rebuckets = 0
 
     # ------------------------------------------------------------------ #
     # lifecycle (reference indicators.py:30-76)
@@ -430,6 +431,19 @@ class Indicators(
         self._halo_meta = (float(lo), float(hi), buckets)
         self._halo_on = True
 
+    #: every this-many re-halos, the session truncates plan lineage with
+    #: an eager localCheckpoint of the collapsed frame: each re-halo
+    #: references its input subtree ~3× (base / presence / halo branch),
+    #: so k uncheckpointed re-halos nest ~3^k subtree copies into the
+    #: logical plan — a budget-starved chain (halo_depth ≪ the chain's
+    #: total lookback) hangs Catalyst analysis outright without this.
+    #: The checkpoint materializes the working set to executor-local
+    #: disk; chains sized so halo_depth covers them never pay it.
+    #: Cadence measured on the pathological 20-rebucket chain: every=2
+    #: (27 s) beats every=1 (78 s — per-rebucket materialization) and
+    #: every=3 (110 s — ~3^3 analysis growth between checkpoints).
+    HALO_CHECKPOINT_EVERY = 2
+
     def _halo_rebucket(self) -> None:
         """(Re)open the halo session: range-bucket on the order key and
         attach fresh halos both ways.  Columns computed so far are exact
@@ -438,8 +452,12 @@ class Indicators(
         from .scale import _with_bucket, halo_frame
 
         self._halo_collapse()
+        self._halo_rebuckets += 1
         lo, hi, buckets = self._halo_meta
-        df = self._df.withColumn(
+        df = self._df
+        if self._halo_rebuckets % self.HALO_CHECKPOINT_EVERY == 0:
+            df = df.localCheckpoint()
+        df = df.withColumn(
             "_hkey", F.col(self._order[0]).cast("double")
         )
         df = _with_bucket(

@@ -315,3 +315,21 @@ def test_order_bounds_hint_engages_with_zero_jobs(spark):
     got = _rows(ind.collect())
     want = _rows(Indicators(src, halo=False).sma(["close"], 5).collect())
     assert got == want
+
+
+def test_many_rebuckets_bounded_and_exact(spark):
+    """A budget-starved chain (halo_depth barely above one window) forces
+    a re-halo per operator; without the periodic localCheckpoint the
+    nested halo plans (~3 subtree refs per re-halo) hang Catalyst
+    analysis outright.  12 rebuckets must complete promptly and match
+    the plain form."""
+    src = _prices(spark, n=300)
+    ind = Indicators(src, halo=True, halo_buckets=3, halo_depth=16)
+    plain = Indicators(src, halo=False)
+    for j in range(12):
+        ind.sma(["close"], 15, _suffix=f"s{j}_")
+        plain.sma(["close"], 15, _suffix=f"s{j}_")
+    assert ind._halo_rebuckets >= 10
+    a = _rows(ind.collect())
+    b = _rows(plain.collect())
+    assert a == b
