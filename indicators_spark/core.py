@@ -58,6 +58,31 @@ from .operators.volume import VolumeOps
 from .utils import validate_columns
 
 
+def _order_key_double(df: DataFrame, name: str):
+    """The halo session's bucketing key: ``name`` as a double, on the
+    epoch-seconds scale for temporal types, SESSION-TZ-INDEPENDENT so it
+    always agrees with ``scale.parquet_footer_stats`` bounds (which use
+    ``timegm``/UTC):
+
+    * ``timestamp_ntz`` → ``unix_timestamp`` (treats the naive value as
+      UTC regardless of session timezone; floors to whole seconds —
+      monotone, and bucketing only needs a monotone key);
+    * ``date`` → days-since-epoch × 86400 (pure date arithmetic; a
+      cast through timestamp would shift by the session offset);
+    * anything else (tz-aware timestamp, numerics) → plain double cast.
+    """
+    from pyspark.sql.types import DateType, TimestampNTZType
+
+    t = df.schema[name].dataType
+    c = F.col(name)
+    if isinstance(t, TimestampNTZType):
+        return F.unix_timestamp(c).cast("double")
+    if isinstance(t, DateType):
+        epoch = F.lit("1970-01-01").cast("date")
+        return (F.datediff(c, epoch).cast("double") * F.lit(86400.0))
+    return c.cast("double")
+
+
 class Indicators(
     TrendOps,
     TrendExtOps,
@@ -139,9 +164,10 @@ class Indicators(
         self._halo_demoted = False
         self._back_used = 0
         self._fwd_used = 0
-        self._pending_back = 0
-        self._pending_fwd = 0
+        self._live_back = 0
+        self._live_fwd = 0
         self._pending_specs = 0
+        self._halo_fresh_op = True
         self._halo_rebuckets = 0
 
     # ------------------------------------------------------------------ #
@@ -215,13 +241,21 @@ class Indicators(
         if self._halo_demoted and "_bucket" not in self.__df.columns:
             self.__df = self.__df.withColumn("_bucket", F.lit(1))
 
+    #: session bookkeeping columns — never user-visible: excluded from
+    #: name resolution so a wildcard / Column selector can't compute
+    #: indicators over them (and ``validate_columns`` rejects them by
+    #: name), even while a halo session holds them in the raw frame.
+    _HALO_BOOKKEEPING = ("_bucket", "_halo")
+
     @property
     def _columns(self) -> list[str]:
         """Visible columns WITHOUT flushing: raw frame + pending EWM outputs.
 
         Lets a chained operator validate against a predecessor's (still
         pending) outputs without forcing the fused program to split."""
-        return self.__df.columns + self._pending_keep
+        return [
+            c for c in self.__df.columns if c not in self._HALO_BOOKKEEPING
+        ] + self._pending_keep
 
     def _partition(self, global_op: bool) -> tuple[str, ...]:
         """Partition keys for an operator: global ops lose the symbol key in
@@ -286,51 +320,75 @@ class Indicators(
             self._halo_decide()
         if not self._halo_on:
             return part
-        if self._halo_demoted and not self._pending_specs:
-            # operator boundary after a demotion: re-engage lazily — the
-            # actual rebucket happens at binding time in _with
+        if self._halo_demoted and self._halo_fresh_op:
+            # first spec of a NEW operator after a demotion: re-engage
+            # lazily — the actual rebucket happens at binding time in
+            # _with.  Mid-operator spec creation never re-engages: the
+            # demoting operator finishes globally (exact), so its
+            # already-bound columns can't feed a half-charged session.
             self._halo_demoted = False
+        self._halo_fresh_op = False
         self._pending_specs += 1
-        self._pending_back += back
-        self._pending_fwd += fwd
+        # charges are STICKY for the whole operator (reset at the next
+        # validate-hook boundary): a spec re-used by a later binding —
+        # kst's shared lag spec, aroon's row_number spec — composes
+        # lookback on every binding it appears in, so every binding in
+        # the operator re-charges the SUM of all live spec depths.  An
+        # upper bound (a binding rarely uses every live spec at full
+        # depth), but a sound one: after j bindings since the last
+        # re-halo, no column's composed lookback chain can exceed
+        # j·(live sum) = the budget charged.
+        self._live_back += back
+        self._live_fwd += fwd
         return (*part, "_bucket")
+
+    def _halo_op_boundary(self) -> None:
+        """Operator-entry hook (every public operator validates its
+        inputs before creating any window spec — the mixin convention
+        this relies on): retire the previous operator's live spec
+        charges and allow a demoted session to re-engage."""
+        self._live_back = 0
+        self._live_fwd = 0
+        self._halo_fresh_op = True
 
     def _halo_bind_ready(self) -> None:
         """Called by :meth:`_with` before expressions bind: settle the
-        pending budget charges against the session.
+        live budget charges against the session.
 
-        * pending fits the remaining budget → charge it;
-        * pending fits a FRESH session but not the remaining budget →
+        * live charges fit the remaining budget → charge them;
+        * they fit a FRESH session but not the remaining budget →
           re-halo (columns computed so far are exact on surviving rows,
           so they flow into the new halos losslessly);
-        * pending exceeds the whole session budget (one operator's chain
-          deeper than ``halo_depth``) → demote: halo rows dropped,
-          ``_bucket`` pinned to a constant, this binding runs with global
-          window semantics (exactness over plan shape — raise
-          ``halo_depth`` to keep such a chain parallel).
+        * one operator's live charges alone exceed the whole session
+          budget (its composed chain is deeper than ``halo_depth``) →
+          demote: halo rows dropped, ``_bucket`` pinned to a constant,
+          the operator's remaining bindings run with global window
+          semantics (exactness over plan shape — raise ``halo_depth``
+          to keep such a chain parallel).
         """
         if not self._halo_on:
             return
-        pb, pf, ps = self._pending_back, self._pending_fwd, self._pending_specs
-        self._pending_back = self._pending_fwd = self._pending_specs = 0
+        ps = self._pending_specs
+        self._pending_specs = 0
         if self._halo_demoted:
             return  # binding runs globally on the demoted frame — exact
-        if not ps:
-            # no new window specs since the last binding: whatever shape
-            # the frame is in (active session, or collapsed by a
-            # cumulative/fill/EWM operator) is the right one to bind on
+        lb, lf = self._live_back, self._live_fwd
+        if not ps and not lb and not lf:
+            # no live window specs at all (cumulative/fill/EWM operators
+            # collapse the session themselves): whatever shape the frame
+            # is in is the right one to bind on
             return
-        if pb > self._halo_depth or pf > self._halo_depth:
+        if lb > self._halo_depth or lf > self._halo_depth:
             self._halo_demote()
             return
         if (
             not self._halo_active
-            or self._back_used + pb > self._halo_depth
-            or self._fwd_used + pf > self._halo_depth
+            or self._back_used + lb > self._halo_depth
+            or self._fwd_used + lf > self._halo_depth
         ):
             self._halo_rebucket()
-        self._back_used += pb
-        self._fwd_used += pf
+        self._back_used += lb
+        self._fwd_used += lf
 
     def _halo_decide(self) -> None:
         """One-time dispatch decision: halo windows iff configured on, or
@@ -362,24 +420,33 @@ class Indicators(
             return
         df = self._df  # flushes any pending EWM first
         if self._halo_cfg is None and self._halo_hint_rows is None:
-            # free driver-side pre-filter before paying a count job:
-            # Catalyst's sizeInBytes estimate (file bytes for scans,
-            # propagated through operators).  A frame holding
-            # HALO_MIN_ROWS rows compresses nowhere near 2 bytes/row, so
-            # below 2·HALO_MIN_ROWS bytes it is certainly small → stay
-            # plain with zero jobs (the every-query cost of the auto
-            # dispatch at catalog/bench scale).  Estimation failures or
-            # big/unknown sizes fall through to the exact count.
+            # free driver-side pre-filter before paying a count job.
+            # Preferred signal: Catalyst's rowCount estimate (defined
+            # when CBO/table stats exist) — it is the quantity the
+            # dispatch actually gates on.  Fallback: the sizeInBytes
+            # estimate (file bytes for scans, propagated through
+            # operators).  A frame holding HALO_MIN_ROWS rows rarely
+            # compresses below 2 bytes/row, so below 2·HALO_MIN_ROWS
+            # bytes it is almost certainly small → stay plain with zero
+            # jobs (the every-query cost of the auto dispatch at
+            # catalog/bench scale).  Residual risk, documented: heavily
+            # RLE/dictionary-encoded parquet of near-constant columns
+            # can beat 2 bytes/row, keeping the session off (values
+            # stay exact — plan shape only); callers with such data
+            # pass ``n_rows``.  Estimation failures or big/unknown
+            # sizes fall through to the exact count.
+            rows_est = size = None
             try:
-                size = int(
-                    df._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
+                stats = df._jdf.queryExecution().optimizedPlan().stats()
+                if stats.rowCount().isDefined():
+                    rows_est = int(str(stats.rowCount().get()))
+                size = int(stats.sizeInBytes())
             except Exception:
-                size = None
-            if size is not None and size < 2 * HALO_MIN_ROWS:
+                pass
+            if rows_est is not None:
+                if rows_est < HALO_MIN_ROWS:
+                    return
+            elif size is not None and size < 2 * HALO_MIN_ROWS:
                 return
         if (
             self._halo_hint_rows is not None
@@ -392,7 +459,7 @@ class Indicators(
             lo, hi = self._halo_hint_bounds
             nsym = 1
         else:
-            key = F.col(self._order[0]).cast("double")
+            key = _order_key_double(df, self._order[0])
             aggs = [F.count(F.lit(1)), F.min(key), F.max(key)]
             if self._halo_pcols:
                 aggs.append(F.approx_count_distinct("symbol"))
@@ -458,7 +525,7 @@ class Indicators(
         if self._halo_rebuckets % self.HALO_CHECKPOINT_EVERY == 0:
             df = df.localCheckpoint()
         df = df.withColumn(
-            "_hkey", F.col(self._order[0]).cast("double")
+            "_hkey", _order_key_double(df, self._order[0])
         )
         df = _with_bucket(
             df, self._order, buckets, bucket_by="_hkey", bounds=(lo, hi)
@@ -488,6 +555,9 @@ class Indicators(
         self.__df = df
         self._halo_active = False
         self._halo_demoted = True
+        # re-engaging needs a NEW operator boundary after this demotion —
+        # the current operator's remaining bindings stay global
+        self._halo_fresh_op = False
         self._back_used = 0
         self._fwd_used = 0
 
@@ -504,7 +574,12 @@ class Indicators(
             self.__df = self.__df.drop("_bucket")
         self._halo_active = False
         self._halo_demoted = False
-        self._pending_back = self._pending_fwd = self._pending_specs = 0
+        # live charges stay — they are per OPERATOR (reset only at the
+        # validate-hook boundary): a mid-operator re-halo flows into this
+        # collapse, and the operator's later bindings may still re-use
+        # specs whose depth must keep being charged against the fresh
+        # session (the ADVICE r11 spec-reuse bug).
+        self._pending_specs = 0
 
     def _with(self, cols: dict) -> None:
         self._halo_bind_ready()
@@ -550,6 +625,7 @@ class Indicators(
         """Resolve a list of names / Column expressions to concrete names
         (reference ``_get_column_names``, indicators.py:65-76) and validate
         they exist (utils.py:4-8)."""
+        self._halo_op_boundary()
         if isinstance(columns, str):
             cols = [columns]
         elif isinstance(columns, (list, tuple)):
@@ -568,7 +644,7 @@ class Indicators(
         output, so a Column expression referencing a predecessor's
         (still-fused) output resolves without splitting the fusion into an
         extra applyInPandas pass."""
-        probe = self.__df
+        probe = self.__df.drop(*self._HALO_BOOKKEEPING)
         missing = [n for n in self._pending_keep if n not in probe.columns]
         if missing:
             probe = probe.withColumns(
@@ -577,4 +653,5 @@ class Indicators(
         return probe
 
     def _validate(self, required: list[str]) -> None:
+        self._halo_op_boundary()
         validate_columns(required, self._columns)

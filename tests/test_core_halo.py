@@ -333,3 +333,64 @@ def test_many_rebuckets_bounded_and_exact(spark):
     a = _rows(ind.collect())
     b = _rows(plain.collect())
     assert a == b
+
+
+def test_halo_spec_reuse_charges_sticky_kst(spark):
+    """ADVICE r11 (high): kst shares one lag spec across four bindings;
+    charging it only at the first binding left the later lag-15/20/30
+    re-uses untracked, so a mid-operator re-halo fed stale-depth rc
+    columns into the final rolling means (NULL KST on the first rows of
+    every bucket).  Charges are now sticky per operator: at halo_depth
+    just below kst's composed chain (30 lag + 14 sma = 44 > 40) the
+    session must produce values IDENTICAL to the plain form — via
+    re-halo or demotion, its choice, but never silently stale."""
+    src = _prices(spark, n=800)
+    plain = Indicators(src, halo=False).kst(["close"]).collect()
+    halo = (
+        Indicators(src, halo=True, halo_buckets=4, halo_depth=40)
+        .kst(["close"])
+        .collect()
+    )
+    pc, pr = _rows(plain)
+    hc, hr = _rows(halo)
+    assert pc == hc
+    assert pr == hr
+
+
+def test_halo_composed_chain_exceeding_budget_in_auto_depth(spark):
+    """The same hazard at larger periods: kst(roc=(10,40), sma=(10,10))
+    composes 40+9=49 with no single binding over halo_depth=44 — the
+    old accounting charged 40 once and re-haloed blind.  Must equal
+    plain."""
+    src = _prices(spark, n=700)
+    kw = dict(roc_periods=(10, 40), sma_periods=(10, 10), weights=(1, 2))
+    plain = Indicators(src, halo=False).kst(["close"], **kw).collect()
+    halo = (
+        Indicators(src, halo=True, halo_buckets=3, halo_depth=44)
+        .kst(["close"], **kw)
+        .collect()
+    )
+    pc, pr = _rows(plain)
+    hc, hr = _rows(halo)
+    assert pc == hc
+    assert pr == hr
+
+
+def test_halo_bookkeeping_columns_hidden_from_resolution(spark):
+    """ADVICE r11 (low): while a session is active, `_bucket`/`_halo`
+    must be invisible to user-facing name resolution — a wildcard
+    selector can't compute indicators over them, and naming one
+    explicitly fails validation."""
+    src = _prices(spark, n=400)
+    ind = Indicators(src, halo=True, halo_buckets=3, halo_depth=64).sma(
+        ["close"], 5
+    )
+    assert "_bucket" not in ind._columns and "_halo" not in ind._columns
+    resolved = ind._resolve_and_validate([F.col("*")])
+    assert "_bucket" not in resolved and "_halo" not in resolved
+    with pytest.raises(ValueError):
+        ind._resolve_and_validate(["_bucket"])
+    # and the wildcard op end-to-end emits no bookkeeping-derived output
+    ind.sma(resolved[:1], 3)
+    out = ind.collect()
+    assert not [c for c in out.columns if c.startswith("_bucket")]

@@ -17,7 +17,12 @@ from conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def prices(spark):
-    return prices_from_events(spark, SF_SMOKE).cache()
+    # unpersist on module teardown: Spark's cache manager substitutes a
+    # cached relation into ANY later plan with a matching fragment, so a
+    # leaked cache changes exchange counts in other files' plan tests
+    df = prices_from_events(spark, SF_SMOKE).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.mark.parametrize("agg", ["mean", "sum", "min", "max", "std"])
