@@ -95,9 +95,14 @@ _TOUCHED: dict[str, int] = {
     # three re-verified green against their oracles locally post-
     # refactor) — the halo/lag kernels these queries dispatch to were
     # touched, so their green rows predate the code:
-    "lineitem_rsi_halo": 11,
-    "lineitem_donchian_halo": 11,
     "obv_chunked": 11,
+    # r12: the fluent halo session's budget accounting was rewritten
+    # (ADVICE r11 high — sticky per-operator spec charges, core.py) and
+    # bookkeeping columns were hidden from name resolution; these two
+    # run the fluent halo dispatch end-to-end, so their r11 green rows
+    # predate the code:
+    "lineitem_rsi_halo": 12,
+    "lineitem_donchian_halo": 12,
 }
 
 

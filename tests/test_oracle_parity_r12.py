@@ -1,0 +1,25 @@
+"""Round-12 registrations: the eight queue entries keep their pins in
+tests/test_oracle_parity_r10.py (registration changed no code — the
+queries_r11.py precedent); the one NEW query this round,
+``lineitem_rsi_halo_hinted``, gets the driver-style compare here (its
+plan shape and plain-form equality are pinned in test_plans_r12.py)."""
+
+from __future__ import annotations
+
+from indicators_spark.queries_r12 import (
+    _li_rsi_halo_hinted_spark,
+    _li_rsi_halo_hinted_sql,
+)
+from indicators_spark.testing import compare_frames, duck_connect
+
+from conftest import SF_SMOKE
+
+
+def test_li_rsi_halo_hinted_matches_oracle(spark):
+    got = _li_rsi_halo_hinted_spark(spark, SF_SMOKE).toPandas()
+    con = duck_connect(SF_SMOKE)
+    want = con.execute(_li_rsi_halo_hinted_sql()).fetchdf()
+    con.close()
+    res = compare_frames("lineitem_rsi_halo_hinted", got, want)
+    assert res.ok, str(res)
+    assert res.spark_rows == 6000
