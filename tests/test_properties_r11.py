@@ -36,6 +36,13 @@ OPS = {
     "atr": lambda i: i.atr(5),
     "aroon": lambda i: i.aroon(5),
     "dret": lambda i: i.daily_return(["close"]),
+    # spec REUSE across bindings (the ADVICE r11 sticky-charge class):
+    # kst shares one lag spec over four rc bindings; ultimate_oscillator
+    # binds three loop-created rolling specs in one final expression
+    "kst": lambda i: i.kst(
+        ["close"], roc_periods=(6, 10), sma_periods=(5, 5), weights=(1, 2)
+    ),
+    "uo": lambda i: i.ultimate_oscillator(5, 8, 12),
 }
 
 
