@@ -547,14 +547,19 @@ HALO_MIN_ROWS = 8_000_000
 #: rows per symbol.  Higher than the global threshold because the plain
 #: per-symbol form already runs #symbols tasks in parallel while the
 #: halo session pays ~4 full-data exchanges to build (bucket shuffle,
-#: tail/head row_number passes, union + the window shuffle) — measured
-#: on local[32]: 2 symbols × 9M rows ran 77 s halo vs 28 s plain, so
-#: 9M/task is still comfortably inside the plain form's regime.  The
-#: halo only pays once a single symbol's sort is spill-bound; exact
-#: crossover is host-dependent — `halo=True` forces the session where
-#: the caller knows better (e.g. a real cluster with far more cores
-#: than symbols).
-PER_KEY_HALO_MIN_ROWS = 4 * HALO_MIN_ROWS
+#: tail/head row_number passes, union + the window shuffle).
+#: Calibration-clean ABBA probe (r12, par_min 723 MB/s / 83% scaling,
+#: load_ok — SCALING.md §Round 12): 3×3.3M rows plain wins ~2×
+#: (12.7 s vs 25.6 s); 2×9M is a wash with the plain form bimodal on
+#: sort spill (44–170 s vs halo's steady ~129 s); by 2×18M the halo
+#: session is ahead (~162 s vs ~190 s) and its lead grows with data —
+#: the single-symbol sort is spill-bound from there on.  Crossover ≈
+#: 16–18M rows/symbol on this host → the gate sits at 16M: early
+#: engagement near the wash point costs nothing measurable, while a
+#: too-late gate inherits the unbounded spill regime.  `halo=True` /
+#: `False` force either form where the caller knows better (e.g. a
+#: real cluster with far more cores than symbols).
+PER_KEY_HALO_MIN_ROWS = 2 * HALO_MIN_ROWS
 
 
 def rolling_multi_auto(
