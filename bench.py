@@ -593,14 +593,20 @@ def main() -> None:
         "stats_hll_rollup_audit",
         # round-12 registrations: the exact-selection kernel family
         # (iterative, job-latency sensitive), the PSI scorecard, the BPE
-        # encoder, the prefix-join pair, quantile calibration, and the
-        # fluent hinted-halo twin
+        # encoder, the R-S prefix join, quantile calibration, and the
+        # fluent hinted-halo twin.  dedup_jaccard_prefix is registered
+        # (driver-verified at sf0.01) but deliberately NOT headlined:
+        # the synthetic documents table has a 31-token vocabulary, so at
+        # tau=0.7 ~41% of ALL pairs qualify (5.1M output rows at sf0.1,
+        # ~100 s of pure Theta(n^2) output materialization) — that
+        # measures the corpus's degeneracy, not the operator;
+        # bench_scale.py times the prefix filter in its intended regime
+        # (clusters-of-5 corpus, 13x over the plain posting join).
         "analytic_median_selection",
         "analytic_group_median_selection",
         "analytic_robust_scale",
         "stats_psi_drift",
         "text_bpe_encode",
-        "dedup_jaccard_prefix",
         "quality_quantile_normalize",
         "decontaminate_neardup",
         "lineitem_rsi_halo_hinted",
