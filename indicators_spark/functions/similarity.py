@@ -197,6 +197,77 @@ def _plane_signs(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Driver-side IVF coarse quantizer as ``[(cid, vector)]`` literals:
+    the ``n_centroids`` lowest-id vectors — the deterministic k-means
+    stand-in :func:`knn_ivf` documents (swap in ``kmeans_lloyd`` /
+    MLlib centers for real data; every consumer takes the same list
+    shape).  k × dim driver floats — the coarse-quantizer budget every
+    IVF index pays."""
+    base = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    cents = [
+        (r["nid"], [float(x) for x in r["nvec"]])
+        for r in base.filter(F.col("nid") < n_centroids).collect()
+    ]
+    if not cents:
+        raise ValueError(
+            f"knn_ivf: no centroid rows — ids must include values < "
+            f"{n_centroids} (dense integer ids), as in semantic_dedup"
+        )
+    return cents
+
+
+def ivf_cell_scores(
+    cents: list[tuple[int, list[float]]], vec: Column, vnorm: Column
+) -> Column:
+    """array<struct<cos,ncid>> — one entry per centroid; max = nearest
+    (ncid = -cid so struct ordering breaks cosine ties to smaller cid).
+    Shared by :func:`knn_ivf`, :func:`ivf_assign_cells`, and the
+    streaming index sink so every consumer's assignment is the SAME
+    fold-exact expression — bit-identical across batch and stream."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    dot(vec, F.lit(cv))
+                    / F.nullif(vnorm * norm(F.lit(cv)), F.lit(0.0))
+                ).alias("cos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(nid, nvec, nn, cid)`` — each vector's nearest frozen cell via
+    the literal-centroid fold: whole-stage-codegen JVM work, NO shuffle
+    of the corpus (the IVF partition step)."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col("_norm").alias("nn"),
+    )
+    return base.withColumn(
+        "cid",
+        -F.array_max(
+            ivf_cell_scores(cents, F.col("nvec"), F.col("nn"))
+        ).getField("ncid"),
+    )
+
+
 def knn_ivf(
     df: DataFrame,
     queries: DataFrame,
@@ -220,40 +291,23 @@ def knn_ivf(
     inside probed cells.  Ties break toward the smaller centroid id and
     smaller neighbor id, so results are bit-stable across engines.
     """
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        F.col("_norm").alias("nn"),
-    )
-    cents = [
-        (r["nid"], [float(x) for x in r["nvec"]])
-        for r in base.filter(F.col("nid") < n_centroids).collect()
-    ]
-    if not cents:
-        raise ValueError(
-            f"knn_ivf: no centroid rows — ids must include values < "
-            f"{n_centroids} (dense integer ids), as in semantic_dedup"
-        )
+    cents = ivf_centroids(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign_cells(df, cents, id_col=id_col, vec_col=vec_col)
+    return _ivf_search(assigned, queries, cents, k, nprobe, id_col, vec_col)
 
-    def cell_scores(vec: Column, vnorm: Column) -> Column:
-        """array<struct<cos,ncid>> — one entry per centroid; max = nearest
-        (ncid = -cid so struct ordering breaks cosine ties to smaller cid)."""
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        dot(vec, F.lit(cv))
-                        / F.nullif(vnorm * norm(F.lit(cv)), F.lit(0.0))
-                    ).alias("cos"),
-                    F.lit(-cid).alias("ncid"),
-                )
-                for cid, cv in cents
-            ]
-        )
 
-    assigned = base.withColumn(
-        "cid", -F.array_max(cell_scores(F.col("nvec"), F.col("nn"))).getField("ncid")
-    )
+def _ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe + exact re-rank shared by :func:`knn_ivf` (fresh
+    assignment) and :func:`knn_ivf_from_index` (maintained index):
+    ``assigned`` is ``(nid, nvec, nn, cid)``, whatever produced it."""
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
@@ -266,7 +320,8 @@ def knn_ivf(
         F.explode(
             F.slice(
                 F.sort_array(
-                    cell_scores(F.col("qvec"), F.col("qn")), asc=False
+                    ivf_cell_scores(cents, F.col("qvec"), F.col("qn")),
+                    asc=False,
                 ),
                 1,
                 nprobe,
@@ -286,6 +341,38 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos")
     )
+
+
+def knn_ivf_from_index(
+    df: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search over a MAINTAINED IVF index (e.g. the streaming
+    :class:`~..streaming.sinks.IvfIndexIngestSink`'s ``read_index``):
+    ``index`` supplies ``(id_col, cid, norm)`` — assignment is NOT
+    recomputed, which is the point of maintaining an index — and only
+    the probed cells' vectors join back from ``df`` by id.  Given an
+    index produced by :func:`ivf_assign_cells` over the same
+    ``cents``, output is bit-identical to :func:`knn_ivf` at the same
+    ``(k, nprobe)`` (pinned in tests).
+
+    At 100 TB: the index side is the skinny id→cell map; the probe
+    prunes it to the queries' cells BEFORE the vector join, so full
+    embeddings are only read for candidate cells — the IVF promise
+    applied to the lake layout."""
+    vecs = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    assigned = index.select(
+        F.col(id_col).alias("nid"),
+        F.col("cid"),
+        F.col("norm").alias("nn"),
+    ).join(vecs, "nid")
+    return _ivf_search(assigned, queries, cents, k, nprobe, id_col, vec_col)
 
 
 def knn_lsh(

@@ -1092,3 +1092,145 @@ class DriftMonitorSink(_EpochLedger):
         if not paths:
             raise ValueError("no committed epochs yet")
         return spark.read.parquet(*paths)
+
+
+class IvfIndexIngestSink(_EpochLedger):
+    """``foreachBatch`` target maintaining an IVF ANN index incrementally
+    — the streaming complement of ``similarity.knn_ivf``: every
+    micro-batch's embeddings are assigned to their nearest FROZEN
+    coarse-quantizer cell via ``similarity.ivf_assign_cells`` (the SAME
+    fold-exact literal-centroid expression the batch operator plans, so
+    stream and batch assignments are bit-identical) and the skinny index
+    rows ``(id, cid, norm, epoch)`` land exactly-once per epoch under
+    the commit-ledger protocol.
+
+    Embeddings themselves stay in the lake: the index is the id→cell
+    map plus the norm the exact cosine re-rank needs, so the store grows
+    by O(batch) ~24-byte rows per epoch and a search
+    (:func:`~..functions.similarity.knn_ivf_from_index`) reads only the
+    probed cells' ids before joining vectors back by id.
+
+    Centroids are captured ONCE at sink construction (k × dim driver
+    floats — the coarse-quantizer budget every IVF index pays, the
+    ``DriftMonitorSink`` frozen-profile contract): a moving quantizer
+    would scatter one semantic neighborhood across cells and silently
+    degrade recall between rebuilds.  Re-centering = build a new index
+    directory from compacted history.  A centroid digest is pinned in
+    the store (``_meta``) and a second sink with different centroids on
+    the same directory is REFUSED — mixed-quantizer cells would
+    mis-route every probe (the MinHash bands-pin precedent).
+
+    Id semantics: duplicate ids WITHIN one batch raise (an index row
+    must be a function of the id; which duplicate wins would be
+    partition-order dependent); an id re-ingested in a later epoch
+    keeps its FIRST committed row (earlier-wins, enforced by
+    ``read_index``'s min-epoch reduction and preserved by
+    ``compact_store`` — the upsert shape belongs to ``UpsertSink``).
+    Run-id migration / ``_commits/_format`` opt-out: see
+    :class:`_EpochLedger`."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        centroids: list,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        run_id: str | None = None,
+    ) -> None:
+        import hashlib
+
+        if not centroids:
+            raise ValueError("IvfIndexIngestSink: empty centroid table")
+        cents = [(int(c), [float(x) for x in v]) for c, v in centroids]
+        dims = {len(v) for _, v in cents}
+        if len(dims) != 1:
+            raise ValueError(
+                f"IvfIndexIngestSink: ragged centroid dims {sorted(dims)}"
+            )
+        cids = [c for c, _ in cents]
+        if len(set(cids)) != len(cids):
+            raise ValueError("IvfIndexIngestSink: duplicate centroid ids")
+        self.cents = cents
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._init_ledger(out_dir, run_id)
+        self.index_dir = os.path.join(out_dir, "index")
+        os.makedirs(self.index_dir, exist_ok=True)
+        digest = hashlib.sha256(repr(cents).encode()).hexdigest()[:16]
+        meta = os.path.join(self.index_dir, "_meta")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = f.read().strip()
+            if stored != digest:
+                raise ValueError(
+                    f"IVF index store at {self.index_dir} was built with a "
+                    f"different coarse quantizer ({stored}); refusing "
+                    f"centroids {digest} — mixed-quantizer cells would "
+                    "mis-route every probe"
+                )
+        else:
+            with open(meta, "w") as f:
+                f.write(digest)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..functions.similarity import ivf_assign_cells
+
+        if self._is_committed(epoch_id):
+            return  # replayed epoch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        assigned = ivf_assign_cells(
+            batch_df, self.cents, id_col=self.id_col, vec_col=self.vec_col
+        ).select(
+            F.col("nid").alias(self.id_col),
+            F.col("cid"),
+            F.col("nn").alias("norm"),
+            F.lit(int(epoch_id)).cast("long").alias("epoch"),
+        )
+        # duplicate ids within one batch would make the landed row
+        # partition-order dependent — fail the epoch loudly instead
+        dup = (
+            assigned.groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"IvfIndexIngestSink: duplicate {self.id_col}="
+                f"{dup[0][self.id_col]!r} within epoch {epoch_id}"
+            )
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, self._epoch_tag(epoch_id))
+        )
+        self._mark_committed(epoch_id)
+
+    def _first_wins(self, df: DataFrame) -> DataFrame:
+        """Min-epoch row per id (earlier-wins; deterministic — ids are
+        unique within an epoch by the ingest guard)."""
+        return (
+            df.groupBy(self.id_col)
+            .agg(
+                F.min_by(F.struct("cid", "norm"), "epoch").alias("_s"),
+                F.min("epoch").cast("long").alias("epoch"),
+            )
+            .select(
+                self.id_col,
+                F.col("_s.cid").alias("cid"),
+                F.col("_s.norm").alias("norm"),
+                "epoch",
+            )
+        )
+
+    def compact_store(self, spark: SparkSession) -> int:
+        """Fold per-epoch index dirs into one earlier-wins base
+        (:meth:`_EpochLedger._compact`)."""
+        return self._compact(spark, self.index_dir, self._first_wins)
+
+    def read_index(self, spark: SparkSession) -> DataFrame:
+        """Index rows of every committed epoch, earlier-wins per id."""
+        paths = self._epoch_dirs(self.index_dir)
+        if not paths:
+            raise ValueError("no committed epochs yet")
+        return self._first_wins(spark.read.parquet(*paths))
