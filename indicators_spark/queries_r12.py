@@ -246,3 +246,54 @@ _register(
     "lineitem_rsi_halo_hinted",
     Query(spark=_li_rsi_halo_hinted_spark, sql=_li_rsi_halo_hinted_sql),
 )
+
+
+# --------------------------------------------------------------------- #
+# IVF search THROUGH a maintained index — NEW this round.  Driver
+# evidence for `similarity.knn_ivf_from_index` (the query-time consumer
+# of the streaming `IvfIndexIngestSink`): the index is materialized
+# batch-side via the shared `ivf_assign_cells` (exactly what the sink
+# lands per epoch), then the search runs off the skinny (id, cid, norm)
+# map with vectors joined back by id.  Output is DEFINED bit-identical
+# to `knn_ivf` at the same (k, nprobe) — the probe and re-rank are the
+# same `_ivf_search` expressions — so the oracle is the registered
+# sibling's relational IVF replay verbatim (the `lineitem_rsi_halo`
+# twin-row precedent: a second registered query whose purpose is the
+# other execution strategy).
+# --------------------------------------------------------------------- #
+
+
+def _knn_ivf_from_index_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions import similarity
+    from .queries import round4
+    from .queries_ext import _emb
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.ivf_centroids(emb, 16)
+    index = similarity.ivf_assign_cells(emb, cents).select(
+        F.col("nid").alias("vec_id"),
+        "cid",
+        F.col("nn").alias("norm"),
+    )
+    return similarity.knn_ivf_from_index(
+        emb,
+        index,
+        emb.filter(F.col("vec_id") < 10),
+        cents,
+        k=5,
+        nprobe=4,
+    ).select("qid", "nid", "rank", round4(F.col("cos")).alias("cos"))
+
+
+def _knn_ivf_from_index_sql() -> str:
+    from .queries import QUERIES
+
+    return QUERIES["similarity_knn_ivf"].sql_text
+
+
+_register(
+    "similarity_knn_ivf_index",
+    Query(spark=_knn_ivf_from_index_spark, sql=_knn_ivf_from_index_sql),
+)
