@@ -103,6 +103,12 @@ _TOUCHED: dict[str, int] = {
     # predate the code:
     "lineitem_rsi_halo": 12,
     "lineitem_donchian_halo": 12,
+    # r12: knn_ivf's centroid collect / cell fold / probe+re-rank moved
+    # to the shared ivf_centroids / ivf_cell_scores / ivf_assign_cells /
+    # _ivf_search helpers (expression-identical by construction, and the
+    # new from-index twin pins bit-equality), but the code was touched:
+    "similarity_knn_ivf": 12,
+    "similarity_ivf_recall": 12,
 }
 
 

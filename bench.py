@@ -610,6 +610,7 @@ def main() -> None:
         "quality_quantile_normalize",
         "decontaminate_neardup",
         "lineitem_rsi_halo_hinted",
+        "similarity_knn_ivf_index",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

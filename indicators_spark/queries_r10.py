@@ -16,6 +16,9 @@ Queue order (VERDICT r9 #3/#4):
   ``decontaminate_neardup``, ``analytic_median_selection``, and
   ``analytic_group_median_selection``, and ``analytic_robust_scale``
   (r10 builds, below).
+
+All eight REGISTERED in round 12 via queries_r12.py — the queue is
+empty; this module keeps the implementations and oracles.
 """
 
 from __future__ import annotations
