@@ -297,3 +297,74 @@ _register(
     "similarity_knn_ivf_index",
     Query(spark=_knn_ivf_from_index_spark, sql=_knn_ivf_from_index_sql),
 )
+
+
+# --------------------------------------------------------------------- #
+# Weighted exact selection — PREPARED for r13 registration (the
+# one-round-early discipline; this round's ~50 slots are committed to
+# 10 new rows + 4 touched + the r6-era rotation).  Driver evidence for
+# `scale.kth_element_weighted` (see its docstring: Spark has no exact
+# weighted percentile, and the relational cumulative-weight form pays a
+# SinglePartition sort): quantity-weighted median and p90 of
+# l_extendedprice — every unit of quantity counts as one observation of
+# its line's price.  Integral weights make the weight sums exact and
+# accumulation-order-free, so the oracle is a pure ORDER-STATISTIC
+# replay (cumulative-weight window at integer ranks) with zero
+# cross-engine float surface, the `analytic_median_selection` contract.
+# Local parity pinned at both SFs in tests/test_oracle_parity_r12.py;
+# kernel brute-force/ties/guards/hypothesis pins in
+# tests/test_weighted_selection.py.
+# --------------------------------------------------------------------- #
+
+
+def _weighted_median_selection_spark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .queries import round4
+    from .scale import kth_element_weighted
+    from .sources.prices import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    total = int(li.agg(F.sum(F.col("l_quantity").cast("long"))).first()[0])
+    wmed = kth_element_weighted(
+        li, "l_extendedprice", "l_quantity", (total + 1) // 2,
+        final_rows=4096,
+    )
+    wp90 = kth_element_weighted(
+        li, "l_extendedprice", "l_quantity", (9 * total + 9) // 10,
+        final_rows=4096,
+    )
+    row = spark.createDataFrame(
+        [(total, float(wmed), float(wp90))],
+        "total_w long, wmedian double, wp90 double",
+    )
+    return row.select(
+        "total_w",
+        round4(F.col("wmedian")).alias("wmedian"),
+        round4(F.col("wp90")).alias("wp90"),
+    )
+
+
+def _weighted_median_selection_sql() -> str:
+    from .queries import _r
+
+    return f"""
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+tot AS (SELECT sum(w) AS tw FROM v),
+r AS (SELECT x, sum(w) OVER (ORDER BY x) AS cw FROM v)
+SELECT CAST(tot.tw AS BIGINT) AS total_w,
+  {_r("(SELECT min(x) FROM r WHERE cw >= (tot.tw + 1) // 2)", "wmedian")},
+  {_r("(SELECT min(x) FROM r WHERE cw >= (9 * tot.tw + 9) // 10)", "wp90")}
+FROM tot"""
+
+
+# NOT registered this round — r13 queue (see module docstring).

@@ -1303,6 +1303,185 @@ def kth_element(
     )
 
 
+def kth_element_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    wk: int,
+    buckets: int = 1024,
+    final_rows: int = 1 << 20,
+    max_iters: int = 256,
+) -> float:
+    """EXACT weighted order statistic by iterative range refinement: the
+    smallest value ``v`` whose cumulative weight over rows with value
+    ``<= v`` reaches ``wk`` — :func:`kth_element` with every count
+    replaced by a weight sum (``kth_element(df, c, k)`` ≡
+    ``kth_element_weighted(df, c, lit-1-weights, k)``).
+
+    The weighted median/percentile is THE aggregation behind
+    token-weighted corpus statistics ("the document quality value such
+    that half the corpus's TOKENS sit below it" — a document-weighted
+    median over-counts tiny documents) and quantity-weighted price
+    statistics; Spark has no exact weighted percentile at all, and the
+    relational form (a cumulative-weight window over globally sorted
+    values — the registered ``analytic_weighted_quantiles`` shape) pays
+    a SinglePartition sort.  This kernel inherits the selection
+    classic's shape instead: per pass ONE pushable range-filtered scan
+    + a ≤ buckets-row (weight-sum, row-count, min, max) aggregate, four
+    driver scalars of state, data-snapped intervals (the r11
+    boundary-exactness fix applies verbatim — the floor expression's
+    monotonicity argument is weight-independent).
+
+    **Weights must be non-negative integers** (validated eagerly, one
+    extra column in the same bounds aggregate): integer weight sums are
+    exact and accumulation-order-free on every engine, so the result —
+    and its DuckDB-oracle replay — is bit-deterministic.  Float weights
+    on a fixed-point grid are the caller's one-multiply preprocessing.
+    Zero-weight rows are legal and can never be the answer unless they
+    tie a weight-bearing value (the "smallest v with cum >= wk" form
+    handles them without a special case).  NULL value or NULL weight
+    excludes the row, as in the unweighted kernel.
+    """
+    if wk < 1:
+        raise ValueError(f"kth_element_weighted: wk must be >= 1, got {wk}")
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col)
+    wtype = dict(df.dtypes).get(weight_col, "")
+    if wtype in ("float", "double"):
+        # an integral double is fine; a fractional one would silently
+        # truncate under the long cast — raise per row, scan-side
+        w = F.when(
+            w == F.floor(w),
+            w,
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "kth_element_weighted: non-integral weight "
+                    ),
+                    w.cast("string"),
+                    F.lit(" — scale float weights to a fixed-point grid"),
+                )
+            )
+        )
+    w = w.cast("long")
+    vals = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(weight_col).isNotNull()
+    ).select(v.alias("_v"), w.alias("_w"))
+    lo_hi = vals.agg(
+        F.min("_v"), F.max("_v"), F.sum("_w"), F.count(F.lit(1)), F.min("_w")
+    ).first()
+    lo, hi, total_w, total_n, min_w = lo_hi
+    if min_w is not None and min_w < 0:
+        raise ValueError(
+            f"kth_element_weighted: negative weight {min_w} breaks the "
+            "cumulative-weight monotonicity the selection relies on"
+        )
+    if lo is None or total_w is None or wk > total_w:
+        raise ValueError(
+            f"kth_element_weighted: wk={wk} outside [1, {total_w}] total "
+            "weight over non-null rows"
+        )
+    below_w = 0  # weight strictly left of the current interval
+    in_range_n = total_n
+
+    def _exact_residue(lo: float, hi: float, wkk: int) -> float:
+        cells = (
+            vals.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
+            .groupBy("_v")
+            .agg(F.sum("_w").alias("_c"))
+            .withColumn(
+                "_cum",
+                F.sum("_c").over(
+                    Window.orderBy("_v").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+            .filter(F.col("_cum") >= wkk)
+            .orderBy("_v")
+            .limit(1)
+            .collect()
+        )
+        if not cells:
+            raise RuntimeError(
+                f"kth_element_weighted: residue [{lo}, {hi}] holds less "
+                f"than {wkk} weight — interval bookkeeping violated"
+            )
+        return float(cells[0]["_v"])
+
+    for _ in range(max_iters):
+        if lo == hi or in_range_n <= final_rows:
+            return _exact_residue(lo, hi, wk - below_w)
+        width = (hi - lo) / buckets
+        if width <= 0.0:  # span underflowed: few representable doubles left
+            return _exact_residue(lo, hi, wk - below_w)
+        idx = F.least(
+            F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(buckets - 1),
+        )
+        hist = {
+            r["_b"]: (r["_wsum"], r["_n"], r["_mn"], r["_mx"])
+            for r in vals.filter(
+                (F.col("_v") >= lo) & (F.col("_v") <= hi)
+            )
+            .groupBy(idx.alias("_b"))
+            .agg(
+                F.sum("_w").alias("_wsum"),
+                F.count(F.lit(1)).alias("_n"),
+                F.min("_v").alias("_mn"),
+                F.max("_v").alias("_mx"),
+            )
+            .collect()
+        }
+        cum = below_w
+        for b in range(buckets):
+            ws, n, mn, mx = hist.get(b, (0, 0, None, None))
+            if n and cum + ws >= wk:
+                # data-snapped interval: same monotonicity argument as
+                # kth_element — the floor expression never depends on
+                # the weights
+                if (mn, mx, n) == (lo, hi, in_range_n):  # no progress
+                    return _exact_residue(lo, hi, wk - below_w)
+                lo, hi, below_w, in_range_n = mn, mx, cum, n
+                break
+            cum += ws
+        else:
+            # unreachable with exact bookkeeping (bucket weight sums
+            # total the in-range weight and below_w < wk <= below_w +
+            # in-range weight holds inductively; the crossing bucket
+            # always has ws > 0, hence n > 0); kept as a correct
+            # fallback, not a truncation
+            return _exact_residue(lo, hi, wk - below_w)
+    raise RuntimeError(
+        f"kth_element_weighted: no convergence in {max_iters} passes "
+        f"(wk={wk})"
+    )
+
+
+def weighted_median(
+    df: DataFrame, value_col: str, weight_col: str, **kw
+) -> float:
+    """Lower weighted median: :func:`kth_element_weighted` at
+    ``wk = (W + 1) // 2`` (W = total integral weight) — reduces to the
+    unweighted lower median at all-ones weights."""
+    w = F.col(weight_col).cast("long")
+    total = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+            & F.col(weight_col).isNotNull()
+        )
+        .agg(F.sum(w))
+        .first()[0]
+    )
+    if not total:
+        raise ValueError("weighted_median: zero total weight")
+    return kth_element_weighted(
+        df, value_col, weight_col, (int(total) + 1) // 2, **kw
+    )
+
+
 def kth_element_by_group(
     df: DataFrame,
     value_col: str,

@@ -23,3 +23,21 @@ def test_li_rsi_halo_hinted_matches_oracle(spark):
     res = compare_frames("lineitem_rsi_halo_hinted", got, want)
     assert res.ok, str(res)
     assert res.spark_rows == 6000
+
+
+def test_weighted_median_selection_matches_oracle_dual_sf(spark):
+    """r13-prep parity: the kernel's weighted median/p90 against the
+    pure cumulative-weight order-statistic replay, at both SFs (the
+    driver-style dual-SF pin every prep carries before registration)."""
+    from indicators_spark.queries_r12 import (
+        _weighted_median_selection_spark,
+        _weighted_median_selection_sql,
+    )
+
+    for sf_dir in (SF_SMOKE, SF_SMOKE.replace("0.001", "0.01")):
+        got = _weighted_median_selection_spark(spark, sf_dir).toPandas()
+        con = duck_connect(sf_dir)
+        want = con.execute(_weighted_median_selection_sql()).fetchdf()
+        con.close()
+        res = compare_frames("analytic_weighted_median_selection", got, want)
+        assert res.ok, f"{sf_dir}: {res}"

@@ -1,0 +1,108 @@
+"""Weighted exact selection (scale.kth_element_weighted /
+weighted_median, r13-prep): brute-force parity over ties / zero weights
+/ boundary wk, the all-ones reduction to kth_element, the integral- and
+non-negative-weight guards, and a hypothesis sweep on real floats (the
+r11 lesson: nice-double pools never land on inexact bucket edges)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from indicators_spark.scale import (
+    kth_element,
+    kth_element_weighted,
+    weighted_median,
+)
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute(pairs, wk):
+    """Smallest v with cumulative weight over values <= v reaching wk."""
+    cum = 0
+    for v in sorted({v for v, _ in pairs}):
+        cum += sum(w for x, w in pairs if x == v)
+        if cum >= wk:
+            return v
+    raise AssertionError("wk above total weight")
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "x double, w long")
+
+
+def test_weighted_matches_bruteforce_with_ties_and_zeros(spark):
+    pairs = [
+        (1.5, 3), (1.5, 0), (2.0, 1), (2.5, 0), (3.0, 4), (3.0, 2),
+        (7.25, 1), (7.25, 5), (10.0, 0), (11.5, 2),
+    ]
+    df = _df(spark, pairs)
+    total = sum(w for _, w in pairs)
+    for wk in (1, 2, 3, 4, 8, 9, 10, 15, 16, 17, total):
+        got = kth_element_weighted(df, "x", "w", wk, buckets=4, final_rows=2)
+        assert got == _brute(pairs, wk), wk
+
+
+def test_all_ones_weights_reduce_to_kth_element(spark):
+    vals = [(float(v),) for v in (5, 1, 9, 3, 3, 7, 2, 8, 8, 8, 4)]
+    df = spark.createDataFrame(vals, "x double").withColumn(
+        "w", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+    )
+    for k in (1, 3, 6, 11):
+        assert kth_element_weighted(
+            df, "x", "w", k, buckets=4, final_rows=2
+        ) == kth_element(df, "x", k, buckets=4, final_rows=2)
+
+
+def test_weighted_median_and_guards(spark):
+    pairs = [(10.0, 1), (20.0, 2), (30.0, 1)]  # W=4, wk=2 -> 20.0
+    df = _df(spark, pairs)
+    assert weighted_median(df, "x", "w") == 20.0
+    with pytest.raises(ValueError, match="wk must be >= 1"):
+        kth_element_weighted(df, "x", "w", 0)
+    with pytest.raises(ValueError, match="outside"):
+        kth_element_weighted(df, "x", "w", 5)
+    with pytest.raises(ValueError, match="negative weight"):
+        kth_element_weighted(_df(spark, [(1.0, -1), (2.0, 3)]), "x", "w", 1)
+    # fractional float weights raise scan-side instead of truncating
+    fdf = spark.createDataFrame([(1.0, 1.5), (2.0, 1.0)], "x double, w double")
+    with pytest.raises(Exception, match="non-integral weight"):
+        kth_element_weighted(fdf, "x", "w", 1)
+    # integral float weights are accepted
+    idf = spark.createDataFrame([(1.0, 2.0), (2.0, 1.0)], "x double, w double")
+    assert kth_element_weighted(idf, "x", "w", 2) == 1.0
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e9,
+                max_value=1e9,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    frac=st.floats(min_value=0.01, max_value=1.0),
+)
+@_settings
+def test_weighted_selection_hypothesis(spark, data, frac):
+    total = sum(w for _, w in data)
+    if total == 0:
+        return
+    wk = max(1, min(total, math.ceil(frac * total)))
+    df = _df(spark, [(float(v), int(w)) for v, w in data])
+    got = kth_element_weighted(df, "x", "w", wk, buckets=8, final_rows=3)
+    assert got == _brute(data, wk)
