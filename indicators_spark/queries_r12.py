@@ -367,4 +367,58 @@ SELECT CAST(tot.tw AS BIGINT) AS total_w,
 FROM tot"""
 
 
-# NOT registered this round — r13 queue (see module docstring).
+def _group_weighted_median_spark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source weighted median — PREPARED for r13 registration: the
+    grouped composition (`scale.kth_element_by_group_weighted`),
+    quantity-weighted median l_extendedprice per l_returnflag.  Same
+    zero-float-surface order-statistic oracle as the global form."""
+    from pyspark.sql import functions as F
+
+    from .queries import round4
+    from .scale import kth_element_by_group_weighted
+    from .sources.prices import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = kth_element_by_group_weighted(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+        frac=0.5,
+        final_rows=4096,
+    )
+    return out.select(
+        "l_returnflag",
+        "total_w",
+        "wk",
+        round4(F.col("value")).alias("wmedian"),
+    )
+
+
+def _group_weighted_median_sql() -> str:
+    from .queries import _r
+
+    return f"""
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_returnflag IS NOT NULL
+),
+t AS (SELECT g, sum(w) AS tw FROM v GROUP BY g),
+r AS (SELECT g, x, sum(w) OVER (PARTITION BY g ORDER BY x) AS cw FROM v)
+SELECT t.g AS l_returnflag, CAST(t.tw AS BIGINT) AS total_w,
+  CAST((t.tw + 1) // 2 AS BIGINT) AS wk,
+  {_r(
+      "(SELECT min(x) FROM r WHERE r.g = t.g AND cw >= (t.tw + 1) // 2)",
+      "wmedian",
+  )}
+FROM t"""
+
+
+# NOT registered this round — r13 queue (see module docstring):
+# `analytic_weighted_median_selection` and
+# `analytic_group_weighted_median`.

@@ -1513,48 +1513,160 @@ def kth_element_by_group(
     max over groups of the per-group pass count (2–4 on real ranges),
     NOT the sum — a thousand sources cost the same number of scans as
     one.
+
+    Shares :func:`_kth_by_group_impl` with the weighted form (an
+    all-ones weight column makes them identical — counts ARE unit
+    weight sums, exactly).
     """
+    return _kth_by_group_impl(
+        df,
+        value_col,
+        group_col,
+        weight_col=None,
+        ks=ks,
+        frac=frac,
+        buckets=buckets,
+        final_rows=final_rows,
+        max_iters=max_iters,
+        label="kth_element_by_group",
+        out_fields=("n", "k"),
+    )
+
+
+def kth_element_by_group_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    wks: dict | None = None,
+    frac: float | None = None,
+    buckets: int = 1024,
+    final_rows: int = 1 << 20,
+    max_iters: int = 256,
+) -> DataFrame:
+    """EXACT per-group WEIGHTED order statistic, all groups refined
+    simultaneously: for each group, the smallest value whose cumulative
+    weight (over that group's rows with value ``<= v``) reaches
+    ``wks[group]`` — or the ``frac`` weight rank
+    ``max(1, ceil(frac·W_g))``.  ``frac=0.5`` is the token-weighted
+    per-source median, the corpus-statistics question "the value below
+    which half of each source's TOKENS sit" (a row-weighted median
+    over-counts tiny documents).
+
+    The grouped composition of :func:`kth_element_weighted`: same
+    integral non-negative weight contract (weight sums exact and
+    accumulation-order-free → the result and its oracle replay are
+    bit-deterministic), same per-round shape as
+    :func:`kth_element_by_group` — ONE (group, bucket) weighted
+    histogram scan per round for every unresolved group, a thousand
+    sources cost the same passes as one.  Returns
+    ``(group_col, total_w, wk, value)``.
+    """
+    return _kth_by_group_impl(
+        df,
+        value_col,
+        group_col,
+        weight_col=weight_col,
+        ks=wks,
+        frac=frac,
+        buckets=buckets,
+        final_rows=final_rows,
+        max_iters=max_iters,
+        label="kth_element_by_group_weighted",
+        out_fields=("total_w", "wk"),
+    )
+
+
+def _kth_by_group_impl(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    weight_col: str | None,
+    ks: dict | None,
+    frac: float | None,
+    buckets: int,
+    final_rows: int,
+    max_iters: int,
+    label: str,
+    out_fields: tuple,
+) -> DataFrame:
+    """Shared engine for grouped exact selection, weighted or not.
+
+    Rank bookkeeping (below / the k target) runs in the WEIGHT domain;
+    the ``final_rows`` residue gate and the no-progress check run in
+    the ROW domain (residue cost is rows, whatever the weights) — with
+    ``weight_col=None`` both domains coincide (unit weights) and this
+    is exactly the historical unweighted kernel."""
     if (ks is None) == (frac is None):
-        raise ValueError("kth_element_by_group: pass exactly one of ks/frac")
+        raise ValueError(f"{label}: pass exactly one of ks/frac")
     v = F.col(value_col).cast("double")
-    vals = df.filter(
-        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
-    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    keep = v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        keep = keep & F.col(weight_col).isNotNull()
+        w = F.col(weight_col)
+        if dict(df.dtypes).get(weight_col, "") in ("float", "double"):
+            # a fractional weight would silently truncate under the
+            # long cast — raise per row, scan-side (kth_element_weighted
+            # contract: scale float weights to a fixed-point grid)
+            w = F.when(w == F.floor(w), w).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{label}: non-integral weight "),
+                        w.cast("string"),
+                        F.lit(
+                            " — scale float weights to a fixed-point grid"
+                        ),
+                    )
+                )
+            )
+        w = w.cast("long")
+    vals = df.filter(keep).select(
+        F.col(group_col).alias("_g"), v.alias("_v"), w.alias("_w")
+    )
     stats = {
-        r["_g"]: (r["lo"], r["hi"], r["n"])
+        r["_g"]: (r["lo"], r["hi"], r["tw"], r["n"], r["mw"])
         for r in vals.groupBy("_g")
         .agg(
             F.min("_v").alias("lo"),
             F.max("_v").alias("hi"),
+            F.sum("_w").alias("tw"),
             F.count(F.lit(1)).alias("n"),
+            F.min("_w").alias("mw"),
         )
         .collect()
     }
+    neg = {g: s[4] for g, s in stats.items() if s[4] is not None and s[4] < 0}
+    if neg:
+        raise ValueError(
+            f"{label}: negative weight breaks cumulative-weight "
+            f"monotonicity (groups {sorted(neg)!r})"
+        )
     import math
 
     if ks is not None:
         unknown = sorted(set(ks) - set(stats))
         if unknown:
             raise ValueError(
-                "kth_element_by_group: ks names groups with no non-null "
+                f"{label}: ks names groups with no non-null "
                 f"rows: {unknown!r}"
             )
     want: dict = {}
-    for g, (lo, hi, n) in stats.items():
+    for g, (lo, hi, tw, n, _mw) in stats.items():
         if ks is not None:
             if g not in ks:
                 continue
             k = int(ks[g])
         else:
-            k = max(1, math.ceil(frac * n - 1e-9))
-        if not 1 <= k <= n:
+            k = max(1, math.ceil(frac * tw - 1e-9))
+        if not 1 <= k <= tw:
             raise ValueError(
-                f"kth_element_by_group: k={k} outside [1, {n}] for "
-                f"group {g!r}"
+                f"{label}: k={k} outside [1, {tw}] for group {g!r}"
             )
         want[g] = k
-    # state per group: lo, hi, below, in_range
-    state = {g: [stats[g][0], stats[g][1], 0, stats[g][2]] for g in want}
+    # state per group: lo, hi, below (weight), in_range (ROWS)
+    state = {g: [stats[g][0], stats[g][1], 0, stats[g][3]] for g in want}
     resolved: dict = {}
     spark = df.sparkSession
 
@@ -1570,7 +1682,7 @@ def kth_element_by_group(
             )
             for g in groups
         ]
-        return spark.createDataFrame(rows, ["_g", "_lo", "_hi", "_w"])
+        return spark.createDataFrame(rows, ["_g", "_lo", "_hi", "_w2"])
 
     for _ in range(max_iters):
         active = [
@@ -1587,7 +1699,7 @@ def kth_element_by_group(
             break
         iv = _interval_df(active)
         idx = F.least(
-            F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int"),
+            F.floor((F.col("_v") - F.col("_lo")) / F.col("_w2")).cast("int"),
             F.lit(buckets - 1),
         )
         hist: dict = {}
@@ -1598,14 +1710,16 @@ def kth_element_by_group(
             )
             .groupBy("_g", idx.alias("_b"))
             .agg(
-                F.count(F.lit(1)).alias("_c"),
+                F.sum("_w").alias("_cw"),
+                F.count(F.lit(1)).alias("_n"),
                 F.min("_v").alias("_mn"),
                 F.max("_v").alias("_mx"),
             )
             .collect()
         ):
             hist.setdefault(r["_g"], {})[r["_b"]] = (
-                r["_c"],
+                r["_cw"],
+                r["_n"],
                 r["_mn"],
                 r["_mx"],
             )
@@ -1616,30 +1730,34 @@ def kth_element_by_group(
             hg = hist.get(g, {})
             chosen = None
             for b in range(buckets):
-                c, mn, mx = hg.get(b, (0, None, None))
-                if c and cum + c >= k:
-                    chosen = (c, mn, mx, cum)
+                cw, n, mn, mx = hg.get(b, (0, 0, None, None))
+                if n and cum + cw >= k:
+                    chosen = (cw, n, mn, mx, cum)
                     break
-                cum += c
+                cum += cw
             if chosen is None:
-                # unreachable with exact bookkeeping (counts sum to
-                # in_range, below < k <= below + in_range inductively);
-                # defensively route to the exact residue over the full
-                # current interval with below unchanged — always correct
+                # unreachable with exact bookkeeping (weight sums total
+                # the in-range weight, below < k <= below + in-range
+                # weight inductively, and the crossing bucket has
+                # cw > 0 hence n > 0); defensively route to the exact
+                # residue over the full current interval — always
+                # correct
                 state[g][3] = 0
                 continue
-            c, mn, mx, cum = chosen
+            cw, n, mn, mx, cum = chosen
             # snap to the bucket's actual [min, max] — the same
-            # monotone-floor argument as kth_element: this closed range
-            # holds exactly the c counted rows, so per-group below /
-            # in_range stay exact and no boundary row is double-counted
-            if (mn, mx, c) == (lo, hi, in_range):  # no progress left
+            # monotone-floor argument as kth_element (the floor
+            # expression never depends on the weights): this closed
+            # range holds exactly the n counted rows / cw counted
+            # weight, so per-group below / in_range stay exact and no
+            # boundary row is double-counted
+            if (mn, mx, n) == (lo, hi, in_range):  # no progress left
                 state[g][3] = 0  # force the exact residue next round
                 continue
-            state[g] = [mn, mx, cum, c]
+            state[g] = [mn, mx, cum, n]
     else:
         raise RuntimeError(
-            f"kth_element_by_group: no convergence in {max_iters} rounds"
+            f"{label}: no convergence in {max_iters} rounds"
         )
     # ONE shared residue pass for everything still unresolved
     pending = [g for g in state if g not in resolved]
@@ -1654,7 +1772,7 @@ def kth_element_by_group(
                 (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
             )
             .groupBy("_g", "_v", "_kk")
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum("_w").alias("_c"))
             .withColumn(
                 "_cum",
                 F.sum("_c").over(
@@ -1673,7 +1791,7 @@ def kth_element_by_group(
     unresolved = [g for g in want if g not in resolved]
     if unresolved:
         raise RuntimeError(
-            "kth_element_by_group: residue pass produced no value for "
+            f"{label}: residue pass produced no value for "
             f"groups {unresolved!r} (intervals "
             f"{ {g: state[g][:3] for g in unresolved} !r}) — interval "
             "bookkeeping violated"
@@ -1687,8 +1805,8 @@ def kth_element_by_group(
     schema = T.StructType(
         [
             T.StructField(group_col, gtype),
-            T.StructField("n", T.LongType()),
-            T.StructField("k", T.LongType()),
+            T.StructField(out_fields[0], T.LongType()),
+            T.StructField(out_fields[1], T.LongType()),
             T.StructField("value", T.DoubleType()),
         ]
     )

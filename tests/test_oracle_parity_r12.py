@@ -41,3 +41,20 @@ def test_weighted_median_selection_matches_oracle_dual_sf(spark):
         con.close()
         res = compare_frames("analytic_weighted_median_selection", got, want)
         assert res.ok, f"{sf_dir}: {res}"
+
+
+def test_group_weighted_median_matches_oracle_dual_sf(spark):
+    """r13-prep parity for the grouped weighted selection."""
+    from indicators_spark.queries_r12 import (
+        _group_weighted_median_spark,
+        _group_weighted_median_sql,
+    )
+
+    for sf_dir in (SF_SMOKE, SF_SMOKE.replace("0.001", "0.01")):
+        got = _group_weighted_median_spark(spark, sf_dir).toPandas()
+        con = duck_connect(sf_dir)
+        want = con.execute(_group_weighted_median_sql()).fetchdf()
+        con.close()
+        res = compare_frames("analytic_group_weighted_median", got, want)
+        assert res.ok, f"{sf_dir}: {res}"
+        assert res.spark_rows == 3

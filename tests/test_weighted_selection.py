@@ -106,3 +106,78 @@ def test_weighted_selection_hypothesis(spark, data, frac):
     df = _df(spark, [(float(v), int(w)) for v, w in data])
     got = kth_element_weighted(df, "x", "w", wk, buckets=8, final_rows=3)
     assert got == _brute(data, wk)
+
+
+def test_grouped_weighted_matches_bruteforce(spark):
+    from indicators_spark.scale import kth_element_by_group_weighted
+
+    pairs = [
+        ("a", 1.5, 3), ("a", 1.5, 0), ("a", 2.0, 1), ("a", 3.0, 4),
+        ("b", 7.25, 1), ("b", 7.25, 5), ("b", 10.0, 0), ("b", 11.5, 2),
+        ("c", 4.0, 2),
+    ]
+    df = spark.createDataFrame(pairs, "g string, x double, w long")
+    out = kth_element_by_group_weighted(
+        df, "x", "w", "g", frac=0.5, buckets=4, final_rows=2
+    )
+    got = {r["g"]: (r["total_w"], r["wk"], r["value"]) for r in out.collect()}
+    for g in ("a", "b", "c"):
+        gp = [(v, w) for gg, v, w in pairs if gg == g]
+        W = sum(w for _, w in gp)
+        wk = (W + 1) // 2
+        assert got[g] == (W, wk, _brute(gp, wk)), g
+    # explicit wks dict, including a boundary rank
+    out2 = kth_element_by_group_weighted(
+        df, "x", "w", "g", wks={"a": 8, "b": 1}, buckets=4, final_rows=2
+    )
+    got2 = {r["g"]: r["value"] for r in out2.collect()}
+    assert got2 == {
+        "a": _brute([(v, w) for gg, v, w in pairs if gg == "a"], 8),
+        "b": _brute([(v, w) for gg, v, w in pairs if gg == "b"], 1),
+    }
+
+
+def test_grouped_weighted_all_ones_reduces_to_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from indicators_spark.scale import (
+        kth_element_by_group,
+        kth_element_by_group_weighted,
+    )
+
+    rows = [("p", float(v)) for v in (5, 1, 9, 3, 3, 7)] + [
+        ("q", float(v)) for v in (2, 8, 8, 8, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double").withColumn(
+        "w", F.lit(1)
+    )
+    uw = {
+        r["g"]: (r["n"], r["k"], r["value"])
+        for r in kth_element_by_group(
+            df, "x", "g", frac=0.5, buckets=4, final_rows=2
+        ).collect()
+    }
+    wt = {
+        r["g"]: (r["total_w"], r["wk"], r["value"])
+        for r in kth_element_by_group_weighted(
+            df, "x", "w", "g", frac=0.5, buckets=4, final_rows=2
+        ).collect()
+    }
+    assert uw == wt
+
+
+def test_grouped_weighted_guards(spark):
+    from indicators_spark.scale import kth_element_by_group_weighted
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 2.0, -1)], "g string, x double, w long"
+    )
+    with pytest.raises(ValueError, match="negative weight"):
+        kth_element_by_group_weighted(df, "x", "w", "g", frac=0.5)
+    ok = spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 2.0, 1)], "g string, x double, w long"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        kth_element_by_group_weighted(ok, "x", "w", "g")
+    with pytest.raises(ValueError, match="outside"):
+        kth_element_by_group_weighted(ok, "x", "w", "g", wks={"a": 4})
