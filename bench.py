@@ -611,6 +611,10 @@ def main() -> None:
         "decontaminate_neardup",
         "lineitem_rsi_halo_hinted",
         "similarity_knn_ivf_index",
+        # weighted selection (iterative, job-latency sensitive like the
+        # unweighted kernels)
+        "analytic_weighted_median_selection",
+        "analytic_group_weighted_median",
     ):
         if name in QUERIES:
             headline[name] = QUERIES[name].spark

@@ -419,6 +419,22 @@ SELECT t.g AS l_returnflag, CAST(t.tw AS BIGINT) AS total_w,
 FROM t"""
 
 
-# NOT registered this round — r13 queue (see module docstring):
-# `analytic_weighted_median_selection` and
-# `analytic_group_weighted_median`.
+# Registered THIS round after all: with the queue cleared, the ~50-slot
+# budget holds 12 new + 4 touched + 34 rotation slots — still reaching
+# the whole r6-era §2a block — and the freshly-written weighted kernels
+# are exactly the code driver evidence serves best (the VERDICT r11
+# lead-order rationale).
+_register(
+    "analytic_weighted_median_selection",
+    Query(
+        spark=_weighted_median_selection_spark,
+        sql=_weighted_median_selection_sql,
+    ),
+)
+_register(
+    "analytic_group_weighted_median",
+    Query(
+        spark=_group_weighted_median_spark,
+        sql=_group_weighted_median_sql,
+    ),
+)
