@@ -210,7 +210,10 @@ def _prev_bench() -> dict | None:
             continue
         obj = d.get("parsed")
         if isinstance(obj, dict) and obj.get("queries"):
-            calib = (obj.get("conditions") or {}).get("calibration") or {}
+            cond = obj.get("conditions") or {}
+            # full format nests under "calibration"; the compact stdout
+            # artifact stores the probe floor directly as conditions.min
+            calib = cond.get("calibration") or {"min": cond.get("min")}
             return {
                 "file": p.name,
                 "git_sha": obj.get("git_sha"),

@@ -346,7 +346,21 @@ class Indicators(
         """Operator-entry hook (every public operator validates its
         inputs before creating any window spec — the mixin convention
         this relies on): retire the previous operator's live spec
-        charges and allow a demoted session to re-engage."""
+        charges and allow a demoted session to re-engage.
+
+        The budget accounting's soundness rests on that convention, so
+        violations fail loudly: a boundary crossed while specs are
+        created-but-unbound (an operator that validates mid-operator,
+        or composes a nested public op after creating its own spec)
+        would reset the live charges out from under those specs and
+        silently undercharge — the r11 stale-halo truncation class."""
+        if self._pending_specs:
+            raise RuntimeError(
+                "halo session: operator boundary crossed with "
+                f"{self._pending_specs} window spec(s) created but not "
+                "yet bound — public operators must validate once at "
+                "entry, before creating any window spec"
+            )
         self._live_back = 0
         self._live_fwd = 0
         self._halo_fresh_op = True
@@ -436,15 +450,24 @@ class Indicators(
             # pass ``n_rows``.  Estimation failures or big/unknown
             # sizes fall through to the exact count.
             rows_est = size = None
+            bare = False
             try:
-                stats = df._jdf.queryExecution().optimizedPlan().stats()
+                plan = df._jdf.queryExecution().optimizedPlan()
+                stats = plan.stats()
                 if stats.rowCount().isDefined():
                     rows_est = int(str(stats.rowCount().get()))
+                    bare = plan.children().isEmpty()
                 size = int(stats.sizeInBytes())
             except Exception:
                 pass
             if rows_est is not None:
-                if rows_est < HALO_MIN_ROWS:
+                # with CBO on, rowCount is propagated through filter/
+                # join SELECTIVITY GUESSES and can badly underestimate a
+                # large frame; trust it outright only on a bare
+                # stats-backed relation (leaf plan — the number is the
+                # table's own statistic), else demand an 8× margin and
+                # otherwise fall through to the exact count
+                if rows_est < (HALO_MIN_ROWS if bare else HALO_MIN_ROWS // 8):
                     return
             elif size is not None and size < 2 * HALO_MIN_ROWS:
                 return

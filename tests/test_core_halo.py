@@ -394,3 +394,22 @@ def test_halo_bookkeeping_columns_hidden_from_resolution(spark):
     ind.sma(resolved[:1], 3)
     out = ind.collect()
     assert not [c for c in out.columns if c.startswith("_bucket")]
+
+
+def test_boundary_with_pending_specs_fails_loudly(spark):
+    """ADVICE r12 (low): the sticky budget's soundness rests on the
+    validate-once-at-entry convention — a boundary crossed while specs
+    are created-but-unbound must raise instead of silently resetting
+    the live charges (the r11 stale-halo truncation class)."""
+    src = _prices(spark, n=400)
+    ind = Indicators(src, halo=True, halo_buckets=3, halo_depth=64)
+    # simulate a convention-violating operator: create a spec, then hit
+    # the next operator's entry hook before any binding settles it
+    ind._word(True, back=5)
+    assert ind._pending_specs == 1
+    with pytest.raises(RuntimeError, match="created but not yet bound"):
+        ind._halo_op_boundary()
+    # a settled session crosses boundaries freely (the normal path)
+    ind2 = Indicators(src, halo=True, halo_buckets=3, halo_depth=64)
+    ind2.sma(["close"], 5).rsi(["close"], 7)
+    ind2._halo_op_boundary()  # no raise
