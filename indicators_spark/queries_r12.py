@@ -323,23 +323,22 @@ def _weighted_median_selection_spark(
     from pyspark.sql import functions as F
 
     from .queries import round4
-    from .scale import kth_element_weighted
+    from .scale import kth_elements_weighted
     from .sources.prices import load_table
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
     )
-    total = int(li.agg(F.sum(F.col("l_quantity").cast("long"))).first()[0])
-    wmed = kth_element_weighted(
-        li, "l_extendedprice", "l_quantity", (total + 1) // 2,
-        final_rows=4096,
-    )
-    wp90 = kth_element_weighted(
-        li, "l_extendedprice", "l_quantity", (9 * total + 9) // 10,
+    # multi-rank form (VERDICT r12 #2): the former eager total-weight
+    # agg folds into the kernel's bounds pass, and the token-weighted
+    # median + p90 refine in SHARED histogram scans; frac targets
+    # resolve to exactly the oracle's (W+1)//2 and (9W+9)//10 ranks
+    total, res = kth_elements_weighted(
+        li, "l_extendedprice", "l_quantity", fracs=[0.5, 0.9],
         final_rows=4096,
     )
     row = spark.createDataFrame(
-        [(total, float(wmed), float(wp90))],
+        [(total, float(res[0.5]), float(res[0.9]))],
         "total_w long, wmedian double, wp90 double",
     )
     return row.select(

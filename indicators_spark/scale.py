@@ -1303,6 +1303,40 @@ def kth_element(
     )
 
 
+def _integral_weight_expr(df: DataFrame, weight_col: str, label: str):
+    """Weight column as a guarded ``long`` expression.
+
+    The weighted selection kernels require non-negative INTEGRAL
+    weights (integer sums are exact and accumulation-order-free on
+    every engine, keeping the result bit-deterministic against a
+    DuckDB-oracle replay).  Fractional-capable dtypes — float, double,
+    and any ``decimal(p, s)`` with ``s > 0`` (the native TPC-H type
+    for quantity-like columns; DuckDB ROUNDS on decimal→BIGINT while
+    Spark truncates, so a silent cast would diverge) — get a per-row
+    scan-side ``raise_error`` on non-integral values before the long
+    cast.  Integer dtypes and scale-0 decimals pass through unguarded.
+    """
+    w = F.col(weight_col)
+    wtype = dict(df.dtypes).get(weight_col, "")
+    fractional = wtype in ("float", "double")
+    if wtype.startswith("decimal("):
+        try:
+            fractional = int(wtype.rstrip(")").split(",")[1]) > 0
+        except (IndexError, ValueError):
+            fractional = True  # unparseable decimal spec: guard anyway
+    if fractional:
+        w = F.when(w == F.floor(w), w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{label}: non-integral weight "),
+                    w.cast("string"),
+                    F.lit(" — scale fractional weights to a fixed-point grid"),
+                )
+            )
+        )
+    return w.cast("long")
+
+
 def kth_element_weighted(
     df: DataFrame,
     value_col: str,
@@ -1345,26 +1379,7 @@ def kth_element_weighted(
     if wk < 1:
         raise ValueError(f"kth_element_weighted: wk must be >= 1, got {wk}")
     v = F.col(value_col).cast("double")
-    w = F.col(weight_col)
-    wtype = dict(df.dtypes).get(weight_col, "")
-    if wtype in ("float", "double"):
-        # an integral double is fine; a fractional one would silently
-        # truncate under the long cast — raise per row, scan-side
-        w = F.when(
-            w == F.floor(w),
-            w,
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "kth_element_weighted: non-integral weight "
-                    ),
-                    w.cast("string"),
-                    F.lit(" — scale float weights to a fixed-point grid"),
-                )
-            )
-        )
-    w = w.cast("long")
+    w = _integral_weight_expr(df, weight_col, "kth_element_weighted")
     vals = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(weight_col).isNotNull()
     ).select(v.alias("_v"), w.alias("_w"))
@@ -1480,6 +1495,283 @@ def weighted_median(
     return kth_element_weighted(
         df, value_col, weight_col, (int(total) + 1) // 2, **kw
     )
+
+
+def kth_elements(
+    df: DataFrame,
+    value_col: str,
+    ks: list | None = None,
+    fracs: list | None = None,
+    buckets: int = 1024,
+    final_rows: int = 1 << 20,
+    max_iters: int = 256,
+) -> tuple:
+    """SEVERAL exact order statistics of one column in SHARED refinement
+    passes — the multi-rank form of :func:`kth_element` (VERDICT r12
+    #2).  The standard corpus-statistics ask is a PAIR (median + p90) or
+    triple of quantiles of the same column; running the single-rank
+    kernel per rank re-scans the data once per rank per pass.  This
+    kernel refines every requested rank simultaneously, the way
+    :func:`_kth_by_group_impl` shares passes across groups: per pass ONE
+    range-filtered scan + a ≤ ranks×buckets-row histogram aggregate
+    serves ALL unresolved ranks.
+
+    The key invariant making the sharing exact: all ranks start on the
+    same interval, and each pass narrows a rank to one (data-snapped)
+    bucket of its segment's partition — so at every stage the live
+    intervals are pairwise IDENTICAL or DISJOINT (a laminar family
+    refined in lockstep).  Ranks sharing an interval share one segment
+    (and one ``below`` count, since their interval's left edge is the
+    same); disjoint segments histogram side by side in one scan via a
+    chained-when cell id.  Resolved segments answer several ranks in
+    ONE residue aggregate (``min(v | cum >= target)`` per rank — exact
+    because the cumulative count is monotone in v).
+
+    ``fracs`` (each in (0, 1]) folds the rank computation into the
+    kernel's own bounds pass — ``k = max(1, ceil(frac·N))``, the
+    :func:`kth_element` caller convention — so callers need NO eager
+    count job before invoking.  Returns ``(total, {key: value})`` where
+    ``key`` is each requested k (``ks`` mode) or frac (``fracs`` mode).
+    Bit-identical to per-rank :func:`kth_element` calls (same snap
+    logic, same residue semantics), pinned in tests.
+    """
+    return _kth_multi_impl(
+        df, value_col, None, ks, fracs, buckets, final_rows, max_iters,
+        "kth_elements",
+    )
+
+
+def kth_elements_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    wks: list | None = None,
+    fracs: list | None = None,
+    buckets: int = 1024,
+    final_rows: int = 1 << 20,
+    max_iters: int = 256,
+) -> tuple:
+    """Weighted :func:`kth_elements`: several exact WEIGHTED order
+    statistics (smallest v whose cumulative weight reaches each target)
+    in shared passes.  Same integral non-negative weight contract as
+    :func:`kth_element_weighted` (integer weight sums are exact and
+    accumulation-order-free → bit-deterministic against a DuckDB-oracle
+    replay); ``fracs`` targets are ``max(1, ceil(frac·W))`` with W the
+    total weight from the kernel's own bounds pass — the token-weighted
+    median + p90 pair costs one bounds pass, shared refinement scans,
+    and per-resolved-segment residues, instead of an eager weight agg
+    plus two full single-rank runs.  Returns ``(total_weight,
+    {key: value})``."""
+    return _kth_multi_impl(
+        df, value_col, weight_col, wks, fracs, buckets, final_rows,
+        max_iters, "kth_elements_weighted",
+    )
+
+
+def _kth_multi_impl(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None,
+    ks: list | None,
+    fracs: list | None,
+    buckets: int,
+    final_rows: int,
+    max_iters: int,
+    label: str,
+) -> tuple:
+    """Shared engine for multi-rank exact selection, weighted or not
+    (``weight_col=None`` → unit weights, rank domain = row domain).
+
+    Driver state: O(#ranks) interval tuples per pass (each 2 floats +
+    2 longs); per pass one pushable range-filtered scan feeding a
+    ≤ segments×buckets-row aggregate; residues are per-VALUE count
+    aggregates bounded by ``final_rows`` rows each, answering every
+    rank that resolved into that segment in one job."""
+    if (ks is None) == (fracs is None):
+        raise ValueError(f"{label}: pass exactly one of ks/fracs")
+    v = F.col(value_col).cast("double")
+    keep = v.isNotNull() & ~F.isnan(v)
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        keep = keep & F.col(weight_col).isNotNull()
+        w = _integral_weight_expr(df, weight_col, label)
+    vals = df.filter(keep).select(v.alias("_v"), w.alias("_w"))
+    lo, hi, total, n, min_w = vals.agg(
+        F.min("_v"), F.max("_v"), F.sum("_w"), F.count(F.lit(1)), F.min("_w")
+    ).first()
+    if min_w is not None and min_w < 0:
+        raise ValueError(
+            f"{label}: negative weight {min_w} breaks the cumulative "
+            "monotonicity the selection relies on"
+        )
+    if lo is None or total is None or total < 1:
+        raise ValueError(f"{label}: no weight-bearing non-null rows")
+    total = int(total)
+    if fracs is not None:
+        from fractions import Fraction
+
+        bad = [f for f in fracs if not (0.0 < f <= 1.0)]
+        if bad:
+            raise ValueError(f"{label}: fracs outside (0, 1]: {bad!r}")
+        # exact ceil(frac·total) in INTEGER arithmetic: float multiply
+        # drifts at boundaries (0.9·30 = 27.000000000000004 → ceil 28,
+        # while the oracle's (9n+9)//10 says 27); limit_denominator
+        # recovers the intended short decimal (0.9 → 9/10) exactly
+        targets = {}
+        for f in fracs:
+            fr = Fraction(f).limit_denominator(1_000_000)
+            targets[f] = max(
+                1, -((-fr.numerator * total) // fr.denominator)
+            )
+    else:
+        targets = {int(k): int(k) for k in ks}
+        bad = [k for k, t in targets.items() if t < 1 or t > total]
+        if bad:
+            raise ValueError(f"{label}: ranks outside [1, {total}]: {bad!r}")
+    if not targets:
+        raise ValueError(f"{label}: no ranks requested")
+
+    # segment state: (lo, hi, below_weight, n_rows); seg_of: key -> index
+    segments = [(lo, hi, 0, n)]
+    done = [False]
+    seg_of = {key: 0 for key in targets}
+
+    for _ in range(max_iters):
+        still = []
+        for i, (slo, shi, _, sn) in enumerate(segments):
+            if done[i]:
+                continue
+            if slo == shi or sn <= final_rows or (shi - slo) / buckets <= 0:
+                done[i] = True  # residue-ready (incl. width underflow)
+            else:
+                still.append(i)
+        if not still:
+            break
+        glo = min(segments[i][0] for i in still)
+        ghi = max(segments[i][1] for i in still)
+        cell_expr = None
+        for pos, i in enumerate(still):
+            slo, shi, _, _ = segments[i]
+            width = (shi - slo) / buckets
+            b = F.least(
+                F.floor((F.col("_v") - F.lit(slo)) / F.lit(width)).cast(
+                    "int"
+                ),
+                F.lit(buckets - 1),
+            )
+            cond = (F.col("_v") >= slo) & (F.col("_v") <= shi)
+            branch = F.lit(pos * buckets) + b
+            cell_expr = (
+                F.when(cond, branch)
+                if cell_expr is None
+                else cell_expr.when(cond, branch)
+            )
+        hist = {
+            r["_cell"]: (r["_c"], r["_wc"], r["_mn"], r["_mx"])
+            for r in vals.filter(
+                (F.col("_v") >= glo) & (F.col("_v") <= ghi)
+            )
+            .withColumn("_cell", cell_expr)
+            .filter(F.col("_cell").isNotNull())
+            .groupBy("_cell")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.sum("_w").alias("_wc"),
+                F.min("_v").alias("_mn"),
+                F.max("_v").alias("_mx"),
+            )
+            .collect()
+        }
+        # rebuild segments: untouched ones keep their state; each
+        # refined segment splits into one new segment per chosen bucket
+        nsegs, ndone, nseg_of = [], [], {}
+        still_set = set(still)
+        for i, s in enumerate(segments):
+            if i in still_set:
+                continue
+            keys_i = [k for k, si in seg_of.items() if si == i]
+            if keys_i:
+                for k in keys_i:
+                    nseg_of[k] = len(nsegs)
+                nsegs.append(s)
+                ndone.append(done[i])
+        for pos, i in enumerate(still):
+            slo, shi, sbelow, sn = segments[i]
+            keys_here = sorted(
+                (k for k, si in seg_of.items() if si == i),
+                key=lambda k: targets[k],
+            )
+            cum = sbelow
+            ki = 0
+            for b in range(buckets):
+                c, wc, mn, mx = hist.get(pos * buckets + b, (0, 0, None, None))
+                if not c:
+                    continue
+                picked = []
+                while (
+                    ki < len(keys_here)
+                    and cum + wc >= targets[keys_here[ki]]
+                ):
+                    picked.append(keys_here[ki])
+                    ki += 1
+                if picked:
+                    # snap to the bucket's actual [min, max] — exactly
+                    # the single-rank kernel's boundary-exactness rule
+                    no_prog = (mn, mx, c) == (slo, shi, sn)
+                    for k in picked:
+                        nseg_of[k] = len(nsegs)
+                    nsegs.append((mn, mx, cum, c))
+                    ndone.append(no_prog)
+                cum += wc
+                if ki >= len(keys_here):
+                    break
+            if ki < len(keys_here):
+                raise RuntimeError(
+                    f"{label}: segment [{slo}, {shi}] holds less than "
+                    f"target weight — interval bookkeeping violated"
+                )
+        segments, done, seg_of = nsegs, ndone, nseg_of
+    else:
+        raise RuntimeError(f"{label}: no convergence in {max_iters} passes")
+
+    results = {}
+    for i, (slo, shi, sbelow, _) in enumerate(segments):
+        keys_i = [k for k, si in seg_of.items() if si == i]
+        if not keys_i:
+            continue
+        cells = (
+            vals.filter((F.col("_v") >= slo) & (F.col("_v") <= shi))
+            .groupBy("_v")
+            .agg(F.sum("_w").alias("_c"))
+            .withColumn(
+                "_cum",
+                F.sum("_c").over(
+                    Window.orderBy("_v").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+        )
+        row = cells.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.lit(targets[k] - sbelow),
+                        F.col("_v"),
+                    )
+                ).alias(f"_r{j}")
+                for j, k in enumerate(keys_i)
+            ]
+        ).first()
+        for j, k in enumerate(keys_i):
+            if row[j] is None:
+                raise RuntimeError(
+                    f"{label}: residue [{slo}, {shi}] holds less than "
+                    f"{targets[k] - sbelow} weight — bookkeeping violated"
+                )
+            results[k] = float(row[j])
+    return total, results
 
 
 def kth_element_by_group(
@@ -1605,23 +1897,7 @@ def _kth_by_group_impl(
         w = F.lit(1).cast("long")
     else:
         keep = keep & F.col(weight_col).isNotNull()
-        w = F.col(weight_col)
-        if dict(df.dtypes).get(weight_col, "") in ("float", "double"):
-            # a fractional weight would silently truncate under the
-            # long cast — raise per row, scan-side (kth_element_weighted
-            # contract: scale float weights to a fixed-point grid)
-            w = F.when(w == F.floor(w), w).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"{label}: non-integral weight "),
-                        w.cast("string"),
-                        F.lit(
-                            " — scale float weights to a fixed-point grid"
-                        ),
-                    )
-                )
-            )
-        w = w.cast("long")
+        w = _integral_weight_expr(df, weight_col, label)
     vals = df.filter(keep).select(
         F.col(group_col).alias("_g"), v.alias("_v"), w.alias("_w")
     )

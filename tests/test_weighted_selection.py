@@ -81,6 +81,42 @@ def test_weighted_median_and_guards(spark):
     assert kth_element_weighted(idf, "x", "w", 2) == 1.0
 
 
+def test_decimal_weight_guard(spark):
+    """decimal(p,s>0) weights — the native TPC-H quantity dtype — get
+    the same non-integral raise as float/double (DuckDB ROUNDS on
+    decimal→BIGINT while Spark truncates, so a silent cast would give a
+    silently wrong weighted order statistic AND an oracle divergence);
+    integral-valued decimals and scale-0 decimals pass through."""
+    from decimal import Decimal
+
+    # fractional decimal value raises scan-side
+    fdf = spark.createDataFrame(
+        [(1.0, Decimal("1.50")), (2.0, Decimal("1.00"))],
+        "x double, w decimal(12,2)",
+    )
+    with pytest.raises(Exception, match="non-integral weight"):
+        kth_element_weighted(fdf, "x", "w", 1)
+    # integral-valued decimal(12,2) is accepted
+    idf = spark.createDataFrame(
+        [(1.0, Decimal("2.00")), (2.0, Decimal("1.00"))],
+        "x double, w decimal(12,2)",
+    )
+    assert kth_element_weighted(idf, "x", "w", 2) == 1.0
+    # scale-0 decimal is integral by construction — no guard in the plan
+    zdf = spark.createDataFrame(
+        [(1.0, Decimal("2")), (2.0, Decimal("1"))], "x double, w decimal(12,0)"
+    )
+    assert kth_element_weighted(zdf, "x", "w", 3) == 2.0
+    # grouped engine shares the guard
+    from indicators_spark.scale import kth_element_by_group_weighted
+
+    gdf = spark.createDataFrame(
+        [("a", 1.0, Decimal("0.25"))], "g string, x double, w decimal(12,2)"
+    )
+    with pytest.raises(Exception, match="non-integral weight"):
+        kth_element_by_group_weighted(gdf, "x", "w", "g", frac=0.5)
+
+
 @given(
     data=st.lists(
         st.tuples(
