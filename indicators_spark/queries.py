@@ -954,3 +954,4 @@ from . import queries_r9  # noqa: E402,F401  (registration side-effect)
 from . import queries_r10  # noqa: E402,F401  (registration side-effect)
 from . import queries_r11  # noqa: E402,F401  (registration side-effect)
 from . import queries_r12  # noqa: E402,F401  (registration side-effect)
+from . import queries_r13  # noqa: E402,F401  (registration side-effect)
