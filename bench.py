@@ -24,6 +24,18 @@ PREVIOUS round's git SHA (worktree checkout under .benchab/, separate
 subprocess + session) in the same host window, making host-vs-code
 attribution mechanical instead of forensic.  Force with
 SPARK_GRAFT_BENCH_AB=1, disable with =0.
+
+Tail slice (VERDICT r12 #4): most catalog entries are
+correctness-rotated but never TIMED — a perf regression in a
+non-headline family could hide forever.  Each run additionally times a
+rotating ~20-query slice of the non-headline catalog,
+never-benched-first then stalest-first, with the rotation cursor
+persisted in BENCH_TAIL_STATE.json (committed, so the slice advances
+across rounds; the full catalog re-times every ~10 rounds).  Tail
+timings do NOT enter the headline total (round-over-round
+comparability) — they land complete in BENCH_LOCAL.json and as a
+summarized `tail` block on the stdout line.  Disable with
+SPARK_GRAFT_BENCH_TAIL=0.
 """
 
 from __future__ import annotations
@@ -349,6 +361,59 @@ def _paired_check(
     }
 
 
+#: tail-slice size per run; state file holds {name: stamp} where stamp
+#: is the run epoch the entry last appeared in (0 = never benched).
+TAIL_SLICE_N = 20
+_TAIL_STATE = _REPO / "BENCH_TAIL_STATE.json"
+
+#: entries excluded from tail timing, each with the reason (logged per
+#: run — no silent caps): these measure a synthetic-corpus degeneracy,
+#: not the operator, at bench SF.
+_TAIL_SKIP = {
+    "dedup_jaccard_prefix": (
+        "31-token synthetic vocab → ~41% of ALL pairs qualify at "
+        "tau=0.7; Theta(n^2) output materialization at sf0.1 "
+        "(bench_scale.py times it in its intended regime)"
+    ),
+}
+
+
+def _tail_slice(headline_names, catalog) -> list[str]:
+    """Rotating slice of the timing long tail: oracle-bearing catalog
+    entries outside the headline suite, never-benched-first (state
+    stamp 0), then ascending by last-benched stamp, registration order
+    within a stamp — `_ordered_names`'s tiering applied to timing."""
+    try:
+        state = json.loads(_TAIL_STATE.read_text())
+    except (OSError, ValueError):
+        state = {}
+    for n, why in _TAIL_SKIP.items():
+        if n in catalog:
+            print(f"bench tail: skipping {n}: {why}", file=sys.stderr)
+    cands = [
+        n
+        for n in catalog
+        if catalog[n].sql is not None
+        and n not in headline_names
+        and n not in _TAIL_SKIP
+    ]
+    idx = {n: i for i, n in enumerate(cands)}
+    cands.sort(key=lambda n: (state.get(n, 0), idx[n]))
+    return cands[:TAIL_SLICE_N]
+
+
+def _tail_advance(names: list[str]) -> None:
+    """Stamp `names` with a fresh run epoch so the next run rotates on."""
+    try:
+        state = json.loads(_TAIL_STATE.read_text())
+    except (OSError, ValueError):
+        state = {}
+    stamp = max(state.values(), default=0) + 1
+    for n in names:
+        state[n] = stamp
+    _TAIL_STATE.write_text(json.dumps(state, indent=0, sort_keys=True))
+
+
 def _emit(
     timings: dict[str, float],
     total: float,
@@ -358,6 +423,7 @@ def _emit(
     post: dict,
     calib: dict,
     paired: dict,
+    tail: dict[str, float] | None = None,
 ) -> None:
     """Write the full record to BENCH_LOCAL.json; print ONE stdout line
     under MAX_STDOUT_LINE (slowest queries first, fast tail dropped)."""
@@ -366,6 +432,7 @@ def _emit(
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "tail_slice": tail or {},
         "sf": sf,
         "git_sha": sha,
         "conditions": {"pre": pre, "post": post, "calibration": calib},
@@ -394,6 +461,14 @@ def _emit(
         },
         "paired_check": compact_paired,
     }
+    if tail:
+        # summarized tail block (full per-query record in BENCH_LOCAL):
+        # count + total + the slowest entries — enough for the artifact
+        # to show WHAT rotated in and what it cost
+        tl = {"_n": len(tail), "_total": round(sum(tail.values()), 2)}
+        for n in sorted(tail, key=tail.get, reverse=True)[:8]:
+            tl[n] = round(tail[n], 2)
+        base["tail"] = tl
     order = sorted(timings, key=timings.get, reverse=True)
     for n in order:
         base["queries"][n] = round(timings[n], 2)
@@ -639,6 +714,20 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    tail_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
+        tail_names = _tail_slice(set(headline), QUERIES)
+        for name in tail_names:
+            t0 = time.time()
+            try:
+                _force(QUERIES[name].spark(spark, sf_dir))
+                tail_timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # a tail failure must not kill the
+                # headline artifact — record it and move on
+                print(f"bench tail: {name} failed: {e}", file=sys.stderr)
+                tail_timings[name] = -1.0
+        _tail_advance(tail_names)
+
     paired = _paired_check(timings, calib, sf_dir, cores)
     _emit(
         timings,
@@ -649,6 +738,7 @@ def main() -> None:
         _run_conditions(cores),
         calib,
         paired,
+        tail=tail_timings,
     )
     spark.stop()
 
