@@ -109,6 +109,25 @@ _TOUCHED: dict[str, int] = {
     # new from-index twin pins bit-equality), but the code was touched:
     "similarity_knn_ivf": 12,
     "similarity_ivf_recall": 12,
+    # r13: the registered selection pair re-pointed at the multi-rank
+    # kth_elements kernel (shared refinement passes; frac→rank now
+    # exact integer arithmetic), and the weighted grouped engine's
+    # integral-weight guard moved to the shared _integral_weight_expr
+    # helper (decimal-aware):
+    "analytic_median_selection": 13,
+    "analytic_weighted_median_selection": 13,
+    "analytic_group_weighted_median": 13,
+    # r13: kmeans_lloyd's training loop extracted to the shared
+    # _kmeans_train (bit-identity pinned in
+    # tests/test_oracle_parity_r13.py), consumed by these two:
+    "kmeans_train_assign": 13,
+    "filter_ssl_prototypes": 13,
+    # r13: fluent halo session touched again (pending-spec boundary
+    # assert, bare-relation rowCount guard, dual-mode binding sniff on
+    # the _with path):
+    "lineitem_rsi_halo": 13,
+    "lineitem_donchian_halo": 13,
+    "lineitem_rsi_halo_hinted": 13,
 }
 
 
