@@ -176,6 +176,13 @@ def ngram_jaccard_pairs(
             "tok",
             "left_anti",
         )
+    # the (pruned) token stream feeds the self-join twice plus three
+    # size/df aggregates — materialize it once instead of replaying
+    # scan→tokenize→distinct(→anti-join) per reference (r13; same
+    # treatment as _prefix_jaccard)
+    from .materialize import shared as _mat
+
+    toks = _mat(toks)
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     # Size-ratio prefix prune (exact): jaccard(A,B) ≥ t forces
     # t·|A| ≤ |B| and t·|B| ≤ |A| (|A∩B| ≤ min, |A∪B| ≥ max), so pairs
@@ -347,7 +354,25 @@ def _prefix_jaccard(
             if same
             else toksR.join(F.broadcast(ubiq), "tok", "left_anti")
         )
-        dfreq = dfreq.join(F.broadcast(ubiq), "tok", "left_anti")
+    # Materialize the (pruned) token streams ONCE (r13).  Each stream is
+    # referenced 4–6× downstream (df join, prefix ranking, verification
+    # join, size aggregates); without truncation every reference replays
+    # scan→tokenize→distinct→anti-join — the before-plan was 405 nodes /
+    # 186 Exchanges recomputing the corpus ~6×.  localCheckpoint (the
+    # same persist-form the r8 queries adopted) computes each stream once
+    # and cuts the plan to the post-token DAG.  The document frequencies
+    # are then re-aggregated FROM the materialized streams — equivalent
+    # by construction: pruning removes only ubiquitous tokens' rows, so a
+    # surviving token keeps every occurrence and its df is unchanged.
+    from .materialize import shared as _mat
+
+    toksL = _mat(toksL)
+    toksR = toksL if same else _mat(toksR)
+    dfreq = (
+        (toksL if same else toksL.unionByName(toksR))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
     # Per-doc token order = (global df, token) ascending, rarest
     # first.  The prefix rule needs only each document's RELATIVE token
     # order under one fixed global order — never a materialized global
@@ -386,7 +411,12 @@ def _prefix_jaccard(
         .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
         .distinct()
     )
-    # exact verification over full token sets, candidates only
+    # exact verification over full token sets, candidates only (an
+    # array_intersect form over doc-level token arrays was tried in r13
+    # and measured 2.4× SLOWER at bench SF — the pair-keyed joins then
+    # carry a full token array per candidate row and the intersect is
+    # interpreted per pair; the posting join's partial aggregation beats
+    # it despite the larger row stream)
     ta = toksL.select(F.col("_id").alias("ia"), "tok")
     tb = toksR.select(F.col("_id").alias("ib"), "tok")
     shared = (

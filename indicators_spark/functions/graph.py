@@ -68,10 +68,16 @@ def pagerank(
     # plan's lifetime (LRU-evictable; callers looping many graphs can
     # df.unpersist() after consuming the result).
     e = e.persist()
+    # nodes is referenced once per superstep (the rank re-attach join)
+    # plus the r0 seed — persist it too (|V| rows; r13), so each
+    # superstep reads the tiny cached vertex table instead of replaying
+    # union+distinct over the edge cache.  The count below materializes
+    # both caches in one pass.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     if n_nodes == 0:

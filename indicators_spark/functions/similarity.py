@@ -159,6 +159,17 @@ def cosine_pairs(
         F.lit(math.pi / 2.0),
     )
     banded = base.withColumn("_bkt", F.floor(theta / F.lit(width)))
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        # In-band scoring as a vectorized fold-exact kernel (r13): the
+        # former in-band hash join evaluated dot() — an interpreted
+        # (CodegenFallback) zip_with+aggregate — on every candidate pair
+        # row, which dominated end-to-end time (~7× at 2k×64d).
+        # _np_fold_cos replays the identical IEEE op sequence (see
+        # _semdedup_dropped_arrow, same argument), so the pair set and
+        # every cos double are bit-identical; the band key still hashes
+        # one exchange, the pair stream just never materializes as rows.
+        return _banded_cos_arrow(banded, threshold, id_col, vec_col, id_type)
     a = banded.select(
         F.col(id_col).alias("ia"),
         F.col(vec_col).alias("va"),
@@ -181,6 +192,87 @@ def cosine_pairs(
         joined.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("ia", "ib", "cos")
+    )
+
+
+def _banded_cos_arrow(
+    banded: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    id_type: str,
+) -> DataFrame:
+    """Score the angular bands of :func:`cosine_pairs` with the
+    fold-exact NumPy kernel instead of a pair-materializing join.
+
+    Semantics replicated from the join form exactly: every row enters
+    groups ``{bkt−1, bkt, bkt+1}`` as an "a"-side candidate and its own
+    bucket as the "b" side (``_own``), so a pair (x, y) is scored in
+    exactly ONE group — ``g = bkt(y)`` with ``|bkt(x) − bkt(y)| ≤ 1`` —
+    just as the join matched a's exploded key to b's single key.  NULL
+    embeddings and zero-norm vectors produced NULL cos in the join form
+    (dropped by the ≥-filter); here NULL rows are excluded up front and
+    zero norms score NaN (compares False), the same drop.  Mixed-length
+    vectors paired NULL cos in the join (zip_with pads) — here each
+    group scores equal-length blocks only, the same drop.
+
+    Memory: a task holds one band's (n_band × dim) float64 matrix plus a
+    1024-row score block — the same per-cell bound semantic_dedup
+    documents, and far below the join form's materialized pair stream.
+    A single hot band hash-partitions to one task in both forms."""
+    import numpy as np
+    import pandas as pd
+
+    exploded = (
+        banded.select(
+            F.col(id_col).alias("_pid"),
+            F.col(vec_col).alias("_pv"),
+            F.explode(
+                F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+            ).alias("_g"),
+            F.col("_bkt"),
+        )
+        .withColumn("_own", F.col("_g") == F.col("_bkt"))
+        .drop("_bkt")
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["_pv"].notna()]
+        out_ia, out_ib, out_cos = [], [], []
+        if len(pdf):
+            dims = pdf["_pv"].map(len)
+            for dim in dims.unique():
+                sub = pdf[dims == dim]
+                bmask = sub["_own"].to_numpy(dtype=bool)
+                if not bmask.any() or dim == 0:
+                    continue
+                ids = sub["_pid"].to_numpy()
+                x = np.vstack(sub["_pv"].to_numpy()).astype(np.float64)
+                b_ids = ids[bmask]
+                xb = x[bmask]
+                block = 1024
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for s in range(0, len(ids), block):
+                        cos = _np_fold_cos(x[s : s + block], xb)
+                        hit = (cos >= threshold) & (
+                            ids[s : s + block, None] < b_ids[None, :]
+                        )
+                        r, c = np.nonzero(hit)
+                        out_ia.append(ids[s:][r])
+                        out_ib.append(b_ids[c])
+                        out_cos.append(cos[r, c])
+        if out_ia:
+            return pd.DataFrame(
+                {
+                    "ia": np.concatenate(out_ia),
+                    "ib": np.concatenate(out_ib),
+                    "cos": np.concatenate(out_cos),
+                }
+            )
+        return pd.DataFrame({"ia": [], "ib": [], "cos": []})
+
+    return exploded.groupBy("_g").applyInPandas(
+        lambda _, pdf: run(pdf), f"ia {id_type}, ib {id_type}, cos double"
     )
 
 
@@ -224,6 +316,35 @@ def ivf_centroids(
     return cents
 
 
+def _lit_vec(vs: Sequence[float]) -> Column:
+    """Literal double array in ONE py4j call.  ``F.lit(list)`` builds one
+    JVM literal per element (64-dim centroid → 64 round trips; 16
+    centroids × assign+probe uses measured ~6 s of pure driver-side
+    expression construction per query, r13) — a parsed SQL ``array(…)``
+    is a single call.  ``repr(float)`` is the shortest round-trip decimal
+    and ``Double.parseDouble`` of it returns the same double, so the
+    literal values are bit-identical to the ``F.lit`` form (non-finite
+    values fall back)."""
+    if all(math.isfinite(float(x)) for x in vs):
+        return F.expr(
+            "array(" + ",".join(repr(float(x)) + "D" for x in vs) + ")"
+        )
+    return F.lit([float(x) for x in vs])
+
+
+def _py_fold_norm(vs: Sequence[float]) -> float:
+    """√(Σ x²) with the exact IEEE op order of :func:`norm`'s JVM fold
+    (0.0 + x₁·x₁ + x₂·x₂ + … left-to-right, then sqrt) — Python floats
+    ARE doubles, so precomputing a literal centroid's norm driver-side
+    yields the bit-identical double while sparing every row the
+    interpreted constant fold."""
+    acc = 0.0
+    for x in vs:
+        fx = float(x)
+        acc = acc + fx * fx
+    return math.sqrt(acc)
+
+
 def ivf_cell_scores(
     cents: list[tuple[int, list[float]]], vec: Column, vnorm: Column
 ) -> Column:
@@ -236,8 +357,10 @@ def ivf_cell_scores(
         *[
             F.struct(
                 (
-                    dot(vec, F.lit(cv))
-                    / F.nullif(vnorm * norm(F.lit(cv)), F.lit(0.0))
+                    dot(vec, _lit_vec(cv))
+                    / F.nullif(
+                        vnorm * F.lit(_py_fold_norm(cv)), F.lit(0.0)
+                    )
                 ).alias("cos"),
                 F.lit(-cid).alias("ncid"),
             )
@@ -400,7 +523,7 @@ def knn_lsh(
     def signature(vec: str) -> Column:
         sig = F.lit(0)
         for m, row in enumerate(planes):
-            proj = dot(F.col(vec), F.lit(row))
+            proj = dot(F.col(vec), _lit_vec(row))
             sig = sig + F.when(proj > 0, F.lit(1 << m)).otherwise(F.lit(0))
         # NULL vectors get a NULL bucket (the equi join then drops them —
         # they can't be searched, and one bad row must not kill the job);
@@ -486,9 +609,7 @@ def _argmin_cluster(cents: list[tuple[int, list[float]]], vec_col: str) -> Colum
     assignment cost is one codegen'd projection however large the corpus."""
     scored = [
         F.struct(
-            _sq_dist(
-                F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec])
-            ).alias("d"),
+            _sq_dist(F.col(vec_col), _lit_vec(vec)).alias("d"),
             F.lit(int(cid)).alias("cid"),
         )
         for cid, vec in cents
@@ -2148,9 +2269,6 @@ def kcenter_select(
     if not first:
         raise ValueError("kcenter_select: no non-null vectors")
     centers = [(int(first[0][id_col]), list(first[0][vec_col]), None)]
-
-    def _lit_vec(vec: list) -> Column:
-        return F.array(*[F.lit(float(x)) for x in vec])
 
     if carry_min and k > 1:  # k=1 never enters the loop: skip the state
         from .materialize import shared
