@@ -33,3 +33,18 @@ def shared(df: DataFrame) -> DataFrame:
     if not EAGER:
         return df
     return df.localCheckpoint(eager=True)
+
+
+def shared_lazy(df: DataFrame) -> DataFrame:
+    """Like :func:`shared`, but the checkpoint materializes with the
+    FIRST action that consumes it instead of spending a dedicated job
+    right now.  For superstep loops whose state is both aggregated
+    (driver fold) and carried into the next step, this folds the
+    materialization into the aggregation job — half the Spark jobs per
+    step, same blocks, same lineage cut.  Only correct when some action
+    reads the returned frame before (or instead of) the next state
+    build; a frame that is only ever re-derived would silently keep its
+    full lineage."""
+    if not EAGER:
+        return df
+    return df.localCheckpoint(eager=False)

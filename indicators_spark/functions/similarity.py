@@ -2271,9 +2271,14 @@ def kcenter_select(
     centers = [(int(first[0][id_col]), list(first[0][vec_col]), None)]
 
     if carry_min and k > 1:  # k=1 never enters the loop: skip the state
-        from .materialize import shared
+        # LAZY checkpoint: each step's argmax action below materializes
+        # the state it aggregates, so a step costs ONE Spark job instead
+        # of checkpoint + argmax (measured r13: the eager form spent
+        # ~half its wall on the dedicated checkpoint jobs).  The next
+        # state builds on the materialized blocks either way.
+        from .materialize import shared_lazy
 
-        state = shared(
+        state = shared_lazy(
             base.filter(F.col(id_col) != centers[0][0]).select(
                 F.col(id_col),
                 F.col(vec_col),
@@ -2311,7 +2316,7 @@ def kcenter_select(
         centers.append((int(-m["_ni"]), list(m["_v"]), float(m["_q"])))
         if carry_min and len(centers) < k:
             new_id, new_vec, _ = centers[-1]
-            state = shared(
+            state = shared_lazy(
                 state.filter(F.col(id_col) != new_id).select(
                     F.col(id_col),
                     F.col(vec_col),

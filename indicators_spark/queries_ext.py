@@ -1265,6 +1265,15 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_loss": K.when_nullsafe(delta < 0, F.abs(delta), F.lit(0.0)),
         }
     )
+    # The rolling pass is PER-SYMBOL (already #symbols-way parallel), so
+    # it clears the per-key floor, not the global one: an r13 ABBA of
+    # this exact composed shape measured halo-lag + PLAIN-rolling faster
+    # than halo-ing both at every probed size (2.4M rows: 3.3 s vs
+    # 4.9 s; 7.8M: 8.4 s vs 10.0 s warm) — consistent with the r12
+    # fluent-session crossover of ≈16M rows/symbol.  l_returnflag has 3
+    # values, so the total-row floor is 3× the per-key constant.
+    from .scale import PER_KEY_HALO_MIN_ROWS
+
     a = rolling_multi_auto(
         g,
         [("mean", "_gain", "_ag"), ("mean", "_loss", "_al")],
@@ -1275,6 +1284,7 @@ def _li_rsi_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=("symbol",),
         bounds=bounds,
         n_rows=n_rows,
+        min_rows=3 * PER_KEY_HALO_MIN_ROWS,
     )
     rsi = 100 - K.safe_div(
         F.lit(100.0), 1 + K.safe_div(F.col("_ag"), F.col("_al"))

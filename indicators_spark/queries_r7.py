@@ -269,7 +269,16 @@ _PUNCT_HEX = tuple("01234567")
 def _lineify(docs: DataFrame, k: int, punct: bool = False) -> DataFrame:
     from .functions.text import words
 
-    ws = words(F.col("text"))
+    # PROJECT the split before the chunk lambda: Spark does no CSE
+    # inside lambda functions (the word_bigram_structs trap), so an
+    # unprojected `ws` would re-split the WHOLE document once per chunk
+    # — O(words²/k) per doc, quadratic in document length (r13; at the
+    # bench corpus' short docs it is a wash, at real page lengths it is
+    # the difference between linear and quadratic lineification).
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
     nch = F.floor((F.size(ws) + (k - 1)) / k).cast("long")
 
     def mk(i):  # noqa: ANN001, ANN202
@@ -282,9 +291,7 @@ def _lineify(docs: DataFrame, k: int, punct: bool = False) -> DataFrame:
         return line
 
     chunks = F.transform(F.sequence(F.lit(0).cast("long"), nch - 1), mk)
-    return docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.array_join(chunks, "\n").alias("text")
-    )
+    return base.select("doc_id", F.array_join(chunks, "\n").alias("text"))
 
 
 def _lineify_sql(k: int, punct: bool = False) -> str:

@@ -34,6 +34,7 @@ tests/test_scale.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import pandas as pd
@@ -538,10 +539,19 @@ def parquet_footer_stats(
 #: Row-count threshold for the size-based kernel dispatch: below this the
 #: halo kernels' fixed overhead (bucket-bounds scan, halo union, dedup
 #: filter, extra shuffle) dominates and the plain window form — though it
-#: plans a SinglePartition exchange for global orders — is faster on any
-#: realistic executor (SCALING.md: measured crossover ≈ 1e7 rows on
-#: local[32]; a single task handles 1e7 rows comfortably).
-HALO_MIN_ROWS = 8_000_000
+#: plans a SinglePartition exchange for global orders — is faster.
+#: Retuned r13 from an ABBA probe of the full lineitem_rsi_halo shape
+#: (global halo lag + per-symbol rolling) on local[32]: 600k rows plain
+#: wins (2.45 s vs 3.20 s warm); 2.4M rows halo wins 1.4× (6.0 s vs
+#: 9.0 s); 7.8M rows halo wins 2.2× (10.4 s vs 24.9 s).  Crossover ≈
+#: 1–1.5M rows; the gate sits at 2M with margin on the plain side —
+#: mis-gating just below costs a bounded single-task stage, while the
+#: old 8M gate left a 3–4× win on the table across 2–8M rows (and the
+#: single-task sort grows super-linearly from there).  Override per
+#: call via ``min_rows`` / ``halo=``, or fleet-wide via
+#: ``SPARK_GRAFT_HALO_MIN_ROWS`` for clusters whose exchange/compute
+#: balance differs from the measured host.
+HALO_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_HALO_MIN_ROWS", 2_000_000))
 
 #: Engage threshold for the fluent API's PER-SYMBOL halo sessions, in
 #: rows per symbol.  Higher than the global threshold because the plain
@@ -554,12 +564,16 @@ HALO_MIN_ROWS = 8_000_000
 #: sort spill (44–170 s vs halo's steady ~129 s); by 2×18M the halo
 #: session is ahead (~162 s vs ~190 s) and its lead grows with data —
 #: the single-symbol sort is spill-bound from there on.  Crossover ≈
-#: 16–18M rows/symbol on this host → the gate sits at 16M: early
-#: engagement near the wash point costs nothing measurable, while a
-#: too-late gate inherits the unbounded spill regime.  `halo=True` /
-#: `False` force either form where the caller knows better (e.g. a
-#: real cluster with far more cores than symbols).
-PER_KEY_HALO_MIN_ROWS = 2 * HALO_MIN_ROWS
+#: 16–18M rows/symbol on this host → the gate sits at 16M (an absolute
+#: constant since r13 — it tracks the r12 per-key measurement, not the
+#: global gate, which r13 retuned independently): early engagement near
+#: the wash point costs nothing measurable, while a too-late gate
+#: inherits the unbounded spill regime.  `halo=True` / `False` force
+#: either form where the caller knows better (e.g. a real cluster with
+#: far more cores than symbols).
+PER_KEY_HALO_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PER_KEY_HALO_MIN_ROWS", 16_000_000)
+)
 
 
 def rolling_multi_auto(

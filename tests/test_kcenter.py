@@ -149,3 +149,25 @@ def test_k_exceeding_pool_stops_early(spark):
     got = kcenter_select(df, k=5).collect()
     assert [r["vec_id"] for r in got] == [1, 2]
     assert len(got) == 2
+
+
+def test_carry_form_one_job_per_step(spark):
+    """r13 job-count contract: the carry loop's LAZY checkpoint folds
+    each step's state materialization into the argmax action, so a step
+    costs the argmax's own jobs only — under AQE that is 2 (the agg's
+    shuffle stage materializes as its own job, then the result stage);
+    the eager form added a third (the dedicated checkpoint job)."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * j / 7.0) for j in range(1, 9)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)  # isolate loop jobs from scan setup
+    tracker = spark.sparkContext.statusTracker()
+    k = 10
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    kcenter_select(df, k=k, carry_min=True)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 2 * k + 1, f"{after - before} jobs for k={k}"
