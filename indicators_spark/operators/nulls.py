@@ -6,7 +6,9 @@ applied per symbol (``.over("symbol")``), a literal value is applied
 globally.  All strategies are pure window/aggregate expressions — no UDFs:
 
 * forward  → ``last(c, ignorenulls=True)`` over unbounded-preceding frame
-* backward → ``first(c, ignorenulls=True)`` over unbounded-following frame
+* backward → ``last(c, ignorenulls=True)`` over the reversed-order running
+  frame (row-for-row equal to ``first`` over the unbounded-following frame,
+  which Spark evaluates O(n²) per partition)
 * min/max/mean → coalesce with the whole-partition aggregate
 * zero/one → coalesce with the literal
 """
@@ -45,8 +47,16 @@ class NullOps:
         w_prev = (
             part.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        w_next = (
-            part.orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # Backward fill is evaluated over the REVERSED ordering with a
+        # running [unbounded preceding, current row] frame: Spark's
+        # unbounded-FOLLOWING frame re-aggregates the whole remaining
+        # partition for every row (O(n²) per symbol), while the running
+        # frame is a single O(n) scan.  first-non-null at-or-after row i
+        # ascending ≡ last-non-null at-or-before row i descending, row for
+        # row, because the (timestamp, seq) order key is total.
+        w_next_rev = (
+            part.orderBy(*[c.desc() for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_all = part.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -57,7 +67,7 @@ class NullOps:
             if method == "forward":
                 return F.last(col, ignorenulls=True).over(w_prev)
             if method == "backward":
-                return F.first(col, ignorenulls=True).over(w_next)
+                return F.last(col, ignorenulls=True).over(w_next_rev)
             if method == "min":
                 return F.coalesce(col, F.min(col).over(w_all))
             if method == "max":

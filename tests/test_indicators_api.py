@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import _ts
+
 from indicators_spark import Indicators
 
 
@@ -62,6 +64,45 @@ def test_fill_null_value_and_methods(spark, ohlcv):
     a = out.filter(F.col("symbol") == "A").orderBy("seq").select("close").collect()
     vals = [10.0, 11.0, 9.5, 12.0, 12.5, 11.8, 13.0, 12.2, 14.0]
     assert a[3][0] == pytest.approx(sum(vals) / len(vals))
+
+
+def test_fill_null_backward_reversed_frame(spark):
+    """Backward fill runs over the REVERSED ordering with a running frame
+    (the O(n) plan); pin it row-for-row against the brute-force next-non-null,
+    including interior null runs, trailing nulls (stay null), and an
+    all-null symbol."""
+    vals = {
+        "A": [None, 1.0, None, None, 4.0, None, None],  # leading run + trailing run
+        "B": [None, None, None, None, None, None, None],  # all null
+        "C": [7.0, None, 8.0, None, None, 9.0, 10.0],
+    }
+    rows = [
+        (sym, _ts(i), i, v, 1.0)
+        for sym, seq in vals.items()
+        for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, timestamp timestamp, seq long, close double, volume double"
+    )
+    out = (
+        Indicators(df, order_by=("timestamp", "seq"))
+        .fill_null(["close"], method="backward")
+        .collect()
+    )
+    got = {
+        (r["symbol"], r["seq"]): r["close"]
+        for r in out.select("symbol", "seq", "close").collect()
+    }
+
+    def next_non_null(seq, i):
+        for v in seq[i:]:
+            if v is not None:
+                return v
+        return None
+
+    for sym, seq in vals.items():
+        for i in range(len(seq)):
+            assert got[(sym, i)] == next_non_null(seq, i), (sym, i)
 
 
 def test_macd_emits_only_signal_line(spark, ohlcv):
