@@ -619,26 +619,34 @@ def simhash_pairs(
             "(a distance-4 pair can differ in every byte); use more bands "
             "or exact verification for larger radii"
         )
-    sig = simhash(df, id_col, text_col)
-    parts = []
-    for b in range(4):
-        band = (F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))).alias(
-            "band_val"
-        )
-        s = sig.select(F.col(id_col), F.col("simhash"), band, F.lit(b).alias("band"))
-        left = s.select(
-            F.col(id_col).alias("ia"), F.col("simhash").alias("sa"), "band_val", "band"
-        )
-        right = s.select(
-            F.col(id_col).alias("ib"), F.col("simhash").alias("sb"), "band_val", "band"
-        )
-        parts.append(
-            left.join(right, ["band", "band_val"]).filter(F.col("ia") < F.col("ib"))
-        )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.select("ia", "ib", "sa", "sb").distinct()
+    from .materialize import shared as _mat
+
+    # The signature frame (explode + 32-bit-vote aggregation) is by far the
+    # expensive part; materialize it ONCE instead of letting each band join
+    # side replay scan→tokenize→aggregate (8 replays for 4 bands).  The four
+    # per-band self-joins then collapse into ONE self-join on a combined
+    # (band, byte) key — identical candidate set (union over bands of
+    # per-band equi-joins ≡ one equi-join on the composite key), 1 exchange
+    # per side instead of 8.
+    sig = _mat(simhash(df, id_col, text_col).select(F.col(id_col), "simhash"))
+    band_keys = F.array(
+        *[
+            (
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
+                + F.lit(b * 256)
+            ).cast("int")
+            for b in range(4)
+        ]
+    )
+    bd = sig.select(F.col(id_col), F.col("simhash"), F.explode(band_keys).alias("bk"))
+    left = bd.select(F.col(id_col).alias("ia"), F.col("simhash").alias("sa"), "bk")
+    right = bd.select(F.col(id_col).alias("ib"), F.col("simhash").alias("sb"), "bk")
+    cand = (
+        left.join(right, "bk")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "sa", "sb")
+        .distinct()
+    )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         cand.withColumn("hamming", ham)
