@@ -91,9 +91,29 @@ class VolatilityOps:
 
     def donchian_channel(self, look_back: int = 20):
         """Donchian channel (global): rolling max/min/midpoint →
-        ``donchian_{upper,lower,mid}_{n}`` (indicators.py:980-1003)."""
+        ``donchian_{upper,lower,mid}_{n}`` (indicators.py:980-1003).
+
+        Plain (non-halo) sessions evaluate the sliding extrema via the
+        van Herk / Gil–Werman block decomposition: Spark's bounded sliding
+        frame re-aggregates all ``look_back`` rows per row (O(n·k) — the
+        dominant cost of this operator at 600k rows in one faithful-mode
+        task), while max/min over a k-aligned block split is exactly
+        ``combine(suffix_max(window start), prefix_max(window end))`` —
+        two O(1)-per-row running extrema inside each block plus one lag.
+        The k-row window spans at most two adjacent blocks, and the block
+        partitioning additionally PARALLELIZES the heavy pass that the
+        single-task global window serializes.  Identical values: same
+        frame rows (total order is already a system invariant — every
+        ROWS-frame operator needs it for oracle parity), extrema ignore
+        NULLs on both paths (greatest/least skip NULLs), and the non-null
+        gate count over the frame is the running count minus its lag.
+        Halo sessions keep the classic expression — the halo already
+        splits the window and its budget accounting owns the specs."""
         self._validate(["high", "low"])
-        w = self._w(look_back, global_op=True)
+        w = self._w(look_back, global_op=True)  # decides the halo dispatch
+        if not self._halo_on and look_back >= 2:
+            self._donchian_blocked(look_back)
+            return self
         up = K.rolling_max("high", look_back, w)
         lo = K.rolling_min("low", look_back, w)
         self._with(
@@ -112,6 +132,77 @@ class VolatilityOps:
             }
         )
         return self
+
+    def _donchian_blocked(self, n: int) -> None:
+        """Van Herk / Gil–Werman sliding extrema for the plain (non-halo)
+        path; see :meth:`donchian_channel`.  Window [i−n+1, i] spans at
+        most two adjacent n-aligned blocks, so
+        ``extreme = combine(block_suffix(i−n+1), block_prefix(i))``; the
+        suffix is the running extreme over the REVERSED in-block order
+        (exact because the session order key is total), and the warm-up
+        gate's frame count is the running non-null count minus its lag-n."""
+        from pyspark.sql import Window
+
+        part = self._partition(True)
+        order = [F.col(c) for c in self._order]
+        order_d = [F.col(c).desc() for c in self._order]
+        w_ord = Window.partitionBy(*part).orderBy(*order)
+        w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        self._with(
+            {
+                "_dc_blk": F.floor((F.row_number().over(w_ord) - 1) / n),
+                "_dc_rch": F.count("high").over(w_cum),
+                "_dc_rcl": F.count("low").over(w_cum),
+            }
+        )
+        bpart = (*part, "_dc_blk")
+        w_asc = (
+            Window.partitionBy(*bpart)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_desc = (
+            Window.partitionBy(*bpart)
+            .orderBy(*order_d)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        self._with(
+            {
+                "_dc_pfh": F.max("high").over(w_asc),
+                "_dc_sfh": F.max("high").over(w_desc),
+                "_dc_pfl": F.min("low").over(w_asc),
+                "_dc_sfl": F.min("low").over(w_desc),
+            }
+        )
+        gate_h = (F.col("_dc_rch") - F.lag("_dc_rch", n, 0).over(w_ord)) >= n
+        gate_l = (F.col("_dc_rcl") - F.lag("_dc_rcl", n, 0).over(w_ord)) >= n
+        self._with(
+            {
+                f"donchian_upper_{n}": F.when(
+                    gate_h,
+                    F.greatest(
+                        F.lag("_dc_sfh", n - 1).over(w_ord), F.col("_dc_pfh")
+                    ),
+                ),
+                f"donchian_lower_{n}": F.when(
+                    gate_l,
+                    F.least(
+                        F.lag("_dc_sfl", n - 1).over(w_ord), F.col("_dc_pfl")
+                    ),
+                ),
+            }
+        )
+        self._with(
+            {
+                f"donchian_mid_{n}": (
+                    F.col(f"donchian_upper_{n}") + F.col(f"donchian_lower_{n}")
+                )
+                / 2
+            }
+        )
+        self._drop(
+            "_dc_blk", "_dc_rch", "_dc_rcl", "_dc_pfh", "_dc_sfh", "_dc_pfl", "_dc_sfl"
+        )
 
     def ichimoku(self, window_one: int = 9, window_two: int = 26, window_three: int = 52):
         """Ichimoku cloud (global), quirks preserved (indicators.py:785-823):

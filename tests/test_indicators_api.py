@@ -105,6 +105,47 @@ def test_fill_null_backward_reversed_frame(spark):
             assert got[(sym, i)] == next_non_null(seq, i), (sym, i)
 
 
+def test_donchian_blocked_equals_classic_sliding(spark):
+    """The plain-mode donchian path evaluates sliding max/min via the
+    van Herk block decomposition; pin it row-for-row against the classic
+    sliding-frame expressions across window sizes, null runs, and both
+    n <= and n > the frame length (total order key, as the system
+    requires of every ROWS-frame operator)."""
+    import random
+
+    from indicators_spark import kernels as K
+
+    random.seed(7)
+    rows = []
+    j = 0
+    for sym in ("A", "B"):
+        for _ in range(120):
+            hi = None if random.random() < 0.2 else round(random.uniform(1, 100), 3)
+            lo = None if random.random() < 0.2 else round(random.uniform(1, 100), 3)
+            rows.append((sym, _ts(j), j, hi, lo, 1.0, 1.0))
+            j += 1
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, seq long, high double, "
+        "low double, close double, volume double",
+    )
+    for n in (2, 7, 50, 300):
+        fast = Indicators(df, order_by=("timestamp", "seq")).donchian_channel(n).collect()
+        w = K.w_rows(n, (), ("timestamp", "seq"))
+        classic = df.withColumns(
+            {
+                f"donchian_upper_{n}": K.rolling_max("high", n, w),
+                f"donchian_lower_{n}": K.rolling_min("low", n, w),
+            }
+        ).withColumn(
+            f"donchian_mid_{n}",
+            (F.col(f"donchian_upper_{n}") + F.col(f"donchian_lower_{n}")) / 2,
+        )
+        assert fast.exceptAll(classic).count() == 0, n
+        assert classic.exceptAll(fast).count() == 0, n
+        assert fast.columns == classic.columns, n
+
+
 def test_macd_emits_only_signal_line(spark, ohlcv):
     out = Indicators(ohlcv).macd(["close"]).collect()
     added = set(out.columns) - set(ohlcv.columns)
