@@ -77,7 +77,13 @@ def test_shared_passes_run_fewer_jobs(spark):
     tracker = spark.sparkContext.statusTracker()
 
     def _jobs():
-        return len(tracker.getJobIdsForGroup(None) or [])
+        # Job IDs are globally sequential, so the max ID is a monotone
+        # job counter.  len() of the ID list is NOT: the status store
+        # evicts old entries past spark.ui.retainedJobs, so once the
+        # session-scoped fixture has run enough prior tests the list
+        # saturates (and can even shrink), sending the delta negative.
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
     df.count()  # materialize the cache outside both measured windows
     before = _jobs()
