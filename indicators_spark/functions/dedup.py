@@ -1850,8 +1850,17 @@ def cdc_dedup_stats(
     occurrence count is one hash-keyed groupBy (counts, never posting
     lists — a boilerplate chunk is one cell); the dup set is
     count-filtered BEFORE the broadcast semi-join back."""
-    ch = cdc_chunks(df, id_col, text_col, mod).select(
-        id_col, F.md5(F.col("chunk_text")).alias("ch"), "n_words"
+    from .materialize import shared as _mat
+
+    # The chunk stream is referenced THREE times below (occurrence
+    # counts, the flagged semi-join's probe side, per-doc totals); an
+    # unmaterialized plan replays the posexplode → running-boundary
+    # window → (doc, chunk) groupBy pipeline once per branch.
+    # Materialize the skinny (id, 16-byte hash, n_words) rows once.
+    ch = _mat(
+        cdc_chunks(df, id_col, text_col, mod).select(
+            id_col, F.md5(F.col("chunk_text")).alias("ch"), "n_words"
+        )
     )
     dup = (
         ch.groupBy("ch")

@@ -1008,6 +1008,8 @@ def tfidf_cosine_pairs(
     """
     from . import text as _text
 
+    from .materialize import shared_lazy as _mat_lazy
+
     ws = _text.words(F.col(text_col))
     # per-doc term frequencies over distinct (doc, token)
     tf = (
@@ -1015,6 +1017,14 @@ def tfidf_cosine_pairs(
         .groupBy("_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # Materialize the skinny (id, tok, tf) stream ONCE (lazy checkpoint —
+    # no eager job, preserving the pure-plan-build contract of the
+    # statically-sparse case): tf is read by dfreq, weighted, and — via
+    # weighted — norms and wn, so the unmaterialized plan replays the
+    # full scan→tokenize→aggregate pipeline 3–4× (once per branch; the
+    # corpus is re-tokenized for each).  The first consuming action
+    # computes the blocks; every later branch reads them.
+    tf = _mat_lazy(tf)
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     weighted = tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
@@ -1037,17 +1047,31 @@ def tfidf_cosine_pairs(
     integral_ids = dict(docs.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     if integral_ids and dense_max_vocab > 0 and dense_max_cells > 0:
         # Persist the normalized weight stream: it is read by the dispatch
-        # agg and again by whichever scoring path wins, and its lineage is
-        # the full tokenize → tf → df → norm pipeline.  The dense path
-        # releases it as soon as the matrix is folded; the sparse path's
-        # returned plan still references it, so there it stays pinned for
-        # the plan's lifetime (LRU-evictable, dropped at session close).
+        # fold and again by the sparse path if that wins (two self-join
+        # references).  The dense path releases it as soon as the matrix
+        # is folded; the sparse path's returned plan still references it,
+        # so there it stays pinned for the plan's lifetime (LRU-evictable,
+        # dropped at session close).
         wn = wn.persist()
-        n_vocab, n_ids = wn.agg(
-            F.count_distinct("tok"), F.count_distinct("_id")
-        ).first()
-        if n_vocab <= dense_max_vocab and n_vocab * n_ids <= dense_max_cells:
-            out = _tfidf_pairs_dense(wn, threshold)
+        # Dispatch + matrix fold in ONE job: fold at most
+        # dense_max_cells+1 (id, tok, wn) rows to the driver.  The
+        # decision is IDENTICAL to the former count_distinct agg:
+        # nnz ≤ vocab·n_ids always, so every corpus the old dispatch sent
+        # dense has nnz ≤ dense_max_cells (the fold below is complete for
+        # it), and the explicit len/vocab/cells re-checks reject exactly
+        # what the agg rejected.  Corpora the agg would have rejected
+        # without folding now pay one bounded (≤ dense_max_cells-row)
+        # driver fold before taking the sparse join — the price of
+        # running one scan instead of two for the common dense case.
+        pdf = wn.limit(dense_max_cells + 1).toPandas()
+        n_vocab = pdf["tok"].nunique()
+        n_ids = pdf["_id"].nunique()
+        if (
+            len(pdf) <= dense_max_cells
+            and n_vocab <= dense_max_vocab
+            and n_vocab * n_ids <= dense_max_cells
+        ):
+            out = _tfidf_pairs_dense(docs.sparkSession, pdf, threshold)
             wn.unpersist()
             return out
     a = wn.alias("a")
@@ -1064,14 +1088,16 @@ def tfidf_cosine_pairs(
     return pairs.select("ia", "ib", "cos")
 
 
-def _tfidf_pairs_dense(wn: DataFrame, threshold: float) -> DataFrame:
+def _tfidf_pairs_dense(spark, pdf, threshold: float) -> DataFrame:
     """Broadcast-GEMM scorer for the bounded-vocabulary case (see
-    :func:`tfidf_cosine_pairs`).  The full L2-normalized matrix folds to
-    the driver as one Arrow (id, tok, wn) fold (≤ dense_max_cells
-    nonzeros by the dispatch bound), broadcasts, and each ``mapInPandas``
-    task scores a row block against the whole matrix with one float64
-    GEMM, emitting only (ia < ib, shared-token, cos ≥ threshold)
-    survivors — the pair stream never hits a shuffle at all.
+    :func:`tfidf_cosine_pairs`).  The caller hands over the full
+    L2-normalized matrix as the already-folded (id, tok, wn) pandas
+    frame (≤ dense_max_cells nonzeros by the dispatch bound — the fold
+    doubles as the dispatch measurement, one job instead of an agg plus
+    a second fold); it broadcasts, and each ``mapInPandas`` task scores
+    a row block against the whole matrix with one float64 GEMM, emitting
+    only (ia < ib, shared-token, cos ≥ threshold) survivors — the pair
+    stream never hits a shuffle at all.
 
     The extra ``cos > 0`` mask preserves EXACT sparse-join semantics at
     any threshold: a posting join emits a pair only when the docs share a
@@ -1089,8 +1115,6 @@ def _tfidf_pairs_dense(wn: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = wn.sparkSession
-    pdf = wn.toPandas()  # Arrow fold of the nnz stream (≤ dense_max_cells)
     id_codes, ids = pd.factorize(pdf["_id"], sort=True)
     tok_codes, _ = pd.factorize(pdf["tok"], sort=True)
     mat = np.zeros((len(ids), tok_codes.max() + 1 if len(ids) else 0))
@@ -1119,11 +1143,14 @@ def _tfidf_pairs_dense(wn: DataFrame, threshold: float) -> DataFrame:
                     {"ia": my_ids[r], "ib": all_ids[c], "cos": scores[r, c]}
                 )
 
-    blocks = spark.range(len(ids)).select(F.col("id").cast("long").alias("_i"))
+    # range() takes the partition count directly — the former
+    # repartition() spent an exchange (plus its sort-before-repartition
+    # pass) just to spread 1 long per doc round-robin.
     par = spark.sparkContext.defaultParallelism
-    return blocks.repartition(min(par, max(1, len(ids) // 64))).mapInPandas(
-        score, "ia long, ib long, cos double"
-    )
+    blocks = spark.range(
+        0, len(ids), numPartitions=min(par, max(1, len(ids) // 64))
+    ).select(F.col("id").cast("long").alias("_i"))
+    return blocks.mapInPandas(score, "ia long, ib long, cos double")
 
 
 def semantic_dedup(
