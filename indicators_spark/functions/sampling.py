@@ -989,15 +989,39 @@ def robust_scale_by_group(
         & F.col(group_col).isNotNull()
         & F.col(key_col).isNotNull()
     ).select(F.col(key_col), F.col(group_col), v.alias("_v"))
-    med = kth_element_by_group(base, "_v", group_col, frac=0.5).select(
-        F.col(group_col), F.col("value").alias("_med")
-    )
+    # ONE bounds pass serves BOTH kernel runs (prior_stats): the MAD
+    # rows are exactly the base rows (the median join is 1-row-per-group
+    # broadcast, `_ad` is never null for surviving rows), and IEEE
+    # subtraction is monotone, so per group
+    # |x − med| ≤ max(hi − med, med − lo) holds in float — a valid
+    # superset interval.  Two stats aggregations become one.
+    st = {
+        r["_g"]: (r["lo"], r["hi"], r["n"])
+        for r in base.groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    prior_v = {g: (lo, hi, n, n, 1) for g, (lo, hi, n) in st.items()}
+    med = kth_element_by_group(
+        base, "_v", group_col, frac=0.5, prior_stats=prior_v
+    ).select(F.col(group_col), F.col("value").alias("_med"))
+    med_by_g = {
+        r[group_col]: r["_med"] for r in med.collect()
+    }
     with_med = base.join(F.broadcast(med), group_col).withColumn(
         "_ad", F.abs(F.col("_v") - F.col("_med"))
     )
-    mad = kth_element_by_group(with_med, "_ad", group_col, frac=0.5).select(
-        F.col(group_col), F.col("value").alias("_mad")
-    )
+    prior_ad = {
+        g: (0.0, max(hi - med_by_g[g], med_by_g[g] - lo), n, n, 1)
+        for g, (lo, hi, n) in st.items()
+    }
+    mad = kth_element_by_group(
+        with_med, "_ad", group_col, frac=0.5, prior_stats=prior_ad
+    ).select(F.col(group_col), F.col("value").alias("_mad"))
     return (
         with_med.join(F.broadcast(mad), group_col)
         .withColumn(

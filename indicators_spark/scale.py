@@ -1170,6 +1170,36 @@ def weighted_quantiles(
     return resolved.groupBy(F.col("_g").alias(group)).agg(*aggs)
 
 
+#: Selection-kernel residue fast path: when the resolved interval is
+#: KNOWN (from the kernel's exact row bookkeeping) to hold at most this
+#: many rows, the per-value counts are collected and the exact
+#: cumulative walk runs on the driver — ONE job instead of the
+#: agg → global-window → limit chain (three sequential AQE stages whose
+#: scheduling latency dominates the residue at any scale, since by
+#: construction the residue data is small).  Driver state is bounded by
+#: this many (value, weight) pairs (≈1 MB at the default); larger
+#: residues keep the in-Spark prefix sum.  Env-overridable for hosts
+#: with tighter driver memory.
+RESIDUE_DRIVER_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_RESIDUE_DRIVER_ROWS", str(1 << 16))
+)
+
+
+def _residue_walk(pairs, kk: int, err: str) -> float:
+    """Driver twin of the residue's ordered prefix sum: smallest value
+    whose cumulative weight reaches ``kk`` over sorted (value, weight)
+    pairs.  Bit-identical to the in-Spark form — weights are integral
+    (exact, order-free sums) and values are NaN-free doubles, so
+    Python's ascending sort is the same total order as ``ORDER BY _v``
+    (groupBy normalizes -0.0 to 0.0 before either path sees it)."""
+    cum = 0
+    for v_, c_ in pairs:
+        cum += c_
+        if cum >= kk:
+            return float(v_)
+    raise RuntimeError(err)
+
+
 def kth_element(
     df: DataFrame,
     value_col: str,
@@ -1240,15 +1270,27 @@ def kth_element(
     below = 0  # rows strictly left of the current interval
     in_range = total
 
-    def _exact_residue(lo: float, hi: float, kk: int) -> float:
+    def _exact_residue(lo: float, hi: float, kk: int, n_rows: int) -> float:
         # per-VALUE counts (never raw rows): the residue's distinct
         # values are ≤ its row count, the aggregate is one tiny shuffle,
         # and the ordered prefix-sum runs over that value table
-        cells = (
+        err = (
+            f"kth_element: residue [{lo}, {hi}] holds fewer than "
+            f"{kk} rows — interval bookkeeping violated"
+        )
+        agg = (
             vals.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
             .groupBy("_v")
             .agg(F.count(F.lit(1)).alias("_c"))
-            .withColumn(
+        )
+        if n_rows <= RESIDUE_DRIVER_MAX_ROWS:
+            # the exact bookkeeping proves the residue tiny: collect the
+            # value table and walk it on the driver (one job)
+            return _residue_walk(
+                sorted((r["_v"], r["_c"]) for r in agg.collect()), kk, err
+            )
+        cells = (
+            agg.withColumn(
                 "_cum",
                 F.sum("_c").over(
                     Window.orderBy("_v").rowsBetween(
@@ -1262,18 +1304,15 @@ def kth_element(
             .collect()
         )
         if not cells:
-            raise RuntimeError(
-                f"kth_element: residue [{lo}, {hi}] holds fewer than "
-                f"{kk} rows — interval bookkeeping violated"
-            )
+            raise RuntimeError(err)
         return float(cells[0]["_v"])
 
     for _ in range(max_iters):
         if lo == hi or in_range <= final_rows:
-            return _exact_residue(lo, hi, k - below)
+            return _exact_residue(lo, hi, k - below, in_range)
         width = (hi - lo) / buckets
         if width <= 0.0:  # span underflowed: few representable doubles left
-            return _exact_residue(lo, hi, k - below)
+            return _exact_residue(lo, hi, k - below, in_range)
         idx = F.least(
             F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("int"),
             F.lit(buckets - 1),
@@ -1303,7 +1342,7 @@ def kth_element(
                 # far narrower than the interval) for free — the
                 # interval collapses to the data, no extra scan.
                 if (mn, mx, c) == (lo, hi, in_range):  # no progress left
-                    return _exact_residue(lo, hi, k - below)
+                    return _exact_residue(lo, hi, k - below, in_range)
                 lo, hi, below, in_range = mn, mx, cum, c
                 break
             cum += c
@@ -1311,7 +1350,7 @@ def kth_element(
             # unreachable with exact bookkeeping (histogram counts sum
             # to in_range and below < k <= below + in_range holds
             # inductively); kept as a correct fallback, not a truncation
-            return _exact_residue(lo, hi, k - below)
+            return _exact_residue(lo, hi, k - below, in_range)
     raise RuntimeError(
         f"kth_element: no convergence in {max_iters} passes (k={k})"
     )
@@ -1414,12 +1453,22 @@ def kth_element_weighted(
     below_w = 0  # weight strictly left of the current interval
     in_range_n = total_n
 
-    def _exact_residue(lo: float, hi: float, wkk: int) -> float:
-        cells = (
+    def _exact_residue(lo: float, hi: float, wkk: int, n_rows: int) -> float:
+        err = (
+            f"kth_element_weighted: residue [{lo}, {hi}] holds less "
+            f"than {wkk} weight — interval bookkeeping violated"
+        )
+        agg = (
             vals.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
             .groupBy("_v")
             .agg(F.sum("_w").alias("_c"))
-            .withColumn(
+        )
+        if n_rows <= RESIDUE_DRIVER_MAX_ROWS:
+            return _residue_walk(
+                sorted((r["_v"], r["_c"]) for r in agg.collect()), wkk, err
+            )
+        cells = (
+            agg.withColumn(
                 "_cum",
                 F.sum("_c").over(
                     Window.orderBy("_v").rowsBetween(
@@ -1433,18 +1482,15 @@ def kth_element_weighted(
             .collect()
         )
         if not cells:
-            raise RuntimeError(
-                f"kth_element_weighted: residue [{lo}, {hi}] holds less "
-                f"than {wkk} weight — interval bookkeeping violated"
-            )
+            raise RuntimeError(err)
         return float(cells[0]["_v"])
 
     for _ in range(max_iters):
         if lo == hi or in_range_n <= final_rows:
-            return _exact_residue(lo, hi, wk - below_w)
+            return _exact_residue(lo, hi, wk - below_w, in_range_n)
         width = (hi - lo) / buckets
         if width <= 0.0:  # span underflowed: few representable doubles left
-            return _exact_residue(lo, hi, wk - below_w)
+            return _exact_residue(lo, hi, wk - below_w, in_range_n)
         idx = F.least(
             F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("int"),
             F.lit(buckets - 1),
@@ -1471,7 +1517,7 @@ def kth_element_weighted(
                 # kth_element — the floor expression never depends on
                 # the weights
                 if (mn, mx, n) == (lo, hi, in_range_n):  # no progress
-                    return _exact_residue(lo, hi, wk - below_w)
+                    return _exact_residue(lo, hi, wk - below_w, in_range_n)
                 lo, hi, below_w, in_range_n = mn, mx, cum, n
                 break
             cum += ws
@@ -1481,7 +1527,7 @@ def kth_element_weighted(
             # in-range weight holds inductively; the crossing bucket
             # always has ws > 0, hence n > 0); kept as a correct
             # fallback, not a truncation
-            return _exact_residue(lo, hi, wk - below_w)
+            return _exact_residue(lo, hi, wk - below_w, in_range_n)
     raise RuntimeError(
         f"kth_element_weighted: no convergence in {max_iters} passes "
         f"(wk={wk})"
@@ -1750,22 +1796,35 @@ def _kth_multi_impl(
         raise RuntimeError(f"{label}: no convergence in {max_iters} passes")
 
     results = {}
-    for i, (slo, shi, sbelow, _) in enumerate(segments):
+    for i, (slo, shi, sbelow, sn) in enumerate(segments):
         keys_i = [k for k, si in seg_of.items() if si == i]
         if not keys_i:
             continue
-        cells = (
+        agg = (
             vals.filter((F.col("_v") >= slo) & (F.col("_v") <= shi))
             .groupBy("_v")
             .agg(F.sum("_w").alias("_c"))
-            .withColumn(
-                "_cum",
-                F.sum("_c").over(
-                    Window.orderBy("_v").rowsBetween(
-                        Window.unboundedPreceding, 0
-                    )
-                ),
-            )
+        )
+        if sn <= RESIDUE_DRIVER_MAX_ROWS:
+            # segment row count is exact bookkeeping: collect the value
+            # table once and answer every rank that resolved into this
+            # segment with driver walks (one job per segment)
+            pairs = sorted((r["_v"], r["_c"]) for r in agg.collect())
+            for k in keys_i:
+                results[k] = _residue_walk(
+                    pairs,
+                    targets[k] - sbelow,
+                    f"{label}: residue [{slo}, {shi}] holds less than "
+                    f"{targets[k] - sbelow} weight — bookkeeping violated",
+                )
+            continue
+        cells = agg.withColumn(
+            "_cum",
+            F.sum("_c").over(
+                Window.orderBy("_v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
         )
         row = cells.agg(
             *[
@@ -1797,6 +1856,7 @@ def kth_element_by_group(
     buckets: int = 1024,
     final_rows: int = 1 << 20,
     max_iters: int = 256,
+    prior_stats: dict | None = None,
 ) -> DataFrame:
     """EXACT per-group k-th smallest value — every group refined
     SIMULTANEOUSLY, one histogram pass per round for all groups at once
@@ -1823,6 +1883,16 @@ def kth_element_by_group(
     Shares :func:`_kth_by_group_impl` with the weighted form (an
     all-ones weight column makes them identical — counts ARE unit
     weight sums, exactly).
+
+    ``prior_stats`` (``{group: (lo, hi, total_w, n, min_w)}``) skips the
+    kernel's own bounds pass when the caller already knows the numbers —
+    catalog/manifest column statistics at 100 TB, or a preceding kernel
+    run over the SAME rows (``robust_scale_by_group``'s MAD pass).
+    ``lo``/``hi`` may be any SUPERSET interval (refinement filters and
+    residue walks stay exact under loose bounds — they only require
+    lo ≤ v ≤ hi for every group row); ``total_w``/``n`` must be EXACT
+    (they drive the rank target, the residue gate and the no-progress
+    detection).
     """
     return _kth_by_group_impl(
         df,
@@ -1836,6 +1906,7 @@ def kth_element_by_group(
         max_iters=max_iters,
         label="kth_element_by_group",
         out_fields=("n", "k"),
+        prior_stats=prior_stats,
     )
 
 
@@ -1895,6 +1966,7 @@ def _kth_by_group_impl(
     max_iters: int,
     label: str,
     out_fields: tuple,
+    prior_stats: dict | None = None,
 ) -> DataFrame:
     """Shared engine for grouped exact selection, weighted or not.
 
@@ -1915,18 +1987,23 @@ def _kth_by_group_impl(
     vals = df.filter(keep).select(
         F.col(group_col).alias("_g"), v.alias("_v"), w.alias("_w")
     )
-    stats = {
-        r["_g"]: (r["lo"], r["hi"], r["tw"], r["n"], r["mw"])
-        for r in vals.groupBy("_g")
-        .agg(
-            F.min("_v").alias("lo"),
-            F.max("_v").alias("hi"),
-            F.sum("_w").alias("tw"),
-            F.count(F.lit(1)).alias("n"),
-            F.min("_w").alias("mw"),
-        )
-        .collect()
-    }
+    if prior_stats is not None:
+        # caller-supplied bounds (see kth_element_by_group): loose
+        # lo/hi are fine, total_w/n must be exact
+        stats = {g: tuple(s) for g, s in prior_stats.items()}
+    else:
+        stats = {
+            r["_g"]: (r["lo"], r["hi"], r["tw"], r["n"], r["mw"])
+            for r in vals.groupBy("_g")
+            .agg(
+                F.min("_v").alias("lo"),
+                F.max("_v").alias("hi"),
+                F.sum("_w").alias("tw"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("_w").alias("mw"),
+            )
+            .collect()
+        }
     neg = {g: s[4] for g, s in stats.items() if s[4] is not None and s[4] < 0}
     if neg:
         raise ValueError(
@@ -2056,28 +2133,45 @@ def _kth_by_group_impl(
             [(g, state[g][0], state[g][1], want[g] - state[g][2]) for g in pending],
             ["_g", "_lo", "_hi", "_kk"],
         )
-        cells = (
-            vals.join(F.broadcast(iv3), "_g")
-            .filter(
-                (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
-            )
-            .groupBy("_g", "_v", "_kk")
-            .agg(F.sum("_w").alias("_c"))
-            .withColumn(
-                "_cum",
-                F.sum("_c").over(
-                    Window.partitionBy("_g")
-                    .orderBy("_v")
-                    .rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            )
-            .filter(F.col("_cum") >= F.col("_kk"))
-            .groupBy("_g")
-            .agg(F.min("_v").alias("_ans"))
-            .collect()
+        base = vals.join(F.broadcast(iv3), "_g").filter(
+            (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
         )
-        for r in cells:
-            resolved[r["_g"]] = float(r["_ans"])
+        # state[g][3] is the exact in-range row count EXCEPT on the
+        # defensive routes, which zero it as a force-residue sentinel —
+        # a zero therefore means "row count unknown", not "empty"
+        known = all(state[g][3] > 0 for g in pending)
+        if known and sum(state[g][3] for g in pending) <= RESIDUE_DRIVER_MAX_ROWS:
+            by_g: dict = {}
+            for r in (
+                base.groupBy("_g", "_v").agg(F.sum("_w").alias("_c")).collect()
+            ):
+                by_g.setdefault(r["_g"], []).append((r["_v"], r["_c"]))
+            for g in pending:
+                resolved[g] = _residue_walk(
+                    sorted(by_g.get(g, [])),
+                    want[g] - state[g][2],
+                    f"{label}: residue pass produced no value for "
+                    f"group {g!r} — interval bookkeeping violated",
+                )
+        else:
+            cells = (
+                base.groupBy("_g", "_v", "_kk")
+                .agg(F.sum("_w").alias("_c"))
+                .withColumn(
+                    "_cum",
+                    F.sum("_c").over(
+                        Window.partitionBy("_g")
+                        .orderBy("_v")
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+                .filter(F.col("_cum") >= F.col("_kk"))
+                .groupBy("_g")
+                .agg(F.min("_v").alias("_ans"))
+                .collect()
+            )
+            for r in cells:
+                resolved[r["_g"]] = float(r["_ans"])
     unresolved = [g for g in want if g not in resolved]
     if unresolved:
         raise RuntimeError(
