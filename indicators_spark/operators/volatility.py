@@ -93,7 +93,8 @@ class VolatilityOps:
         """Donchian channel (global): rolling max/min/midpoint →
         ``donchian_{upper,lower,mid}_{n}`` (indicators.py:980-1003).
 
-        Plain (non-halo) sessions evaluate the sliding extrema via the
+        Plain (non-halo) FAITHFUL-GLOBAL sessions — where the window
+        runs as a single task — evaluate the sliding extrema via the
         van Herk / Gil–Werman block decomposition: Spark's bounded sliding
         frame re-aggregates all ``look_back`` rows per row (O(n·k) — the
         dominant cost of this operator at 600k rows in one faithful-mode
@@ -111,7 +112,18 @@ class VolatilityOps:
         splits the window and its budget accounting owns the specs."""
         self._validate(["high", "low"])
         w = self._w(look_back, global_op=True)  # decides the halo dispatch
-        if not self._halo_on and look_back >= 2:
+        if (
+            not self._halo_on
+            and look_back >= 2
+            and not self._partition(True)
+        ):
+            # blocked path ONLY where the plain frame would run as ONE
+            # task (faithful global, symbol-less) — that is the case it
+            # was measured on.  per_symbol mode's sliding frame is
+            # already #symbols-parallel and fuses into the chain's
+            # single exchange; the block decomposition there trades a
+            # cheap O(n·k) frame for 3 extra sorts + 6 window stages
+            # (the r13 pipeline_per_symbol regression).
             self._donchian_blocked(look_back)
             return self
         up = K.rolling_max("high", look_back, w)

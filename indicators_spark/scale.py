@@ -1184,6 +1184,79 @@ RESIDUE_DRIVER_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_RESIDUE_DRIVER_ROWS", str(1 << 16))
 )
 
+#: Complete-value-table fast path (VERDICT r13 #7): when a selection
+#: kernel KNOWS (from its exact stats pass: distinct values ≤ rows = n)
+#: or SPECULATES (plan-size gate below) that the input's per-value
+#: weight table fits on the driver, ONE Arrow collect of that table
+#: answers every requested rank with the same exact cumulative walk the
+#: residue already uses — replacing every histogram round and residue
+#: pass.  Rows here are distinct (group, value) pairs; 1M pairs ≈ 24 MB
+#: through Arrow.  Env-overridable for tight-driver hosts (0 disables).
+DRIVER_TABLE_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_TABLE_ROWS", str(1 << 20))
+)
+
+#: Speculative pre-stats gate: optimizer size estimate below which the
+#: kernels try the value-table collect BEFORE their stats pass, saving
+#: that job too (2 jobs → 1 for small inputs).  A miss — the capped
+#: collect saturates — wastes one bounded job, so the gate is
+#: deliberately small; at 100 TB the estimate is TB-sized and the
+#: kernels never speculate (the classic stats-then-refine flow is
+#: untouched there).
+SPECULATIVE_TABLE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPECULATIVE_BYTES", str(64 << 20))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for ``df`` — advisory only (gates a
+    perf-only speculation, never a semantics choice)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - py4j estimation hiccup
+        return 1 << 62
+
+
+def _collect_value_table(vals: DataFrame, grouped: bool, cap: int | None):
+    """The per-(group,) value weight table as ONE Arrow collect:
+    ``groupBy(value).agg(sum(w), count, min(w))`` — the complete,
+    order-free-exact input to the driver's cumulative walk.  With
+    ``cap`` set the collect is bounded (``limit(cap+1)``) and returns
+    ``None`` when it saturates (speculation miss); without it the
+    caller has already proven the row bound from exact stats."""
+    keys = (["_g"] if grouped else []) + ["_v"]
+    agg = vals.groupBy(*keys).agg(
+        F.sum("_w").alias("_tw"),
+        F.count(F.lit(1)).alias("_c"),
+        F.min("_w").alias("_mw"),
+    )
+    if cap is not None and cap <= 0:
+        return None
+    pdf = (agg.limit(cap + 1) if cap is not None else agg).toPandas()
+    if cap is not None and len(pdf) > cap:
+        return None
+    return pdf
+
+
+def _table_walk(pdf, kk: int, err: str) -> float:
+    """Driver walk over a complete (already group-sliced) value table:
+    smallest value whose cumulative weight reaches ``kk`` — the numpy
+    twin of :func:`_residue_walk` (same total order: NaN-free doubles,
+    -0.0 normalized by the groupBy; same "first cum ≥ k" rule via
+    ``searchsorted(..., side='left')``; integral weights make the
+    cumulative sums exact and order-free)."""
+    import numpy as np
+
+    v = pdf["_v"].to_numpy(dtype="float64")
+    order = np.argsort(v, kind="mergesort")
+    cum = np.cumsum(pdf["_tw"].to_numpy(dtype="int64")[order])
+    i = int(np.searchsorted(cum, kk, side="left"))
+    if i >= len(cum):
+        raise RuntimeError(err)
+    return float(v[order][i])
+
 
 def _residue_walk(pairs, kk: int, err: str) -> float:
     """Driver twin of the residue's ordered prefix sum: smallest value
@@ -1258,7 +1331,25 @@ def kth_element(
     if k < 1:
         raise ValueError(f"kth_element: k must be >= 1, got {k}")
     v = F.col(value_col).cast("double")
-    vals = df.filter(v.isNotNull() & ~F.isnan(v)).select(v.alias("_v"))
+    vals = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        v.alias("_v"), F.lit(1).cast("long").alias("_w")
+    )
+    tbl = None
+    if _plan_size_bytes(vals) <= SPECULATIVE_TABLE_MAX_BYTES:
+        # speculative value-table-first: skips the stats pass outright
+        # when the complete table fits (1 job total); a saturated
+        # collect falls through to the classic flow
+        tbl = _collect_value_table(vals, False, DRIVER_TABLE_MAX_ROWS)
+    if tbl is not None:
+        total = int(tbl["_tw"].sum())
+        if len(tbl) == 0 or k > total:
+            raise ValueError(
+                f"kth_element: k={k} outside [1, {total}] non-null rows"
+            )
+        return _table_walk(
+            tbl, k, "kth_element: value table walk exhausted — "
+            "bookkeeping violated"
+        )
     lo_hi = vals.agg(
         F.min("_v"), F.max("_v"), F.count(F.lit(1))
     ).first()
@@ -1266,6 +1357,14 @@ def kth_element(
     if lo is None or k > total:
         raise ValueError(
             f"kth_element: k={k} outside [1, {total}] non-null rows"
+        )
+    if total <= DRIVER_TABLE_MAX_ROWS:
+        # exact stats prove the complete table fits (distinct ≤ rows):
+        # one unbounded collect replaces every refinement round
+        tbl = _collect_value_table(vals, False, None)
+        return _table_walk(
+            tbl, k, "kth_element: value table walk exhausted — "
+            "bookkeeping violated"
         )
     below = 0  # rows strictly left of the current interval
     in_range = total
@@ -1436,6 +1535,30 @@ def kth_element_weighted(
     vals = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(weight_col).isNotNull()
     ).select(v.alias("_v"), w.alias("_w"))
+
+    def _walk_table(tbl) -> float:
+        min_w = int(tbl["_mw"].min()) if len(tbl) else None
+        if min_w is not None and min_w < 0:
+            raise ValueError(
+                f"kth_element_weighted: negative weight {min_w} breaks "
+                "the cumulative-weight monotonicity the selection "
+                "relies on"
+            )
+        total_w = int(tbl["_tw"].sum()) if len(tbl) else None
+        if total_w is None or wk > total_w:
+            raise ValueError(
+                f"kth_element_weighted: wk={wk} outside [1, {total_w}] "
+                "total weight over non-null rows"
+            )
+        return _table_walk(
+            tbl, wk, "kth_element_weighted: value table walk exhausted "
+            "— bookkeeping violated"
+        )
+
+    if _plan_size_bytes(vals) <= SPECULATIVE_TABLE_MAX_BYTES:
+        tbl = _collect_value_table(vals, False, DRIVER_TABLE_MAX_ROWS)
+        if tbl is not None:
+            return _walk_table(tbl)
     lo_hi = vals.agg(
         F.min("_v"), F.max("_v"), F.sum("_w"), F.count(F.lit(1)), F.min("_w")
     ).first()
@@ -1450,6 +1573,8 @@ def kth_element_weighted(
             f"kth_element_weighted: wk={wk} outside [1, {total_w}] total "
             "weight over non-null rows"
         )
+    if total_n <= DRIVER_TABLE_MAX_ROWS:
+        return _walk_table(_collect_value_table(vals, False, None))
     below_w = 0  # weight strictly left of the current interval
     in_range_n = total_n
 
@@ -1657,9 +1782,26 @@ def _kth_multi_impl(
         keep = keep & F.col(weight_col).isNotNull()
         w = _integral_weight_expr(df, weight_col, label)
     vals = df.filter(keep).select(v.alias("_v"), w.alias("_w"))
-    lo, hi, total, n, min_w = vals.agg(
-        F.min("_v"), F.max("_v"), F.sum("_w"), F.count(F.lit(1)), F.min("_w")
-    ).first()
+    tbl = None
+    if _plan_size_bytes(vals) <= SPECULATIVE_TABLE_MAX_BYTES:
+        # speculative value-table-first (see DRIVER_TABLE_MAX_ROWS):
+        # the complete table IS the stats pass (min/max/sums derive
+        # from it exactly) and answers every rank without refinement
+        tbl = _collect_value_table(vals, False, DRIVER_TABLE_MAX_ROWS)
+    if tbl is not None and len(tbl):
+        lo = float(tbl["_v"].min())
+        hi = float(tbl["_v"].max())
+        total = int(tbl["_tw"].sum())
+        n = int(tbl["_c"].sum())
+        min_w = int(tbl["_mw"].min())
+    else:
+        lo, hi, total, n, min_w = vals.agg(
+            F.min("_v"),
+            F.max("_v"),
+            F.sum("_w"),
+            F.count(F.lit(1)),
+            F.min("_w"),
+        ).first()
     if min_w is not None and min_w < 0:
         raise ValueError(
             f"{label}: negative weight {min_w} breaks the cumulative "
@@ -1691,6 +1833,21 @@ def _kth_multi_impl(
             raise ValueError(f"{label}: ranks outside [1, {total}]: {bad!r}")
     if not targets:
         raise ValueError(f"{label}: no ranks requested")
+
+    if tbl is None and n <= DRIVER_TABLE_MAX_ROWS:
+        # exact stats prove the complete table fits (distinct ≤ rows)
+        tbl = _collect_value_table(vals, False, None)
+    if tbl is not None and len(tbl):
+        results = {
+            key: _table_walk(
+                tbl,
+                targets[key],
+                f"{label}: value table walk exhausted for target "
+                f"{targets[key]} — bookkeeping violated",
+            )
+            for key in targets
+        }
+        return total, results
 
     # segment state: (lo, hi, below_weight, n_rows); seg_of: key -> index
     segments = [(lo, hi, 0, n)]
@@ -1987,11 +2144,38 @@ def _kth_by_group_impl(
     vals = df.filter(keep).select(
         F.col(group_col).alias("_g"), v.alias("_v"), w.alias("_w")
     )
-    if prior_stats is not None:
+    tbl = None
+    if _plan_size_bytes(vals) <= SPECULATIVE_TABLE_MAX_BYTES:
+        # speculative value-table-first (see DRIVER_TABLE_MAX_ROWS):
+        # the complete (group, value) table IS the stats pass — exact
+        # per-group bounds/weights derive from it — and answers every
+        # group without refinement rounds or a residue pass
+        tbl = _collect_value_table(vals, True, DRIVER_TABLE_MAX_ROWS)
+    if tbl is not None and len(tbl):
+        derived = {
+            g: (
+                float(sub["_v"].min()),
+                float(sub["_v"].max()),
+                int(sub["_tw"].sum()),
+                int(sub["_c"].sum()),
+                int(sub["_mw"].min()),
+            )
+            for g, sub in tbl.groupby("_g", sort=False)
+        }
+        if prior_stats is not None:
+            # the prior's group set stays authoritative (groups it
+            # omits stay omitted, exactly as on the classic path); the
+            # table's exact numbers replace the prior's
+            stats = {g: derived[g] for g in prior_stats if g in derived}
+        else:
+            stats = derived
+    elif prior_stats is not None:
         # caller-supplied bounds (see kth_element_by_group): loose
         # lo/hi are fine, total_w/n must be exact
+        tbl = None
         stats = {g: tuple(s) for g, s in prior_stats.items()}
     else:
+        tbl = None
         stats = {
             r["_g"]: (r["lo"], r["hi"], r["tw"], r["n"], r["mw"])
             for r in vals.groupBy("_g")
@@ -2036,6 +2220,35 @@ def _kth_by_group_impl(
     state = {g: [stats[g][0], stats[g][1], 0, stats[g][3]] for g in want}
     resolved: dict = {}
     spark = df.sparkSession
+    if (
+        tbl is None
+        and want
+        and sum(stats[g][3] for g in want) <= DRIVER_TABLE_MAX_ROWS
+    ):
+        # exact stats (agg or prior contract) prove the wanted groups'
+        # complete table fits: one collect replaces every round
+        need_filter = prior_stats is not None or len(want) < len(stats)
+        if not need_filter:
+            tbl = _collect_value_table(vals, True, None)
+        elif len(want) <= 64:
+            tbl = _collect_value_table(
+                vals.filter(F.col("_g").isin(list(want))), True, None
+            )
+    if tbl is not None and want:
+        by_g = {g: sub for g, sub in tbl.groupby("_g", sort=False)}
+        for g in want:
+            sub = by_g.get(g)
+            if sub is None or not len(sub):
+                raise RuntimeError(
+                    f"{label}: value table holds no rows for group "
+                    f"{g!r} — interval bookkeeping violated"
+                )
+            resolved[g] = _table_walk(
+                sub,
+                want[g],
+                f"{label}: value table walk exhausted for group {g!r} "
+                "— bookkeeping violated",
+            )
 
     def _interval_df(groups):
         # carry hi explicitly: filtering on lo + w*buckets could float-

@@ -83,3 +83,27 @@ def ohlcv(spark):
         "symbol string, timestamp timestamp, seq long, open double, "
         "high double, low double, close double, volume double",
     )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r13 #8): the 274-query oracle-parity
+    battery (tests/test_oracle_parity.py) takes ~15-25 min alone and
+    pushed the whole-suite run past the driver's pytest budget, so a
+    plain `pytest tests/` run skips it and completes in the fast tier.
+    The battery still runs — at full strength — whenever it is targeted
+    explicitly (`pytest tests/test_oracle_parity.py`, the /verify
+    recipe) or `SPARK_GRAFT_PARITY=1` is set.  The per-round focused
+    parity files (test_oracle_parity_r*.py) stay in the fast tier."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PARITY"):
+        return
+    if any("test_oracle_parity.py" in a for a in config.args):
+        return
+    skip = pytest.mark.skip(
+        reason="oracle battery tier: run tests/test_oracle_parity.py "
+        "directly or set SPARK_GRAFT_PARITY=1"
+    )
+    for item in items:
+        if item.fspath.basename == "test_oracle_parity.py":
+            item.add_marker(skip)

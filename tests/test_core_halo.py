@@ -529,3 +529,29 @@ def test_dual_halo_with_ewm_and_cumulative(spark):
         Indicators(src, halo="dual", halo_buckets=3, halo_depth=64)
     ).collect()
     assert _rows(plain) == _rows(dual)
+
+
+def test_dual_twin_matches_faithful_bench_chains(spark):
+    """The exact op chains bench.py's pipeline_dual /
+    pipeline_many_symbols_dual closures run (VERDICT r13 #6): forced
+    dual must equal the plain faithful chain row-for-row on a
+    multi-symbol frame, including atr + daily_return."""
+    src = _multi_prices(spark, n=700)
+
+    def chain(ind, with_atr):
+        ind = (
+            ind.sma(["close"], 20)
+            .bollinger_bands(["close"], 20, 2)
+            .rsi(["close"], 14)
+        )
+        if with_atr:
+            ind = ind.atr(14)
+        return ind.daily_return(["close"])
+
+    for with_atr in (False, True):
+        plain = chain(Indicators(src, halo=False), with_atr).collect()
+        dual = chain(
+            Indicators(src, halo="dual", halo_buckets=4, halo_depth=64),
+            with_atr,
+        ).collect()
+        assert _rows(plain) == _rows(dual), with_atr

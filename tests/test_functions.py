@@ -1121,3 +1121,38 @@ def test_substring_dedup_clean_null_text_passthrough(spark):
     assert got[0] == ("some real words here", 0)
     assert got[1] == (None, 0)
     assert got[2] == ("", 0)
+
+
+def test_tfidf_saturated_probe_falls_back_to_agg_dispatch(
+    spark, monkeypatch
+):
+    """When the capped driver fold saturates below dense_max_cells
+    (ADVICE r13: don't pull 8M rows to the driver just to dispatch),
+    the two-long agg must take over and reach the SAME decision + the
+    same results on both the dense-accept and sparse-reject branches."""
+    from indicators_spark.functions.similarity import tfidf_cosine_pairs
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.3).collect()
+    }
+    monkeypatch.setenv("INDICATORS_TFIDF_PROBE_CELLS", "10")
+    # probe saturates at 11 rows -> agg dispatch; corpus is dense-eligible
+    # -> re-fold + GEMM, same pairs
+    dense = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.3).collect()
+    }
+    assert dense.keys() == want.keys() and dense
+    for k in want:
+        assert dense[k] == pytest.approx(want[k], rel=1e-12)
+    # agg rejects (vocab cap 1) -> sparse join, same pairs
+    sparse = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.3, dense_max_vocab=1
+        ).collect()
+    }
+    assert sparse.keys() == want.keys()

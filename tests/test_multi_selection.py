@@ -147,3 +147,58 @@ def test_multi_guards(spark):
             spark.createDataFrame([(1.0, 1.5)], "x double, w double"),
             "x", "w", wks=[1],
         )
+
+
+def test_value_table_fast_path_equals_classic_refinement(spark, monkeypatch):
+    """The r14 complete-value-table fast path (speculative one-job
+    collect + driver walk) must be bit-identical to the classic
+    stats→histogram→residue flow on every kernel, across ties, zero
+    weights, negatives, and multiple groups."""
+    import indicators_spark.scale as scale
+
+    df = _pairs_df(spark, _PAIRS)
+    gdf = spark.createDataFrame(
+        [("a", x, w) for x, w in _PAIRS]
+        + [("b", float(i % 5), (i % 3) + 1) for i in range(40)],
+        "g string, x double, w long",
+    )
+
+    def run_all():
+        out = {}
+        out["k"] = scale.kth_element(df, "x", 5, buckets=8, final_rows=4)
+        out["kw"] = scale.kth_element_weighted(
+            df, "x", "w", 11, buckets=8, final_rows=4
+        )
+        out["multi"] = scale.kth_elements(
+            df, "x", fracs=[0.25, 0.5, 0.9], buckets=8, final_rows=4
+        )
+        out["multi_w"] = scale.kth_elements_weighted(
+            df, "x", "w", wks=[3, 11, 20], buckets=8, final_rows=4
+        )
+        out["grp"] = sorted(
+            (r["g"], r["n"], r["k"], r["value"])
+            for r in scale.kth_element_by_group(
+                gdf, "x", "g", frac=0.5, buckets=8, final_rows=4
+            ).collect()
+        )
+        out["grp_w"] = sorted(
+            (r["g"], r["total_w"], r["wk"], r["value"])
+            for r in scale.kth_element_by_group_weighted(
+                gdf, "x", "w", "g", frac=0.5, buckets=8, final_rows=4
+            ).collect()
+        )
+        return out
+
+    fast = run_all()
+    # force the classic path: no speculation, no post-stats table
+    monkeypatch.setattr(scale, "SPECULATIVE_TABLE_MAX_BYTES", -1)
+    monkeypatch.setattr(scale, "DRIVER_TABLE_MAX_ROWS", 0)
+    classic = run_all()
+    assert fast == classic
+    # sanity: the speculative gate opens for parquet-backed frames this
+    # size (local relations report unknown size and skip speculation —
+    # they still take the post-stats table path via the row bound)
+    from indicators_spark.sources.prices import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert scale._plan_size_bytes(docs) <= (64 << 20)  # the default gate

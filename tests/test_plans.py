@@ -485,3 +485,20 @@ def test_line_dedup_text_never_shuffles(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "line#" not in ln and "text#" not in ln, ln
+
+
+def test_per_symbol_donchian_keeps_classic_sliding_frame(spark):
+    """per_symbol mode must NOT take the van Herk block decomposition:
+    the plain symbol-partitioned sliding frame is already parallel and
+    fuses into the chain's single exchange, while the blocked form adds
+    block-keyed sorts/windows (the r13 pipeline_per_symbol regression).
+    Pin the plan: no block bookkeeping column, one Sort."""
+    p = prices_from_events(spark, SF_SMOKE)
+    df = (
+        Indicators(p, order_by=("timestamp", "seq"), partition_mode="per_symbol")
+        .donchian_channel(20)
+        .collect()
+    )
+    plan = plan_string(df)
+    assert "_dc_blk" not in plan, plan
+    assert plan.count("Sort ") + plan.count("Sort[") <= 2, plan

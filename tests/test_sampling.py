@@ -359,3 +359,37 @@ def test_gopher_rules_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = plan_string(text.gopher_rules(df))
     assert exchange_count(plan) == 0, plan
+
+
+def test_robust_scale_nan_and_inf_rows_match_kernel_counts(spark):
+    """The shared bounds pass must count exactly the rows the selection
+    kernel's keep filter sees (ADVICE r13): a NaN value row used to
+    inflate the prior n and shift the rank target ([1,2,3,4,NaN] read
+    median 3.0 instead of 2.0); ±inf bounds used to poison the derived
+    MAD interval.  Both now match a kernel-only (prior-free) replay."""
+    import math
+
+    rows = [
+        ("a", 0, 1.0),
+        ("a", 1, 2.0),
+        ("a", 2, 3.0),
+        ("a", 3, 4.0),
+        ("a", 4, float("nan")),
+        ("b", 10, 1.0),
+        ("b", 11, 2.0),
+        ("b", 12, float("inf")),
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, x double")
+    got = {
+        r["k"]: (r["_med"], r["_mad"], r["_rz"])
+        for r in sampling.robust_scale_by_group(df, "x", "g", "k").collect()
+    }
+    # group a: kernel sees [1,2,3,4] -> lower median 2.0; |x-2| over the
+    # same rows -> [1,0,1,2] -> lower MAD 1.0
+    assert got[0][0] == 2.0 and got[0][1] == 1.0, got[0]
+    assert math.isclose(got[0][2], (1.0 - 2.0) / (sampling.MAD_SIGMA * 1.0))
+    assert math.isnan(got[4][2])  # the NaN row scores NaN, others exact
+    # group b: inf is a real value (kept by the kernel): med=2.0,
+    # ads=[1,0,inf] -> lower MAD 1.0; the inf row's score is +inf
+    assert got[10][0] == 2.0 and got[10][1] == 1.0, got[10]
+    assert got[12][2] == float("inf")
