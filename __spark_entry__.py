@@ -146,7 +146,9 @@ _TOUCHED: dict[str, int] = {
     "graph_pagerank_nations": 13,
     "dedup_lines_within_doc": 13,
     "analytic_group_median_selection": 13,
-    "quality_quantile_normalize": 13,
+    # r14: one fused per-group stats pass feeds bounds/nper/ntot as
+    # driver literals (17 -> 14 jobs):
+    "quality_quantile_normalize": 14,
     # r14 optimization round touches: donchian dispatch gate (blocked
     # path now faithful-global only), simhash/cdc materialization made
     # lazy, tfidf dispatch probe capped, robust_scale prior-stats

@@ -127,7 +127,12 @@ def logreg_quality(
     """
     feat, lab = logreg_features(df, label, id_col, text_col, buckets, seed)
     feat = feat.persist()
-    n = lab.count()
+    # n = |lab| folds into the FIRST gradient aggregation instead of a
+    # dedicated count job: the bias feature contributes exactly one
+    # bkt==buckets row per labeled document (and resid covers every
+    # feat document), so that bucket's row count IS the label count.
+    # The first update reads n from the same collect that feeds it.
+    n: int | None = None
     w = [0.0] * (buckets + 1)
     for _ in range(iters):
         m = _margins(feat, w)
@@ -136,10 +141,17 @@ def logreg_quality(
         g = (
             feat.join(resid, "_id")
             .groupBy("bkt")
-            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .agg(
+                F.sum(F.col("x") * F.col("r")).alias("g"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         grad = {int(r["bkt"]): float(r["g"]) for r in g}
+        if n is None:
+            n = next(
+                (int(r["c"]) for r in g if int(r["bkt"]) == buckets), 0
+            )
         # identical op order to the oracle SQL: w - lr*g/n, then quantize
         w = [
             _pyq(w[j] - lr * grad.get(j, 0.0) / n)

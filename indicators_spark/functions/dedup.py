@@ -179,8 +179,9 @@ def ngram_jaccard_pairs(
     # the (pruned) token stream feeds the self-join twice plus three
     # size/df aggregates — materialize it once instead of replaying
     # scan→tokenize→distinct(→anti-join) per reference (r13; same
-    # treatment as _prefix_jaccard)
-    from .materialize import shared as _mat
+    # treatment as _prefix_jaccard).  Lazy (r14): the first consuming
+    # action computes the blocks; no dedicated job at plan-build.
+    from .materialize import shared_lazy as _mat
 
     toks = _mat(toks)
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -364,7 +365,9 @@ def _prefix_jaccard(
     # are then re-aggregated FROM the materialized streams — equivalent
     # by construction: pruning removes only ubiquitous tokens' rows, so a
     # surviving token keeps every occurrence and its df is unchanged.
-    from .materialize import shared as _mat
+    # Lazy (r14): the first consuming action materializes — plan-build
+    # spends no dedicated job.
+    from .materialize import shared_lazy as _mat
 
     toksL = _mat(toksL)
     toksR = toksL if same else _mat(toksR)
@@ -1645,11 +1648,12 @@ def winnow_pairs(
     # the fingerprint set feeds the df-frequency branch AND both sides
     # of the self-join — materialize it once (16-byte hashes + id) so
     # the window pipeline under it runs once, not once per branch
-    # (materialize.shared: checkpoint blocks free with the result,
-    # no session-lifetime cache entry — ADVICE r7)
-    from .materialize import shared
+    # (materialize.shared_lazy: checkpoint blocks free with the result,
+    # no session-lifetime cache entry — ADVICE r7; lazy since r14, the
+    # df-frequency branch's first action materializes)
+    from .materialize import shared_lazy
 
-    fps = shared(
+    fps = shared_lazy(
         winnow_fingerprints(df, id_col, text_col, k, w)
         .select(F.col(id_col).alias("_fid"), "gh")
         .distinct()

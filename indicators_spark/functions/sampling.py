@@ -30,6 +30,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 HASH_DEN = 10_000  # bucket resolution: rates are exact multiples of 0.01%
 
@@ -878,13 +879,31 @@ def quantile_normalize_by_group(
         & F.col(group_col).isNotNull()
         & F.col(key_col).isNotNull()
     ).select(F.col(key_col), F.col(group_col), v.alias("_v"))
-    lo, hi = base.agg(F.min("_v"), F.max("_v")).first()
-    if lo is None:
+    # ONE per-group stats pass (VERDICT r13 #7 "while there"): global
+    # bounds (min of mins / max of maxs), the per-group row counts AND
+    # the pooled total all derive from a single ≤groups-row driver
+    # fold — the former three subtrees (bounds agg + nper broadcast
+    # agg + ntot crossJoin agg) re-enter the plan as driver literals
+    # (the standing K-driver-scalars budget).
+    st = (
+        base.groupBy(group_col)
+        .agg(
+            F.min("_v").alias("_lo"),
+            F.max("_v").alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+    if not st:
         raise ValueError(
             "quantile_normalize_by_group: no rows with non-null "
             f"({value_col}, {group_col}, {key_col})"
         )
-    bounds = (float(lo), float(hi))
+    bounds = (
+        float(min(r["_lo"] for r in st)),
+        float(max(r["_hi"] for r in st)),
+    )
+    ntot = sum(r["_n"] for r in st)
     ranked = grouped_row_number(
         base,
         [group_col],
@@ -894,7 +913,16 @@ def quantile_normalize_by_group(
         bounds=bounds,
         out="_r",
     )
-    nper = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    gtype = df.schema[group_col].dataType
+    nper = df.sparkSession.createDataFrame(
+        [(r[group_col], int(r["_n"])) for r in st],
+        T.StructType(
+            [
+                T.StructField(group_col, gtype),
+                T.StructField("_n", T.LongType()),
+            ]
+        ),
+    )
     pooled = global_row_number(
         base.select("_v", key_col),
         order_cols=["_v", key_col],
@@ -903,12 +931,12 @@ def quantile_normalize_by_group(
         bounds=bounds,
         out="_gidx",
     ).select("_gidx", F.col("_v").alias("_pv"))
-    # `_ntot`, not `_N`: Spark resolves column names case-insensitively
-    # by default, so `_N` would collide with the per-group `_n`
-    ntot = base.agg(F.count(F.lit(1)).alias("_ntot"))
     calc = (
         ranked.join(F.broadcast(nper), group_col)
-        .crossJoin(F.broadcast(ntot))
+        # `_ntot`, not `_N`: Spark resolves column names
+        # case-insensitively by default, so `_N` would collide with the
+        # per-group `_n`
+        .withColumn("_ntot", F.lit(int(ntot)).cast("long"))
         .withColumn("_pos", (F.col("_r") - 1) * (F.col("_ntot") - 1))
         .withColumn("_nm1", F.col("_n") - 1)
         # integer DIV/MOD (never a float position): CASE guards the

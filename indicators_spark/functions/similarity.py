@@ -2072,7 +2072,7 @@ def mmr_rerank(
     Every arithmetic step is the fold-exact cosine chain, so the greedy
     trajectory — not just its output — replays bit-identically on the
     oracle."""
-    from .materialize import shared
+    from .materialize import shared_lazy as shared
 
     normed = with_norm(df, vec_col).filter(F.col("_norm") > 0)
     df = normed.drop("_norm")

@@ -896,7 +896,7 @@ def bpe_learn_merges(
     ``(a,a)``) resolve leftmost-first — byte-identical semantics for
     Spark's ``replace`` and DuckDB's, no regex anywhere, so the whole
     trajectory replays in unrolled SQL CTEs."""
-    from .materialize import shared
+    from .materialize import shared_lazy as shared
 
     if n_merges < 1:
         raise ValueError(f"bpe_learn_merges: n_merges must be >= 1, got {n_merges!r}")
